@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry runs a real engine pipeline
+(public_transit_data_platform_sql_nosql_spark/) over GTFS-shaped views that
+are derived deterministically from the driver's TPC-H-ish parquet tables
+(sources/tpch_adapter.py); each ``oracle_sql()`` entry re-states the same
+computation in ANSI SQL over the *same* derivation as a DuckDB WITH-prefix.
+This is the differential-oracle strategy from SURVEY.md SS5.
 """
 
 from __future__ import annotations
@@ -12,27 +13,462 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from public_transit_data_platform_sql_nosql_spark.jobs.denormalize import (
+    denormalize_stop_timetables,
+)
+from public_transit_data_platform_sql_nosql_spark.queries import timetable as tt
+from public_transit_data_platform_sql_nosql_spark.queries.common import (
+    hourly_frequency,
+    trip_stats,
+)
+from public_transit_data_platform_sql_nosql_spark.queries.q1_busiest_stops import (
+    q1_busiest_stops,
+)
+from public_transit_data_platform_sql_nosql_spark.queries.q2_duration_speed import (
+    q2_overall,
+    q2_route_stats,
+)
+from public_transit_data_platform_sql_nosql_spark.queries.q3_transfer_points import (
+    q3_transfer_points,
+)
+from public_transit_data_platform_sql_nosql_spark.queries.q4_hourly_frequency import (
+    detail_rows,
+    top_routes_daily,
+    totals_by_service,
+    whole_week_hourly,
+)
+from public_transit_data_platform_sql_nosql_spark.sources.tpch_adapter import (
+    duckdb_ctes,
+    register_gtfs_views,
+)
+
+# ---------------------------------------------------------------------------
+# helpers
+
+_CTES = duckdb_ctes()
+
+# shared oracle CTE: the reference's vw_hourly_frequency (SURVEY.md A9)
+_HOURLY_CTE = """hourly AS (
+  SELECT t.route_id, t.service_id,
+         CAST(floor(st.departure_secs / 3600) AS INT) AS hour_of_day,
+         COUNT(DISTINCT st.trip_id) AS trips_per_hour
+  FROM stop_times st JOIN trips t USING (trip_id)
+  WHERE st.departure_secs IS NOT NULL
+  GROUP BY 1, 2, 3
+)"""
+
+# shared oracle CTE: Q2's per-trip stats incl. HAVING > 60s (SURVEY.md A5/P5)
+_TS_CTE = """ts AS (
+  SELECT st.trip_id, t.route_id, t.service_id,
+         MAX(st.arrival_secs) - MIN(st.departure_secs) AS trip_duration_seconds,
+         MAX(st.shape_dist_traveled) - MIN(st.shape_dist_traveled) AS trip_distance
+  FROM stop_times st JOIN trips t USING (trip_id)
+  GROUP BY 1, 2, 3
+  HAVING MAX(st.arrival_secs) - MIN(st.departure_secs) > 60
+)"""
+
+
+def _round2(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Round float aggregate columns on BOTH sides of the oracle compare:
+    mirrors the reference's 2-dp API rounding (SURVEY.md F5) and absorbs
+    summation-order ulp differences between engines."""
+    return df.select(
+        *[
+            F.round(F.col(c), 2).alias(c) if c in cols else F.col(c)
+            for c in df.columns
+        ]
+    )
+
+
+_Q2_ROUND = ["avg_trip_distance_km", "avg_duration_min",
+             "duration_stddev_min", "avg_speed_kmh"]
+
+
+# ---------------------------------------------------------------------------
+# Spark-side queries (each: (spark, sf_dir) -> DataFrame)
+
+def _q1(spark, sf_dir):
+    v = register_gtfs_views(spark, sf_dir)
+    return q1_busiest_stops(v["stop_times"], v["trips"], v["stops"],
+                            service_id=None, limit=50)
+
+
+def _q1_weekday(spark, sf_dir):
+    v = register_gtfs_views(spark, sf_dir)
+    return q1_busiest_stops(v["stop_times"], v["trips"], v["stops"],
+                            service_id="1", limit=20)
+
+
+def _q3(spark, sf_dir):
+    v = register_gtfs_views(spark, sf_dir)
+    return q3_transfer_points(v["stop_times"], v["trips"], v["stops"],
+                              service_id=None, limit="all")
+
+
+def _q2_trip_stats(spark, sf_dir):
+    v = register_gtfs_views(spark, sf_dir)
+    return trip_stats(v["stop_times"], v["trips"])
+
+
+def _q2_weekday(spark, sf_dir):
+    v = register_gtfs_views(spark, sf_dir)
+    df = q2_route_stats(v["stop_times"], v["trips"], v["routes"],
+                        service_id="1", limit="all")
+    return _round2(df, _Q2_ROUND)
+
+
+def _q2_whole_week(spark, sf_dir):
+    v = register_gtfs_views(spark, sf_dir)
+    df = q2_route_stats(v["stop_times"], v["trips"], v["routes"],
+                        service_id=None, limit="all")
+    return _round2(df, _Q2_ROUND)
+
+
+def _q2_overall_weekday(spark, sf_dir):
+    v = register_gtfs_views(spark, sf_dir)
+    per_route = q2_route_stats(v["stop_times"], v["trips"], v["routes"],
+                               service_id="1", limit="all")
+    return _round2(q2_overall(per_route),
+                   ["avg_duration_min", "avg_speed_kmh"])
+
+
+def _q4_hourly_view(spark, sf_dir):
+    v = register_gtfs_views(spark, sf_dir)
+    return hourly_frequency(v["stop_times"], v["trips"])
+
+
+def _q4_top_routes(spark, sf_dir):
+    v = register_gtfs_views(spark, sf_dir)
+    h = hourly_frequency(v["stop_times"], v["trips"])
+    return top_routes_daily(h, v["routes"], service_id=None, limit=20)
+
+
+def _q4_detail_rows(spark, sf_dir):
+    v = register_gtfs_views(spark, sf_dir)
+    h = hourly_frequency(v["stop_times"], v["trips"])
+    return detail_rows(h, v["routes"], service_id=None, limit=10)
+
+
+def _q4_whole_week_hourly(spark, sf_dir):
+    v = register_gtfs_views(spark, sf_dir)
+    h = hourly_frequency(v["stop_times"], v["trips"])
+    return whole_week_hourly(h, v["routes"])
+
+
+def _q4_totals_by_service(spark, sf_dir):
+    v = register_gtfs_views(spark, sf_dir)
+    h = hourly_frequency(v["stop_times"], v["trips"])
+    return totals_by_service(h, v["routes"])
+
+
+def _hours_gt24(spark, sf_dir):
+    from public_transit_data_platform_sql_nosql_spark.functions.gtfs_time import (
+        hour_of_day,
+    )
+
+    v = register_gtfs_views(spark, sf_dir)
+    return (
+        v["stop_times"]
+        .filter(F.col("departure_secs") >= 86400)
+        .groupBy(hour_of_day("departure_secs").alias("hour_of_day"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+def _time_wrap(spark, sf_dir):
+    from public_transit_data_platform_sql_nosql_spark.functions.gtfs_time import (
+        wrap_display_time,
+    )
+
+    v = register_gtfs_views(spark, sf_dir)
+    return (
+        v["stop_times"]
+        .filter(F.col("departure_secs") >= 86400)
+        .select(
+            "trip_id", "stop_sequence", "departure_time",
+            wrap_display_time(F.col("departure_secs")).alias("display_time"),
+        )
+    )
+
+
+def _denorm(spark, sf_dir):
+    v = register_gtfs_views(spark, sf_dir)
+    return denormalize_stop_timetables(v["stop_times"], v["trips"],
+                                       v["stops"], v["routes"])
+
+
+def _denorm_check(spark, sf_dir):
+    dep_times = F.transform(F.col("upcoming_services"),
+                            lambda x: x["departure_time"])
+    return _denorm(spark, sf_dir).select(
+        "stop_id",
+        F.size("upcoming_services").cast("long").alias("n_services"),
+        F.array_min(dep_times).alias("first_departure"),
+        F.array_max(dep_times).alias("last_departure"),
+    )
+
+
+def _timetable_stops(spark, sf_dir):
+    v = register_gtfs_views(spark, sf_dir)
+    return tt.get_stops(v["stops"])
+
+
+def _routes_for_stop(spark, sf_dir):
+    return tt.get_routes_for_stop(_denorm(spark, sf_dir), "42")
+
+
+def _arrivals_grouped(spark, sf_dir):
+    df = tt.get_arrivals_grouped(_denorm(spark, sf_dir), "17")
+    return df.select(
+        "route_id", "route_short_name", "trip_headsign",
+        F.element_at("times", 1).alias("first_time"),
+        F.element_at("times", -1).alias("last_time"),
+        F.col("count").alias("n_arrivals"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# driver contract
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query (Q1 busiest stops) on /root/testdata/sf0.001."""
+    return _q1(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q1_busiest_stops": _q1,
+        "q1_busiest_stops_weekday": _q1_weekday,
+        "q3_transfer_points": _q3,
+        "q2_trip_stats": _q2_trip_stats,
+        "q2_route_stats_weekday": _q2_weekday,
+        "q2_route_stats_whole_week": _q2_whole_week,
+        "q2_overall_weekday": _q2_overall_weekday,
+        "q4_hourly_frequency_view": _q4_hourly_view,
+        "q4_top_routes_daily": _q4_top_routes,
+        "q4_detail_rows": _q4_detail_rows,
+        "q4_whole_week_hourly": _q4_whole_week_hourly,
+        "q4_totals_by_service": _q4_totals_by_service,
+        "gtfs_hours_past_24": _hours_gt24,
+        "gtfs_time_display_wrap": _time_wrap,
+        "denormalize_check": _denorm_check,
+        "timetable_stops": _timetable_stops,
+        "timetable_routes_for_stop": _routes_for_stop,
+        "timetable_arrivals_grouped": _arrivals_grouped,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    c = _CTES
+    return {
+        "q1_busiest_stops": f"""
+{c}
+SELECT s.stop_id, s.stop_code, s.stop_name, s.stop_lat, s.stop_lon,
+       COUNT(*) AS total_trip_events,
+       COUNT(DISTINCT t.route_id) AS num_unique_routes
+FROM stop_times st JOIN trips t USING (trip_id) JOIN stops s USING (stop_id)
+GROUP BY 1, 2, 3, 4, 5
+ORDER BY total_trip_events DESC, s.stop_id
+LIMIT 50
+""",
+        "q1_busiest_stops_weekday": f"""
+{c}
+SELECT s.stop_id, s.stop_code, s.stop_name, s.stop_lat, s.stop_lon,
+       COUNT(*) AS total_trip_events,
+       COUNT(DISTINCT t.route_id) AS num_unique_routes
+FROM stop_times st JOIN trips t USING (trip_id) JOIN stops s USING (stop_id)
+WHERE t.service_id = '1'
+GROUP BY 1, 2, 3, 4, 5
+ORDER BY total_trip_events DESC, s.stop_id
+LIMIT 20
+""",
+        "q3_transfer_points": f"""
+{c},
+pairs AS (
+  SELECT DISTINCT st.stop_id, t.route_id
+  FROM stop_times st JOIN trips t USING (trip_id)
+)
+SELECT s.stop_id, s.stop_code, s.stop_name, s.stop_lat, s.stop_lon,
+       COUNT(p.route_id) AS num_unique_routes
+FROM pairs p JOIN stops s USING (stop_id)
+GROUP BY 1, 2, 3, 4, 5
+HAVING COUNT(p.route_id) >= 2
+""",
+        "q2_trip_stats": f"""
+{c},
+{_TS_CTE}
+SELECT * FROM ts
+""",
+        "q2_route_stats_weekday": f"""
+{c},
+{_TS_CTE}
+SELECT r.route_long_name, r.route_short_name,
+       COUNT(*) AS total_trips,
+       ROUND(AVG(ts.trip_distance), 2) AS avg_trip_distance_km,
+       ROUND(AVG(ts.trip_duration_seconds) / 60.0, 2) AS avg_duration_min,
+       ROUND(STDDEV_POP(ts.trip_duration_seconds) / 60.0, 2) AS duration_stddev_min,
+       ROUND(AVG(ts.trip_distance / NULLIF(ts.trip_duration_seconds, 0) * 3600), 2)
+         AS avg_speed_kmh
+FROM ts JOIN routes r USING (route_id)
+WHERE ts.service_id = '1'
+GROUP BY 1, 2
+""",
+        "q2_route_stats_whole_week": f"""
+{c},
+{_TS_CTE}
+SELECT r.route_long_name,
+       COUNT(*) AS total_trips,
+       ROUND(AVG(ts.trip_distance), 2) AS avg_trip_distance_km,
+       ROUND(AVG(ts.trip_duration_seconds) / 60.0, 2) AS avg_duration_min,
+       ROUND(STDDEV_POP(ts.trip_duration_seconds) / 60.0, 2) AS duration_stddev_min,
+       ROUND(AVG(ts.trip_distance / NULLIF(ts.trip_duration_seconds, 0) * 3600), 2)
+         AS avg_speed_kmh
+FROM ts JOIN routes r USING (route_id)
+GROUP BY 1
+""",
+        "q2_overall_weekday": f"""
+{c},
+{_TS_CTE},
+per_route AS (
+  SELECT r.route_long_name, r.route_short_name,
+         COUNT(*) AS total_trips,
+         AVG(ts.trip_duration_seconds) / 60.0 AS avg_duration_min,
+         AVG(ts.trip_distance / NULLIF(ts.trip_duration_seconds, 0) * 3600)
+           AS avg_speed_kmh
+  FROM ts JOIN routes r USING (route_id)
+  WHERE ts.service_id = '1'
+  GROUP BY 1, 2
+)
+SELECT
+  ROUND(SUM(avg_duration_min * total_trips)
+          / GREATEST(CAST(SUM(total_trips) AS BIGINT), 1), 2) AS avg_duration_min,
+  ROUND(SUM(avg_speed_kmh * total_trips)
+          / GREATEST(CAST(SUM(total_trips) AS BIGINT), 1), 2) AS avg_speed_kmh
+FROM per_route
+""",
+        "q4_hourly_frequency_view": f"""
+{c},
+{_HOURLY_CTE}
+SELECT * FROM hourly
+""",
+        "q4_top_routes_daily": f"""
+{c},
+{_HOURLY_CTE}
+SELECT r.route_long_name, r.route_short_name,
+       CAST(SUM(h.trips_per_hour) AS BIGINT) AS total_daily_trips
+FROM hourly h JOIN routes r USING (route_id)
+GROUP BY 1, 2
+ORDER BY total_daily_trips DESC, r.route_long_name,
+         COALESCE(r.route_short_name, '')
+LIMIT 20
+""",
+        "q4_detail_rows": f"""
+{c},
+{_HOURLY_CTE},
+ranked AS (
+  SELECT r.route_long_name, r.route_short_name,
+         CAST(SUM(h.trips_per_hour) AS BIGINT) AS total_daily_trips
+  FROM hourly h JOIN routes r USING (route_id)
+  GROUP BY 1, 2
+  ORDER BY total_daily_trips DESC, r.route_long_name,
+           COALESCE(r.route_short_name, '')
+  LIMIT 10
+)
+SELECT r.route_long_name, r.route_short_name, h.service_id, h.hour_of_day,
+       CAST(SUM(h.trips_per_hour) AS BIGINT) AS trips_per_hour
+FROM hourly h
+JOIN routes r USING (route_id)
+JOIN ranked k
+  ON r.route_long_name = k.route_long_name
+ AND r.route_short_name IS NOT DISTINCT FROM k.route_short_name
+GROUP BY 1, 2, 3, 4
+""",
+        "q4_whole_week_hourly": f"""
+{c},
+{_HOURLY_CTE}
+SELECT r.route_long_name, r.route_short_name, h.hour_of_day,
+       CAST(SUM(h.trips_per_hour) AS BIGINT) AS trips_per_hour
+FROM hourly h JOIN routes r USING (route_id)
+GROUP BY 1, 2, 3
+""",
+        "q4_totals_by_service": f"""
+{c},
+{_HOURLY_CTE},
+per_route AS (
+  SELECT r.route_long_name, r.route_short_name,
+    CAST(COALESCE(SUM(CASE WHEN h.service_id = '1' THEN h.trips_per_hour END), 0)
+         AS BIGINT) AS weekday_trips,
+    CAST(COALESCE(SUM(CASE WHEN h.service_id = '2' THEN h.trips_per_hour END), 0)
+         AS BIGINT) AS saturday_trips,
+    CAST(COALESCE(SUM(CASE WHEN h.service_id = '3' THEN h.trips_per_hour END), 0)
+         AS BIGINT) AS sunday_trips
+  FROM hourly h JOIN routes r USING (route_id)
+  GROUP BY 1, 2
+)
+SELECT route_long_name, route_short_name,
+       weekday_trips, saturday_trips, sunday_trips,
+       (weekday_trips + saturday_trips + sunday_trips) / 3.0
+         AS average_daily_trips
+FROM per_route
+""",
+        "gtfs_hours_past_24": f"""
+{c}
+SELECT CAST(floor(departure_secs / 3600) AS INT) AS hour_of_day,
+       COUNT(*) AS n_events
+FROM stop_times
+WHERE departure_secs >= 86400
+GROUP BY 1
+""",
+        "gtfs_time_display_wrap": f"""
+{c}
+SELECT trip_id, stop_sequence, departure_time,
+       printf('%02d:%02d:%02d',
+              CAST(floor((departure_secs % 86400) / 3600) AS INT),
+              CAST(floor((departure_secs % 3600) / 60) AS INT),
+              CAST(departure_secs % 60 AS INT)) AS display_time
+FROM stop_times
+WHERE departure_secs >= 86400
+""",
+        "denormalize_check": f"""
+{c}
+SELECT st.stop_id,
+       COUNT(*) AS n_services,
+       MIN(st.departure_time) AS first_departure,
+       MAX(st.departure_time) AS last_departure
+FROM stop_times st
+JOIN trips t USING (trip_id)
+JOIN routes r USING (route_id)
+GROUP BY 1
+""",
+        "timetable_stops": f"""
+{c}
+SELECT stop_id, stop_name, stop_code FROM stops
+""",
+        "timetable_routes_for_stop": f"""
+{c}
+SELECT DISTINCT r.route_short_name, t.trip_headsign
+FROM stop_times st JOIN trips t USING (trip_id) JOIN routes r USING (route_id)
+WHERE st.stop_id = '42'
+  AND t.service_id IN ('1', '2', '3')
+  AND t.trip_headsign IS NOT NULL
+  AND t.trip_headsign <> 'NOT IN SERVICE'
+""",
+        "timetable_arrivals_grouped": f"""
+{c}
+SELECT t.route_id, r.route_short_name, t.trip_headsign,
+       MIN(st.departure_time) AS first_time,
+       MAX(st.departure_time) AS last_time,
+       COUNT(*) AS n_arrivals
+FROM stop_times st JOIN trips t USING (trip_id) JOIN routes r USING (route_id)
+WHERE st.stop_id = '17'
+  AND t.service_id IN ('1', '2', '3')
+  AND t.trip_headsign IS NOT NULL
+  AND t.trip_headsign <> 'NOT IN SERVICE'
+  AND st.departure_time IS NOT NULL
+  AND st.departure_time <> ''
+GROUP BY 1, 2, 3
+""",
+    }

@@ -1,0 +1,119 @@
+"""Q2 -- average trip duration / distance / speed per route (reference
+`/root/reference/SQL/sql_utils.py:148-308`, `SQL/Q2 average duration.sql`).
+
+Semantics preserved exactly (SURVEY.md A5-A8, A12):
+
+- per-trip CTE: duration = max(arrival) - min(departure) seconds, distance =
+  max - min shape_dist_traveled, HAVING duration > 60 (queries/common.py);
+- speed is the AVERAGE OF PER-TRIP SPEEDS ``avg(dist / nullif(dur,0) *
+  3600)`` -- NOT total-distance/total-time (`sql_utils.py:187`);
+- stddev of duration is POPULATION sigma (MySQL ``STDDEV``): Spark
+  ``stddev_pop``, never the sample default (`sql_utils.py:206`);
+- whole-week mode groups by route_long_name ONLY, collapsing same-named
+  routes (`sql_utils.py:190`); single-service mode groups by (long, short);
+- the overall headline numbers are trip-count-weighted means over the
+  selected routes with a ``greatest(sum,1)`` zero guard
+  (`sql_utils.py:246-254,284-290`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.params import apply_limit, apply_service_filter
+from .common import trip_stats
+
+
+def _speed_kmh() -> F.Column:
+    dur = F.col("trip_duration_seconds")
+    return F.col("trip_distance") / F.nullif(dur, F.lit(0)) * 3600
+
+
+def route_trip_stats(
+    stop_times: DataFrame,
+    trips: DataFrame,
+    service_id: object = None,
+) -> DataFrame:
+    return apply_service_filter(trip_stats(stop_times, trips), service_id)
+
+
+def q2_route_stats(
+    stop_times: DataFrame,
+    trips: DataFrame,
+    routes: DataFrame,
+    service_id: object = None,
+    limit: object = 20,
+    whole_week: bool | None = None,
+) -> DataFrame:
+    """Per-route aggregates ranked by avg duration (O3).
+
+    ``whole_week`` defaults to True iff no service filter is active, like the
+    reference's mode switch (`sql_utils.py:177-178`).
+    """
+    stats = route_trip_stats(stop_times, trips, service_id)
+    if whole_week is None:
+        whole_week = service_id is None or str(service_id) not in ("1", "2", "3")
+    joined = stats.join(
+        F.broadcast(routes.select("route_id", "route_short_name",
+                                  "route_long_name")),
+        "route_id",
+    )
+    group_cols = (["route_long_name"] if whole_week
+                  else ["route_long_name", "route_short_name"])
+    agg = (
+        joined.groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("total_trips"),
+            F.avg("trip_distance").alias("avg_trip_distance_km"),
+            (F.avg("trip_duration_seconds") / 60.0).alias("avg_duration_min"),
+            (F.stddev_pop("trip_duration_seconds") / 60.0)
+            .alias("duration_stddev_min"),
+            F.avg(_speed_kmh()).alias("avg_speed_kmh"),
+        )
+        .orderBy(F.desc("avg_duration_min"), F.asc("route_long_name"))
+    )
+    return apply_limit(agg, limit)
+
+
+def q2_overall(selected_routes: DataFrame) -> DataFrame:
+    """Trip-count-weighted overall means over a ranked-routes frame
+    (columns total_trips, avg_duration_min, avg_speed_kmh) -- A12 with the
+    reference's ``or 1`` guard (`sql_utils.py:246,284`)."""
+    w = F.greatest(F.sum("total_trips"), F.lit(1))
+    return selected_routes.agg(
+        (F.sum(F.col("avg_duration_min") * F.col("total_trips")) / w)
+        .alias("avg_duration_min"),
+        (F.sum(F.col("avg_speed_kmh") * F.col("total_trips")) / w)
+        .alias("avg_speed_kmh"),
+    )
+
+
+def q2_per_service_breakdown(
+    stop_times: DataFrame,
+    trips: DataFrame,
+    routes: DataFrame,
+    top_routes: DataFrame,
+) -> DataFrame:
+    """Whole-week drill-down: per-service rows restricted to the ranked
+    routes -- the reference's membership-set semi join J5
+    (`sql_utils.py:196,231-232`)."""
+    stats = trip_stats(stop_times, trips).join(
+        F.broadcast(routes.select("route_id", "route_short_name",
+                                  "route_long_name")),
+        "route_id",
+    )
+    return (
+        stats.join(F.broadcast(top_routes.select("route_long_name")),
+                   "route_long_name", "left_semi")
+        .groupBy("route_long_name", "service_id")
+        .agg(
+            F.count(F.lit(1)).alias("total_trips"),
+            F.avg("trip_distance").alias("avg_trip_distance_km"),
+            (F.avg("trip_duration_seconds") / 60.0).alias("avg_duration_min"),
+            (F.stddev_pop("trip_duration_seconds") / 60.0)
+            .alias("duration_stddev_min"),
+            F.avg(_speed_kmh()).alias("avg_speed_kmh"),
+        )
+        .orderBy("route_long_name", "service_id")
+    )

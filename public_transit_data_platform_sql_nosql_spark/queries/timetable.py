@@ -1,0 +1,127 @@
+"""Timetable lookup operations over the denormalized stop table -- the
+reference's Mongo query service (`/root/reference/Mongo/app.py:47-244`).
+
+The reference does ``find_one`` by stop_id then filters/groups/sorts the
+``upcoming_services`` array in Python.  Here the same operations are Spark
+array expressions / explode pipelines over the denormalized DataFrame, so
+they work both interactively (cached table, partition-pruned point lookup)
+and as set-oriented batch over ALL stops at once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.params import PUBLIC_SERVICE_IDS
+
+NOT_IN_SERVICE = "NOT IN SERVICE"
+
+
+def get_stops(stops_or_denorm: DataFrame) -> DataFrame:
+    """S9: id/code/name projection sorted by name
+    (`Mongo/app.py:56-59`)."""
+    return (
+        stops_or_denorm.select("stop_id", "stop_name", "stop_code")
+        .orderBy("stop_name", "stop_id")
+    )
+
+
+def _public_service(x: Column) -> Column:
+    """P7: public services only (`Mongo/app.py:131-135`)."""
+    return x["service_id"].isin(*PUBLIC_SERVICE_IDS)
+
+
+def _valid_headsign(x: Column) -> Column:
+    """P8: drop NULL / 'NOT IN SERVICE' headsigns
+    (`Mongo/app.py:139-143`)."""
+    return x["trip_headsign"].isNotNull() & (
+        x["trip_headsign"] != NOT_IN_SERVICE
+    )
+
+
+def _exploded(denorm: DataFrame, stop_id: str | None,
+              filtered: bool = True) -> DataFrame:
+    """Explode ``upcoming_services``; ``filtered`` applies P7+P8 (used by
+    routes-for-stop and arrivals; get_timetable shows all services,
+    `Mongo/app.py:87-102`)."""
+    df = denorm if stop_id is None else denorm.filter(
+        F.col("stop_id") == stop_id
+    )
+    svc = F.col("upcoming_services")
+    if filtered:
+        svc = F.filter(
+            svc, lambda x: _public_service(x) & _valid_headsign(x)
+        )
+    return df.select(
+        "stop_id", F.explode(svc).alias("s")
+    ).select(
+        "stop_id",
+        F.col("s.route_id").alias("route_id"),
+        F.col("s.route_short_name").alias("route_short_name"),
+        F.col("s.route_long_name").alias("route_long_name"),
+        F.col("s.trip_id").alias("trip_id"),
+        F.col("s.service_id").alias("service_id"),
+        F.col("s.trip_headsign").alias("trip_headsign"),
+        F.col("s.departure_time").alias("departure_time"),
+    )
+
+
+def get_routes_for_stop(denorm: DataFrame, stop_id: str) -> DataFrame:
+    """A18/O11: distinct (route_short_name, trip_headsign) pairs at a stop
+    (`Mongo/app.py:116-149`)."""
+    return (
+        _exploded(denorm, stop_id)
+        .select("route_short_name", "trip_headsign")
+        .distinct()
+        .orderBy("route_short_name", "trip_headsign")
+    )
+
+
+def get_arrivals_grouped(
+    denorm: DataFrame,
+    stop_id: str,
+    route_short_name: str | None = None,
+    trip_headsign: str | None = None,
+    service_id: str | None = None,
+) -> DataFrame:
+    """A19: arrivals at a stop grouped by (route_id, headsign) with the
+    sorted time list and per-group count (`Mongo/app.py:206-244`)."""
+    df = _exploded(denorm, stop_id).filter(
+        F.col("departure_time").isNotNull() & (F.col("departure_time") != "")
+    )
+    for col, val in (
+        ("route_short_name", route_short_name),
+        ("trip_headsign", trip_headsign),
+        ("service_id", service_id),
+    ):
+        if val is not None:
+            df = df.filter(F.col(col) == val)
+    return (
+        df.groupBy("route_id", "route_short_name", "trip_headsign")
+        .agg(
+            F.sort_array(F.collect_list("departure_time")).alias("times"),
+            F.count(F.lit(1)).alias("count"),
+        )
+        .orderBy("route_short_name", "trip_headsign")
+    )
+
+
+def get_timetable(denorm: DataFrame, stop_id: str) -> DataFrame:
+    """A17/O9: route_long_name -> headsign -> sorted wrapped times
+    (`Mongo/app.py:66-113`).  Times are clock-face wrapped like the
+    reference's Timedelta round-trip (hour 25 -> 01)."""
+    from ..functions.gtfs_time import time_to_secs, wrap_display_time
+
+    df = _exploded(denorm, stop_id, filtered=False).filter(
+        F.col("departure_time").isNotNull()
+    )
+    wrapped = wrap_display_time(time_to_secs(F.col("departure_time")))
+    return (
+        df.withColumn("display_time", wrapped)
+        .groupBy("route_long_name", "trip_headsign")
+        .agg(
+            F.sort_array(F.collect_list("display_time")).alias("times"),
+        )
+        .orderBy("route_long_name", "trip_headsign")
+    )
