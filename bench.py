@@ -1,0 +1,73 @@
+"""Benchmark harness (driver contract).
+
+Runs the engine's headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Reference envelope (BASELINE.md): each of Q1-Q4 < 6 s on ~4.3M stop_times;
+denormalization ETL 20+ min.  sf0.1 lineitem (~600k rows) is the closest
+driver-provided scale; per-query wall time here includes Spark job launch.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+    from public_transit_data_platform_sql_nosql_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+
+    headline = [
+        "q1_busiest_stops",
+        "q2_route_stats_whole_week",
+        "q3_transfer_points",
+        "q4_top_routes_daily",
+        "denormalize_check",
+    ]
+    qs = entrymod.queries()
+    headline = [n for n in headline if n in qs] + sorted(
+        n for n in qs if n not in headline and _is_headline_extra(n)
+    )
+
+    # warm the JVM + parquet footer caches once so per-query numbers measure
+    # the plan, not first-touch JIT
+    qs["q1_busiest_stops"](spark, SF_DIR).count()
+
+    times: dict[str, float] = {}
+    for name in headline:
+        t0 = time.monotonic()
+        df = qs[name](spark, SF_DIR)
+        n = df.count()
+        times[name] = round(time.monotonic() - t0, 3)
+        print(f"# {name}: {times[name]}s ({n} rows)", file=sys.stderr)
+
+    m = re.search(r"sf([0-9.]+)", SF_DIR)
+    sf = float(m.group(1)) if m else None
+    out = {
+        "metric": "headline_query_wall_time_total",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+def _is_headline_extra(name: str) -> bool:
+    """Pipeline-module headliners (dedup/similarity/text) once they exist."""
+    return name.startswith(("dedup_minhash", "ann_", "text_quality"))
+
+
+if __name__ == "__main__":
+    main()
