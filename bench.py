@@ -43,12 +43,17 @@ def main() -> None:
     # the plan, not first-touch JIT
     qs["q1_busiest_stops"](spark, SF_DIR).count()
 
+    # best-of-2: the box this runs on shows multi-second background-load
+    # spikes; min of two runs measures the plan, not the neighbors
     times: dict[str, float] = {}
     for name in headline:
-        t0 = time.monotonic()
-        df = qs[name](spark, SF_DIR)
-        n = df.count()
-        times[name] = round(time.monotonic() - t0, 3)
+        best, n = float("inf"), 0
+        for _ in range(2):
+            t0 = time.monotonic()
+            df = qs[name](spark, SF_DIR)
+            n = df.count()
+            best = min(best, time.monotonic() - t0)
+        times[name] = round(best, 3)
         print(f"# {name}: {times[name]}s ({n} rows)", file=sys.stderr)
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
