@@ -39,6 +39,20 @@ from public_transit_data_platform_sql_nosql_spark.queries.q4_hourly_frequency im
     totals_by_service,
     whole_week_hourly,
 )
+from public_transit_data_platform_sql_nosql_spark.pipeline import dedup as pdedup
+from public_transit_data_platform_sql_nosql_spark.pipeline import (
+    multimodal as pmm,
+)
+from public_transit_data_platform_sql_nosql_spark.pipeline import (
+    similarity as psim,
+)
+from public_transit_data_platform_sql_nosql_spark.pipeline import text as ptext
+from public_transit_data_platform_sql_nosql_spark.pipeline.oracles import (
+    pipeline_oracles,
+)
+from public_transit_data_platform_sql_nosql_spark.pipeline.source import (
+    register_pipeline_views,
+)
 from public_transit_data_platform_sql_nosql_spark.sources.tpch_adapter import (
     duckdb_ctes,
     register_gtfs_views,
@@ -230,6 +244,62 @@ def _arrivals_grouped(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# training-data pipeline queries (SURVEY.md §7.3 extension goals)
+
+
+def _aug(spark, sf_dir):
+    return register_pipeline_views(spark, sf_dir)["docs_aug"]
+
+
+def _emb(spark, sf_dir):
+    return register_pipeline_views(spark, sf_dir)["embeddings"]
+
+
+def _emb_aug(spark, sf_dir):
+    return register_pipeline_views(spark, sf_dir)["emb_aug"]
+
+
+def _multimodal_ingest(spark, sf_dir):
+    return pmm.media_table(_aug(spark, sf_dir)).select(
+        "media_id", "kind",
+        F.col("meta.byte_len").alias("byte_len"),
+        F.col("meta.source").alias("source"),
+    )
+
+
+def _multimodal_features(spark, sf_dir):
+    return pmm.extract_features(pmm.media_table(_aug(spark, sf_dir)))
+
+
+_PIPELINE_QUERIES = {
+    "text_token_counts":
+        lambda s, d: ptext.token_counts(_aug(s, d)),
+    "text_quality_scores":
+        lambda s, d: ptext.quality_scores(_aug(s, d)),
+    "text_language_id":
+        lambda s, d: ptext.language_id(_aug(s, d)),
+    "text_fingerprints":
+        lambda s, d: ptext.fingerprints(_aug(s, d)),
+    "dedup_exact":
+        lambda s, d: pdedup.exact_dedup(_aug(s, d)),
+    "dedup_ngram_jaccard":
+        lambda s, d: pdedup.ngram_jaccard_pairs(_aug(s, d)),
+    "dedup_minhash_lsh":
+        lambda s, d: pdedup.minhash_lsh_pairs(_aug(s, d)),
+    "dedup_simhash":
+        lambda s, d: pdedup.simhash_pairs(_aug(s, d)),
+    "dedup_embedding_cosine":
+        lambda s, d: pdedup.embedding_near_dup(_emb_aug(s, d)),
+    "ann_bruteforce_topk":
+        lambda s, d: psim.brute_force_topk(_emb(s, d)),
+    "ann_lsh_topk":
+        lambda s, d: psim.lsh_topk(_emb(s, d)),
+    "multimodal_ingest": _multimodal_ingest,
+    "multimodal_features": _multimodal_features,  # rows-only (pandas UDF)
+}
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 
 
@@ -258,11 +328,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "timetable_stops": _timetable_stops,
         "timetable_routes_for_stop": _routes_for_stop,
         "timetable_arrivals_grouped": _arrivals_grouped,
+        **_PIPELINE_QUERIES,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     c = _CTES
+    out = pipeline_oracles()  # multimodal_features: rows-only, no oracle
+    out.update(_gtfs_oracles(c))
+    return out
+
+
+def _gtfs_oracles(c: str) -> dict[str, str]:
     return {
         "q1_busiest_stops": f"""
 {c}

@@ -1,0 +1,75 @@
+"""Shared primitives for the training-data pipeline operators.
+
+Everything here is expressed with Spark built-in / higher-order Column
+functions (JVM-side, no Python UDFs) and has a 1:1 DuckDB list-function
+mirror used by the differential oracles (pipeline/oracles.py):
+
+  ================  =========================  ==========================
+  concept           Spark                      DuckDB
+  ================  =========================  ==========================
+  tokens            split(s, '\\s+')           string_split_regex(s,'\\s+')
+  char codes        transform+ascii            list_transform+unicode
+  left fold         aggregate(arr, 0L, f)      list_reduce(list_prepend(0,
+                                               arr), f)
+  shingles          transform(sequence(...))   list_transform(range(...))
+  ================  =========================  ==========================
+
+All hashes are pure integer arithmetic mod P = 1_000_000_007 with
+coefficients small enough that no intermediate exceeds int64 (Spark 4 runs
+ANSI mode: overflow would *throw*, not wrap).  At 100 TB you would swap the
+char-fold for ``xxhash64`` (one JVM intrinsic per token); the arithmetic
+hash exists so two independent engines can verify identical outputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+P = 1_000_000_007
+
+# deterministic minhash coefficients: h_j(s) = ((2j+3)*s + 5j+7) % P
+NUM_MINHASHES = 16
+LSH_BANDS = 4
+LSH_ROWS = NUM_MINHASHES // LSH_BANDS
+
+SIMHASH_BITS = 32
+SIMHASH_CHUNKS = 4  # 8-bit chunks for candidate banding
+
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it", "that", "for")
+
+
+def tokens(text: Column) -> Column:
+    """Lower-cased whitespace tokens; empty/blank text -> empty array."""
+    t = F.lower(F.trim(text))
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
+def char_fold_hash(s: Column) -> Column:
+    """Polynomial rolling hash of a string: fold (acc*31 + code) % P."""
+    return F.aggregate(
+        F.split(s, ""),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 31 + F.ascii(c)) % P,
+    )
+
+
+def token_hashes(toks: Column) -> Column:
+    """array<long> of per-token polynomial hashes."""
+    return F.transform(toks, lambda t: char_fold_hash(t))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Left-fold double dot product — the fold order matches DuckDB's
+    ``list_reduce`` so cross-engine sums are bit-identical."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / F.sqrt(dot(a, a)) / F.sqrt(dot(b, b))

@@ -1,0 +1,299 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+and embedding-cosine near-dup.
+
+Scale design (the point of each variant):
+
+- ``exact``            — one hash-partitioned groupBy on md5(text); the
+                         only full shuffle, keyed on a uniform hash so it
+                         cannot skew.
+- ``ngram_jaccard``    — inverted-index self-join on shingle hash (never a
+                         cross join): candidate pairs are generated only
+                         for docs sharing a shingle, then scored exactly.
+- ``minhash_lsh``      — constant-size signature (16 minhashes) per doc,
+                         banded into 4 bucket keys; the self-join runs on
+                         (band, sig) buckets, so work is proportional to
+                         collisions, not to |docs|².
+- ``simhash``          — 32-bit signature over shingle hashes, 8-bit chunk
+                         banding (finds every pair with Hamming <= 3 and
+                         most up to the verify threshold), exact Hamming
+                         via bit_count(xor).
+- ``embedding_cosine`` — blocked by the upstream cluster ``label`` (the
+                         IVF coarse-quantizer pattern); exact cosine only
+                         within blocks.
+
+Implementation note (learned from .explain + profiling): signatures are
+built RELATIONALLY — explode to a (doc_id, shingle_hash) table behind a
+Generate barrier, then groupBy — NOT with nested higher-order array
+lambdas over the raw text column.  Catalyst inlines nested lambdas, so the
+array formulation re-evaluated the token split per shingle element
+(O(tokens²) per doc, interpreted); the relational form tokenizes each doc
+exactly once and keeps every stage linear.  The DuckDB oracle keeps the
+list-comprehension formulation — two independent shapes, same values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .core import (
+    NUM_MINHASHES,
+    P,
+    SIMHASH_BITS,
+    char_fold_hash,
+    cosine,
+    tokens,
+)
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Hash-groupBy exact dedup: every doc mapped to the canonical
+    (min doc_id) member of its md5(text) group."""
+    hashed = docs.select("doc_id", F.md5("text").alias("text_md5"))
+    groups = hashed.groupBy("text_md5").agg(
+        F.min("doc_id").alias("canonical_doc_id"),
+        F.count(F.lit(1)).alias("dup_group_size"),
+    )
+    return (
+        hashed.join(groups, "text_md5")
+        .select(
+            "doc_id", "text_md5", "canonical_doc_id", "dup_group_size",
+            (F.col("doc_id") != F.col("canonical_doc_id"))
+            .alias("is_duplicate"),
+        )
+    )
+
+
+def shingle_table(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct (doc_id, shingle_hash) for word ``n``-gram shingles; docs
+    shorter than ``n`` tokens contribute one whole-doc shingle.
+
+    The tokens array is materialized once per doc by the projection under
+    the Generate (explode) barrier; each exploded row then slices three
+    tokens and hashes ~25 chars — everything linear in corpus size.
+    """
+    return (
+        docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+        .select(
+            "doc_id", "toks",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.size("toks") - (n - 1), F.lit(1)),
+                )
+            ).alias("i"),
+        )
+        .select(
+            "doc_id",
+            char_fold_hash(
+                F.concat_ws(" ", F.slice(F.col("toks"), F.col("i"), n))
+            ).alias("shingle_hash"),
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
+                        threshold: float = 0.5) -> DataFrame:
+    """Exact n-gram Jaccard over an inverted-index self-join."""
+    # the shingle index feeds three plan branches (sizes + both join
+    # sides); persist so Spark materializes it once instead of
+    # re-tokenizing the corpus per branch (DuckDB CTEs get this for free)
+    sh = shingle_table(docs, n).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle_hash") == F.col("b.shingle_hash"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"),
+                 F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    ja = F.col("n_common") / (
+        F.col("sa.n_shingles") + F.col("sb.n_shingles") - F.col("n_common")
+    ).cast("double")
+    return (
+        common.join(sizes.alias("sa"),
+                    F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", "n_common",
+                F.round(ja, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def _minhash_rows(sh: DataFrame) -> DataFrame:
+    """(doc_id, j, mh): minhash j = min over shingles of
+    ((2j+3)*s + 5j+7) % P, j = 0..15."""
+    params = sh.sparkSession.range(NUM_MINHASHES).select(
+        F.col("id").cast("int").alias("j"))
+    return (
+        sh.join(F.broadcast(params), how="cross")
+        .groupBy("doc_id", "j")
+        .agg(
+            F.min(
+                ((2 * F.col("j") + 3).cast("long") * F.col("shingle_hash")
+                 + 5 * F.col("j") + 7) % P
+            ).alias("mh")
+        )
+    )
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, minhashes array<long>[16]) — j-ordered signature."""
+    mh = _minhash_rows(shingle_table(docs))
+    return (
+        mh.groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("j", "mh"))).alias("jm"))
+        .select(
+            "doc_id",
+            F.transform(F.col("jm"), lambda x: x["mh"]).alias("minhashes"),
+        )
+    )
+
+
+def minhash_lsh_pairs(docs: DataFrame,
+                      threshold: float = 0.5) -> DataFrame:
+    """MinHash+LSH near-dup: band buckets -> candidate pairs -> verify
+    with BOTH the signature estimate and the exact Jaccard.
+
+    Stages (all shuffles keyed on doc_id or a uniform band signature):
+    shingle index -> 16 minhashes -> 4 folded band keys -> bucket
+    self-join -> signature/shingle-set joins for verification.
+    """
+    sh = shingle_table(docs).persist()  # reused: minhash rows + set join
+    mh = _minhash_rows(sh).persist()    # reused: band keys + signatures
+    banded = (
+        mh.groupBy("doc_id", (F.col("j") / 4).cast("int").alias("band"))
+        .agg(F.array_sort(F.collect_list(F.struct("j", "mh"))).alias("jm"))
+        .select(
+            "doc_id", "band",
+            F.aggregate(
+                F.transform(F.col("jm"), lambda x: x["mh"]),
+                F.lit(0).cast("long"),
+                lambda acc, m: (acc * 31 + m) % P,
+            ).alias("sig"),
+        )
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.sig") == F.col("b.sig"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sigs = (
+        mh.groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("j", "mh"))).alias("jm"))
+        .select(
+            "doc_id",
+            F.transform(F.col("jm"), lambda x: x["mh"]).alias("minhashes"),
+        )
+    )
+    hs = sh.groupBy("doc_id").agg(
+        F.collect_set("shingle_hash").alias("hs"))
+    est = (
+        F.size(F.filter(F.zip_with(F.col("sa.minhashes"),
+                                   F.col("sb.minhashes"),
+                                   lambda x, y: x == y),
+                        lambda v: v))
+        / F.lit(float(NUM_MINHASHES))
+    )
+    inter = F.size(F.array_intersect(F.col("ha.hs"), F.col("hb.hs")))
+    union = (F.size(F.col("ha.hs")) + F.size(F.col("hb.hs")) - inter)
+    return (
+        cand.join(sigs.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sigs.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .join(hs.alias("ha"), F.col("doc_a") == F.col("ha.doc_id"))
+        .join(hs.alias("hb"), F.col("doc_b") == F.col("hb.doc_id"))
+        .select(
+            "doc_a", "doc_b",
+            F.round(est, 6).alias("est_jaccard"),
+            F.round(inter / union.cast("double"), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_table(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """Per-doc SimHash over the shingle-hash set: signed bit votes,
+    reassembled into a ``bits``-wide signature.
+
+    Shingles (not raw tokens) are the hashed feature: on a corpus drawn
+    from one small vocabulary, token-frequency SimHash collapses to
+    near-identical signatures for every doc, while shingle sets stay
+    discriminative.
+    """
+    sh = shingle_table(docs)
+    bit_ids = sh.sparkSession.range(bits).select(
+        F.col("id").cast("int").alias("bit"))
+    votes = (
+        sh.join(F.broadcast(bit_ids), how="cross")
+        .groupBy("doc_id", "bit")
+        .agg(
+            F.sum(
+                F.expr("shiftright(shingle_hash, bit)").bitwiseAND(1) * 2 - 1
+            ).alias("vote")
+        )
+    )
+    return votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("vote") >= 0, F.expr("shiftleft(1L, bit)"))
+            .otherwise(0)
+        ).alias("simhash")
+    )
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """SimHash near-dup: 8-bit chunk banding for candidates, exact
+    Hamming distance (bit_count of xor) to verify."""
+    sims = simhash_table(docs).persist()  # both sides of the chunk join
+    chunked = sims.select(
+        "doc_id", "simhash",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 3), c -> struct("
+                "cast(c AS int) AS chunk, "
+                "shiftright(simhash, c * 8) & 255 AS val))"
+            )
+        ).alias("cv"),
+    ).select("doc_id", "simhash", F.col("cv.chunk").alias("chunk"),
+             F.col("cv.val").alias("val"))
+    a, b = chunked.alias("a"), chunked.alias("b")
+    cand = (
+        a.join(b, (F.col("a.chunk") == F.col("b.chunk"))
+               & (F.col("a.val") == F.col("b.val"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("a.simhash").alias("sim_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                F.col("b.simhash").alias("sim_b"))
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        cand.select("doc_a", "doc_b",
+                    hamming.cast("long").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def embedding_near_dup(emb: DataFrame,
+                       threshold: float = 0.98) -> DataFrame:
+    """Embedding-cosine near-dup blocked by the cluster ``label`` column
+    (IVF-style coarse blocking: exact cosine only within a block)."""
+    a = emb.select(F.col("vec_id").alias("vec_a"), "label",
+                   F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"),
+                   F.col("label").alias("label_b"),
+                   F.col("embedding").alias("eb"))
+    cos = F.round(cosine(F.col("ea"), F.col("eb")), 6)
+    return (
+        a.join(b, (F.col("label") == F.col("label_b"))
+               & (F.col("vec_a") < F.col("vec_b")))
+        .select("vec_a", "vec_b", F.col("label").cast("long").alias("label"),
+                cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )

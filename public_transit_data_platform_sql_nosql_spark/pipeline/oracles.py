@@ -1,0 +1,313 @@
+"""DuckDB-SQL mirrors of the pipeline operators (differential oracles).
+
+Each fragment transcribes the corresponding Spark expression from
+pipeline/core.py 1:1 (same fold order, same integer arithmetic mod P,
+explicit BIGINT/DOUBLE casts so DuckDB's int32 defaults can't overflow
+where Spark used longs).  The driver runs these against the same parquet
+and hash-compares values, per the CORRECTNESS gate.
+"""
+
+from __future__ import annotations
+
+from .core import P
+from .similarity import NUM_HYPERPLANES
+from .source import DOCS_AUG_SQL, EMB_AUG_DUCK_CTE
+from .text import BPE_REGEX, LANG_MARKERS, STOPWORDS
+
+# --- shared fragments -----------------------------------------------------
+
+TOKS = (
+    "CASE WHEN lower(trim(text)) = '' THEN []::VARCHAR[] "
+    "ELSE string_split_regex(lower(trim(text)), '\\s+') END"
+)
+
+
+def char_hash(s: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(string_split({s}, ''), c -> CAST(unicode(c) AS BIGINT))), "
+        f"(acc, c) -> (acc * 31 + c) % {P})"
+    )
+
+
+# shingle set: word 3-grams (or the whole doc if < 3 tokens), hashed, distinct
+SHINGLE_HASHES = f"""list_distinct(list_transform(
+  CASE WHEN len(toks) >= 3 THEN
+    list_transform(range(1, len(toks) - 1),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+  ELSE [list_reduce(list_prepend('', toks),
+                    (a, t) -> CASE WHEN a = '' THEN t ELSE a || ' ' || t END)]
+  END,
+  s -> {char_hash('s')}))"""
+
+MINHASHES = f"""list_transform(range(0, 16),
+  j -> list_min(list_transform(hs,
+       s -> ((2 * CAST(j AS BIGINT) + 3) * s + 5 * j + 7) % {P})))"""
+
+BAND_SIGS = f"""list_transform(range(0, 4),
+  b -> struct_pack(band := CAST(b AS INT),
+       sig := list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(range(1, 5), r -> mh[b * 4 + r])),
+         (acc, m) -> (acc * 31 + m) % {P})))"""
+
+
+def dot_sql(a: str, b: str, dim: int = 64) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform(range(1, {dim + 1}), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), "
+        f"(acc, x) -> acc + x)"
+    )
+
+
+def cos_sql(a: str, b: str, dim: int = 64) -> str:
+    return (
+        f"{dot_sql(a, b, dim)} / sqrt({dot_sql(a, a, dim)})"
+        f" / sqrt({dot_sql(b, b, dim)})"
+    )
+
+
+def hyperplane_sql(j: int, dim: int = 64) -> str:
+    return (
+        f"list_transform(range(0, {dim}), "
+        f"d -> CAST((({j} * 37 + d * 61) % 17) - 8 AS DOUBLE))"
+    )
+
+
+DOCS = f"docs_aug AS ({DOCS_AUG_SQL})"
+_IN_STOP = "(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
+
+
+# --- per-operator oracles -------------------------------------------------
+
+def pipeline_oracles() -> dict[str, str]:
+    lang_arms = "\n  UNION ALL\n".join(
+        f"""  SELECT doc_id, lang AS labeled_lang, '{lang}' AS cand,
+         CAST(len(list_filter({TOKS}, t -> t IN
+         ({", ".join(f"'{w}'" for w in marks)}))) AS BIGINT) AS score
+  FROM docs_aug"""
+        for lang, marks in LANG_MARKERS.items()
+    )
+
+    return {
+        "text_token_counts": f"""
+WITH {DOCS}
+SELECT doc_id,
+       CAST(len({TOKS}) AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(lower(text), '{BPE_REGEX}')) AS BIGINT)
+         AS n_bpe_pieces,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM docs_aug
+""",
+        "text_quality_scores": f"""
+WITH {DOCS},
+t AS (
+  SELECT doc_id,
+         CAST(len({TOKS}) AS BIGINT) AS n_tok,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(len(list_filter({TOKS}, t -> t IN {_IN_STOP})) AS BIGINT)
+           AS n_stop,
+         CAST(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g'))
+              AS BIGINT) AS n_punct
+  FROM docs_aug
+),
+r AS (
+  SELECT doc_id, n_tok,
+         n_stop / CAST(greatest(n_tok, 1) AS DOUBLE) AS stop_ratio,
+         n_punct / CAST(greatest(n_chars, 1) AS DOUBLE) AS punct_ratio,
+         n_chars / CAST(greatest(n_tok, 1) AS DOUBLE) AS mean_word_len
+  FROM t
+)
+SELECT doc_id, n_tok AS n_tokens,
+       round(stop_ratio, 6) AS stopword_ratio,
+       round(punct_ratio, 6) AS punct_ratio,
+       round(mean_word_len, 6) AS mean_word_len,
+       round(
+         least(n_tok / 100.0, 1.0) * 0.3
+         + (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.3
+         + (CASE WHEN stop_ratio >= 0.03 AND stop_ratio <= 0.6
+                 THEN 1.0 ELSE 0.5 END) * 0.2
+         + least(mean_word_len / 8.0, 1.0) * 0.2, 6) AS quality_score
+FROM r
+""",
+        "text_language_id": f"""
+WITH {DOCS},
+scores AS (
+{lang_arms}
+),
+best AS (
+  SELECT doc_id, labeled_lang, cand, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, cand DESC) AS rn
+  FROM scores
+)
+SELECT doc_id, labeled_lang,
+       CASE WHEN score > 0 THEN cand ELSE 'und' END AS predicted_lang,
+       score AS marker_hits
+FROM best WHERE rn = 1
+""",
+        "text_fingerprints": f"""
+WITH {DOCS},
+t AS (SELECT doc_id, text, {TOKS} AS toks FROM docs_aug)
+SELECT doc_id,
+       {char_hash('text')} AS fingerprint,
+       list_min(list_transform(toks, tk -> {char_hash('tk')}))
+         AS min_token_hash,
+       CAST(len(toks) AS BIGINT) AS n_tokens
+FROM t
+""",
+        "dedup_exact": f"""
+WITH {DOCS},
+h AS (SELECT doc_id, md5(text) AS text_md5 FROM docs_aug),
+g AS (SELECT text_md5, min(doc_id) AS canonical_doc_id,
+             count(*) AS dup_group_size
+      FROM h GROUP BY 1)
+SELECT h.doc_id, h.text_md5, g.canonical_doc_id, g.dup_group_size,
+       h.doc_id <> g.canonical_doc_id AS is_duplicate
+FROM h JOIN g USING (text_md5)
+""",
+        "dedup_ngram_jaccard": f"""
+WITH {DOCS},
+t AS (SELECT doc_id, {TOKS} AS toks FROM docs_aug),
+sh AS (SELECT doc_id, unnest({SHINGLE_HASHES}) AS shingle_hash FROM t),
+sz AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b
+    ON a.shingle_hash = b.shingle_hash AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_common,
+       round(n_common / CAST(sa.n_shingles + sb.n_shingles - n_common
+                             AS DOUBLE), 6) AS jaccard
+FROM common
+JOIN sz sa ON doc_a = sa.doc_id
+JOIN sz sb ON doc_b = sb.doc_id
+WHERE round(n_common / CAST(sa.n_shingles + sb.n_shingles - n_common
+                            AS DOUBLE), 6) >= 0.5
+""",
+        "dedup_minhash_lsh": f"""
+WITH {DOCS},
+t AS (SELECT doc_id, {TOKS} AS toks FROM docs_aug),
+sig AS (
+  SELECT doc_id, hs, {MINHASHES} AS mh
+  FROM (SELECT doc_id, {SHINGLE_HASHES} AS hs FROM t)
+),
+banded AS (
+  SELECT doc_id, bs.band AS band, bs.sig AS sig
+  FROM (SELECT doc_id, unnest({BAND_SIGS}) AS bs FROM sig)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       round(len(list_filter(range(1, 17),
+                 i -> sa.mh[i] = sb.mh[i])) / 16.0, 6) AS est_jaccard,
+       round(len(list_intersect(sa.hs, sb.hs))
+             / CAST(len(sa.hs) + len(sb.hs)
+                    - len(list_intersect(sa.hs, sb.hs)) AS DOUBLE), 6)
+         AS jaccard
+FROM cand
+JOIN sig sa ON doc_a = sa.doc_id
+JOIN sig sb ON doc_b = sb.doc_id
+WHERE round(len(list_intersect(sa.hs, sb.hs))
+            / CAST(len(sa.hs) + len(sb.hs)
+                   - len(list_intersect(sa.hs, sb.hs)) AS DOUBLE), 6) >= 0.5
+""",
+        "dedup_simhash": f"""
+WITH {DOCS},
+t AS (SELECT doc_id, {TOKS} AS toks FROM docs_aug),
+sh AS (SELECT doc_id, unnest({SHINGLE_HASHES}) AS shingle_hash FROM t),
+votes AS (
+  SELECT doc_id, bits.range AS bit,
+         sum(((shingle_hash >> bits.range) & 1) * 2 - 1) AS vote
+  FROM sh, range(0, 32) bits
+  GROUP BY 1, 2
+),
+sims AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN vote >= 0
+                       THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END)
+              AS BIGINT) AS simhash
+  FROM votes GROUP BY 1
+),
+chunked AS (
+  SELECT doc_id, simhash, c.range AS chunk,
+         (simhash >> (c.range * 8)) & 255 AS val
+  FROM sims, range(0, 4) c
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sim_a,
+                  b.doc_id AS doc_b, b.simhash AS sim_b
+  FROM chunked a JOIN chunked b
+    ON a.chunk = b.chunk AND a.val = b.val AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(xor(sim_a, sim_b)) <= 3
+""",
+        "dedup_embedding_cosine": f"""
+WITH {EMB_AUG_DUCK_CTE},
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         CAST(a.label AS BIGINT) AS label,
+         round({cos_sql('a.embedding', 'b.embedding')}, 6) AS cos_sim
+  FROM emb_aug a JOIN emb_aug b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, label, cos_sim
+FROM pairs WHERE cos_sim >= 0.98
+""",
+        "ann_bruteforce_topk": f"""
+WITH pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round({cos_sql('q.embedding', 'c.embedding')}, 6) AS cos_sim
+  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id < 8
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
+  FROM pairs
+)
+SELECT query_id, rank, neighbor_id, cos_sim FROM ranked WHERE rank <= 10
+""",
+        "ann_lsh_topk": f"""
+WITH tagged AS (
+  SELECT vec_id, embedding,
+         {" + ".join(
+             f"(CASE WHEN {dot_sql('embedding', hyperplane_sql(j))} >= 0 "
+             f"THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+             for j in range(NUM_HYPERPLANES)
+         )} AS bucket
+  FROM embeddings
+),
+pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round({cos_sql('q.embedding', 'c.embedding')}, 6) AS cos_sim
+  FROM tagged q JOIN tagged c
+    ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+  WHERE q.vec_id < 8
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
+  FROM pairs
+)
+SELECT query_id, rank, neighbor_id, cos_sim FROM ranked WHERE rank <= 10
+""",
+        "multimodal_ingest": f"""
+WITH {DOCS}
+SELECT doc_id AS media_id,
+       (['image', 'audio', 'video'])[CAST(doc_id % 3 AS INT) + 1] AS kind,
+       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+       source
+FROM docs_aug
+""",
+    }

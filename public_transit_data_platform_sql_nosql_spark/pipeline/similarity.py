@@ -1,0 +1,103 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Two strategies with one contract (query_id, rank, neighbor_id, cos_sim):
+
+- ``brute_force_topk``  — exact baseline: broadcast the (small) query set
+                          against every vector, per-query top-k via a
+                          row_number window.  Scales to 100 TB of vectors
+                          because the broadcast side is the bounded one;
+                          the scan side stays narrow + shuffle-free until
+                          the final per-query (tiny-cardinality) window.
+- ``lsh_topk``          — random-hyperplane LSH: an 8-bit sign bucket per
+                          vector; candidates are only the query's bucket
+                          (the IVF/LSH scale path: the self-join runs on
+                          the bucket key, touching ~1/256 of pairs).
+
+Hyperplane components are deterministic integer arithmetic so the DuckDB
+oracle computes identical buckets; dot/cosine are left-fold doubles
+(bit-identical across engines — pipeline/core.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .core import cosine, dot
+
+NUM_HYPERPLANES = 8
+
+
+def _ranked(pairs: DataFrame, k: int) -> DataFrame:
+    w = (
+        Window.partitionBy("query_id")
+        .orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cos_sim")
+    )
+
+
+def brute_force_topk(emb: DataFrame, num_queries: int = 8,
+                     k: int = 10) -> DataFrame:
+    """Exact cosine top-k for queries = the ``num_queries`` lowest vec_ids."""
+    q = (
+        emb.filter(F.col("vec_id") < num_queries)
+        .select(F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("qe"))
+    )
+    cand = emb.select(F.col("vec_id").alias("neighbor_id"),
+                      F.col("embedding").alias("ne"))
+    pairs = (
+        cand.join(F.broadcast(q),
+                  F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id",
+                F.round(cosine(F.col("qe"), F.col("ne")), 6)
+                .alias("cos_sim"))
+    )
+    return _ranked(pairs, k)
+
+
+def hyperplane(j: int, dim: int = 64) -> F.Column:
+    """Deterministic pseudo-random hyperplane j: component d is
+    ((j*37 + d*61) % 17) - 8, d = 0..dim-1 (zero-mean ints)."""
+    return F.expr(
+        f"transform(sequence(0, {dim - 1}), "
+        f"d -> cast((({j} * 37 + d * 61) % 17) - 8 AS double))"
+    )
+
+
+def with_lsh_bucket(emb: DataFrame,
+                    num_planes: int = NUM_HYPERPLANES) -> DataFrame:
+    """Add the sign-bucket column: bit j = (v . h_j >= 0)."""
+    bucket = None
+    for j in range(num_planes):
+        bit = F.when(dot(F.col("embedding"), hyperplane(j)) >= 0,
+                     F.lit(1 << j).cast("long")).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return emb.withColumn("bucket", bucket)
+
+
+def lsh_topk(emb: DataFrame, num_queries: int = 8, k: int = 10) -> DataFrame:
+    """ANN top-k restricted to the query's LSH bucket."""
+    tagged = with_lsh_bucket(emb)
+    q = (
+        tagged.filter(F.col("vec_id") < num_queries)
+        .select(F.col("vec_id").alias("query_id"),
+                F.col("bucket").alias("qb"),
+                F.col("embedding").alias("qe"))
+    )
+    cand = tagged.select(F.col("vec_id").alias("neighbor_id"),
+                         F.col("bucket").alias("nb"),
+                         F.col("embedding").alias("ne"))
+    pairs = (
+        cand.join(F.broadcast(q),
+                  (F.col("qb") == F.col("nb"))
+                  & (F.col("query_id") != F.col("neighbor_id")))
+        .select("query_id", "neighbor_id",
+                F.round(cosine(F.col("qe"), F.col("ne")), 6)
+                .alias("cos_sim"))
+    )
+    return _ranked(pairs, k)
