@@ -39,6 +39,7 @@ from public_transit_data_platform_sql_nosql_spark.queries.q4_hourly_frequency im
     totals_by_service,
     whole_week_hourly,
 )
+from public_transit_data_platform_sql_nosql_spark.queries import events as ev
 from public_transit_data_platform_sql_nosql_spark.pipeline import dedup as pdedup
 from public_transit_data_platform_sql_nosql_spark.pipeline import (
     multimodal as pmm,
@@ -244,6 +245,110 @@ def _arrivals_grouped(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# event-stream analytics (batch forms; streaming twins in streaming/jobs.py)
+
+
+def _events(spark, sf_dir):
+    from public_transit_data_platform_sql_nosql_spark.sources.tpch_adapter import (
+        register_tpch,
+    )
+
+    return register_tpch(spark, sf_dir, ("events",))["events"]
+
+
+_EVENTS_QUERIES = {
+    "events_windowed_counts":
+        lambda s, d: ev.windowed_counts(_events(s, d)),
+    "events_sessionize":
+        lambda s, d: ev.sessionize(_events(s, d)),
+    "events_json_kv_stats":
+        lambda s, d: ev.json_kv_stats(_events(s, d)),
+    "events_daily_active_users":
+        lambda s, d: ev.daily_active_users(_events(s, d)),
+    "events_top_users_by_value":
+        lambda s, d: ev.top_users_by_value(_events(s, d)),
+}
+
+_EVENTS_ORACLES = {
+    "events_windowed_counts": """
+WITH e AS (
+  SELECT event_type, user_id,
+         (epoch_ns(ts) // 1000000000) // 300 * 300 AS window_start_sec,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_type, window_start_sec,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       CAST(sum(cents) AS BIGINT) AS sum_cents,
+       min(cents) AS min_cents,
+       max(cents) AS max_cents
+FROM e GROUP BY 1, 2
+""",
+    "events_sessionize": """
+WITH e AS (
+  SELECT user_id, event_id, epoch_ns(ts) AS ts,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+flagged AS (
+  SELECT user_id, event_id, ts, cents,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id)
+                   > 1800000000000 THEN 1 ELSE 0 END AS boundary
+  FROM e
+),
+sess AS (
+  SELECT user_id, ts, cents,
+         CAST(sum(boundary) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS session_idx
+  FROM flagged
+)
+SELECT user_id, session_idx,
+       min(ts) // 1000 AS session_start_us,
+       max(ts) // 1000 AS session_end_us,
+       count(*) AS n_events,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM sess GROUP BY 1, 2
+""",
+    "events_json_kv_stats": """
+WITH e AS (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type, count(*) AS n_events,
+       count(DISTINCT k) AS n_distinct_k,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       min(k) AS min_k, max(k) AS max_k
+FROM e GROUP BY 1
+""",
+    "events_daily_active_users": """
+SELECT epoch_ns(ts) // 86400000000000 AS day_idx,
+       count(DISTINCT user_id) AS n_users,
+       count(*) AS n_events
+FROM events GROUP BY 1
+""",
+    "events_top_users_by_value": """
+WITH totals AS (
+  SELECT event_type, user_id,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS sum_cents
+  FROM events GROUP BY 1, 2
+),
+ranked AS (
+  SELECT event_type, user_id, sum_cents,
+         CAST(row_number() OVER (PARTITION BY event_type
+              ORDER BY sum_cents DESC, user_id) AS BIGINT) AS rank
+  FROM totals
+)
+SELECT event_type, rank, user_id, sum_cents FROM ranked WHERE rank <= 3
+""",
+}
+
+
+# ---------------------------------------------------------------------------
 # training-data pipeline queries (SURVEY.md §7.3 extension goals)
 
 
@@ -328,6 +433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "timetable_stops": _timetable_stops,
         "timetable_routes_for_stop": _routes_for_stop,
         "timetable_arrivals_grouped": _arrivals_grouped,
+        **_EVENTS_QUERIES,
         **_PIPELINE_QUERIES,
     }
 
@@ -335,6 +441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     c = _CTES
     out = pipeline_oracles()  # multimodal_features: rows-only, no oracle
+    out.update(_EVENTS_ORACLES)
     out.update(_gtfs_oracles(c))
     return out
 

@@ -1,0 +1,126 @@
+"""Event-stream analytics over the ``events`` table (batch forms).
+
+The ``ts`` column is TIMESTAMP(NANOS) parquet; Spark 4 reads it as long
+nanos under ``spark.sql.legacy.parquet.nanosAsLong`` (session.py), so all
+window math here is integer nanosecond arithmetic — exact, timezone-free,
+and bit-identical to the DuckDB oracle's ``epoch_ns``.
+
+Money-like doubles are aggregated as integer cents
+(``sum(round(value*100))``): double summation order differs between
+engines/partitionings, integer sums do not — the same discipline you'd
+use for a 100 TB ledger.
+
+The streaming twins of these operators live in streaming/jobs.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+NS = 1_000_000_000
+
+_CENTS = "cast(round(value * 100) AS bigint)"
+
+
+def windowed_counts(events: DataFrame,
+                    window_secs: int = 300) -> DataFrame:
+    """Tumbling-window counts per event_type: n_events, distinct users,
+    exact integer cents sum, min/max cents."""
+    win = (F.expr(f"ts div {NS}") / window_secs).cast("long") * window_secs
+    return (
+        events.select(
+            "event_type", "user_id",
+            win.alias("window_start_sec"),
+            F.expr(_CENTS).alias("cents"),
+        )
+        .groupBy("event_type", "window_start_sec")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum("cents").alias("sum_cents"),
+            F.min("cents").alias("min_cents"),
+            F.max("cents").alias("max_cents"),
+        )
+    )
+
+
+def sessionize(events: DataFrame, gap_secs: int = 1800) -> DataFrame:
+    """Gap-based sessionization per user (30-min default): a new session
+    starts when the gap from the previous event exceeds ``gap_secs``.
+
+    lag -> boundary flag -> running sum = session index, then one row per
+    session.  Scale note: both windows partition by ``user_id``, so the
+    whole operator is ONE shuffle on user_id; no global ordering exists
+    anywhere (per-user ordering only).
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    boundary = (
+        F.when(
+            F.col("ts") - F.lag("ts").over(w) > gap_secs * NS, 1
+        ).otherwise(0)
+    )
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sessions = events.select(
+        "user_id", "ts", "event_id",
+        F.expr(_CENTS).alias("cents"),
+    ).withColumn("session_idx", F.sum(boundary).over(wcum))
+    return (
+        sessions.groupBy("user_id", "session_idx")
+        .agg(
+            # microseconds: DuckDB truncates TIMESTAMP_NS parquet to us,
+            # so us is the finest cross-engine-stable grain
+            F.expr("min(ts) div 1000").alias("session_start_us"),
+            F.expr("max(ts) div 1000").alias("session_end_us"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").alias("sum_cents"),
+        )
+    )
+
+
+def json_kv_stats(events: DataFrame) -> DataFrame:
+    """JSON extraction from the ``props`` column: per event_type stats of
+    the ``$.k`` field (get_json_object stays JVM-side)."""
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("k").alias("n_distinct_k"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+def daily_active_users(events: DataFrame) -> DataFrame:
+    """DAU: day index since epoch -> distinct users + event count."""
+    day = F.expr("ts div 86400000000000")
+    return (
+        events.select(day.alias("day_idx"), "user_id")
+        .groupBy("day_idx")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+def top_users_by_value(events: DataFrame, k: int = 3) -> DataFrame:
+    """Per event_type: top-k users by total cents (row_number window,
+    deterministic (sum desc, user_id) tiebreak)."""
+    totals = (
+        events.select("event_type", "user_id",
+                      F.expr(_CENTS).alias("cents"))
+        .groupBy("event_type", "user_id")
+        .agg(F.sum("cents").alias("sum_cents"))
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("sum_cents"), F.asc("user_id"))
+    return (
+        totals.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("event_type", "rank", "user_id", "sum_cents")
+    )

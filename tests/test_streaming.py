@@ -1,0 +1,70 @@
+"""Structured Streaming: the streaming windowed aggregation must agree
+with its batch twin (same window math, same measures)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from public_transit_data_platform_sql_nosql_spark.queries.events import (
+    windowed_counts,
+)
+from public_transit_data_platform_sql_nosql_spark.sources.tpch_adapter import (
+    register_tpch,
+)
+from public_transit_data_platform_sql_nosql_spark.streaming.jobs import (
+    read_events_stream,
+    run_to_memory,
+    stream_windowed_counts,
+)
+from tests.conftest import SF_DIR
+
+
+def test_stream_matches_batch(spark):
+    stream = read_events_stream(spark, SF_DIR)
+    assert stream.isStreaming
+    run_to_memory(stream_windowed_counts(stream), "stream_win_counts")
+    got = {
+        (r.window_start_sec, r.event_type): (r.n_events, r.sum_cents)
+        for r in spark.table("stream_win_counts").collect()
+    }
+
+    batch = windowed_counts(
+        register_tpch(spark, SF_DIR, ("events",))["events"]
+    ).select("window_start_sec", "event_type", "n_events", "sum_cents")
+    want = {
+        (r.window_start_sec, r.event_type): (r.n_events, r.sum_cents)
+        for r in batch.collect()
+    }
+    assert got == want
+    assert len(got) > 0
+
+
+def test_incremental_refresh_appends(spark, tmp_path):
+    """foreachBatch refresh: streamed stop_times-like rows land in the
+    sink exactly once under availableNow."""
+    from public_transit_data_platform_sql_nosql_spark.streaming.jobs import (
+        EVENTS_SCHEMA,
+        incremental_refresh,
+    )
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(SF_DIR)
+    )
+    sink = str(tmp_path / "sink")
+    chk = str(tmp_path / "chk")
+    q = incremental_refresh(
+        stream,
+        lambda df: df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n")),
+        sink,
+        chk,
+    )
+    q.awaitTermination()
+    out = spark.read.parquet(sink)
+    total = out.agg(F.sum("n")).collect()[0][0]
+    expected = (
+        register_tpch(spark, SF_DIR, ("events",))["events"].count()
+    )
+    assert total == expected
