@@ -245,6 +245,89 @@ def _arrivals_grouped(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# precompute result tables (generate_csv.py analog) + J5 drilldown +
+# remaining timetable modes
+
+
+def _precompute_q1(spark, sf_dir):
+    from public_transit_data_platform_sql_nosql_spark.jobs.precompute import (
+        q1_result_table,
+    )
+
+    v = register_gtfs_views(spark, sf_dir)
+    return q1_result_table(v["stop_times"], v["trips"], v["stops"])
+
+
+def _precompute_q2(spark, sf_dir):
+    from public_transit_data_platform_sql_nosql_spark.jobs.precompute import (
+        q2_result_table,
+    )
+
+    v = register_gtfs_views(spark, sf_dir)
+    df = q2_result_table(v["stop_times"], v["trips"], v["routes"])
+    return _round2(df, _Q2_ROUND)
+
+
+def _precompute_q4(spark, sf_dir):
+    from public_transit_data_platform_sql_nosql_spark.jobs.precompute import (
+        q4_result_table,
+    )
+
+    v = register_gtfs_views(spark, sf_dir)
+    return q4_result_table(v["stop_times"], v["trips"], v["routes"])
+
+
+def _q2_breakdown_top5(spark, sf_dir):
+    from public_transit_data_platform_sql_nosql_spark.queries.q2_duration_speed import (
+        q2_per_service_breakdown,
+    )
+
+    v = register_gtfs_views(spark, sf_dir)
+    ranked = q2_route_stats(v["stop_times"], v["trips"], v["routes"],
+                            service_id=None, limit="all")
+    # rank on the ROUNDED measure so the top-5 cut is stable across
+    # engines (unrounded double sums can differ in the last ulp)
+    top5 = (
+        ranked.select("route_long_name",
+                      F.round("avg_duration_min", 6).alias("r"))
+        .orderBy(F.desc("r"), F.asc("route_long_name"))
+        .limit(5)
+        .select("route_long_name")
+    )
+    df = q2_per_service_breakdown(v["stop_times"], v["trips"], v["routes"],
+                                  top5)
+    return _round2(df, _Q2_ROUND)
+
+
+def _arrivals_flat(spark, sf_dir):
+    d = _denorm(spark, sf_dir)
+    ex = tt._exploded(d, "17")
+    return ex.filter(
+        F.col("departure_time").isNotNull() & (F.col("departure_time") != "")
+    ).select("departure_time")
+
+
+def _get_timetable_flat(spark, sf_dir):
+    df = tt.get_timetable(_denorm(spark, sf_dir), "17")
+    return df.select(
+        "route_long_name", "trip_headsign",
+        F.size("times").cast("long").alias("n_times"),
+        F.element_at("times", 1).alias("first_time"),
+        F.element_at("times", -1).alias("last_time"),
+    )
+
+
+_PARITY_QUERIES = {
+    "precompute_q1_table": _precompute_q1,
+    "precompute_q2_table": _precompute_q2,
+    "precompute_q4_table": _precompute_q4,
+    "q2_service_breakdown_top5": _q2_breakdown_top5,
+    "timetable_arrivals_flat": _arrivals_flat,
+    "timetable_get_timetable": _get_timetable_flat,
+}
+
+
+# ---------------------------------------------------------------------------
 # event-stream analytics (batch forms; streaming twins in streaming/jobs.py)
 
 
@@ -433,6 +516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "timetable_stops": _timetable_stops,
         "timetable_routes_for_stop": _routes_for_stop,
         "timetable_arrivals_grouped": _arrivals_grouped,
+        **_PARITY_QUERIES,
         **_EVENTS_QUERIES,
         **_PIPELINE_QUERIES,
     }
@@ -654,5 +738,128 @@ WHERE st.stop_id = '17'
   AND st.departure_time IS NOT NULL
   AND st.departure_time <> ''
 GROUP BY 1, 2, 3
+""",
+        "precompute_q1_table": f"""
+{c},
+base AS (
+  SELECT s.stop_id, s.stop_code, s.stop_name, s.stop_lat, s.stop_lon,
+         t.route_id, t.service_id
+  FROM stop_times st JOIN trips t USING (trip_id) JOIN stops s USING (stop_id)
+)
+SELECT service_id, stop_id, stop_code, stop_name, stop_lat, stop_lon,
+       COUNT(*) AS total_trip_events,
+       COUNT(DISTINCT route_id) AS num_unique_routes
+FROM base GROUP BY 1, 2, 3, 4, 5, 6
+UNION ALL
+SELECT '4' AS service_id, stop_id, stop_code, stop_name, stop_lat, stop_lon,
+       COUNT(*) AS total_trip_events,
+       COUNT(DISTINCT route_id) AS num_unique_routes
+FROM base GROUP BY 2, 3, 4, 5, 6
+""",
+        "precompute_q2_table": f"""
+{c},
+{_TS_CTE},
+per_service AS (
+  SELECT r.route_long_name, r.route_short_name, ts.service_id,
+         COUNT(*) AS total_trips,
+         AVG(ts.trip_distance) AS avg_trip_distance_km,
+         AVG(ts.trip_duration_seconds) / 60.0 AS avg_duration_min,
+         STDDEV_POP(ts.trip_duration_seconds) / 60.0 AS duration_stddev_min,
+         AVG(ts.trip_distance / NULLIF(ts.trip_duration_seconds, 0) * 3600)
+           AS avg_speed_kmh
+  FROM ts JOIN routes r USING (route_id)
+  GROUP BY 1, 2, 3
+),
+weekly AS (
+  SELECT route_long_name, route_short_name,
+         '4' AS service_id,
+         CAST(SUM(total_trips) AS BIGINT) AS total_trips,
+         SUM(avg_trip_distance_km * total_trips)
+           / GREATEST(CAST(SUM(total_trips) AS BIGINT), 1)
+           AS avg_trip_distance_km,
+         SUM(avg_duration_min * total_trips)
+           / GREATEST(CAST(SUM(total_trips) AS BIGINT), 1)
+           AS avg_duration_min,
+         CAST(NULL AS DOUBLE) AS duration_stddev_min,
+         SUM(avg_speed_kmh * total_trips)
+           / GREATEST(CAST(SUM(total_trips) AS BIGINT), 1) AS avg_speed_kmh
+  FROM per_service GROUP BY 1, 2
+)
+SELECT service_id, route_long_name, route_short_name, total_trips,
+       ROUND(avg_trip_distance_km, 2) AS avg_trip_distance_km,
+       ROUND(avg_duration_min, 2) AS avg_duration_min,
+       ROUND(duration_stddev_min, 2) AS duration_stddev_min,
+       ROUND(avg_speed_kmh, 2) AS avg_speed_kmh
+FROM (SELECT * FROM per_service UNION ALL SELECT route_long_name,
+      route_short_name, service_id, total_trips, avg_trip_distance_km,
+      avg_duration_min, duration_stddev_min, avg_speed_kmh FROM weekly)
+""",
+        "precompute_q4_table": f"""
+{c},
+{_HOURLY_CTE},
+joined AS (
+  SELECT h.service_id, r.route_long_name, r.route_short_name,
+         h.hour_of_day, h.trips_per_hour
+  FROM hourly h JOIN routes r USING (route_id)
+)
+SELECT service_id, route_long_name, route_short_name, hour_of_day,
+       CAST(SUM(trips_per_hour) AS BIGINT) AS trips_per_hour
+FROM joined GROUP BY 1, 2, 3, 4
+UNION ALL
+SELECT '4' AS service_id, route_long_name, route_short_name, hour_of_day,
+       CAST(SUM(trips_per_hour) AS BIGINT) AS trips_per_hour
+FROM joined GROUP BY 2, 3, 4
+""",
+        "q2_service_breakdown_top5": f"""
+{c},
+{_TS_CTE},
+wk AS (
+  SELECT r.route_long_name,
+         ROUND(AVG(ts.trip_duration_seconds) / 60.0, 6) AS r
+  FROM ts JOIN routes r USING (route_id)
+  GROUP BY 1
+  ORDER BY r DESC, route_long_name
+  LIMIT 5
+)
+SELECT r.route_long_name, ts.service_id,
+       COUNT(*) AS total_trips,
+       ROUND(AVG(ts.trip_distance), 2) AS avg_trip_distance_km,
+       ROUND(AVG(ts.trip_duration_seconds) / 60.0, 2) AS avg_duration_min,
+       ROUND(STDDEV_POP(ts.trip_duration_seconds) / 60.0, 2)
+         AS duration_stddev_min,
+       ROUND(AVG(ts.trip_distance / NULLIF(ts.trip_duration_seconds, 0)
+                 * 3600), 2) AS avg_speed_kmh
+FROM ts
+JOIN routes r USING (route_id)
+JOIN wk ON r.route_long_name = wk.route_long_name
+GROUP BY 1, 2
+""",
+        "timetable_arrivals_flat": f"""
+{c}
+SELECT st.departure_time
+FROM stop_times st JOIN trips t USING (trip_id) JOIN routes r USING (route_id)
+WHERE st.stop_id = '17'
+  AND t.service_id IN ('1', '2', '3')
+  AND t.trip_headsign IS NOT NULL
+  AND t.trip_headsign <> 'NOT IN SERVICE'
+  AND st.departure_time IS NOT NULL
+  AND st.departure_time <> ''
+""",
+        "timetable_get_timetable": f"""
+{c},
+w AS (
+  SELECT r.route_long_name, t.trip_headsign,
+         printf('%02d:%02d:%02d',
+                CAST(floor((st.departure_secs % 86400) / 3600) AS INT),
+                CAST(floor((st.departure_secs % 3600) / 60) AS INT),
+                CAST(st.departure_secs % 60 AS INT)) AS display_time
+  FROM stop_times st JOIN trips t USING (trip_id) JOIN routes r USING (route_id)
+  WHERE st.stop_id = '17' AND st.departure_time IS NOT NULL
+)
+SELECT route_long_name, trip_headsign,
+       COUNT(*) AS n_times,
+       MIN(display_time) AS first_time,
+       MAX(display_time) AS last_time
+FROM w GROUP BY 1, 2
 """,
     }

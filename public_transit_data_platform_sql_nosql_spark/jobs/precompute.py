@@ -1,0 +1,157 @@
+"""Materialized result tables — the reference's CSV precompute
+(`/root/reference/SQL/generate_csv.py:17-135`) re-expressed as Spark jobs.
+
+The reference runs each analytics query once per service mode (4 separate
+MySQL round-trips per query) and writes CSVs; the Flask app then serves
+them via a path-existence probe (`SQL/app.py:61-65`).  Here each result
+table is built in at most two passes regardless of how many service modes
+exist — one groupBy including ``service_id`` for the per-service rows and
+one re-aggregation for the synthesized whole-week ``'4'`` rows
+(`generate_csv.py:97-106,119-124`, SURVEY.md A13/A14/U1) — and persisted
+as Parquet, keeping types (the CSVs relied on pandas re-inference).
+
+Whole-week semantics preserved exactly:
+
+- Q1/Q3 whole-week rows are RE-COMPUTED over all trips (COUNT DISTINCT
+  cannot be summed across services);
+- Q2 whole-week rows are SYNTHESIZED: trip-weighted means, stddev NULL
+  (`generate_csv.py:101-105`) — deliberately different from the live
+  whole-week mode, which recomputes over raw trips;
+- Q4 whole-week rows sum ``trips_per_hour`` across services (A14).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..queries.common import hourly_frequency, trip_stats
+
+WEEK_SENTINEL = "4"
+
+
+def q1_result_table(stop_times: DataFrame, trips: DataFrame,
+                    stops: DataFrame) -> DataFrame:
+    """Busiest-stops rows for service 1/2/3 plus recomputed whole-week
+    '4' rows (`generate_csv.py:17-37`)."""
+    base = (
+        stop_times.select("trip_id", "stop_id")
+        .join(F.broadcast(trips.select("trip_id", "route_id", "service_id")),
+              "trip_id")
+        .join(F.broadcast(stops.select("stop_id", "stop_code", "stop_name",
+                                       "stop_lat", "stop_lon")), "stop_id")
+    )
+    stop_cols = ["stop_id", "stop_code", "stop_name", "stop_lat", "stop_lon"]
+    per_service = base.groupBy("service_id", *stop_cols).agg(
+        F.count(F.lit(1)).alias("total_trip_events"),
+        F.countDistinct("route_id").alias("num_unique_routes"),
+    )
+    whole_week = base.groupBy(*stop_cols).agg(
+        F.count(F.lit(1)).alias("total_trip_events"),
+        F.countDistinct("route_id").alias("num_unique_routes"),
+    ).withColumn("service_id", F.lit(WEEK_SENTINEL))
+    return per_service.unionByName(whole_week).select(
+        "service_id", *stop_cols, "total_trip_events", "num_unique_routes")
+
+
+def q2_result_table(stop_times: DataFrame, trips: DataFrame,
+                    routes: DataFrame) -> DataFrame:
+    """Duration/speed rows per (route, service) plus SYNTHESIZED weekly
+    rows: trip-weighted means, stddev NULL (`generate_csv.py:78-108`)."""
+    ts = trip_stats(stop_times, trips).join(
+        F.broadcast(routes.select("route_id", "route_short_name",
+                                  "route_long_name")),
+        "route_id",
+    )
+    speed = (F.col("trip_distance")
+             / F.nullif(F.col("trip_duration_seconds"), F.lit(0)) * 3600)
+    per_service = (
+        ts.groupBy("route_long_name", "route_short_name", "service_id")
+        .agg(
+            F.count(F.lit(1)).alias("total_trips"),
+            F.avg("trip_distance").alias("avg_trip_distance_km"),
+            (F.avg("trip_duration_seconds") / 60.0).alias("avg_duration_min"),
+            (F.stddev_pop("trip_duration_seconds") / 60.0)
+            .alias("duration_stddev_min"),
+            F.avg(speed).alias("avg_speed_kmh"),
+        )
+    )
+    w = F.greatest(F.sum("total_trips"), F.lit(1))
+    weekly = (
+        per_service.groupBy("route_long_name", "route_short_name")
+        .agg(
+            F.sum("total_trips").alias("total_trips"),
+            (F.sum(F.col("avg_trip_distance_km") * F.col("total_trips")) / w)
+            .alias("avg_trip_distance_km"),
+            (F.sum(F.col("avg_duration_min") * F.col("total_trips")) / w)
+            .alias("avg_duration_min"),
+            (F.sum(F.col("avg_speed_kmh") * F.col("total_trips")) / w)
+            .alias("avg_speed_kmh"),
+        )
+        .withColumn("duration_stddev_min",
+                    F.lit(None).cast("double"))
+        .withColumn("service_id", F.lit(WEEK_SENTINEL))
+    )
+    cols = ["service_id", "route_long_name", "route_short_name",
+            "total_trips", "avg_trip_distance_km", "avg_duration_min",
+            "duration_stddev_min", "avg_speed_kmh"]
+    return per_service.select(*cols).unionByName(weekly.select(*cols))
+
+
+def q4_result_table(stop_times: DataFrame, trips: DataFrame,
+                    routes: DataFrame) -> DataFrame:
+    """Hourly-frequency rows per service plus '4' rows summing across
+    services (`generate_csv.py:111-125`)."""
+    hourly = hourly_frequency(stop_times, trips).join(
+        F.broadcast(routes.select("route_id", "route_short_name",
+                                  "route_long_name")),
+        "route_id",
+    )
+    per_service = hourly.groupBy(
+        "service_id", "route_long_name", "route_short_name", "hour_of_day"
+    ).agg(F.sum("trips_per_hour").alias("trips_per_hour"))
+    weekly = (
+        hourly.groupBy("route_long_name", "route_short_name", "hour_of_day")
+        .agg(F.sum("trips_per_hour").alias("trips_per_hour"))
+        .withColumn("service_id", F.lit(WEEK_SENTINEL))
+    )
+    cols = ["service_id", "route_long_name", "route_short_name",
+            "hour_of_day", "trips_per_hour"]
+    return per_service.select(*cols).unionByName(weekly.select(*cols))
+
+
+# --- materialization + fast path (S5/S6 + the app.py path probe) ----------
+
+RESULT_TABLES = ("q1_busiest_stops", "q2_duration_speed",
+                 "q4_hourly_frequency")
+
+
+def materialize_all(gtfs: dict[str, DataFrame], out_dir: str) -> None:
+    """Write all result tables (the generate_csv.py batch run)."""
+    builders = {
+        "q1_busiest_stops": lambda: q1_result_table(
+            gtfs["stop_times"], gtfs["trips"], gtfs["stops"]),
+        "q2_duration_speed": lambda: q2_result_table(
+            gtfs["stop_times"], gtfs["trips"], gtfs["routes"]),
+        "q4_hourly_frequency": lambda: q4_result_table(
+            gtfs["stop_times"], gtfs["trips"], gtfs["routes"]),
+    }
+    for name, build in builders.items():
+        build().write.mode("overwrite").parquet(os.path.join(out_dir, name))
+
+
+def precomputed_available(out_dir: str, name: str) -> bool:
+    """The reference's CSV-existence probe (`SQL/app.py:61-65`)."""
+    return os.path.isdir(os.path.join(out_dir, name))
+
+
+def read_precomputed(spark: SparkSession, out_dir: str, name: str,
+                     service_id: str | None = None) -> DataFrame:
+    """Fast path: filter the materialized table by service mode (the
+    pandas-mask equivalent, `csv_backend.py:40-59`); sentinel '4'/None
+    selects the whole-week rows."""
+    df = spark.read.parquet(os.path.join(out_dir, name))
+    sid = WEEK_SENTINEL if service_id in (None, "", "4") else str(service_id)
+    return df.filter(F.col("service_id") == sid)

@@ -1,0 +1,54 @@
+"""Precompute job: materialized result tables must agree with the live
+queries they cache (the reference's CSV-vs-SQL dual-path invariant,
+`Reporting/Poster_Report.md:73`)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from public_transit_data_platform_sql_nosql_spark.jobs.precompute import (
+    materialize_all,
+    precomputed_available,
+    read_precomputed,
+)
+from public_transit_data_platform_sql_nosql_spark.queries.q1_busiest_stops import (
+    q1_busiest_stops,
+)
+from public_transit_data_platform_sql_nosql_spark.sources.tpch_adapter import (
+    register_gtfs_views,
+)
+from tests.conftest import SF_DIR
+
+
+def test_fastpath_matches_live(spark, tmp_path):
+    v = register_gtfs_views(spark, SF_DIR)
+    out = str(tmp_path / "results")
+    materialize_all(v, out)
+    assert precomputed_available(out, "q1_busiest_stops")
+    assert not precomputed_available(out, "nope")
+
+    fast = (
+        read_precomputed(spark, out, "q1_busiest_stops", service_id="1")
+        .orderBy(F.desc("total_trip_events"), "stop_id")
+        .limit(20)
+        .select("stop_id", "total_trip_events", "num_unique_routes")
+    )
+    live = q1_busiest_stops(
+        v["stop_times"], v["trips"], v["stops"], service_id="1", limit=20
+    ).select("stop_id", "total_trip_events", "num_unique_routes")
+    assert sorted(map(tuple, fast.collect())) == sorted(
+        map(tuple, live.collect())
+    )
+
+
+def test_week_sentinel_rows_cover_all_modes(spark, tmp_path):
+    v = register_gtfs_views(spark, SF_DIR)
+    out = str(tmp_path / "results")
+    materialize_all(v, out)
+    df = spark.read.parquet(f"{out}/q2_duration_speed")
+    sids = {r.service_id for r in df.select("service_id").distinct().collect()}
+    assert sids == {"1", "2", "3", "4"}
+    # synthesized weekly rows carry NULL stddev (generate_csv.py:101-105)
+    weekly = df.filter(F.col("service_id") == "4")
+    assert weekly.filter(F.col("duration_stddev_min").isNotNull()).count() == 0
+    assert weekly.count() > 0
