@@ -61,6 +61,19 @@ def token_hashes(toks: Column) -> Column:
     return F.transform(toks, lambda t: char_fold_hash(t))
 
 
+def md5_hash64(s: Column) -> Column:
+    """String -> long in [0, P): top 60 bits of md5, reduced mod P.
+
+    Unlike the char-fold this runs entirely in codegen'd JVM expressions
+    (md5/substring/conv), ~10x faster per row, and DuckDB computes the
+    identical value via CAST('0x' || substr(md5(s),1,15) AS BIGINT) % P.
+    The mod-P reduction keeps every downstream (a*s + b) % P in int64
+    under ANSI mode."""
+    return (
+        F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long") % P
+    )
+
+
 def dot(a: Column, b: Column) -> Column:
     """Left-fold double dot product — the fold order matches DuckDB's
     ``list_reduce`` so cross-engine sums are bit-identical."""

@@ -40,8 +40,8 @@ from .core import (
     NUM_MINHASHES,
     P,
     SIMHASH_BITS,
-    char_fold_hash,
     cosine,
+    md5_hash64,
     tokens,
 )
 
@@ -85,7 +85,7 @@ def shingle_table(docs: DataFrame, n: int = 3) -> DataFrame:
         )
         .select(
             "doc_id",
-            char_fold_hash(
+            md5_hash64(
                 F.concat_ws(" ", F.slice(F.col("toks"), F.col("i"), n))
             ).alias("shingle_hash"),
         )
@@ -122,34 +122,37 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
     )
 
 
-def _minhash_rows(sh: DataFrame) -> DataFrame:
-    """(doc_id, j, mh): minhash j = min over shingles of
-    ((2j+3)*s + 5j+7) % P, j = 0..15."""
-    params = sh.sparkSession.range(NUM_MINHASHES).select(
-        F.col("id").cast("int").alias("j"))
+def _signatures_from(sh: DataFrame) -> DataFrame:
+    """(doc_id, minhashes array<long>[16]) in ONE groupBy pass: all 16
+    hash functions are independent min() aggregates over the same rows
+    (a j-explode would shuffle 16x the shingle table for no reason)."""
+    aggs = [
+        F.min(((2 * j + 3) * F.col("shingle_hash") + 5 * j + 7) % P)
+        .alias(f"mh{j}")
+        for j in range(NUM_MINHASHES)
+    ]
     return (
-        sh.join(F.broadcast(params), how="cross")
-        .groupBy("doc_id", "j")
-        .agg(
-            F.min(
-                ((2 * F.col("j") + 3).cast("long") * F.col("shingle_hash")
-                 + 5 * F.col("j") + 7) % P
-            ).alias("mh")
+        sh.groupBy("doc_id")
+        .agg(*aggs)
+        .select(
+            "doc_id",
+            F.array(*[F.col(f"mh{j}") for j in range(NUM_MINHASHES)])
+            .alias("minhashes"),
         )
     )
 
 
 def minhash_signatures(docs: DataFrame) -> DataFrame:
     """(doc_id, minhashes array<long>[16]) — j-ordered signature."""
-    mh = _minhash_rows(shingle_table(docs))
-    return (
-        mh.groupBy("doc_id")
-        .agg(F.array_sort(F.collect_list(F.struct("j", "mh"))).alias("jm"))
-        .select(
-            "doc_id",
-            F.transform(F.col("jm"), lambda x: x["mh"]).alias("minhashes"),
-        )
-    )
+    return _signatures_from(shingle_table(docs))
+
+
+_BAND_SIGS_EXPR = (
+    "transform(sequence(0, 3), b -> struct("
+    "cast(b AS int) AS band, "
+    f"aggregate(slice(minhashes, b * 4 + 1, 4), 0L, "
+    f"(acc, m) -> (acc * 31 + m) % {P}) AS sig))"
+)
 
 
 def minhash_lsh_pairs(docs: DataFrame,
@@ -161,19 +164,12 @@ def minhash_lsh_pairs(docs: DataFrame,
     shingle index -> 16 minhashes -> 4 folded band keys -> bucket
     self-join -> signature/shingle-set joins for verification.
     """
-    sh = shingle_table(docs).persist()  # reused: minhash rows + set join
-    mh = _minhash_rows(sh).persist()    # reused: band keys + signatures
+    sh = shingle_table(docs).persist()   # reused: signatures + set join
+    sigs = _signatures_from(sh).persist()  # reused: bands + both verify sides
     banded = (
-        mh.groupBy("doc_id", (F.col("j") / 4).cast("int").alias("band"))
-        .agg(F.array_sort(F.collect_list(F.struct("j", "mh"))).alias("jm"))
-        .select(
-            "doc_id", "band",
-            F.aggregate(
-                F.transform(F.col("jm"), lambda x: x["mh"]),
-                F.lit(0).cast("long"),
-                lambda acc, m: (acc * 31 + m) % P,
-            ).alias("sig"),
-        )
+        sigs.select("doc_id", F.explode(F.expr(_BAND_SIGS_EXPR)).alias("bs"))
+        .select("doc_id", F.col("bs.band").alias("band"),
+                F.col("bs.sig").alias("sig"))
     )
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
@@ -183,14 +179,6 @@ def minhash_lsh_pairs(docs: DataFrame,
         .select(F.col("a.doc_id").alias("doc_a"),
                 F.col("b.doc_id").alias("doc_b"))
         .distinct()
-    )
-    sigs = (
-        mh.groupBy("doc_id")
-        .agg(F.array_sort(F.collect_list(F.struct("j", "mh"))).alias("jm"))
-        .select(
-            "doc_id",
-            F.transform(F.col("jm"), lambda x: x["mh"]).alias("minhashes"),
-        )
     )
     hs = sh.groupBy("doc_id").agg(
         F.collect_set("shingle_hash").alias("hs"))

@@ -30,7 +30,9 @@ def char_hash(s: str) -> str:
     )
 
 
-# shingle set: word 3-grams (or the whole doc if < 3 tokens), hashed, distinct
+# shingle set: word 3-grams (or the whole doc if < 3 tokens), hashed with
+# the md5-based 60-bit hash reduced mod P (pipeline/core.py md5_hash64),
+# distinct
 SHINGLE_HASHES = f"""list_distinct(list_transform(
   CASE WHEN len(toks) >= 3 THEN
     list_transform(range(1, len(toks) - 1),
@@ -38,7 +40,7 @@ SHINGLE_HASHES = f"""list_distinct(list_transform(
   ELSE [list_reduce(list_prepend('', toks),
                     (a, t) -> CASE WHEN a = '' THEN t ELSE a || ' ' || t END)]
   END,
-  s -> {char_hash('s')}))"""
+  s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % {P}))"""
 
 MINHASHES = f"""list_transform(range(0, 16),
   j -> list_min(list_transform(hs,
