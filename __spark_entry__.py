@@ -88,12 +88,17 @@ _TS_CTE = """ts AS (
 def _round2(df: DataFrame, cols: list[str]) -> DataFrame:
     """Round float aggregate columns on BOTH sides of the oracle compare:
     mirrors the reference's 2-dp API rounding (SURVEY.md F5) and absorbs
-    summation-order ulp differences between engines."""
+    summation-order ulp differences between engines.
+
+    Routed through DECIMAL(28,8): the cast quantizes away last-ulp
+    double divergence (Spark and DuckDB sum partitions in different
+    orders), then ROUND on the decimal is exact HALF_UP in both engines
+    — a double sitting at a 2-dp half boundary (e.g. 15.424999999999998
+    vs 15.425000000000001) would otherwise round differently."""
+    r2 = lambda c: (F.round(F.col(c).cast("decimal(28,8)"), 2)
+                    .cast("double").alias(c))
     return df.select(
-        *[
-            F.round(F.col(c), 2).alias(c) if c in cols else F.col(c)
-            for c in df.columns
-        ]
+        *[r2(c) if c in cols else F.col(c) for c in df.columns]
     )
 
 
@@ -530,6 +535,12 @@ def oracle_sql() -> dict[str, str]:
     return out
 
 
+def _r2(expr: str) -> str:
+    """DuckDB-side twin of _round2: quantize through DECIMAL(28,8), then
+    exact HALF_UP round to 2dp (see _round2 for why)."""
+    return f"CAST(ROUND(CAST({expr} AS DECIMAL(28,8)), 2) AS DOUBLE)"
+
+
 def _gtfs_oracles(c: str) -> dict[str, str]:
     return {
         "q1_busiest_stops": f"""
@@ -575,10 +586,10 @@ SELECT * FROM ts
 {_TS_CTE}
 SELECT r.route_long_name, r.route_short_name,
        COUNT(*) AS total_trips,
-       ROUND(AVG(ts.trip_distance), 2) AS avg_trip_distance_km,
-       ROUND(AVG(ts.trip_duration_seconds) / 60.0, 2) AS avg_duration_min,
-       ROUND(STDDEV_POP(ts.trip_duration_seconds) / 60.0, 2) AS duration_stddev_min,
-       ROUND(AVG(ts.trip_distance / NULLIF(ts.trip_duration_seconds, 0) * 3600), 2)
+       {_r2('AVG(ts.trip_distance)')} AS avg_trip_distance_km,
+       {_r2('AVG(ts.trip_duration_seconds) / 60.0')} AS avg_duration_min,
+       {_r2('STDDEV_POP(ts.trip_duration_seconds) / 60.0')} AS duration_stddev_min,
+       {_r2('AVG(ts.trip_distance / NULLIF(ts.trip_duration_seconds, 0) * 3600)')}
          AS avg_speed_kmh
 FROM ts JOIN routes r USING (route_id)
 WHERE ts.service_id = '1'
@@ -589,10 +600,10 @@ GROUP BY 1, 2
 {_TS_CTE}
 SELECT r.route_long_name,
        COUNT(*) AS total_trips,
-       ROUND(AVG(ts.trip_distance), 2) AS avg_trip_distance_km,
-       ROUND(AVG(ts.trip_duration_seconds) / 60.0, 2) AS avg_duration_min,
-       ROUND(STDDEV_POP(ts.trip_duration_seconds) / 60.0, 2) AS duration_stddev_min,
-       ROUND(AVG(ts.trip_distance / NULLIF(ts.trip_duration_seconds, 0) * 3600), 2)
+       {_r2('AVG(ts.trip_distance)')} AS avg_trip_distance_km,
+       {_r2('AVG(ts.trip_duration_seconds) / 60.0')} AS avg_duration_min,
+       {_r2('STDDEV_POP(ts.trip_duration_seconds) / 60.0')} AS duration_stddev_min,
+       {_r2('AVG(ts.trip_distance / NULLIF(ts.trip_duration_seconds, 0) * 3600)')}
          AS avg_speed_kmh
 FROM ts JOIN routes r USING (route_id)
 GROUP BY 1
@@ -611,10 +622,8 @@ per_route AS (
   GROUP BY 1, 2
 )
 SELECT
-  ROUND(SUM(avg_duration_min * total_trips)
-          / GREATEST(CAST(SUM(total_trips) AS BIGINT), 1), 2) AS avg_duration_min,
-  ROUND(SUM(avg_speed_kmh * total_trips)
-          / GREATEST(CAST(SUM(total_trips) AS BIGINT), 1), 2) AS avg_speed_kmh
+  {_r2('SUM(avg_duration_min * total_trips) / GREATEST(CAST(SUM(total_trips) AS BIGINT), 1)')} AS avg_duration_min,
+  {_r2('SUM(avg_speed_kmh * total_trips) / GREATEST(CAST(SUM(total_trips) AS BIGINT), 1)')} AS avg_speed_kmh
 FROM per_route
 """,
         "q4_hourly_frequency_view": f"""
@@ -786,10 +795,10 @@ weekly AS (
   FROM per_service GROUP BY 1, 2
 )
 SELECT service_id, route_long_name, route_short_name, total_trips,
-       ROUND(avg_trip_distance_km, 2) AS avg_trip_distance_km,
-       ROUND(avg_duration_min, 2) AS avg_duration_min,
-       ROUND(duration_stddev_min, 2) AS duration_stddev_min,
-       ROUND(avg_speed_kmh, 2) AS avg_speed_kmh
+       {_r2('avg_trip_distance_km')} AS avg_trip_distance_km,
+       {_r2('avg_duration_min')} AS avg_duration_min,
+       {_r2('duration_stddev_min')} AS duration_stddev_min,
+       {_r2('avg_speed_kmh')} AS avg_speed_kmh
 FROM (SELECT * FROM per_service UNION ALL SELECT route_long_name,
       route_short_name, service_id, total_trips, avg_trip_distance_km,
       avg_duration_min, duration_stddev_min, avg_speed_kmh FROM weekly)
@@ -823,12 +832,12 @@ wk AS (
 )
 SELECT r.route_long_name, ts.service_id,
        COUNT(*) AS total_trips,
-       ROUND(AVG(ts.trip_distance), 2) AS avg_trip_distance_km,
-       ROUND(AVG(ts.trip_duration_seconds) / 60.0, 2) AS avg_duration_min,
-       ROUND(STDDEV_POP(ts.trip_duration_seconds) / 60.0, 2)
+       {_r2('AVG(ts.trip_distance)')} AS avg_trip_distance_km,
+       {_r2('AVG(ts.trip_duration_seconds) / 60.0')} AS avg_duration_min,
+       {_r2('STDDEV_POP(ts.trip_duration_seconds) / 60.0')}
          AS duration_stddev_min,
-       ROUND(AVG(ts.trip_distance / NULLIF(ts.trip_duration_seconds, 0)
-                 * 3600), 2) AS avg_speed_kmh
+       {_r2('AVG(ts.trip_distance / NULLIF(ts.trip_duration_seconds, 0) * 3600)')}
+         AS avg_speed_kmh
 FROM ts
 JOIN routes r USING (route_id)
 JOIN wk ON r.route_long_name = wk.route_long_name
