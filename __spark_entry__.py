@@ -27,6 +27,7 @@ from public_transit_data_platform_sql_nosql_spark.queries.q1_busiest_stops impor
     q1_busiest_stops,
 )
 from public_transit_data_platform_sql_nosql_spark.queries.q2_duration_speed import (
+    longest_trip_path,
     q2_overall,
     q2_route_stats,
 )
@@ -35,6 +36,7 @@ from public_transit_data_platform_sql_nosql_spark.queries.q3_transfer_points imp
 )
 from public_transit_data_platform_sql_nosql_spark.queries.q4_hourly_frequency import (
     detail_rows,
+    hourly_profile,
     top_routes_daily,
     totals_by_service,
     whole_week_hourly,
@@ -181,6 +183,18 @@ def _q4_totals_by_service(spark, sf_dir):
     v = register_gtfs_views(spark, sf_dir)
     h = hourly_frequency(v["stop_times"], v["trips"])
     return totals_by_service(h, v["routes"])
+
+
+def _q2_longest_trip_path(spark, sf_dir):
+    v = register_gtfs_views(spark, sf_dir)
+    return longest_trip_path(v["stop_times"], v["trips"], v["routes"],
+                             v["stops"], "ROUTE-1", service_id="1")
+
+
+def _q4_hourly_profile(spark, sf_dir):
+    v = register_gtfs_views(spark, sf_dir)
+    h = hourly_frequency(v["stop_times"], v["trips"])
+    return hourly_profile(h, v["routes"], service_id="1")
 
 
 def _hours_gt24(spark, sf_dir):
@@ -515,6 +529,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q4_detail_rows": _q4_detail_rows,
         "q4_whole_week_hourly": _q4_whole_week_hourly,
         "q4_totals_by_service": _q4_totals_by_service,
+        "q2_longest_trip_path": _q2_longest_trip_path,
+        "q4_hourly_profile": _q4_hourly_profile,
         "gtfs_hours_past_24": _hours_gt24,
         "gtfs_time_display_wrap": _time_wrap,
         "denormalize_check": _denorm_check,
@@ -543,6 +559,39 @@ def _r2(expr: str) -> str:
 
 def _gtfs_oracles(c: str) -> dict[str, str]:
     return {
+        "q2_longest_trip_path": f"""
+{c},
+top1 AS (
+  SELECT st.trip_id
+  FROM stop_times st
+  JOIN trips t USING (trip_id)
+  WHERE t.route_id IN (SELECT route_id FROM routes
+                       WHERE route_long_name = 'ROUTE-1')
+    AND t.service_id = '1'
+  GROUP BY st.trip_id
+  ORDER BY COUNT(*) DESC, st.trip_id
+  LIMIT 1
+)
+SELECT st.trip_id, s.stop_id, s.stop_name, s.stop_lat, s.stop_lon,
+       st.stop_sequence
+FROM stop_times st
+JOIN stops s USING (stop_id)
+WHERE st.trip_id = (SELECT trip_id FROM top1)
+ORDER BY st.stop_sequence
+""",
+        "q4_hourly_profile": f"""
+{c},
+{_HOURLY_CTE}
+SELECT r.route_long_name, h.service_id,
+       string_agg(CAST(h.hour_of_day AS VARCHAR) || ':' ||
+                  CAST(h.trips_per_hour AS VARCHAR), ' | '
+                  ORDER BY h.hour_of_day, h.trips_per_hour)
+         AS hourly_frequency_profile,
+       CAST(SUM(h.trips_per_hour) AS BIGINT) AS total_daily_trips
+FROM hourly h JOIN routes r USING (route_id)
+WHERE h.service_id = '1'
+GROUP BY 1, 2
+""",
         "q1_busiest_stops": f"""
 {c}
 SELECT s.stop_id, s.stop_code, s.stop_name, s.stop_lat, s.stop_lon,

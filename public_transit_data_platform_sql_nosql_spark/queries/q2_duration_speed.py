@@ -76,6 +76,51 @@ def q2_route_stats(
     return apply_limit(agg, limit)
 
 
+def longest_trip_path(
+    stop_times: DataFrame,
+    trips: DataFrame,
+    routes: DataFrame,
+    stops: DataFrame,
+    route_long_name: str,
+    service_id: object = None,
+) -> DataFrame:
+    """Ordered stop path of the "longest" trip of a named route — the Q2
+    visualization helper (J6 + A21 + O13, reference
+    `/root/reference/SQL/Q2 average duration.sql:40-57`).
+
+    The reference CTE groups ``trips`` rows by trip_id (count is always 1,
+    its PK) and lets MySQL pick an arbitrary LIMIT-1 row; its documented
+    intent is "the trip with the most stops".  We implement the intent:
+    count stop events per trip, tiebreak on trip_id for determinism.
+
+    Scale: the named-route restriction broadcasts a tiny routes subset into
+    the trips scan; the top-1 winner is a one-row frame broadcast back into
+    the stop_times scan — no scalar-subquery recomputation, no driver-side
+    collect, and the big table is scanned with an early semi-join filter.
+    """
+    rids = F.broadcast(
+        routes.filter(F.col("route_long_name") == route_long_name)
+        .select("route_id")
+    )
+    cand = apply_service_filter(trips.join(rids, "route_id"), service_id)
+    top1 = (
+        stop_times.join(
+            F.broadcast(cand.select("trip_id")), "trip_id", "left_semi"
+        )
+        .groupBy("trip_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy(F.desc("n_events"), F.asc("trip_id"))
+        .limit(1)
+    )
+    return (
+        stop_times.join(F.broadcast(top1.select("trip_id")), "trip_id")
+        .join(stops, "stop_id")
+        .select("trip_id", "stop_id", "stop_name", "stop_lat", "stop_lon",
+                "stop_sequence")
+        .orderBy("stop_sequence")
+    )
+
+
 def q2_overall(selected_routes: DataFrame) -> DataFrame:
     """Trip-count-weighted overall means over a ranked-routes frame
     (columns total_trips, avg_duration_min, avg_speed_kmh) -- A12 with the

@@ -116,3 +116,48 @@ def totals_by_service(hourly: DataFrame, routes: DataFrame) -> DataFrame:
         (F.col("weekday_trips") + F.col("saturday_trips")
          + F.col("sunday_trips")) / 3.0,
     )
+
+
+def hourly_profile(
+    hourly: DataFrame,
+    routes: DataFrame,
+    service_id: object = None,
+) -> DataFrame:
+    """Ordered hourly-frequency profile string per (route_long_name,
+    service_id) plus the day total — the static-SQL GROUP_CONCAT form (A11,
+    reference `/root/reference/SQL/Q4 service frequency.sql:19-30`):
+    ``GROUP_CONCAT(CONCAT(hour,':',cnt) ORDER BY hour SEPARATOR ' | ')``.
+
+    Sort-before-concat: ``array_sort(collect_list(struct(hour, trips)))``.
+    Sorting the struct on BOTH fields makes the concat total — same-named
+    routes contribute multiple route_ids, so one (long_name, hour) can
+    repeat and hour alone would not be a deterministic order.  Equal
+    structs render equal strings, so the result is engine-stable.
+
+    Scale: collect_list holds <=29 hour slots x few same-named routes per
+    group — bounded, no skew; partial aggregation applies; routes (dim)
+    is broadcast.
+    """
+    h = apply_service_filter(hourly, service_id)
+    prof = F.concat_ws(
+        " | ",
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("hour_of_day", "trips_per_hour"))
+            ),
+            lambda x: F.concat_ws(
+                ":",
+                x["hour_of_day"].cast("string"),
+                x["trips_per_hour"].cast("string"),
+            ),
+        ),
+    )
+    return (
+        h.join(F.broadcast(routes.select("route_id", "route_long_name")),
+               "route_id")
+        .groupBy("route_long_name", "service_id")
+        .agg(
+            prof.alias("hourly_frequency_profile"),
+            F.sum("trips_per_hour").alias("total_daily_trips"),
+        )
+    )
