@@ -1,0 +1,257 @@
+"""The reference's JSON API surface on Spark (SURVEY.md SS3.1).
+
+``TransitAPI`` mirrors `/root/reference/SQL/app.py:81-126`: four endpoints
+``q1``..``q4`` taking ``(service_id, limit)``, each choosing between
+
+- the LIVE path — the DataFrame pipelines in ``queries/`` (the SQL-backend
+  analog, `sql_utils.py:73-422`), and
+- the FAST path — filter/sort/limit over materialized Parquet result
+  tables written by ``jobs/precompute.py`` (the CSV-backend analog,
+  `csv_backend.py:40-214`), chosen by the same existence probe
+  (`SQL/app.py:61-65`).
+
+Backend-specific shape quirks are preserved faithfully: the CSV backend
+keys Q2/Q4 whole-week routes by (long, short) name and labels Q4
+whole-week rows ``service_id='4'``, while the SQL backend keys by long
+name only and labels them ``'all'`` (`csv_backend.py:100-103,175-191` vs
+`sql_utils.py:190,390`).
+
+Scale notes (beyond the reference, which collects everything):
+
+- Q4 live mode computes ``max_hour`` as a 1-row aggregate and restricts
+  detail rows to the ranked routes with a broadcast left-semi join BEFORE
+  collecting — the reference ships every route's rows to Python and drops
+  them there (`sql_utils.py:341-369`).
+- Where the reference's loose MySQL ``GROUP BY`` picks an arbitrary
+  route_short_name per collapsed long name, we pick ``min()`` —
+  deterministic under retries/partitioning (documented deviation).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..jobs.precompute import precomputed_available, read_precomputed
+from ..operators.params import (
+    apply_limit,
+    normalize_service_id,
+    sanitize_limit,
+)
+from ..queries.common import hourly_frequency
+from ..queries.q1_busiest_stops import q1_busiest_stops
+from ..queries.q2_duration_speed import (
+    q2_per_service_breakdown,
+    q2_route_stats,
+)
+from ..queries.q3_transfer_points import q3_transfer_points
+from . import shapes
+
+
+def _dicts(df: DataFrame) -> list[dict]:
+    return [r.asDict(recursive=True) for r in df.collect()]
+
+
+class TransitAPI:
+    def __init__(self, spark: SparkSession, gtfs: dict[str, DataFrame],
+                 precompute_dir: Optional[str] = None) -> None:
+        self.spark = spark
+        self.gtfs = gtfs
+        self.precompute_dir = precompute_dir
+
+    def _fast(self, name: str) -> bool:
+        return (self.precompute_dir is not None
+                and precomputed_available(self.precompute_dir, name))
+
+    # -- Q1 ---------------------------------------------------------------
+
+    def q1(self, service_id: object = None,
+           limit: object = None) -> list[dict]:
+        if self._fast("q1_busiest_stops"):
+            df = read_precomputed(self.spark, self.precompute_dir,
+                                  "q1_busiest_stops",
+                                  normalize_service_id(service_id))
+            df = apply_limit(
+                df.orderBy(F.desc("total_trip_events"), F.asc("stop_id")),
+                limit,
+            ).drop("service_id")
+        else:
+            df = q1_busiest_stops(self.gtfs["stop_times"],
+                                  self.gtfs["trips"], self.gtfs["stops"],
+                                  service_id, limit)
+        return shapes.to_json_safe(shapes.shape_q1_rows(_dicts(df)))
+
+    # -- Q3 ---------------------------------------------------------------
+
+    def q3(self, service_id: object = None,
+           limit: object = None) -> list[dict]:
+        df = q3_transfer_points(self.gtfs["stop_times"], self.gtfs["trips"],
+                                self.gtfs["stops"], service_id, limit)
+        return shapes.to_json_safe(shapes.shape_q3_rows(_dicts(df)))
+
+    # -- Q2 ---------------------------------------------------------------
+
+    def q2(self, service_id: object = None,
+           limit: object = None) -> dict[str, Any]:
+        sid = normalize_service_id(service_id)
+        if self._fast("q2_duration_speed"):
+            return shapes.to_json_safe(self._q2_fast(sid, limit))
+        if sid is None:
+            ranked = q2_route_stats(self.gtfs["stop_times"],
+                                    self.gtfs["trips"], self.gtfs["routes"],
+                                    None, limit, whole_week=True)
+            rep_short = (
+                self.gtfs["routes"]
+                .groupBy("route_long_name")
+                .agg(F.min("route_short_name").alias("route_short_name"))
+            )
+            global_rows = _dicts(
+                ranked.join(F.broadcast(rep_short), "route_long_name",
+                            "left")
+            )
+            service_rows = _dicts(q2_per_service_breakdown(
+                self.gtfs["stop_times"], self.gtfs["trips"],
+                self.gtfs["routes"],
+                self.spark.createDataFrame(
+                    [(r["route_long_name"],) for r in global_rows],
+                    "route_long_name string",
+                ),
+            ))
+            payload = shapes.shape_q2_whole_week(global_rows, service_rows)
+        else:
+            rows = _dicts(q2_route_stats(
+                self.gtfs["stop_times"], self.gtfs["trips"],
+                self.gtfs["routes"], sid, limit, whole_week=False))
+            for r in rows:
+                r.setdefault("service_id", sid)
+            payload = shapes.shape_q2_single_service(rows)
+        return shapes.to_json_safe(payload)
+
+    def _q2_fast(self, sid: Optional[str], limit: object) -> dict[str, Any]:
+        """CSV-backend semantics: routes keyed by (long, short)
+        (`csv_backend.py:83-169`)."""
+        tbl = read_precomputed(self.spark, self.precompute_dir,
+                               "q2_duration_speed", sid)
+        ranked = apply_limit(
+            tbl.orderBy(F.desc("avg_duration_min"),
+                        F.asc("route_long_name"),
+                        F.asc(F.coalesce("route_short_name", F.lit("")))),
+            limit,
+        )
+        rows = _dicts(ranked)
+        if sid is not None:
+            return shapes.shape_q2_single_service(rows)
+        key = ("route_long_name", "route_short_name")
+        sel = self.spark.createDataFrame(
+            [(r["route_long_name"], r["route_short_name"]) for r in rows],
+            "route_long_name string, route_short_name string",
+        )
+        per_service = self.spark.read.parquet(
+            f"{self.precompute_dir}/q2_duration_speed"
+        ).filter(F.col("service_id").isin("1", "2", "3"))
+        service_rows = _dicts(
+            per_service.join(
+                F.broadcast(sel),
+                [per_service["route_long_name"].eqNullSafe(
+                    sel["route_long_name"]),
+                 per_service["route_short_name"].eqNullSafe(
+                     sel["route_short_name"])],
+                "left_semi",
+            ).orderBy("route_long_name", "service_id")
+        )
+        return shapes.shape_q2_whole_week(rows, service_rows, key=key)
+
+    # -- Q4 ---------------------------------------------------------------
+
+    def q4(self, service_id: object = None,
+           limit: object = None) -> dict[str, Any]:
+        sid = normalize_service_id(service_id)
+        if self._fast("q4_hourly_frequency"):
+            return shapes.to_json_safe(self._q4_fast(sid, limit))
+        hourly = hourly_frequency(self.gtfs["stop_times"],
+                                  self.gtfs["trips"])
+        if sid is not None:
+            hourly = hourly.filter(F.col("service_id") == sid)
+        joined = hourly.join(
+            F.broadcast(self.gtfs["routes"].select(
+                "route_id", "route_short_name", "route_long_name")),
+            "route_id",
+        )
+        ranked = apply_limit(
+            joined.groupBy("route_long_name")
+            .agg(F.sum("trips_per_hour").alias("total_daily_trips"))
+            .orderBy(F.desc("total_daily_trips"), F.asc("route_long_name")),
+            limit,
+        )
+        selected = {r["route_long_name"] for r in ranked.collect()}
+        # max_hour over ALL service-filtered rows (reference semantics),
+        # as a 1-row agg instead of a full collect
+        max_hour_row = joined.agg(F.max("hour_of_day")).first()[0]
+        detail = _dicts(
+            joined.join(
+                F.broadcast(ranked.select("route_long_name")),
+                "route_long_name", "left_semi",
+            ).orderBy("route_long_name", "service_id", "hour_of_day",
+                      F.coalesce("route_short_name", F.lit("")))
+        )
+        payload = shapes.shape_q4(detail, selected, sid)
+        payload["max_hour"] = int(max_hour_row or 0)
+        return shapes.to_json_safe(payload)
+
+    def _q4_fast(self, sid: Optional[str], limit: object) -> dict[str, Any]:
+        """CSV-backend semantics (`csv_backend.py:172-214`): keyed by
+        (long, short); whole-week rows labeled '4'."""
+        label = sid if sid is not None else "4"
+        tbl = read_precomputed(self.spark, self.precompute_dir,
+                               "q4_hourly_frequency", sid)
+        totals = (
+            tbl.groupBy("route_long_name", "route_short_name")
+            .agg(F.sum("trips_per_hour").alias("total_daily_trips"))
+            .orderBy(F.desc("total_daily_trips"), F.asc("route_long_name"),
+                     F.asc(F.coalesce("route_short_name", F.lit(""))))
+        )
+        top = _dicts(apply_limit(totals, sanitize_limit(limit)))
+        selected = {(r["route_long_name"], r["route_short_name"])
+                    for r in top}
+        rows = _dicts(tbl.orderBy("route_long_name", "hour_of_day"))
+        by_route: dict[tuple, list[dict]] = {}
+        for r in rows:
+            by_route.setdefault(
+                (r["route_long_name"], r["route_short_name"]), []
+            ).append(r)
+        if label == "4":
+            ps = _dicts(
+                self.spark.read.parquet(
+                    f"{self.precompute_dir}/q4_hourly_frequency")
+                .filter(F.col("service_id").isin("1", "2", "3"))
+                .groupBy("route_long_name", "route_short_name", "service_id")
+                .agg(F.sum("trips_per_hour").alias("trips_per_hour"))
+            )
+        totals_by_key = {(t["route_long_name"], t["route_short_name"]):
+                         int(t["total_daily_trips"]) for t in top}
+        out_routes = []
+        # pandas groupby iterates keys in sorted order (`csv_backend.py:186`)
+        for k in sorted(by_route, key=lambda k: (k[0], k[1] or "")):
+            if k not in selected:
+                continue
+            g = by_route[k]
+            obj: dict[str, Any] = {
+                "route_long_name": k[0],
+                "route_short_name": k[1],
+                "service_id": label,
+                "hourly": [{"hour": int(r["hour_of_day"]),
+                            "trips": int(r["trips_per_hour"])} for r in g],
+                "total_daily_trips": totals_by_key[k],
+            }
+            if label == "4":
+                tbs = {"1": 0, "2": 0, "3": 0}
+                for r in ps:
+                    if (r["route_long_name"], r["route_short_name"]) == k:
+                        tbs[str(r["service_id"])] = int(r["trips_per_hour"])
+                obj["totals_by_service"] = tbs
+                obj["average_daily_trips"] = sum(tbs.values()) / 3.0
+            out_routes.append(obj)
+        max_hour = max((int(r["hour_of_day"]) for r in rows), default=0)
+        return {"max_hour": max_hour, "routes": out_routes}

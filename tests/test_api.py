@@ -1,0 +1,97 @@
+"""API-layer parity: the reference's implicit differential test is that
+its SQL and CSV backends return identical JSON where their semantics agree
+(`Reporting/Poster_Report.md:64,73`).  Mirror it: live DataFrame path vs
+precomputed-Parquet fast path, plus shape/quirk invariants."""
+
+from __future__ import annotations
+
+import pytest
+
+from public_transit_data_platform_sql_nosql_spark.api import TransitAPI
+from public_transit_data_platform_sql_nosql_spark.jobs.precompute import (
+    materialize_all,
+)
+from public_transit_data_platform_sql_nosql_spark.sources.tpch_adapter import (
+    register_gtfs_views,
+)
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def apis(spark, tmp_path_factory):
+    gtfs = register_gtfs_views(spark, SF_DIR)
+    out = str(tmp_path_factory.mktemp("precompute"))
+    materialize_all(gtfs, out)
+    live = TransitAPI(spark, gtfs, precompute_dir=None)
+    fast = TransitAPI(spark, gtfs, precompute_dir=out)
+    return live, fast
+
+
+@pytest.mark.parametrize("sid", [None, "1", "2", "4"])
+def test_q1_live_equals_fast(apis, sid):
+    live, fast = apis
+    assert live.q1(sid, 10) == fast.q1(sid, 10)
+
+
+def test_q1_limit_sanitizer_through_api(apis):
+    live, _ = apis
+    assert len(live.q1(None, "junk")) <= 20       # junk -> default 20
+    assert len(live.q1(None, -3)) <= 20           # non-positive -> 20
+    all_rows = live.q1(None, "all")
+    assert len(all_rows) >= len(live.q1(None, 20))
+
+
+def test_q2_single_service_live_equals_fast(apis):
+    live, fast = apis
+    a, b = live.q2("1", 10), fast.q2("1", 10)
+    assert a["mode"] == b["mode"] == "single_service"
+    assert a["overall"] == b["overall"]
+    assert a["routes"] == b["routes"]
+
+
+def test_q2_whole_week_shape_and_quirks(apis):
+    live, _ = apis
+    p = live.q2(None, 5)
+    assert p["mode"] == "whole_week"
+    assert set(p["overall"]) == {"avg_duration_min", "avg_speed_kmh"}
+    for r in p["routes"]:
+        # global rows carry no stddev (sql_utils.py:221-228)
+        assert set(r["global"]) == {"total_trips", "avg_trip_distance_km",
+                                    "avg_duration_min", "avg_speed_kmh"}
+        for s in r["services"]:
+            assert s["service_id"] in ("1", "2", "3")
+            # 2dp rounding applied (F5)
+            v = s["avg_duration_min"]
+            assert v is None or round(v, 2) == v
+
+
+def test_q4_whole_week_quirks(apis):
+    live, _ = apis
+    p = live.q4(None, 5)
+    assert p["max_hour"] >= 24          # GTFS overnight hours present
+    assert len(p["routes"]) <= 5
+    for r in p["routes"]:
+        assert r["service_id"] == "all"  # SQL-backend label
+        totals = r["totals_by_service"]
+        assert set(totals) == {"1", "2", "3"}
+        # fixed /3.0 divisor (A15)
+        assert r["average_daily_trips"] == sum(totals.values()) / 3.0
+        hours = [h["hour"] for h in r["hourly"]]
+        assert hours == sorted(hours)
+        assert r["total_daily_trips"] == sum(h["trips"] for h in r["hourly"])
+
+
+def test_q4_fast_path_csv_backend_labels(apis):
+    _, fast = apis
+    p = fast.q4(None, 5)
+    for r in p["routes"]:
+        assert r["service_id"] == "4"    # CSV-backend label quirk
+        assert "totals_by_service" in r
+
+
+def test_q3_shape(apis):
+    live, _ = apis
+    rows = live.q3("1", 10)
+    for r in rows:
+        assert r["num_unique_routes"] >= 2
+        assert round(r["stop_lat"], 6) == r["stop_lat"]
