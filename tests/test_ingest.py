@@ -1,0 +1,92 @@
+"""GTFS text ingest (S1): explicit schemas, >24h time derivation, Parquet
+round-trip, and the data-quality expectations job."""
+
+from __future__ import annotations
+
+import pytest
+
+from public_transit_data_platform_sql_nosql_spark.sources.ingest import (
+    data_quality_report,
+    ingest_gtfs,
+    load_gtfs,
+    read_gtfs_table,
+)
+
+_FEED = {
+    "calendar.txt": (
+        "service_id,monday,tuesday,wednesday,thursday,friday,saturday,"
+        "sunday,start_date,end_date\n"
+        "1,1,1,1,1,1,0,0,2024-01-01,2024-12-31\n"
+        "2,0,0,0,0,0,1,0,2024-01-01,2024-12-31\n"
+    ),
+    "routes.txt": (
+        "route_id,agency_id,route_short_name,route_long_name,route_desc,"
+        "route_type,route_color\n"
+        "R1,A,501,QUEEN,,0,\n"
+        "R2,A,504,KING,,0,FF0000\n"
+    ),
+    "trips.txt": (
+        "trip_id,route_id,service_id,trip_headsign,direction_id,shape_id,"
+        "wheelchair_accessible,bikes_allowed\n"
+        "T1,R1,1,EAST,0,S1,1,1\n"
+        "T2,R2,2,WEST,1,S2,1,1\n"
+        "T3,MISSING_ROUTE,1,,0,,0,0\n"
+    ),
+    "stops.txt": (
+        "stop_id,stop_code,stop_name,stop_desc,stop_lat,stop_lon,zone_id,"
+        "wheelchair_boarding\n"
+        "S1,100,First St,,43.65,-79.38,,1\n"
+        "S2,,Second St,,43.66,-79.39,,1\n"
+    ),
+    "stop_times.txt": (
+        "trip_id,arrival_time,departure_time,stop_id,stop_sequence,"
+        "stop_headsign,pickup_type,drop_off_type,shape_dist_traveled\n"
+        "T1,08:00:00,08:00:30,S1,1,,0,0,0.0\n"
+        "T1,25:30:00,25:31:00,S2,2,,0,0,12.5\n"   # GTFS overnight hour 25
+        "T2,,,S1,1,,0,0,\n"                        # NULL times
+        "T2,09:15:00,09:15:00,S2,2,,0,0,3.0\n"
+    ),
+}
+
+
+@pytest.fixture(scope="module")
+def feed_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("gtfs_feed")
+    for fname, body in _FEED.items():
+        (d / fname).write_text(body)
+    return str(d)
+
+
+def test_stop_times_seconds_derivation(spark, feed_dir):
+    df = read_gtfs_table(spark, f"{feed_dir}/stop_times.txt", "stop_times")
+    rows = {(r["trip_id"], r["stop_sequence"]): r for r in df.collect()}
+    assert rows[("T1", 2)]["arrival_secs"] == 25 * 3600 + 30 * 60
+    assert rows[("T1", 2)]["arrival_time"] == "25:30:00"  # raw kept
+    assert rows[("T2", 1)]["arrival_secs"] is None
+    assert rows[("T1", 1)]["departure_secs"] == 8 * 3600 + 30
+
+
+def test_ingest_roundtrip_and_types(spark, feed_dir, tmp_path):
+    out = str(tmp_path / "parquet")
+    paths = ingest_gtfs(spark, feed_dir, out)
+    assert set(paths) == {"calendar", "routes", "trips", "stops",
+                          "stop_times"}
+    gtfs = load_gtfs(spark, out)
+    st = gtfs["stop_times"]
+    assert dict(st.dtypes)["arrival_secs"] == "int"
+    assert dict(st.dtypes)["shape_dist_traveled"] == "double"
+    assert st.count() == 4
+    assert dict(gtfs["calendar"].dtypes)["start_date"] == "date"
+    # schemas are explicit, not inferred: stop_code stays a string
+    assert dict(gtfs["stops"].dtypes)["stop_code"] == "string"
+
+
+def test_data_quality_report(spark, feed_dir, tmp_path):
+    out = str(tmp_path / "parquet")
+    ingest_gtfs(spark, feed_dir, out)
+    gtfs = load_gtfs(spark, out)
+    report = {r["check"]: r["violations"]
+              for r in data_quality_report(gtfs).collect()}
+    assert report["stop_times_pk_dup"] == 0
+    assert report["trips_fk_route"] == 1     # T3 -> MISSING_ROUTE
+    assert report["stop_times_fk_trip"] == 0
