@@ -24,16 +24,19 @@ def gtfs(spark):
     return register_gtfs_views(spark, SF_DIR)
 
 
-def _plan(df) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
+from public_transit_data_platform_sql_nosql_spark.plans import (
+    executed_plan as _plan,
+)
+from public_transit_data_platform_sql_nosql_spark.plans import plan_summary
 
 
 def test_q1_broadcasts_dims_and_prunes_columns(gtfs):
     df = q1_busiest_stops(gtfs["stop_times"], gtfs["trips"], gtfs["stops"],
                           service_id="1", limit=20)
+    s = plan_summary(df)
+    assert s["broadcast_hash_joins"] >= 1
+    assert s["cartesian_products"] == 0
     plan = _plan(df)
-    assert "BroadcastHashJoin" in plan
-    assert "CartesianProduct" not in plan
     # column pruning: the stop_times scan must not read time columns
     scan = plan[plan.index("FileScan parquet"):]
     assert "arrival_secs" not in scan.split("ReadSchema")[0] or True
