@@ -106,3 +106,79 @@ def incremental_refresh(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_session_windows(
+    events: DataFrame,
+    gap_secs: int = 1800,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming twin of queries/events.sessionize via Spark's NATIVE
+    session windows: merging gap-based windows with watermark-driven state
+    eviction — the idiomatic (stateful, codegen'd) form; no Python state.
+
+    Grain note: event_time is whole seconds (ts div 1e9), so the gap is
+    evaluated at second precision, while the batch operator compares raw
+    nanos; boundaries only differ for gaps within 1s of ``gap_secs``.
+    """
+    with_time = events.withColumn(
+        "event_time", F.timestamp_seconds(F.expr(f"ts div {NS}"))
+    ).withWatermark("event_time", watermark)
+    return (
+        with_time.groupBy(
+            F.session_window("event_time", f"{gap_secs} seconds").alias("w"),
+            "user_id",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.expr("cast(round(value * 100) AS bigint)"))
+            .alias("sum_cents"),
+        )
+        .select(
+            "user_id",
+            F.unix_timestamp("w.start").alias("session_start_sec"),
+            F.unix_timestamp("w.end").alias("session_end_sec"),
+            "n_events", "sum_cents",
+        )
+    )
+
+
+_TOTALS_OUT = "user_id bigint, n_events bigint, sum_cents bigint"
+_TOTALS_STATE = "n_events bigint, sum_cents bigint"
+
+
+def stream_user_running_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running totals that survive across micro-batches (the SURVEY.md §2.9
+    extension point for state Spark's built-ins can't express).
+
+    The cents quantization runs in Spark SQL BEFORE the Python state
+    function (Spark ``round`` is HALF_UP, numpy's is half-even — doing it
+    JVM-side keeps streaming and batch bit-identical); the pandas function
+    only sums int64 and carries state."""
+    import pandas as pd  # local: Arrow batch path only
+    from pyspark.sql.streaming.state import (
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    def _update(key, pdfs, state: GroupState):
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += int(len(pdf))
+            cents += int(pdf["cents"].sum())
+        state.update((n, cents))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_cents": [cents]}
+        )
+
+    prepared = events.select(
+        "user_id", F.expr("cast(round(value * 100) AS bigint)").alias("cents")
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        _update,
+        outputStructType=_TOTALS_OUT,
+        stateStructType=_TOTALS_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -68,3 +68,56 @@ def test_incremental_refresh_appends(spark, tmp_path):
         register_tpch(spark, SF_DIR, ("events",))["events"].count()
     )
     assert total == expected
+
+
+def test_session_windows_match_batch_invariants(spark):
+    from public_transit_data_platform_sql_nosql_spark.queries.events import (
+        sessionize,
+    )
+    from public_transit_data_platform_sql_nosql_spark.streaming.jobs import (
+        stream_session_windows,
+    )
+
+    stream = read_events_stream(spark, SF_DIR)
+    run_to_memory(stream_session_windows(stream), "stream_sessions")
+    got = spark.table("stream_sessions").collect()
+    assert len(got) > 0
+    events = register_tpch(spark, SF_DIR, ("events",))["events"]
+    # totals are conserved regardless of session boundary grain
+    assert sum(r.n_events for r in got) == events.count()
+    batch_n = sessionize(events).count()
+    # second-grain gap can only merge/split near-boundary sessions
+    assert abs(len(got) - batch_n) <= 0.02 * batch_n
+    # per-user sessions must not overlap
+    by_user = {}
+    for r in got:
+        by_user.setdefault(r.user_id, []).append(
+            (r.session_start_sec, r.session_end_sec))
+    for spans in by_user.values():
+        spans.sort()
+        for (s1, e1), (s2, _) in zip(spans, spans[1:]):
+            assert s2 >= e1
+
+
+def test_stateful_running_totals_match_batch(spark):
+    from public_transit_data_platform_sql_nosql_spark.streaming.jobs import (
+        stream_user_running_totals,
+    )
+
+    stream = read_events_stream(spark, SF_DIR)
+    run_to_memory(stream_user_running_totals(stream), "stream_totals",
+                  mode="update")
+    got = {
+        r.user_id: (r.n_events, r.sum_cents)
+        for r in spark.table("stream_totals").collect()
+    }
+    events = register_tpch(spark, SF_DIR, ("events",))["events"]
+    want = {
+        r.user_id: (r.n, r.cents)
+        for r in events.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.expr("cast(round(value * 100) AS bigint)"))
+            .alias("cents"),
+        ).collect()
+    }
+    assert got == want
