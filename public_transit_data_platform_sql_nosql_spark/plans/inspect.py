@@ -60,8 +60,13 @@ def plan_summary(df: DataFrame) -> dict:
         "broadcast_nested_loop_joins": plan.count("BroadcastNestedLoopJoin"),
         "exchanges": plan.count("Exchange"),
         "take_ordered_and_project": "TakeOrderedAndProject" in plan,
+        # executedPlan().toString() marks codegen'd operators "*(N) Op";
+        # distinct N = number of fused codegen spans.  Caveat: under AQE
+        # the pre-execution plan is unfinalized and shows 0 spans until
+        # the query has run — execute (e.g. .count()) before reading this
+        # field on exchange-bearing plans
         "wholestage_codegen_spans": len(
-            re.findall(r"WholeStageCodegen \(\d+\)", plan)),
+            set(re.findall(r"\*\((\d+)\)", plan))),
         "file_scans": plan.count("FileScan"),
         "pushed_filters": pushed_filters(df),
         "read_schemas": scan_read_schemas(df),
