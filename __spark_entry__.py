@@ -501,6 +501,8 @@ _PIPELINE_QUERIES = {
         lambda s, d: psim.brute_force_topk(_emb(s, d)),
     "ann_lsh_topk":
         lambda s, d: psim.lsh_topk(_emb(s, d)),
+    "ann_ivf_topk":
+        lambda s, d: psim.ivf_topk(_emb(s, d)),
     "multimodal_ingest": _multimodal_ingest,
     "multimodal_features": _multimodal_features,  # rows-only (pandas UDF)
 }

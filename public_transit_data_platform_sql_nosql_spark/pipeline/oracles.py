@@ -304,6 +304,45 @@ ranked AS (
 )
 SELECT query_id, rank, neighbor_id, cos_sim FROM ranked WHERE rank <= 10
 """,
+        "ann_ivf_topk": f"""
+WITH comp AS (
+  SELECT label, u.pos AS pos, CAST(SUM(u.q) AS BIGINT) AS s
+  FROM (
+    SELECT label, UNNEST(list_transform(range(1, 65),
+         i -> struct_pack(pos := i,
+              q := CAST(round(embedding[i] * 1000) AS BIGINT)))) AS u
+    FROM embeddings
+  )
+  GROUP BY 1, 2
+),
+cents AS (
+  SELECT label, list(CAST(s AS DOUBLE) ORDER BY pos) AS centroid
+  FROM comp GROUP BY label
+),
+probe AS (
+  SELECT query_id, label, qe FROM (
+    SELECT q.vec_id AS query_id, c.label, q.embedding AS qe,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY round({cos_sql('q.embedding', 'c.centroid')}, 6)
+               DESC, c.label) AS rn
+    FROM embeddings q, cents c
+    WHERE q.vec_id < 8
+  ) WHERE rn <= 2
+),
+pairs AS (
+  SELECT p.query_id, e.vec_id AS neighbor_id,
+         round({cos_sql('p.qe', 'e.embedding')}, 6) AS cos_sim
+  FROM probe p JOIN embeddings e
+    ON e.label = p.label AND e.vec_id <> p.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
+  FROM pairs
+)
+SELECT query_id, rank, neighbor_id, cos_sim FROM ranked WHERE rank <= 10
+""",
         "multimodal_ingest": f"""
 WITH {DOCS}
 SELECT doc_id AS media_id,

@@ -101,3 +101,71 @@ def lsh_topk(emb: DataFrame, num_queries: int = 8, k: int = 10) -> DataFrame:
                 .alias("cos_sim"))
     )
     return _ranked(pairs, k)
+
+
+def cell_centroids(emb: DataFrame) -> DataFrame:
+    """IVF coarse cells from the ``label`` column (the upstream cluster
+    assignment = the coarse quantizer); centroid = ELEMENT-WISE INTEGER SUM
+    of milli-quantized components.
+
+    Integer sums are associative/commutative exactly, so Spark's partial
+    aggregation and DuckDB's row-order scan produce bit-identical
+    centroids (a float mean would differ in the last ulp by sum order);
+    cosine only needs the direction, so sum vs mean is immaterial.
+
+    Scale: one narrow shuffle of (label, pos, q) with full map-side
+    combine — 64·|cells| rows out regardless of corpus size.
+    """
+    comp = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "c"))
+        .groupBy("label", "pos")
+        .agg(F.sum(F.expr("cast(round(c * 1000) AS bigint)")).alias("s"))
+    )
+    return (
+        comp.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "s"))).alias("ps"))
+        .select(
+            "label",
+            F.expr("transform(ps, x -> cast(x.s AS double))")
+            .alias("centroid"),
+        )
+    )
+
+
+def ivf_topk(emb: DataFrame, num_queries: int = 8, k: int = 10,
+             nprobe: int = 2) -> DataFrame:
+    """IVF ANN: coarse-quantize -> probe the ``nprobe`` best cells ->
+    exact cosine re-rank inside the probed cells.
+
+    Scale path: the probe table is (queries x nprobe) rows — broadcast —
+    and the candidate join hits only probed cells' vectors (with cell-
+    partitioned storage, partition pruning skips the rest of 100 TB).
+    """
+    cents = cell_centroids(emb)
+    q = (
+        emb.filter(F.col("vec_id") < num_queries)
+        .select(F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("qe"))
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.desc("cell_sim"), F.asc("label"))
+    probe = (
+        q.join(F.broadcast(cents))
+        .select("query_id", "qe", "label",
+                F.round(cosine(F.col("qe"), F.col("centroid")), 6)
+                .alias("cell_sim"))
+        .withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "qe", "label")
+    )
+    cand = emb.select(F.col("vec_id").alias("neighbor_id"), "label",
+                      F.col("embedding").alias("ne"))
+    pairs = (
+        cand.join(F.broadcast(probe),
+                  (cand["label"] == probe["label"])
+                  & (F.col("query_id") != F.col("neighbor_id")))
+        .select("query_id", "neighbor_id",
+                F.round(cosine(F.col("qe"), F.col("ne")), 6)
+                .alias("cos_sim"))
+    )
+    return _ranked(pairs, k)
