@@ -285,3 +285,63 @@ def embedding_near_dup(emb: DataFrame,
                 cos.alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Connected components over near-dup pairs -> (doc_id, canonical_id):
+    the step that turns pairwise matches into dedup groups (keep one doc
+    per component, drop the rest).
+
+    Iterative min-label propagation (the alternating small-star/large-star
+    idea in its simplest form): every doc starts labeled with itself; each
+    round, a doc adopts the smallest label among itself and its neighbors;
+    stop when a round changes nothing.  Rounds needed = graph diameter
+    (near-dup components are tiny and star-like, so 2-4 in practice, with
+    ``max_iters`` as a safety valve against pathological chains).
+
+    Scale notes: each round is one groupBy on doc_id over the (deduped,
+    symmetric) edge list — shuffle keyed on a hash-uniform id.  Everything
+    between rounds is checkpoint-free lineage; ``localCheckpoint`` every
+    few rounds would cap plan growth for adversarial graphs.  The
+    convergence test is a 1-row aggregate, not a collect of labels.
+    """
+    edges = (
+        pairs.select(F.col(pairs.columns[0]).alias("a"),
+                     F.col(pairs.columns[1]).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+    )
+    sym = edges.union(edges.select(F.col("b").alias("a"),
+                                   F.col("a").alias("b"))).distinct()
+    sym = sym.persist()
+    labels = (
+        sym.select(F.col("a").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+    ).persist()
+    for _ in range(max_iters):
+        neighbor_min = (
+            sym.join(labels, sym["b"] == labels["doc_id"])
+            .groupBy("a").agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min,
+                        labels["doc_id"] == neighbor_min["a"], "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"),
+                        F.coalesce(F.col("nmin"), F.col("label")))
+                .alias("label"),
+            )
+        ).persist()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1).count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.select("doc_id", F.col("label").alias("canonical_id"))

@@ -1,0 +1,52 @@
+"""dedup_clusters (connected components): cross-check the distributed
+min-label propagation against a plain-Python union-find on the same edge
+list — exact semantics, since no SQL oracle can express the fixpoint."""
+
+from __future__ import annotations
+
+from public_transit_data_platform_sql_nosql_spark.pipeline import dedup
+
+
+def _union_find(edges: list[tuple]) -> dict:
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical = min member of each component
+    return {x: find(x) for x in parent}
+
+
+def test_clusters_match_union_find(spark):
+    edges = [("d1", "d2"), ("d2", "d3"), ("d5", "d4"),
+             ("d7", "d8"), ("d8", "d7"),           # dup edge both ways
+             ("d9", "d9"),                          # self loop dropped
+             ("a1", "a2"), ("a2", "a3"), ("a3", "a4"), ("a4", "a5")]
+    pairs = spark.createDataFrame(edges, "doc_a string, doc_b string")
+    got = {r["doc_id"]: r["canonical_id"]
+           for r in dedup.dedup_clusters(pairs).collect()}
+    want = _union_find([e for e in edges if e[0] != e[1]])
+    assert got == want
+    # chain a1..a5 collapses to a single canonical
+    assert {got[f"a{i}"] for i in range(1, 6)} == {"a1"}
+
+
+def test_clusters_on_real_minhash_pairs(spark):
+    from tests.conftest import SF_DIR
+    import __spark_entry__ as E
+
+    pairs = E.queries()["dedup_minhash_lsh"](spark, SF_DIR)
+    labels = dedup.dedup_clusters(pairs)
+    rows = labels.collect()
+    docs = {r["doc_id"] for r in rows}
+    # every doc in a pair is labeled, canonical is a member doc <= doc_id
+    assert all(r["canonical_id"] <= r["doc_id"] for r in rows)
+    assert {r["canonical_id"] for r in rows} <= docs
