@@ -497,9 +497,8 @@ _PIPELINE_QUERIES = {
         lambda s, d: pdedup.simhash_pairs(_aug(s, d)),
     "dedup_embedding_cosine":
         lambda s, d: pdedup.embedding_near_dup(_emb_aug(s, d)),
-    # iterative fixpoint -- not ANSI-SQL-expressible, rows-only check;
-    # exact semantics covered by tests/test_dedup_clusters.py (union-find
-    # cross-check)
+    # Spark side is an iterative fixpoint; oracle is a DuckDB recursive
+    # transitive closure (oracles.py) + union-find cross-check in tests
     "dedup_clusters":
         lambda s, d: pdedup.dedup_clusters(
             pdedup.minhash_lsh_pairs(_aug(s, d))),

@@ -219,6 +219,48 @@ WHERE round(len(list_intersect(sa.hs, sb.hs))
             / CAST(len(sa.hs) + len(sb.hs)
                    - len(list_intersect(sa.hs, sb.hs)) AS DOUBLE), 6) >= 0.5
 """,
+        # connected components over the minhash-LSH pairs: the Spark side is
+        # an iterative min-label fixpoint (pipeline/dedup.py dedup_clusters);
+        # DuckDB can express the same answer as a recursive transitive
+        # closure — canonical = min member reachable from each doc.
+        "dedup_clusters": f"""
+WITH RECURSIVE {DOCS},
+t AS (SELECT doc_id, {TOKS} AS toks FROM docs_aug),
+sig AS (
+  SELECT doc_id, hs, {MINHASHES} AS mh
+  FROM (SELECT doc_id, {SHINGLE_HASHES} AS hs FROM t)
+),
+banded AS (
+  SELECT doc_id, bs.band AS band, bs.sig AS sig
+  FROM (SELECT doc_id, unnest({BAND_SIGS}) AS bs FROM sig)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM cand
+  JOIN sig sa ON doc_a = sa.doc_id
+  JOIN sig sb ON doc_b = sb.doc_id
+  WHERE round(len(list_intersect(sa.hs, sb.hs))
+              / CAST(len(sa.hs) + len(sb.hs)
+                     - len(list_intersect(sa.hs, sb.hs)) AS DOUBLE), 6) >= 0.5
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+reach AS (
+  SELECT a AS src, b AS dst FROM edges
+  UNION
+  SELECT reach.src, e.b FROM reach JOIN edges e ON reach.dst = e.a
+)
+SELECT src AS doc_id, least(src, min(dst)) AS canonical_id
+FROM reach GROUP BY src
+""",
         "dedup_simhash": f"""
 WITH {DOCS},
 t AS (SELECT doc_id, {TOKS} AS toks FROM docs_aug),
