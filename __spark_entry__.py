@@ -502,6 +502,10 @@ _PIPELINE_QUERIES = {
     "dedup_clusters":
         lambda s, d: pdedup.dedup_clusters(
             pdedup.minhash_lsh_pairs(_aug(s, d))),
+    "dedup_keep_one":
+        lambda s, d: pdedup.keep_canonical(
+            _aug(s, d),
+            pdedup.dedup_clusters(pdedup.minhash_lsh_pairs(_aug(s, d)))),
     "ann_bruteforce_topk":
         lambda s, d: psim.brute_force_topk(_emb(s, d)),
     "ann_lsh_topk":

@@ -345,3 +345,19 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
             break
     sym.unpersist()
     return labels.select("doc_id", F.col("label").alias("canonical_id"))
+
+
+def keep_canonical(docs: DataFrame, labels: DataFrame) -> DataFrame:
+    """Keep-one materialization: the corpus after dedup — every doc that is
+    either untouched by any near-dup pair or the canonical (min-id) member
+    of its cluster.  Returns the surviving ``doc_id`` set.
+
+    Scale notes: a left-anti hash join against the drop set (non-canonical
+    cluster members).  The drop set is bounded by the number of duplicate
+    docs, typically a small fraction of the corpus — AQE will broadcast it
+    when it fits, and a shuffled anti-join on the uniform doc_id key is
+    still linear when it doesn't.
+    """
+    drop = labels.filter(
+        F.col("canonical_id") != F.col("doc_id")).select("doc_id")
+    return docs.select("doc_id").join(drop, "doc_id", "left_anti")

@@ -80,6 +80,43 @@ def hyperplane_sql(j: int, dim: int = 64) -> str:
 DOCS = f"docs_aug AS ({DOCS_AUG_SQL})"
 _IN_STOP = "(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
 
+# minhash-LSH pairs -> symmetric edge list -> recursive reachability, shared
+# by the dedup_clusters and dedup_keep_one oracles (requires WITH RECURSIVE)
+CLUSTER_CTES = f"""{DOCS},
+t AS (SELECT doc_id, {TOKS} AS toks FROM docs_aug),
+sig AS (
+  SELECT doc_id, hs, {MINHASHES} AS mh
+  FROM (SELECT doc_id, {SHINGLE_HASHES} AS hs FROM t)
+),
+banded AS (
+  SELECT doc_id, bs.band AS band, bs.sig AS sig
+  FROM (SELECT doc_id, unnest({BAND_SIGS}) AS bs FROM sig)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM cand
+  JOIN sig sa ON doc_a = sa.doc_id
+  JOIN sig sb ON doc_b = sb.doc_id
+  WHERE round(len(list_intersect(sa.hs, sb.hs))
+              / CAST(len(sa.hs) + len(sb.hs)
+                     - len(list_intersect(sa.hs, sb.hs)) AS DOUBLE), 6) >= 0.5
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+reach AS (
+  SELECT a AS src, b AS dst FROM edges
+  UNION
+  SELECT reach.src, e.b FROM reach JOIN edges e ON reach.dst = e.a
+)"""
+
 
 # --- per-operator oracles -------------------------------------------------
 
@@ -224,42 +261,20 @@ WHERE round(len(list_intersect(sa.hs, sb.hs))
         # DuckDB can express the same answer as a recursive transitive
         # closure — canonical = min member reachable from each doc.
         "dedup_clusters": f"""
-WITH RECURSIVE {DOCS},
-t AS (SELECT doc_id, {TOKS} AS toks FROM docs_aug),
-sig AS (
-  SELECT doc_id, hs, {MINHASHES} AS mh
-  FROM (SELECT doc_id, {SHINGLE_HASHES} AS hs FROM t)
-),
-banded AS (
-  SELECT doc_id, bs.band AS band, bs.sig AS sig
-  FROM (SELECT doc_id, unnest({BAND_SIGS}) AS bs FROM sig)
-),
-cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM banded a JOIN banded b
-    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
-),
-pairs AS (
-  SELECT doc_a, doc_b
-  FROM cand
-  JOIN sig sa ON doc_a = sa.doc_id
-  JOIN sig sb ON doc_b = sb.doc_id
-  WHERE round(len(list_intersect(sa.hs, sb.hs))
-              / CAST(len(sa.hs) + len(sb.hs)
-                     - len(list_intersect(sa.hs, sb.hs)) AS DOUBLE), 6) >= 0.5
-),
-edges AS (
-  SELECT doc_a AS a, doc_b AS b FROM pairs
-  UNION
-  SELECT doc_b AS a, doc_a AS b FROM pairs
-),
-reach AS (
-  SELECT a AS src, b AS dst FROM edges
-  UNION
-  SELECT reach.src, e.b FROM reach JOIN edges e ON reach.dst = e.a
-)
+WITH RECURSIVE {CLUSTER_CTES}
 SELECT src AS doc_id, least(src, min(dst)) AS canonical_id
 FROM reach GROUP BY src
+""",
+        # keep-one: corpus minus every non-canonical cluster member
+        "dedup_keep_one": f"""
+WITH RECURSIVE {CLUSTER_CTES},
+clusters AS (
+  SELECT src AS doc_id, least(src, min(dst)) AS canonical_id
+  FROM reach GROUP BY src
+)
+SELECT d.doc_id
+FROM docs_aug d LEFT JOIN clusters c ON d.doc_id = c.doc_id
+WHERE c.canonical_id IS NULL OR c.canonical_id = d.doc_id
 """,
         "dedup_simhash": f"""
 WITH {DOCS},

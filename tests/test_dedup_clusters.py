@@ -50,3 +50,11 @@ def test_clusters_on_real_minhash_pairs(spark):
     # every doc in a pair is labeled, canonical is a member doc <= doc_id
     assert all(r["canonical_id"] <= r["doc_id"] for r in rows)
     assert {r["canonical_id"] for r in rows} <= docs
+
+    # keep-one = full corpus minus the non-canonical cluster members
+    corpus = E._aug(spark, SF_DIR)
+    kept = {r["doc_id"]
+            for r in dedup.keep_canonical(corpus, labels).collect()}
+    all_ids = {r["doc_id"] for r in corpus.select("doc_id").collect()}
+    dropped = {r["doc_id"] for r in rows if r["canonical_id"] != r["doc_id"]}
+    assert kept == all_ids - dropped
