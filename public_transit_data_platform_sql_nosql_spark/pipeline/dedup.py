@@ -300,10 +300,13 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     ``max_iters`` as a safety valve against pathological chains).
 
     Scale notes: each round is one groupBy on doc_id over the (deduped,
-    symmetric) edge list — shuffle keyed on a hash-uniform id.  Everything
-    between rounds is checkpoint-free lineage; ``localCheckpoint`` every
-    few rounds would cap plan growth for adversarial graphs.  The
-    convergence test is a 1-row aggregate, not a collect of labels.
+    symmetric) edge list — shuffle keyed on a hash-uniform id.  Every 3rd
+    round the label table is ``localCheckpoint``-ed so the logical plan
+    stays O(1) deep for adversarial (long-chain) graphs instead of growing
+    one join per round; on a real cluster with executor churn, reliable
+    ``checkpoint()`` to a DFS is the fault-tolerant variant of the same
+    cap.  The convergence test is a 1-row aggregate, not a collect of
+    labels.
     """
     edges = (
         pairs.select(F.col(pairs.columns[0]).alias("a"),
@@ -318,7 +321,7 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         .distinct()
         .withColumn("label", F.col("doc_id"))
     ).persist()
-    for _ in range(max_iters):
+    for it in range(max_iters):
         neighbor_min = (
             sym.join(labels, sym["b"] == labels["doc_id"])
             .groupBy("a").agg(F.min("label").alias("nmin"))
@@ -343,6 +346,10 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+        if (it + 1) % 3 == 0:
+            checkpointed = labels.localCheckpoint(eager=True)
+            labels.unpersist()
+            labels = checkpointed
     sym.unpersist()
     return labels.select("doc_id", F.col("label").alias("canonical_id"))
 
