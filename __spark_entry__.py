@@ -475,7 +475,14 @@ def _multimodal_ingest(spark, sf_dir):
 
 
 def _multimodal_features(spark, sf_dir):
-    return pmm.extract_features(pmm.media_table(_aug(spark, sf_dir)))
+    # The library API returns features as array<double>; the driver's
+    # pandas canonicalizer can't hash lists, so the declared query
+    # projects the vector to a JSON string (scalar-only columns).
+    df = pmm.extract_features(pmm.media_table(_aug(spark, sf_dir)))
+    return df.select(
+        "media_id", "kind", "byte_len", "checksum",
+        F.to_json("features").alias("features_json"),
+    )
 
 
 _PIPELINE_QUERIES = {

@@ -120,9 +120,12 @@ def register_tpch(
     """Register raw testdata parquet tables as temp views.
 
     NOTE: ``events.parquet`` carries TIMESTAMP(NANOS) which Spark 4 rejects
-    unless ``spark.sql.legacy.parquet.nanosAsLong`` is set (session.py sets
-    it); the GTFS adapter therefore registers only what it derives from.
+    unless ``spark.sql.legacy.parquet.nanosAsLong`` is set.  That conf is
+    runtime-settable, and the correctness harness builds its *own*
+    SparkSession (so session.py's session-factory config never applies) —
+    set it here, unconditionally, so the reads work under any session.
     """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     out = {}
     for name in tables:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
