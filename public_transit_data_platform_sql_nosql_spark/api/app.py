@@ -38,7 +38,6 @@ from ..jobs.precompute import precomputed_available, read_precomputed
 from ..operators.params import (
     apply_limit,
     normalize_service_id,
-    sanitize_limit,
 )
 from ..queries.common import hourly_frequency
 from ..queries.q1_busiest_stops import q1_busiest_stops
@@ -202,7 +201,15 @@ class TransitAPI:
 
     def _q4_fast(self, sid: Optional[str], limit: object) -> dict[str, Any]:
         """CSV-backend semantics (`csv_backend.py:172-214`): keyed by
-        (long, short); whole-week rows labeled '4'."""
+        (long, short); whole-week rows labeled '4'.
+
+        Unlike the reference (which loads the whole result CSV into pandas
+        and drops non-selected routes in Python), selection happens in
+        Spark: detail rows and per-service totals are broadcast-left-semi
+        joined to the top-N keys BEFORE collect, so the driver only ever
+        holds the survivors — at 100x the result table the reference's
+        full collect is a driver OOM, this stays O(top-N).
+        """
         label = sid if sid is not None else "4"
         tbl = read_precomputed(self.spark, self.precompute_dir,
                                "q4_hourly_frequency", sid)
@@ -212,30 +219,46 @@ class TransitAPI:
             .orderBy(F.desc("total_daily_trips"), F.asc("route_long_name"),
                      F.asc(F.coalesce("route_short_name", F.lit(""))))
         )
-        top = _dicts(apply_limit(totals, sanitize_limit(limit)))
-        selected = {(r["route_long_name"], r["route_short_name"])
-                    for r in top}
-        rows = _dicts(tbl.orderBy("route_long_name", "hour_of_day"))
+        # raw limit: apply_limit sanitizes internally ('all' => unlimited)
+        top = _dicts(apply_limit(totals, limit))
+        sel = self.spark.createDataFrame(
+            [(t["route_long_name"], t["route_short_name"]) for t in top],
+            "route_long_name string, route_short_name string",
+        )
+
+        def _semi(df: DataFrame) -> DataFrame:
+            return df.join(
+                F.broadcast(sel),
+                [df["route_long_name"].eqNullSafe(sel["route_long_name"]),
+                 df["route_short_name"].eqNullSafe(
+                     sel["route_short_name"])],
+                "left_semi",
+            )
+
+        rows = _dicts(_semi(tbl).orderBy("route_long_name", "hour_of_day"))
         by_route: dict[tuple, list[dict]] = {}
         for r in rows:
             by_route.setdefault(
                 (r["route_long_name"], r["route_short_name"]), []
             ).append(r)
+        ps_by_key: dict[tuple, dict[str, int]] = {}
         if label == "4":
-            ps = _dicts(
+            ps = _dicts(_semi(
                 self.spark.read.parquet(
                     f"{self.precompute_dir}/q4_hourly_frequency")
                 .filter(F.col("service_id").isin("1", "2", "3"))
                 .groupBy("route_long_name", "route_short_name", "service_id")
                 .agg(F.sum("trips_per_hour").alias("trips_per_hour"))
-            )
+            ))
+            for r in ps:
+                ps_by_key.setdefault(
+                    (r["route_long_name"], r["route_short_name"]), {}
+                )[str(r["service_id"])] = int(r["trips_per_hour"])
         totals_by_key = {(t["route_long_name"], t["route_short_name"]):
                          int(t["total_daily_trips"]) for t in top}
         out_routes = []
         # pandas groupby iterates keys in sorted order (`csv_backend.py:186`)
         for k in sorted(by_route, key=lambda k: (k[0], k[1] or "")):
-            if k not in selected:
-                continue
             g = by_route[k]
             obj: dict[str, Any] = {
                 "route_long_name": k[0],
@@ -247,11 +270,11 @@ class TransitAPI:
             }
             if label == "4":
                 tbs = {"1": 0, "2": 0, "3": 0}
-                for r in ps:
-                    if (r["route_long_name"], r["route_short_name"]) == k:
-                        tbs[str(r["service_id"])] = int(r["trips_per_hour"])
+                tbs.update(ps_by_key.get(k, {}))
                 obj["totals_by_service"] = tbs
                 obj["average_daily_trips"] = sum(tbs.values()) / 3.0
             out_routes.append(obj)
-        max_hour = max((int(r["hour_of_day"]) for r in rows), default=0)
-        return {"max_hour": max_hour, "routes": out_routes}
+        # max_hour over the FULL service-filtered table (reference
+        # semantics) as a 1-row aggregate, not a collect
+        max_hour = tbl.agg(F.max("hour_of_day")).first()[0]
+        return {"max_hour": int(max_hour or 0), "routes": out_routes}

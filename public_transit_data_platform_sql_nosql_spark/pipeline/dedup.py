@@ -93,31 +93,60 @@ def shingle_table(docs: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
-def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
-                        threshold: float = 0.5) -> DataFrame:
-    """Exact n-gram Jaccard over an inverted-index self-join."""
-    # the shingle index feeds three plan branches (sizes + both join
-    # sides); persist so Spark materializes it once instead of
-    # re-tokenizing the corpus per branch (DuckDB CTEs get this for free)
-    sh = shingle_table(docs, n).persist()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    a, b = sh.alias("a"), sh.alias("b")
-    common = (
+def ngram_candidates(sh: DataFrame, max_df: int) -> DataFrame:
+    """Candidate (doc_a, doc_b) pairs from the inverted index, with
+    shingles hotter than ``max_df`` pruned from the posting lists BEFORE
+    the self-join — candidate count is bounded by sum(df**2) over
+    surviving shingles, never by a single hot key."""
+    rare = (
+        sh.groupBy("shingle_hash")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("shingle_hash")
+    )
+    index = sh.join(rare, "shingle_hash")
+    a, b = index.alias("a"), index.alias("b")
+    return (
         a.join(b, (F.col("a.shingle_hash") == F.col("b.shingle_hash"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"),
-                 F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"))
+        .distinct()
     )
-    ja = F.col("n_common") / (
-        F.col("sa.n_shingles") + F.col("sb.n_shingles") - F.col("n_common")
-    ).cast("double")
+
+
+def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
+                        threshold: float = 0.5,
+                        max_df: int = 1000) -> DataFrame:
+    """Exact n-gram Jaccard over an inverted-index self-join.
+
+    Candidate generation prunes shingles whose document frequency exceeds
+    ``max_df`` (standard LSH hygiene): one ubiquitous shingle otherwise
+    produces df**2 candidate pairs — the posting-list self-join's skew
+    bomb at 100 TB.  Scoring then uses the FULL shingle sets (exact
+    intersection over collect_set), so the cap affects recall only for
+    pairs whose every shared shingle is hotter than ``max_df`` — i.e.
+    pairs connected purely through stopword-class n-grams, which at a 0.5
+    Jaccard threshold are not near-dups anyway (trade documented here;
+    raise ``max_df`` to trade skew for recall).
+    """
+    # the shingle index feeds multiple plan branches (df counts, candidate
+    # join sides, full-set scoring); persist so Spark materializes it once
+    # instead of re-tokenizing the corpus per branch
+    sh = shingle_table(docs, n).persist()
+    cand = ngram_candidates(sh, max_df)
+    hs = sh.groupBy("doc_id").agg(
+        F.collect_set("shingle_hash").alias("hs"))
+    inter = F.size(F.array_intersect(F.col("ha.hs"), F.col("hb.hs")))
+    union = (F.size(F.col("ha.hs")) + F.size(F.col("hb.hs")) - inter)
     return (
-        common.join(sizes.alias("sa"),
-                    F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
-        .select("doc_a", "doc_b", "n_common",
-                F.round(ja, 6).alias("jaccard"))
+        cand.join(hs.alias("ha"), F.col("doc_a") == F.col("ha.doc_id"))
+        .join(hs.alias("hb"), F.col("doc_b") == F.col("hb.doc_id"))
+        .select(
+            "doc_a", "doc_b",
+            inter.cast("long").alias("n_common"),
+            F.round(inter / union.cast("double"), 6).alias("jaccard"),
+        )
         .filter(F.col("jaccard") >= threshold)
     )
 
@@ -214,24 +243,24 @@ def simhash_table(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     near-identical signatures for every doc, while shingle sets stay
     discriminative.
     """
+    # all ``bits`` bit-votes as independent conditional sums in ONE
+    # groupBy(doc_id) pass (the same shape as _signatures_from) — an
+    # explode/cross-join over bit ids would shuffle ``bits``x the shingle
+    # table for no reason
     sh = shingle_table(docs)
-    bit_ids = sh.sparkSession.range(bits).select(
-        F.col("id").cast("int").alias("bit"))
-    votes = (
-        sh.join(F.broadcast(bit_ids), how="cross")
-        .groupBy("doc_id", "bit")
-        .agg(
-            F.sum(
-                F.expr("shiftright(shingle_hash, bit)").bitwiseAND(1) * 2 - 1
-            ).alias("vote")
-        )
-    )
-    return votes.groupBy("doc_id").agg(
+    aggs = [
         F.sum(
-            F.when(F.col("vote") >= 0, F.expr("shiftleft(1L, bit)"))
-            .otherwise(0)
-        ).alias("simhash")
-    )
+            F.expr(f"shiftright(shingle_hash, {j})").bitwiseAND(1) * 2 - 1
+        ).alias(f"v{j}")
+        for j in range(bits)
+    ]
+    sig = F.lit(0).cast("long")
+    for j in range(bits):
+        sig = sig + F.when(
+            F.col(f"v{j}") >= 0, F.lit(1 << j).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return sh.groupBy("doc_id").agg(*aggs).select(
+        "doc_id", sig.alias("simhash"))
 
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
@@ -287,7 +316,8 @@ def embedding_near_dup(emb: DataFrame,
     )
 
 
-def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+def dedup_clusters(pairs: DataFrame,
+                   max_iters: int | None = None) -> DataFrame:
     """Connected components over near-dup pairs -> (doc_id, canonical_id):
     the step that turns pairwise matches into dedup groups (keep one doc
     per component, drop the rest).
@@ -296,8 +326,14 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     idea in its simplest form): every doc starts labeled with itself; each
     round, a doc adopts the smallest label among itself and its neighbors;
     stop when a round changes nothing.  Rounds needed = graph diameter
-    (near-dup components are tiny and star-like, so 2-4 in practice, with
-    ``max_iters`` as a safety valve against pathological chains).
+    (near-dup components are tiny and star-like, so 2-4 in practice).
+
+    The loop runs UNTIL CONVERGENCE by default — periodic checkpointing
+    bounds the lineage, and the diameter bounds the rounds, so no
+    iteration cap is needed for termination.  Pass ``max_iters`` to bound
+    wall-clock instead; exhausting it raises rather than silently
+    returning half-merged labels (which would corrupt keep_canonical
+    downstream — a doc would survive dedup under a non-canonical id).
 
     Scale notes: each round is one groupBy on doc_id over the (deduped,
     symmetric) edge list — shuffle keyed on a hash-uniform id.  Every 3rd
@@ -321,7 +357,8 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         .distinct()
         .withColumn("label", F.col("doc_id"))
     ).persist()
-    for it in range(max_iters):
+    it = 0
+    while True:
         neighbor_min = (
             sym.join(labels, sym["b"] == labels["doc_id"])
             .groupBy("a").agg(F.min("label").alias("nmin"))
@@ -346,7 +383,15 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
-        if (it + 1) % 3 == 0:
+        it += 1
+        if max_iters is not None and it >= max_iters:
+            sym.unpersist()
+            raise RuntimeError(
+                f"dedup_clusters: still converging after {max_iters} "
+                "rounds (component diameter exceeds the cap); labels "
+                "would be wrong — raise max_iters or leave it None"
+            )
+        if it % 3 == 0:
             checkpointed = labels.localCheckpoint(eager=True)
             labels.unpersist()
             labels = checkpointed

@@ -89,6 +89,68 @@ def test_q4_fast_path_csv_backend_labels(apis):
         assert "totals_by_service" in r
 
 
+def test_q4_fast_limit_all_not_capped(apis):
+    """limit='all' must return every route key, not the default 20
+    (regression: double sanitize_limit turned 'all' into None -> 20)."""
+    _, fast = apis
+    n_keys = (
+        fast.spark.read.parquet(
+            f"{fast.precompute_dir}/q4_hourly_frequency")
+        .filter("service_id = '4'")
+        .select("route_long_name", "route_short_name").distinct().count()
+    )
+    assert len(fast.q4(None, "all")["routes"]) == n_keys
+
+
+def test_q4_fast_collects_only_survivors(apis, monkeypatch):
+    """The fast path must semi-join to the top-N keys BEFORE collect —
+    never pull the whole precomputed table to the driver."""
+    # Spark 4: patch the concrete Classic DataFrame (the pyspark.sql
+    # base class method is overridden there)
+    from pyspark.sql.classic.dataframe import DataFrame as ClassicDF
+
+    _, fast = apis
+    full = (
+        fast.spark.read.parquet(
+            f"{fast.precompute_dir}/q4_hourly_frequency")
+        .filter("service_id = '4'").count()
+    )
+    collected = []
+    orig = ClassicDF.collect
+
+    def spy(self):
+        rows = orig(self)
+        collected.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(ClassicDF, "collect", spy)
+    p = fast.q4(None, 2)
+    assert len(p["routes"]) == 2
+    assert collected and max(collected) < full
+
+
+def test_q4_live_equals_fast_modulo_label(apis):
+    """Live vs fast parity in the zone where the reference's own backends
+    agree: long names served by a SINGLE route_id.  (On colliding long
+    names the reference SQL backend's dict-overwrite quirk loses rows
+    while its CSV backend sums them — both quirks preserved, so those
+    keys legitimately diverge.)"""
+    live, fast = apis
+    singles = {
+        r["route_long_name"]
+        for r in (live.gtfs["routes"].groupBy("route_long_name")
+                  .count().filter("count = 1").collect())
+    }
+    assert singles, "fixture should have at least one non-colliding route"
+    a, b = live.q4("1", "all"), fast.q4("1", "all")
+    assert a["max_hour"] == b["max_hour"]
+    al = {r["route_long_name"]: (r["total_daily_trips"], r["hourly"])
+          for r in a["routes"] if r["route_long_name"] in singles}
+    bl = {r["route_long_name"]: (r["total_daily_trips"], r["hourly"])
+          for r in b["routes"] if r["route_long_name"] in singles}
+    assert al == bl
+
+
 def test_q3_shape(apis):
     live, _ = apis
     rows = live.q3("1", 10)

@@ -40,3 +40,44 @@ def test_cluster_rounds_no_cartesian(spark):
         [("a", "b"), ("b", "c")], "doc_a string, doc_b string")
     s = plan_summary(dedup.dedup_clusters(pairs))
     assert s["cartesian_products"] == 0
+
+
+def test_cluster_max_iters_exhaustion_raises(spark):
+    """A 5-node chain needs >1 round; a 1-round cap must raise, never
+    silently return half-merged labels."""
+    chain = spark.createDataFrame(
+        [(f"d{i}", f"d{i+1}") for i in range(5)],
+        "doc_a string, doc_b string")
+    with pytest.raises(RuntimeError, match="still converging"):
+        dedup.dedup_clusters(chain, max_iters=1)
+
+
+def test_ngram_df_cap_bounds_skewed_candidates(spark):
+    """One shingle shared by every doc must not produce n**2 candidate
+    pairs once its document frequency exceeds the cap."""
+    n_docs = 40
+    docs = spark.createDataFrame(
+        [(i, f"x y z u{i} v{i} w{i}") for i in range(n_docs)],
+        "doc_id long, text string")
+    sh = dedup.shingle_table(docs)
+    uncapped = dedup.ngram_candidates(sh, max_df=n_docs).count()
+    capped = dedup.ngram_candidates(sh, max_df=5).count()
+    assert uncapped == n_docs * (n_docs - 1) // 2   # the skew bomb
+    assert capped == 0                              # hot shingle pruned
+
+
+def test_ngram_scoring_uses_full_sets(spark):
+    """The df cap prunes candidate GENERATION only — a surviving pair's
+    jaccard must still count the hot shingles it shares."""
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e g"), (3, "a b c x y z")],
+        "doc_id long, text string")
+    # "a b c" has df=3; cap at 2 prunes it from the index, but docs 1/2
+    # still collide on "b c d"/"c d e" and their jaccard counts all
+    # 3 shared shingles (of 4 distinct each => 3/(4+4-3))
+    rows = {(r["doc_a"], r["doc_b"]): r
+            for r in dedup.ngram_jaccard_pairs(
+                docs, threshold=0.3, max_df=2).collect()}
+    assert (1, 2) in rows
+    assert rows[(1, 2)]["n_common"] == 3
+    assert abs(rows[(1, 2)]["jaccard"] - 3 / 5) < 1e-6
