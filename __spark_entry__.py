@@ -477,11 +477,19 @@ def _multimodal_ingest(spark, sf_dir):
 def _multimodal_features(spark, sf_dir):
     # The library API returns features as array<double>; the driver's
     # pandas canonicalizer can't hash lists, so the declared query
-    # projects the vector to a JSON string (scalar-only columns).
+    # projects the vector to 8 scalar columns f0..f7, each quantized
+    # through DECIMAL round-6 exactly like the DuckDB oracle (the raw
+    # doubles are already bit-identical — integer bucket mass divided by
+    # a fixed IEEE chain, see pipeline/multimodal.py — the quantize just
+    # pins the half-boundary rounding mode on both sides).
     df = pmm.extract_features(pmm.media_table(_aug(spark, sf_dir)))
     return df.select(
         "media_id", "kind", "byte_len", "checksum",
-        F.to_json("features").alias("features_json"),
+        *[
+            F.round(F.element_at("features", k + 1).cast("decimal(28,12)"), 6)
+            .cast("double").alias(f"f{k}")
+            for k in range(pmm.FEATURE_DIM)
+        ],
     )
 
 
@@ -520,7 +528,7 @@ _PIPELINE_QUERIES = {
     "ann_ivf_topk":
         lambda s, d: psim.ivf_topk(_emb(s, d)),
     "multimodal_ingest": _multimodal_ingest,
-    "multimodal_features": _multimodal_features,  # rows-only (pandas UDF)
+    "multimodal_features": _multimodal_features,
 }
 
 
@@ -563,7 +571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     c = _CTES
-    out = pipeline_oracles()  # multimodal_features: rows-only, no oracle
+    out = pipeline_oracles()
     out.update(_EVENTS_ORACLES)
     out.update(_gtfs_oracles(c))
     return out

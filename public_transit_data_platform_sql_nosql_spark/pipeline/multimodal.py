@@ -99,17 +99,21 @@ def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ):
             samples = decode_payload(bytes(payload), kind, fake=True)
             n = len(samples) or 1
-            # deterministic fixed-width "embedding": per-bucket byte mass
-            feats = [0.0] * FEATURE_DIM
+            # deterministic fixed-width "embedding": per-bucket byte mass.
+            # Buckets accumulate as EXACT integers; the only float ops are
+            # the final two divisions (bucket/255.0/n) — a fixed IEEE
+            # sequence any engine reproduces bit-identically, which is what
+            # lets the DuckDB differential oracle hash-match these values.
+            bucket = [0] * FEATURE_DIM
             for s in samples:
-                feats[s % FEATURE_DIM] += s / 255.0
+                bucket[s % FEATURE_DIM] += s
             rows.append(
                 {
                     "media_id": media_id,
                     "kind": kind,
                     "byte_len": len(samples),
                     "checksum": sum(samples) % 1_000_000_007,
-                    "features": [round(f / n, 6) for f in feats],
+                    "features": [b / 255.0 / n for b in bucket],
                 }
             )
         yield pd.DataFrame(rows, columns=[f.name for f in FEATURES_SCHEMA])

@@ -408,4 +408,37 @@ SELECT doc_id AS media_id,
        source
 FROM docs_aug
 """,
+        # mirrors pipeline/multimodal.py _feature_batches: the fake decode
+        # is the utf-8 byte sequence (recovered here by hex-pair parsing of
+        # encode(text) — works for any codepoint, not just ASCII); per-bucket
+        # byte mass accumulates as EXACT integers, so the only float ops are
+        # the final /255.0/n chain, bit-identical across engines; both sides
+        # then quantize through DECIMAL round-6 (see __spark_entry__._r2).
+        "multimodal_features": f"""
+WITH {DOCS},
+b AS (
+  SELECT doc_id AS media_id,
+         (['image', 'audio', 'video'])[CAST(doc_id % 3 AS INT) + 1] AS kind,
+         hex(encode(text)) AS h,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n
+  FROM docs_aug
+),
+by AS (
+  SELECT media_id, kind, n,
+         list_transform(range(0, CAST(n AS INT)),
+           i -> CAST(('0x' || substr(h, 2 * i + 1, 2)) AS BIGINT)) AS bs
+  FROM b
+)
+SELECT media_id, kind, n AS byte_len,
+       list_reduce(list_prepend(CAST(0 AS BIGINT), bs),
+                   (a, x) -> a + x) % 1000000007 AS checksum,
+       {", ".join(
+           f"CAST(ROUND(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), "
+           f"list_filter(bs, x -> x % 8 = {k})), (a, x) -> a + x) "
+           f"/ 255.0 / greatest(n, 1) AS DECIMAL(28,12)), 6) AS DOUBLE) "
+           f"AS f{k}"
+           for k in range(8)
+       )}
+FROM by
+""",
     }
