@@ -36,6 +36,12 @@ LSH_ROWS = NUM_MINHASHES // LSH_BANDS
 SIMHASH_BITS = 32
 SIMHASH_CHUNKS = 4  # 8-bit chunks for candidate banding
 
+# ngram-Jaccard skew/size guards, mirrored 1:1 by the DuckDB oracle so both
+# shapes implement the same contract at any scale (see pipeline/dedup.py
+# ngram_jaccard_pairs for the recall trade each one makes)
+NGRAM_MAX_DF = 1000        # prune shingles hotter than this from candidates
+NGRAM_MAX_SET = 10_000     # per-doc shingle-set cap (bottom-k by hash value)
+
 STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it", "that", "for")
 
 

@@ -37,6 +37,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .core import (
+    NGRAM_MAX_DF,
+    NGRAM_MAX_SET,
     NUM_MINHASHES,
     P,
     SIMHASH_BITS,
@@ -117,18 +119,25 @@ def ngram_candidates(sh: DataFrame, max_df: int) -> DataFrame:
 
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
                         threshold: float = 0.5,
-                        max_df: int = 1000) -> DataFrame:
+                        max_df: int = NGRAM_MAX_DF,
+                        max_set_size: int = NGRAM_MAX_SET) -> DataFrame:
     """Exact n-gram Jaccard over an inverted-index self-join.
 
     Candidate generation prunes shingles whose document frequency exceeds
     ``max_df`` (standard LSH hygiene): one ubiquitous shingle otherwise
     produces df**2 candidate pairs — the posting-list self-join's skew
-    bomb at 100 TB.  Scoring then uses the FULL shingle sets (exact
-    intersection over collect_set), so the cap affects recall only for
-    pairs whose every shared shingle is hotter than ``max_df`` — i.e.
-    pairs connected purely through stopword-class n-grams, which at a 0.5
-    Jaccard threshold are not near-dups anyway (trade documented here;
-    raise ``max_df`` to trade skew for recall).
+    bomb at 100 TB.  Scoring uses the per-doc shingle sets capped to the
+    ``max_set_size`` SMALLEST hash values (sort_array + slice): for docs
+    under the cap (every doc at test scale) the score is the exact
+    Jaccard; a book-length doc above it is scored on its bottom-k hash
+    sketch — the classic bottom-k estimator, so the score degrades to an
+    unbiased estimate instead of materializing an unbounded per-row
+    array.  Both caps affect recall only for (a) pairs connected purely
+    through stopword-class shingles hotter than ``max_df`` (not near-dups
+    at a 0.5 threshold anyway) and (b) sketch noise on docs with more
+    than ``max_set_size`` distinct shingles.  The DuckDB oracle mirrors
+    BOTH caps, so the two shapes implement the same contract at any
+    corpus scale, not just where the caps never fire.
     """
     # the shingle index feeds multiple plan branches (df counts, candidate
     # join sides, full-set scoring); persist so Spark materializes it once
@@ -136,7 +145,8 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
     sh = shingle_table(docs, n).persist()
     cand = ngram_candidates(sh, max_df)
     hs = sh.groupBy("doc_id").agg(
-        F.collect_set("shingle_hash").alias("hs"))
+        F.slice(F.sort_array(F.collect_set("shingle_hash")),
+                1, max_set_size).alias("hs"))
     inter = F.size(F.array_intersect(F.col("ha.hs"), F.col("hb.hs")))
     union = (F.size(F.col("ha.hs")) + F.size(F.col("hb.hs")) - inter)
     return (
@@ -317,7 +327,8 @@ def embedding_near_dup(emb: DataFrame,
 
 
 def dedup_clusters(pairs: DataFrame,
-                   max_iters: int | None = None) -> DataFrame:
+                   max_iters: int | None = None,
+                   checkpoint_dir: str | None = None) -> DataFrame:
     """Connected components over near-dup pairs -> (doc_id, canonical_id):
     the step that turns pairwise matches into dedup groups (keep one doc
     per component, drop the rest).
@@ -337,13 +348,17 @@ def dedup_clusters(pairs: DataFrame,
 
     Scale notes: each round is one groupBy on doc_id over the (deduped,
     symmetric) edge list — shuffle keyed on a hash-uniform id.  Every 3rd
-    round the label table is ``localCheckpoint``-ed so the logical plan
-    stays O(1) deep for adversarial (long-chain) graphs instead of growing
-    one join per round; on a real cluster with executor churn, reliable
-    ``checkpoint()`` to a DFS is the fault-tolerant variant of the same
-    cap.  The convergence test is a 1-row aggregate, not a collect of
+    round the label table is checkpointed so the logical plan stays O(1)
+    deep for adversarial (long-chain) graphs instead of growing one join
+    per round.  ``checkpoint_dir=None`` uses ``localCheckpoint`` (fast,
+    but the truncated RDD lives in executor storage — lost on executor
+    failure); pass a DFS path to switch to reliable ``checkpoint()``,
+    the fault-tolerant variant to use on a real cluster with executor
+    churn.  The convergence test is a 1-row aggregate, not a collect of
     labels.
     """
+    if checkpoint_dir is not None:
+        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
     edges = (
         pairs.select(F.col(pairs.columns[0]).alias("a"),
                      F.col(pairs.columns[1]).alias("b"))
@@ -386,13 +401,17 @@ def dedup_clusters(pairs: DataFrame,
         it += 1
         if max_iters is not None and it >= max_iters:
             sym.unpersist()
+            labels.unpersist()
             raise RuntimeError(
                 f"dedup_clusters: still converging after {max_iters} "
                 "rounds (component diameter exceeds the cap); labels "
                 "would be wrong — raise max_iters or leave it None"
             )
         if it % 3 == 0:
-            checkpointed = labels.localCheckpoint(eager=True)
+            if checkpoint_dir is not None:
+                checkpointed = labels.checkpoint(eager=True)
+            else:
+                checkpointed = labels.localCheckpoint(eager=True)
             labels.unpersist()
             labels = checkpointed
     sym.unpersist()

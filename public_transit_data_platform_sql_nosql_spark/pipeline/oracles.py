@@ -9,7 +9,7 @@ and hash-compares values, per the CORRECTNESS gate.
 
 from __future__ import annotations
 
-from .core import P
+from .core import NGRAM_MAX_DF, NGRAM_MAX_SET, P
 from .similarity import NUM_HYPERPLANES
 from .source import DOCS_AUG_SQL, EMB_AUG_DUCK_CTE
 from .text import BPE_REGEX, LANG_MARKERS, STOPWORDS
@@ -206,25 +206,42 @@ SELECT h.doc_id, h.text_md5, g.canonical_doc_id, g.dup_group_size,
        h.doc_id <> g.canonical_doc_id AS is_duplicate
 FROM h JOIN g USING (text_md5)
 """,
+        # mirrors BOTH scale guards in pipeline/dedup.py ngram_jaccard_pairs:
+        # candidates only from shingles with df <= NGRAM_MAX_DF, scoring on
+        # per-doc sets capped to the NGRAM_MAX_SET smallest hashes — so the
+        # two shapes agree at any corpus scale, not just where the caps
+        # never fire.
         "dedup_ngram_jaccard": f"""
 WITH {DOCS},
 t AS (SELECT doc_id, {TOKS} AS toks FROM docs_aug),
 sh AS (SELECT doc_id, unnest({SHINGLE_HASHES}) AS shingle_hash FROM t),
-sz AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY 1),
-common AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-  FROM sh a JOIN sh b
+rare AS (
+  SELECT shingle_hash FROM sh
+  GROUP BY 1 HAVING count(*) <= {NGRAM_MAX_DF}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM (SELECT sh.* FROM sh JOIN rare USING (shingle_hash)) a
+  JOIN (SELECT sh.* FROM sh JOIN rare USING (shingle_hash)) b
     ON a.shingle_hash = b.shingle_hash AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
+),
+hs AS (
+  SELECT doc_id,
+         (list_sort(list(DISTINCT shingle_hash)))[1:{NGRAM_MAX_SET}] AS hs
+  FROM sh GROUP BY 1
 )
-SELECT doc_a, doc_b, n_common,
-       round(n_common / CAST(sa.n_shingles + sb.n_shingles - n_common
-                             AS DOUBLE), 6) AS jaccard
-FROM common
-JOIN sz sa ON doc_a = sa.doc_id
-JOIN sz sb ON doc_b = sb.doc_id
-WHERE round(n_common / CAST(sa.n_shingles + sb.n_shingles - n_common
-                            AS DOUBLE), 6) >= 0.5
+SELECT doc_a, doc_b,
+       CAST(len(list_intersect(ha.hs, hb.hs)) AS BIGINT) AS n_common,
+       round(len(list_intersect(ha.hs, hb.hs))
+             / CAST(len(ha.hs) + len(hb.hs)
+                    - len(list_intersect(ha.hs, hb.hs)) AS DOUBLE), 6)
+         AS jaccard
+FROM cand
+JOIN hs ha ON doc_a = ha.doc_id
+JOIN hs hb ON doc_b = hb.doc_id
+WHERE round(len(list_intersect(ha.hs, hb.hs))
+            / CAST(len(ha.hs) + len(hb.hs)
+                   - len(list_intersect(ha.hs, hb.hs)) AS DOUBLE), 6) >= 0.5
 """,
         "dedup_minhash_lsh": f"""
 WITH {DOCS},

@@ -39,6 +39,28 @@ def test_clusters_match_union_find(spark):
     assert {got[f"a{i}"] for i in range(1, 6)} == {"a1"}
 
 
+def test_clusters_reliable_checkpoint_matches_local(spark, tmp_path):
+    """checkpoint_dir switches the lineage cap to reliable checkpoint():
+    labels must be identical to the localCheckpoint path, and checkpoint
+    files must actually land in the directory (a 13-node chain needs ~12
+    rounds, so the every-3rd-round checkpoint fires several times)."""
+    import os
+
+    edges = [(f"d{i:02d}", f"d{i + 1:02d}") for i in range(12)]
+    pairs = spark.createDataFrame(edges, "doc_a string, doc_b string")
+    base = {r["doc_id"]: r["canonical_id"]
+            for r in dedup.dedup_clusters(pairs).collect()}
+    ckdir = str(tmp_path / "ck")
+    rel = {r["doc_id"]: r["canonical_id"]
+           for r in dedup.dedup_clusters(
+               pairs, checkpoint_dir=ckdir).collect()}
+    assert rel == base
+    assert base == {f"d{i:02d}": "d00" for i in range(13)}
+    ck_files = [os.path.join(dp, f)
+                for dp, _, fs in os.walk(ckdir) for f in fs]
+    assert ck_files, "reliable checkpoint wrote nothing"
+
+
 def test_clusters_on_real_minhash_pairs(spark):
     from tests.conftest import SF_DIR
     import __spark_entry__ as E

@@ -66,6 +66,42 @@ def test_ngram_df_cap_bounds_skewed_candidates(spark):
     assert capped == 0                              # hot shingle pruned
 
 
+def _py_shingle_hashes(text: str) -> set[int]:
+    """Python mirror of shingle_table's md5 hash (tests the Spark shape
+    against independent arithmetic, like the DuckDB oracle does)."""
+    import hashlib
+
+    P = 1_000_000_007
+    toks = text.lower().strip().split()
+    if len(toks) >= 3:
+        grams = [" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)]
+    else:
+        grams = [" ".join(toks)]
+    return {int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % P
+            for g in grams}
+
+
+def test_ngram_set_cap_scores_bottom_k(spark):
+    """A doc with more distinct shingles than max_set_size is scored on
+    its bottom-k (smallest-hash) sketch — bounded per-row array, score
+    matches the same sketch computed independently in Python."""
+    base = " ".join(f"tok{i}" for i in range(60))
+    variant = " ".join(f"tok{i}" if i % 10 else f"alt{i}"
+                       for i in range(60))
+    docs = spark.createDataFrame(
+        [(1, base), (2, variant)], "doc_id long, text string")
+    k = 20
+    rows = dedup.ngram_jaccard_pairs(
+        docs, threshold=0.0, max_set_size=k).collect()
+    assert len(rows) == 1
+    sa = set(sorted(_py_shingle_hashes(base))[:k])
+    sb = set(sorted(_py_shingle_hashes(variant))[:k])
+    inter = len(sa & sb)
+    expected = round(inter / (len(sa) + len(sb) - inter), 6)
+    assert rows[0]["n_common"] == inter
+    assert abs(rows[0]["jaccard"] - expected) < 1e-9
+
+
 def test_ngram_scoring_uses_full_sets(spark):
     """The df cap prunes candidate GENERATION only — a surviving pair's
     jaccard must still count the hot shingles it shares."""
