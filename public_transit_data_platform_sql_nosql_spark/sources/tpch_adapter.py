@@ -124,6 +124,15 @@ def register_tpch(
     runtime-settable, and the correctness harness builds its *own*
     SparkSession (so session.py's session-factory config never applies) —
     set it here, unconditionally, so the reads work under any session.
+
+    SESSION-GLOBAL SIDE EFFECT (deliberate): the conf stays set on the
+    caller's session, so ANY later parquet read of a TIMESTAMP(NANOS)
+    column in the same session decodes it as long.  It cannot be scoped
+    per-read (there is no DataFrameReader option for it), and it cannot
+    be save/restored around this call because Spark reads are lazy — the
+    scan that needs it may execute long after this function returns.
+    Callers who need nanos-as-timestamp elsewhere must unset it
+    themselves between reads.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     out = {}
