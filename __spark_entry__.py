@@ -319,11 +319,7 @@ def _q2_breakdown_top5(spark, sf_dir):
 
 
 def _arrivals_flat(spark, sf_dir):
-    d = _denorm(spark, sf_dir)
-    ex = tt._exploded(d, "17")
-    return ex.filter(
-        F.col("departure_time").isNotNull() & (F.col("departure_time") != "")
-    ).select("departure_time")
+    return tt.get_arrivals_flat(_denorm(spark, sf_dir), "17")
 
 
 def _get_timetable_flat(spark, sf_dir):

@@ -98,26 +98,33 @@ class TransitAPI:
         if self._fast("q2_duration_speed"):
             return shapes.to_json_safe(self._q2_fast(sid, limit))
         if sid is None:
+            # the ranked frame feeds TWO actions (the global-rows collect
+            # and the per-service breakdown's semi-join side): persist for
+            # the call span so the trip_stats aggregation runs once, and
+            # keep the plan closed — the breakdown semi-joins the ranked
+            # DataFrame directly instead of round-tripping route names
+            # through the driver (collect -> createDataFrame is the
+            # pattern this repo's docstrings warn against).
             ranked = q2_route_stats(self.gtfs["stop_times"],
                                     self.gtfs["trips"], self.gtfs["routes"],
-                                    None, limit, whole_week=True)
-            rep_short = (
-                self.gtfs["routes"]
-                .groupBy("route_long_name")
-                .agg(F.min("route_short_name").alias("route_short_name"))
-            )
-            global_rows = _dicts(
-                ranked.join(F.broadcast(rep_short), "route_long_name",
-                            "left")
-            )
-            service_rows = _dicts(q2_per_service_breakdown(
-                self.gtfs["stop_times"], self.gtfs["trips"],
-                self.gtfs["routes"],
-                self.spark.createDataFrame(
-                    [(r["route_long_name"],) for r in global_rows],
-                    "route_long_name string",
-                ),
-            ))
+                                    None, limit, whole_week=True).persist()
+            try:
+                rep_short = (
+                    self.gtfs["routes"]
+                    .groupBy("route_long_name")
+                    .agg(F.min("route_short_name").alias("route_short_name"))
+                )
+                global_rows = _dicts(
+                    ranked.join(F.broadcast(rep_short), "route_long_name",
+                                "left")
+                )
+                service_rows = _dicts(q2_per_service_breakdown(
+                    self.gtfs["stop_times"], self.gtfs["trips"],
+                    self.gtfs["routes"],
+                    ranked.select("route_long_name"),
+                ))
+            finally:
+                ranked.unpersist()
             payload = shapes.shape_q2_whole_week(global_rows, service_rows)
         else:
             rows = _dicts(q2_route_stats(
@@ -173,28 +180,37 @@ class TransitAPI:
                                   self.gtfs["trips"])
         if sid is not None:
             hourly = hourly.filter(F.col("service_id") == sid)
+        # one q4() call fires THREE actions over this frame (ranked
+        # collect, max_hour agg, detail collect): persist for the call
+        # span so stop_times is scanned and the hourly aggregation built
+        # once — the Spark analog of the reference creating
+        # vw_hourly_frequency once at startup (`sql_utils.py:46-70`).
         joined = hourly.join(
             F.broadcast(self.gtfs["routes"].select(
                 "route_id", "route_short_name", "route_long_name")),
             "route_id",
-        )
-        ranked = apply_limit(
-            joined.groupBy("route_long_name")
-            .agg(F.sum("trips_per_hour").alias("total_daily_trips"))
-            .orderBy(F.desc("total_daily_trips"), F.asc("route_long_name")),
-            limit,
-        )
-        selected = {r["route_long_name"] for r in ranked.collect()}
-        # max_hour over ALL service-filtered rows (reference semantics),
-        # as a 1-row agg instead of a full collect
-        max_hour_row = joined.agg(F.max("hour_of_day")).first()[0]
-        detail = _dicts(
-            joined.join(
-                F.broadcast(ranked.select("route_long_name")),
-                "route_long_name", "left_semi",
-            ).orderBy("route_long_name", "service_id", "hour_of_day",
-                      F.coalesce("route_short_name", F.lit("")))
-        )
+        ).persist()
+        try:
+            ranked = apply_limit(
+                joined.groupBy("route_long_name")
+                .agg(F.sum("trips_per_hour").alias("total_daily_trips"))
+                .orderBy(F.desc("total_daily_trips"),
+                         F.asc("route_long_name")),
+                limit,
+            )
+            selected = {r["route_long_name"] for r in ranked.collect()}
+            # max_hour over ALL service-filtered rows (reference
+            # semantics), as a 1-row agg instead of a full collect
+            max_hour_row = joined.agg(F.max("hour_of_day")).first()[0]
+            detail = _dicts(
+                joined.join(
+                    F.broadcast(ranked.select("route_long_name")),
+                    "route_long_name", "left_semi",
+                ).orderBy("route_long_name", "service_id", "hour_of_day",
+                          F.coalesce("route_short_name", F.lit("")))
+            )
+        finally:
+            joined.unpersist()
         payload = shapes.shape_q4(detail, selected, sid)
         payload["max_hour"] = int(max_hour_row or 0)
         return shapes.to_json_safe(payload)

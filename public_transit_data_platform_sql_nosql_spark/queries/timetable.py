@@ -78,6 +78,35 @@ def get_routes_for_stop(denorm: DataFrame, stop_id: str) -> DataFrame:
     )
 
 
+def get_arrivals_flat(
+    denorm: DataFrame,
+    stop_id: str,
+    route_short_name: str | None = None,
+    trip_headsign: str | None = None,
+    service_id: str | None = None,
+) -> DataFrame:
+    """P9/P10: flat arrivals mode — the sorted list of non-empty departure
+    times at a stop, optionally narrowed to a (route_short_name,
+    trip_headsign, service_id) selection (`Mongo/app.py:185-204`, the
+    route+headsign drill-down that returns ``{"times": [...], "count"}``).
+
+    Public-service and valid-headsign filters (P7+P8) apply exactly as in
+    the grouped mode; the reference's ``simplify_time`` display unwrap is
+    an API-edge concern (api/shapes.py), not part of the set semantics.
+    """
+    df = _exploded(denorm, stop_id).filter(
+        F.col("departure_time").isNotNull() & (F.col("departure_time") != "")
+    )
+    for col, val in (
+        ("route_short_name", route_short_name),
+        ("trip_headsign", trip_headsign),
+        ("service_id", service_id),
+    ):
+        if val is not None:
+            df = df.filter(F.col(col) == val)
+    return df.select("departure_time").orderBy("departure_time")
+
+
 def get_arrivals_grouped(
     denorm: DataFrame,
     stop_id: str,

@@ -157,3 +157,96 @@ def test_q3_shape(apis):
     for r in rows:
         assert r["num_unique_routes"] >= 2
         assert round(r["stop_lat"], 6) == r["stop_lat"]
+
+
+def test_q2_live_whole_week_no_driver_roundtrip(apis, monkeypatch):
+    """The whole-week breakdown must semi-join the ranked frame directly —
+    never collect route names and re-create a DataFrame from the driver."""
+    live, _ = apis
+
+    def boom(*a, **k):
+        raise AssertionError("live q2 round-tripped through createDataFrame")
+
+    monkeypatch.setattr(live.spark, "createDataFrame", boom)
+    p = live.q2(None, 5)
+    assert p["mode"] == "whole_week" and p["routes"]
+
+
+# ---------------------------------------------------------------------------
+# golden JSON matrix (SURVEY.md §5.2): every endpoint across
+# service_id x limit, live AND fast path — the mode switches change payload
+# SHAPE (`sql_utils.py:256-308`), so each cell asserts the shape contract
+# for its mode plus live/fast agreement wherever the reference's own
+# backends agree.
+
+_Q1_KEYS = {"stop_id", "stop_code", "stop_name", "stop_lat", "stop_lon",
+            "total_trip_events", "num_unique_routes"}
+_MATRIX = [(sid, lim) for sid in ("1", "2", "3", "4", None)
+           for lim in (10, 20, "all", "junk")]
+
+
+@pytest.mark.parametrize("sid,lim", _MATRIX)
+def test_golden_json_matrix(apis, sid, lim):
+    import json
+
+    from public_transit_data_platform_sql_nosql_spark.operators.params import (
+        normalize_service_id,
+        sanitize_limit,
+    )
+
+    live, fast = apis
+    n = sanitize_limit(lim)
+    nsid = normalize_service_id(sid)
+
+    # Q1: live == fast exactly, fixed row shape, ranked order
+    a, b = live.q1(sid, lim), fast.q1(sid, lim)
+    json.dumps(a)
+    assert a == b
+    assert all(set(r) == _Q1_KEYS for r in a)
+    if n is not None:
+        assert len(a) <= n
+    ev = [r["total_trip_events"] for r in a]
+    assert ev == sorted(ev, reverse=True)
+
+    # Q3 (live only — the reference has no CSV fast path for it)
+    c = live.q3(sid, lim)
+    json.dumps(c)
+    if n is not None:
+        assert len(c) <= n
+    assert all(r["num_unique_routes"] >= 2 for r in c)
+
+    # Q2: mode switch + per-mode shape
+    p_live, p_fast = live.q2(sid, lim), fast.q2(sid, lim)
+    json.dumps(p_live)
+    json.dumps(p_fast)
+    mode = "single_service" if nsid else "whole_week"
+    assert p_live["mode"] == p_fast["mode"] == mode
+    assert set(p_live["overall"]) == {"avg_duration_min", "avg_speed_kmh"}
+    if n is not None:
+        assert len(p_live["routes"]) <= n and len(p_fast["routes"]) <= n
+    if mode == "single_service":
+        assert p_live["overall"] == p_fast["overall"]
+        assert p_live["routes"] == p_fast["routes"]
+    else:
+        for r in p_live["routes"]:
+            assert set(r["global"]) == {"total_trips", "avg_trip_distance_km",
+                                        "avg_duration_min", "avg_speed_kmh"}
+            assert {s["service_id"] for s in r["services"]} <= {"1", "2", "3"}
+
+    # Q4: backend label quirks + hourly-series invariants
+    q_live, q_fast = live.q4(sid, lim), fast.q4(sid, lim)
+    json.dumps(q_live)
+    json.dumps(q_fast)
+    assert q_live["max_hour"] == q_fast["max_hour"]
+    assert all(r["service_id"] == (nsid or "all") for r in q_live["routes"])
+    assert all(r["service_id"] == (nsid or "4") for r in q_fast["routes"])
+    if n is not None:
+        assert len(q_live["routes"]) <= n and len(q_fast["routes"]) <= n
+    for r in q_live["routes"] + q_fast["routes"]:
+        hours = [h["hour"] for h in r["hourly"]]
+        assert hours == sorted(hours)
+        assert r["total_daily_trips"] == sum(h["trips"] for h in r["hourly"])
+        if nsid is None:
+            assert set(r["totals_by_service"]) == {"1", "2", "3"}
+            assert r["average_daily_trips"] == (
+                sum(r["totals_by_service"].values()) / 3.0)
