@@ -15,6 +15,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -43,18 +44,21 @@ def main() -> None:
     # the plan, not first-touch JIT
     qs["q1_busiest_stops"](spark, SF_DIR).count()
 
-    # best-of-2: the box this runs on shows multi-second background-load
-    # spikes; min of two runs measures the plan, not the neighbors
+    # median-of-3: the box this runs on shows multi-second background-load
+    # spikes; the median filters one-off spikes in either direction, and
+    # n=3 makes round-over-round drift readable (r2's +6% "regression"
+    # was unconfirmable at n=2)
     times: dict[str, float] = {}
     for name in headline:
-        best, n = float("inf"), 0
-        for _ in range(2):
+        samples, n = [], 0
+        for _ in range(3):
             t0 = time.monotonic()
             df = qs[name](spark, SF_DIR)
             n = df.count()
-            best = min(best, time.monotonic() - t0)
-        times[name] = round(best, 3)
-        print(f"# {name}: {times[name]}s ({n} rows)", file=sys.stderr)
+            samples.append(time.monotonic() - t0)
+        times[name] = round(statistics.median(samples), 3)
+        print(f"# {name}: {times[name]}s ({n} rows; "
+              f"samples {[round(s, 3) for s in samples]})", file=sys.stderr)
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1)) if m else None
