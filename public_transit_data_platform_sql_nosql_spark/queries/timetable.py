@@ -67,12 +67,15 @@ def _exploded(denorm: DataFrame, stop_id: str | None,
     )
 
 
-def get_routes_for_stop(denorm: DataFrame, stop_id: str) -> DataFrame:
-    """A18/O11: distinct (route_short_name, trip_headsign) pairs at a stop
-    (`Mongo/app.py:116-149`)."""
+def get_routes_for_stop(denorm: DataFrame, stop_id: str,
+                        service_id: str | None = None) -> DataFrame:
+    """A18/O11: distinct (route_short_name, trip_headsign) pairs at a stop,
+    optionally narrowed to one public service (`Mongo/app.py:116-149`)."""
+    df = _exploded(denorm, stop_id)
+    if service_id is not None:
+        df = df.filter(F.col("service_id") == service_id)
     return (
-        _exploded(denorm, stop_id)
-        .select("route_short_name", "trip_headsign")
+        df.select("route_short_name", "trip_headsign")
         .distinct()
         .orderBy("route_short_name", "trip_headsign")
     )

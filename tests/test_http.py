@@ -1,0 +1,134 @@
+"""HTTP layer: the reference's two Flask surfaces (`SQL/app.py:81-126`,
+`Mongo/app.py:47-244`) served over the Spark engine — route shapes, edge
+behaviors (400/404/unknown-stop quirks), and agreement with the
+underlying TransitAPI / timetable functions."""
+
+from __future__ import annotations
+
+import pytest
+
+flask = pytest.importorskip("flask")
+
+from public_transit_data_platform_sql_nosql_spark.api import TransitAPI
+from public_transit_data_platform_sql_nosql_spark.api.http import (
+    create_app,
+    wrap_clock_time,
+)
+from public_transit_data_platform_sql_nosql_spark.jobs.denormalize import (
+    denormalize_stop_timetables,
+)
+from public_transit_data_platform_sql_nosql_spark.queries import timetable as tt
+from public_transit_data_platform_sql_nosql_spark.sources.tpch_adapter import (
+    register_gtfs_views,
+)
+from tests.conftest import SF_DIR
+
+STOP = "17"
+
+
+@pytest.fixture(scope="module")
+def web(spark):
+    gtfs = register_gtfs_views(spark, SF_DIR)
+    denorm = denormalize_stop_timetables(
+        gtfs["stop_times"], gtfs["trips"], gtfs["stops"], gtfs["routes"]
+    ).persist()
+    denorm.count()  # materialize once; endpoints are point lookups
+    api = TransitAPI(spark, gtfs, precompute_dir=None)
+    app = create_app(api, denorm)
+    app.config["TESTING"] = True
+    yield app.test_client(), api, denorm
+    denorm.unpersist()
+
+
+def test_analytics_routes_match_transit_api(web):
+    client, api, _ = web
+    assert (client.get("/api/q1?limit=5").get_json()
+            == {"items": api.q1(None, 5)})
+    assert (client.get("/api/q3?service_id=1&limit=5").get_json()
+            == {"items": api.q3("1", 5)})
+    assert client.get("/api/q2?service_id=2").get_json() == api.q2("2", None)
+    p = client.get("/api/q4?limit=3").get_json()
+    assert p == api.q4(None, 3)
+    assert all(r["service_id"] == "all" for r in p["routes"])
+
+
+def test_get_stops_sorted(web):
+    client, _, denorm = web
+    rows = client.get("/get_stops").get_json()
+    assert rows and set(rows[0]) == {"stop_id", "stop_name", "stop_code"}
+    names = [r["stop_name"] for r in rows]
+    assert names == sorted(names)
+    assert len(rows) == denorm.count()
+
+
+def test_get_timetable_shape_and_errors(web):
+    client, _, denorm = web
+    assert client.get("/get_timetable").status_code == 400
+    r = client.get("/get_timetable?stop_id=no-such-stop")
+    assert r.status_code == 404
+    sched = client.get(f"/get_timetable?stop_id={STOP}").get_json()
+    assert sched
+    expect = {}
+    for row in tt.get_timetable(denorm, STOP).collect():
+        expect.setdefault(row["route_long_name"], {})[
+            row["trip_headsign"]] = list(row["times"])
+    # json round-trips None keys to "null"
+    assert sched == {
+        k: {("null" if hk is None else hk): v for hk, v in hs.items()}
+        for k, hs in expect.items()
+    }
+    for hs in sched.values():
+        for times in hs.values():
+            assert times == sorted(times)
+
+
+def test_get_routes_for_stop(web):
+    client, _, _ = web
+    assert client.get("/get_routes_for_stop").status_code == 400
+    assert client.get(
+        "/get_routes_for_stop?stop_id=no-such-stop").get_json() == []
+    pairs = client.get(f"/get_routes_for_stop?stop_id={STOP}").get_json()
+    assert pairs
+    assert all(set(p) == {"route_short_name", "trip_headsign"}
+               for p in pairs)
+    keys = [(p["route_short_name"], p["trip_headsign"]) for p in pairs]
+    assert keys == sorted(keys)
+    assert all(p["route_short_name"] != "None" for p in pairs)
+    # service filter narrows (or keeps) the pair set
+    narrowed = client.get(
+        f"/get_routes_for_stop?stop_id={STOP}&service_id=1").get_json()
+    assert {(p["route_short_name"], p["trip_headsign"])
+            for p in narrowed} <= set(keys)
+
+
+def test_get_arrivals_grouped_and_flat(web):
+    client, _, _ = web
+    assert client.get("/get_arrivals").status_code == 400
+    # unknown stop returns the FLAT empty shape even without filters
+    assert (client.get("/get_arrivals?stop_id=no-such-stop").get_json()
+            == {"times": [], "count": 0})
+    g = client.get(f"/get_arrivals?stop_id={STOP}").get_json()
+    assert set(g) == {"groups", "total_count"}
+    assert g["total_count"] == sum(x["count"] for x in g["groups"])
+    gkeys = [(x["route_short_name"], x["trip_headsign"])
+             for x in g["groups"]]
+    assert gkeys == sorted(gkeys)
+    # drill one group down to flat mode; its times must reappear
+    grp = next(x for x in g["groups"] if x["route_short_name"])
+    flat = client.get(
+        f"/get_arrivals?stop_id={STOP}"
+        f"&route_short_name={grp['route_short_name']}"
+        f"&trip_headsign={grp['trip_headsign']}").get_json()
+    assert set(flat) == {"times", "count"}
+    assert flat["count"] == len(flat["times"])
+    assert flat["times"] == sorted(flat["times"])
+    assert flat["times"] == grp["times"]
+    # all times are clock-face wrapped (the reference's simplify_time)
+    assert all(t[:2].isdigit() and int(t[:2]) < 24 for t in flat["times"])
+
+
+def test_wrap_clock_time():
+    assert wrap_clock_time("25:30:00") == "01:30:00"
+    assert wrap_clock_time("09:05:00") == "09:05:00"
+    assert wrap_clock_time(None) == ""
+    assert wrap_clock_time("") == ""
