@@ -525,6 +525,13 @@ _PIPELINE_QUERIES = {
         lambda s, d: psim.ivf_topk(_emb(s, d)),
     "multimodal_ingest": _multimodal_ingest,
     "multimodal_features": _multimodal_features,
+    # resized payload stays binary inside the plan; the declared query
+    # projects its scalar summary columns (len/checksum/head bytes)
+    "multimodal_resize":
+        lambda s, d: pmm.resize_payloads(pmm.media_table(_aug(s, d)))
+        .select("media_id", "kind", "out_len", "checksum", "head_hex"),
+    "multimodal_frames":
+        lambda s, d: pmm.sample_frames(pmm.media_table(_aug(s, d))),
 }
 
 

@@ -25,6 +25,9 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 FEATURE_DIM = 8
+RESIZE_OUT_LEN = 64
+FRAME_LEN = 32
+FRAME_STRIDE = 4
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -123,4 +126,117 @@ def extract_features(media: DataFrame) -> DataFrame:
     """Arrow-batched feature extraction over the payload column."""
     return media.select("media_id", "kind", "payload").mapInPandas(
         _feature_batches, schema=FEATURES_SCHEMA
+    )
+
+
+# --- resize -----------------------------------------------------------------
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("out_len", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("checksum", T.LongType()),
+        T.StructField("head_hex", T.StringType()),
+    ]
+)
+
+
+def _resize_samples(samples: list[int], out_len: int) -> list[int]:
+    """Nearest-neighbor resample of the decoded stream to ``out_len``
+    samples (the 1-D stand-in for an image resize kernel; swap for
+    PIL.Image.resize on a real cluster).  Pure integer index arithmetic so
+    the DuckDB oracle reproduces it exactly."""
+    n = len(samples)
+    if n == 0:
+        return []
+    return [samples[(i * n) // out_len] for i in range(out_len)]
+
+
+def _resize_batches(out_len: int):
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                samples = decode_payload(bytes(payload), kind, fake=True)
+                resized = bytes(_resize_samples(samples, out_len))
+                rows.append(
+                    {
+                        "media_id": media_id,
+                        "kind": kind,
+                        "out_len": len(resized),
+                        "payload": resized,
+                        "checksum": sum(resized) % 1_000_000_007,
+                        "head_hex": resized[:8].hex(),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in RESIZED_SCHEMA])
+
+    return gen
+
+
+def resize_payloads(media: DataFrame,
+                    out_len: int = RESIZE_OUT_LEN) -> DataFrame:
+    """Decode -> resize -> re-encode over ``mapInPandas``: every payload
+    resampled to a fixed ``out_len`` (a thumbnailing pass).  The resized
+    bytes ride back out as an opaque binary column — downstream stages
+    (feature extraction, dedup on thumbnails) consume them without the
+    driver ever seeing a payload."""
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        _resize_batches(out_len), schema=RESIZED_SCHEMA
+    )
+
+
+# --- frame sampling ---------------------------------------------------------
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("frame_len", T.LongType()),
+        T.StructField("frame_checksum", T.LongType()),
+    ]
+)
+
+
+def _frame_batches(frame_len: int, stride: int):
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                samples = decode_payload(bytes(payload), kind, fake=True)
+                n_frames = (len(samples) + frame_len - 1) // frame_len
+                for i in range(0, n_frames, stride):
+                    frame = samples[i * frame_len:(i + 1) * frame_len]
+                    rows.append(
+                        {
+                            "media_id": media_id,
+                            "kind": kind,
+                            "frame_idx": i,
+                            "frame_len": len(frame),
+                            "frame_checksum": sum(frame) % 1_000_000_007,
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in FRAMES_SCHEMA])
+
+    return gen
+
+
+def sample_frames(media: DataFrame, frame_len: int = FRAME_LEN,
+                  stride: int = FRAME_STRIDE) -> DataFrame:
+    """Fixed-length frame split + every-``stride``-th sampling over
+    ``mapInPandas`` — the video-keyframe-sampling shape (one input row
+    fans out to many frame rows inside the Arrow batch, no explode
+    shuffle).  The deterministic fake treats the byte stream as the
+    decoded frame buffer; a real decoder plugs into ``decode_payload``."""
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        _frame_batches(frame_len, stride), schema=FRAMES_SCHEMA
     )

@@ -10,6 +10,7 @@ and hash-compares values, per the CORRECTNESS gate.
 from __future__ import annotations
 
 from .core import NGRAM_MAX_DF, NGRAM_MAX_SET, P
+from .multimodal import FRAME_LEN, FRAME_STRIDE, RESIZE_OUT_LEN
 from .similarity import NUM_HYPERPLANES
 from .source import DOCS_AUG_SQL, EMB_AUG_DUCK_CTE
 from .text import BPE_REGEX, LANG_MARKERS, STOPWORDS
@@ -79,6 +80,24 @@ def hyperplane_sql(j: int, dim: int = 64) -> str:
 
 DOCS = f"docs_aug AS ({DOCS_AUG_SQL})"
 _IN_STOP = "(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
+
+# shared by the multimodal oracles: the fake decode is the utf-8 byte
+# sequence, recovered in DuckDB by hex-pair parsing of encode(text) (works
+# for any codepoint, not just ASCII) — mirrors pipeline/multimodal.py
+# media_table + decode_payload(fake=True)
+MM_BYTES = f"""mm_b AS (
+  SELECT doc_id AS media_id,
+         (['image', 'audio', 'video'])[CAST(doc_id % 3 AS INT) + 1] AS kind,
+         hex(encode(text)) AS h,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n
+  FROM docs_aug
+),
+mm_bytes AS (
+  SELECT media_id, kind, n,
+         list_transform(range(0, CAST(n AS INT)),
+           i -> CAST(('0x' || substr(h, 2 * i + 1, 2)) AS BIGINT)) AS bs
+  FROM mm_b
+)"""
 
 # minhash-LSH pairs -> symmetric edge list -> recursive reachability, shared
 # by the dedup_clusters and dedup_keep_one oracles (requires WITH RECURSIVE)
@@ -425,27 +444,13 @@ SELECT doc_id AS media_id,
        source
 FROM docs_aug
 """,
-        # mirrors pipeline/multimodal.py _feature_batches: the fake decode
-        # is the utf-8 byte sequence (recovered here by hex-pair parsing of
-        # encode(text) — works for any codepoint, not just ASCII); per-bucket
-        # byte mass accumulates as EXACT integers, so the only float ops are
-        # the final /255.0/n chain, bit-identical across engines; both sides
-        # then quantize through DECIMAL round-6 (see __spark_entry__._r2).
+        # mirrors pipeline/multimodal.py _feature_batches: per-bucket byte
+        # mass accumulates as EXACT integers, so the only float ops are
+        # the final /255.0/n chain, bit-identical across engines; both
+        # sides then quantize through DECIMAL round-6 (__spark_entry__._r2).
         "multimodal_features": f"""
 WITH {DOCS},
-b AS (
-  SELECT doc_id AS media_id,
-         (['image', 'audio', 'video'])[CAST(doc_id % 3 AS INT) + 1] AS kind,
-         hex(encode(text)) AS h,
-         CAST(octet_length(encode(text)) AS BIGINT) AS n
-  FROM docs_aug
-),
-by AS (
-  SELECT media_id, kind, n,
-         list_transform(range(0, CAST(n AS INT)),
-           i -> CAST(('0x' || substr(h, 2 * i + 1, 2)) AS BIGINT)) AS bs
-  FROM b
-)
+{MM_BYTES}
 SELECT media_id, kind, n AS byte_len,
        list_reduce(list_prepend(CAST(0 AS BIGINT), bs),
                    (a, x) -> a + x) % 1000000007 AS checksum,
@@ -456,6 +461,50 @@ SELECT media_id, kind, n AS byte_len,
            f"AS f{k}"
            for k in range(8)
        )}
-FROM by
+FROM mm_bytes
+""",
+        # mirrors pipeline/multimodal.py resize_payloads: nearest-neighbor
+        # resample resized[i] = bs[(i*n)//out_len] — pure integer index
+        # arithmetic, so both engines pick identical bytes
+        "multimodal_resize": f"""
+WITH {DOCS},
+{MM_BYTES},
+rz AS (
+  SELECT media_id, kind, n,
+         CASE WHEN n = 0 THEN CAST([] AS BIGINT[])
+              ELSE list_transform(range(0, {RESIZE_OUT_LEN}),
+                     i -> bs[CAST((i * n) // {RESIZE_OUT_LEN} AS INT) + 1])
+         END AS rs
+  FROM mm_bytes
+)
+SELECT media_id, kind,
+       CAST(len(rs) AS BIGINT) AS out_len,
+       list_reduce(list_prepend(CAST(0 AS BIGINT), rs),
+                   (a, x) -> a + x) % 1000000007 AS checksum,
+       list_reduce(list_prepend('',
+           list_transform(rs[1:8], x -> printf('%02x', x))),
+           (a, b) -> a || b) AS head_hex
+FROM rz
+""",
+        # mirrors pipeline/multimodal.py sample_frames: ceil(n/L) frames,
+        # every STRIDE-th kept, per-frame length + checksum
+        "multimodal_frames": f"""
+WITH {DOCS},
+{MM_BYTES},
+fr AS (
+  SELECT media_id, kind, n, bs,
+         unnest(range(0, (n + {FRAME_LEN - 1}) // {FRAME_LEN}))
+           AS frame_idx
+  FROM mm_bytes
+)
+SELECT media_id, kind, frame_idx,
+       least(n, (frame_idx + 1) * {FRAME_LEN})
+         - frame_idx * {FRAME_LEN} AS frame_len,
+       list_reduce(list_prepend(CAST(0 AS BIGINT),
+           bs[CAST(frame_idx * {FRAME_LEN} + 1 AS INT)
+              : CAST(least(n, (frame_idx + 1) * {FRAME_LEN}) AS INT)]),
+           (a, x) -> a + x) % 1000000007 AS frame_checksum
+FROM fr
+WHERE frame_idx % {FRAME_STRIDE} = 0
 """,
     }
