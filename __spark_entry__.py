@@ -42,6 +42,9 @@ from public_transit_data_platform_sql_nosql_spark.queries.q4_hourly_frequency im
     whole_week_hourly,
 )
 from public_transit_data_platform_sql_nosql_spark.queries import events as ev
+from public_transit_data_platform_sql_nosql_spark.pipeline import (
+    curation as pcur,
+)
 from public_transit_data_platform_sql_nosql_spark.pipeline import dedup as pdedup
 from public_transit_data_platform_sql_nosql_spark.pipeline import (
     multimodal as pmm,
@@ -523,6 +526,12 @@ _PIPELINE_QUERIES = {
         lambda s, d: psim.lsh_topk(_emb(s, d)),
     "ann_ivf_topk":
         lambda s, d: psim.ivf_topk(_emb(s, d)),
+    "curation_split":
+        lambda s, d: pcur.split_assign(_aug(s, d)),
+    "curation_stratified_cap":
+        lambda s, d: pcur.stratified_cap(_aug(s, d)),
+    "text_chunks":
+        lambda s, d: pcur.chunk_tokens(_aug(s, d)),
     "multimodal_ingest": _multimodal_ingest,
     "multimodal_features": _multimodal_features,
     # resized payload stays binary inside the plan; the declared query

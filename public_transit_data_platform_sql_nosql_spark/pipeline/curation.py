@@ -1,0 +1,150 @@
+"""Dataset-curation operators: the selection stages between a raw corpus
+and a tokenizer — deterministic train/val splitting, per-group stratified
+sampling, and context-window chunking.
+
+Scale design:
+
+- ``split_assign``   — pure per-row hash arithmetic (narrow, shuffle-free):
+                       the split is a function of doc_id alone, so it is
+                       stable under corpus growth, retries, and
+                       repartitioning — the property that matters when the
+                       corpus is rebuilt weekly and eval contamination is
+                       a forensic question.
+- ``stratified_cap`` — two-stage: a broadcast per-group count feeds a
+                       hash-position PREFILTER that discards the bulk of
+                       oversized groups BEFORE the per-group window runs,
+                       so the row_number shuffle sees ~cap rows per group
+                       instead of the whole group (a hot language with
+                       10^9 docs would otherwise funnel through one
+                       window partition).
+- ``chunk_tokens``   — per-doc explode of O(n_tokens / step) chunk rows;
+                       narrow (no shuffle), fan-out bounded by token
+                       count, array slicing inside codegen.
+
+All three are built-in Column expressions (no Python UDFs) with exact
+DuckDB mirrors in pipeline/oracles.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .core import md5_hash64, tokens
+
+SPLIT_BUCKETS = 1000
+VAL_PERMILLE = 100          # 10% validation by default
+SPLIT_SALT = "split-v1"     # version the assignment; bump to reshuffle
+
+CAP_POSITIONS = 1_000_000   # hash-position resolution for stratified_cap
+# prefilter margin: expected survivors per oversized group =
+# (CAP_MARGIN_PCT/100)*cap + CAP_MARGIN_ABS.  The multiplicative part
+# covers binomial spread at large caps, the additive part at small ones
+# (1.2x of cap=10 is within one stddev of undershooting; +64 makes the
+# undershoot probability negligible at every cap while the window input
+# stays O(cap)).
+CAP_MARGIN_PCT = 130
+CAP_MARGIN_ABS = 64
+DEFAULT_CAP = 100
+
+CHUNK_SIZE = 64
+CHUNK_OVERLAP = 8
+
+
+def split_assign(docs: DataFrame,
+                 val_permille: int = VAL_PERMILLE,
+                 salt: str = SPLIT_SALT) -> DataFrame:
+    """Deterministic hash split: bucket = md5(salt || doc_id) mod 1000,
+    ``val`` iff bucket < ``val_permille``.
+
+    Hash-based (not ``rand()``-based) so membership is a stable property
+    of the document: adding or removing other docs never flips anyone's
+    split, and re-running the pipeline reproduces it bit-for-bit.
+    """
+    bucket = (
+        md5_hash64(F.concat(F.lit(salt), F.col("doc_id").cast("string")))
+        % SPLIT_BUCKETS
+    )
+    return docs.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(bucket < val_permille, F.lit("val"))
+        .otherwise(F.lit("train")).alias("split"),
+    )
+
+
+def stratified_cap(docs: DataFrame, cap: int = DEFAULT_CAP,
+                   group_col: str = "lang") -> DataFrame:
+    """At most ``cap`` docs per ``group_col`` value, chosen as a
+    deterministic pseudo-random sample (ordered by a doc hash, not by
+    doc_id, so the kept set isn't biased toward early ids).
+
+    Contract: the kept set is exactly the first ``cap`` survivors of the
+    hash-position prefilter, ordered by (position, doc_id) — documented
+    as a *sample*, not the global hash-top-k, because the prefilter
+    (expected ~1.3*cap + 64 survivors per oversized group, see
+    CAP_MARGIN_*) is what makes the per-group window scale; the DuckDB
+    oracle mirrors the same two stages exactly, so parity holds even
+    where the prefilter changes which rows the window sees.
+    """
+    pos = md5_hash64(F.col("doc_id").cast("string")) % CAP_POSITIONS
+    tagged = docs.select("doc_id", F.col(group_col).alias("grp"),
+                         pos.alias("pos"))
+    counts = tagged.groupBy("grp").agg(F.count(F.lit(1)).alias("cnt"))
+    # keep-all threshold for small groups; a margined slice of hash
+    # positions for oversized ones.  DIV (not /) so the arithmetic is
+    # exact integer division — Spark's / on longs is double division,
+    # which could round across an integer boundary where DuckDB's //
+    # floors, breaking the oracle mirror.
+    numer = CAP_POSITIONS * (cap * CAP_MARGIN_PCT + CAP_MARGIN_ABS * 100)
+    thresh = F.when(
+        F.col("cnt") <= cap, F.lit(CAP_POSITIONS)
+    ).otherwise(
+        F.least(
+            F.lit(CAP_POSITIONS).cast("long"),
+            F.expr(f"CAST({numer} DIV (cnt * 100) AS LONG)"),
+        )
+    )
+    survivors = (
+        tagged.join(F.broadcast(counts.select("grp",
+                                              thresh.alias("thresh"))),
+                    "grp")
+        .filter(F.col("pos") < F.col("thresh"))
+    )
+    w = Window.partitionBy("grp").orderBy("pos", "doc_id")
+    return (
+        survivors.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= cap)
+        .select("doc_id", F.col("grp").alias(group_col),
+                "pos", F.col("rn").cast("long").alias("sample_rank"))
+    )
+
+
+def chunk_tokens(docs: DataFrame, chunk_size: int = CHUNK_SIZE,
+                 overlap: int = CHUNK_OVERLAP) -> DataFrame:
+    """Context-window chunking: overlapping token windows of
+    ``chunk_size`` every ``chunk_size - overlap`` tokens — the pass that
+    turns documents into training sequences.  Chunk k covers tokens
+    [k*step, k*step + chunk_size); chunks are generated while the start
+    is inside the doc, so the tail may be short.  Each chunk carries a
+    content hash for downstream chunk-level dedup."""
+    step = chunk_size - overlap
+    toks = tokens(F.col("text"))
+    n = F.size("toks")
+    n_chunks = F.ceil(n / F.lit(float(step))).cast("int")
+    chunk = F.slice(F.col("toks"), F.col("k") * step + 1, chunk_size)
+    return (
+        docs.select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") > 0)
+        .select(
+            "doc_id", "toks",
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("k"),
+        )
+        .select(
+            "doc_id",
+            F.col("k").cast("long").alias("chunk_idx"),
+            F.size(chunk).cast("long").alias("n_chunk_tokens"),
+            md5_hash64(F.concat_ws(" ", chunk)).alias("chunk_hash"),
+        )
+    )

@@ -10,6 +10,17 @@ and hash-compares values, per the CORRECTNESS gate.
 from __future__ import annotations
 
 from .core import NGRAM_MAX_DF, NGRAM_MAX_SET, P
+from .curation import (
+    CAP_MARGIN_ABS,
+    CAP_MARGIN_PCT,
+    CAP_POSITIONS,
+    CHUNK_OVERLAP,
+    CHUNK_SIZE,
+    DEFAULT_CAP,
+    SPLIT_BUCKETS,
+    SPLIT_SALT,
+    VAL_PERMILLE,
+)
 from .multimodal import FRAME_LEN, FRAME_STRIDE, RESIZE_OUT_LEN
 from .similarity import NUM_HYPERPLANES
 from .source import DOCS_AUG_SQL, EMB_AUG_DUCK_CTE
@@ -21,6 +32,11 @@ TOKS = (
     "CASE WHEN lower(trim(text)) = '' THEN []::VARCHAR[] "
     "ELSE string_split_regex(lower(trim(text)), '\\s+') END"
 )
+
+
+def md5h(s: str) -> str:
+    """DuckDB twin of pipeline/core.py md5_hash64 (top-60-bit md5 mod P)."""
+    return f"(CAST(('0x' || substr(md5({s}), 1, 15)) AS BIGINT) % {P})"
 
 
 def char_hash(s: str) -> str:
@@ -485,6 +501,75 @@ SELECT media_id, kind,
            list_transform(rs[1:8], x -> printf('%02x', x))),
            (a, b) -> a || b) AS head_hex
 FROM rz
+""",
+        # mirrors pipeline/curation.py split_assign: bucket is a stable
+        # per-doc hash, so both engines assign identical membership
+        "curation_split": f"""
+WITH {DOCS},
+b AS (
+  SELECT doc_id,
+         {md5h(f"'{SPLIT_SALT}' || CAST(doc_id AS VARCHAR)")}
+           % {SPLIT_BUCKETS} AS bucket
+  FROM docs_aug
+)
+SELECT doc_id, bucket,
+       CASE WHEN bucket < {VAL_PERMILLE} THEN 'val' ELSE 'train' END
+         AS split
+FROM b
+""",
+        # mirrors pipeline/curation.py stratified_cap: the SAME two
+        # stages (count -> integer-division threshold -> hash-position
+        # prefilter -> per-group row_number), so parity holds even where
+        # the prefilter changes which rows the window sees
+        "curation_stratified_cap": f"""
+WITH {DOCS},
+t AS (
+  SELECT doc_id, lang AS grp,
+         {md5h("CAST(doc_id AS VARCHAR)")} % {CAP_POSITIONS} AS pos
+  FROM docs_aug
+),
+c AS (SELECT grp, count(*) AS cnt FROM t GROUP BY 1),
+th AS (
+  SELECT grp,
+         CASE WHEN cnt <= {DEFAULT_CAP} THEN {CAP_POSITIONS}
+              ELSE least({CAP_POSITIONS},
+                   {CAP_POSITIONS
+                    * (DEFAULT_CAP * CAP_MARGIN_PCT + CAP_MARGIN_ABS * 100)}
+                     // (cnt * 100))
+         END AS thresh
+  FROM c
+),
+s AS (SELECT t.* FROM t JOIN th USING (grp) WHERE pos < thresh),
+r AS (
+  SELECT doc_id, grp AS lang, pos,
+         CAST(row_number() OVER (PARTITION BY grp ORDER BY pos, doc_id)
+              AS BIGINT) AS sample_rank
+  FROM s
+)
+SELECT doc_id, lang, pos, sample_rank
+FROM r WHERE sample_rank <= {DEFAULT_CAP}
+""",
+        # mirrors pipeline/curation.py chunk_tokens: chunk k covers
+        # tokens [k*step, k*step + size); hash over the space-joined
+        # chunk text
+        "text_chunks": f"""
+WITH {DOCS},
+t AS (SELECT doc_id, {TOKS} AS toks FROM docs_aug),
+f AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         unnest(range(0, CAST(ceil(len(toks)
+           / {float(CHUNK_SIZE - CHUNK_OVERLAP)}) AS BIGINT))) AS k
+  FROM t WHERE len(toks) > 0
+)
+SELECT doc_id, k AS chunk_idx,
+       CAST(least(k * {CHUNK_SIZE - CHUNK_OVERLAP} + {CHUNK_SIZE}, n)
+            - k * {CHUNK_SIZE - CHUNK_OVERLAP} AS BIGINT)
+         AS n_chunk_tokens,
+       {md5h(
+           f"array_to_string(toks[CAST(k * {CHUNK_SIZE - CHUNK_OVERLAP} + 1 AS INT)"
+           f" : CAST(least(k * {CHUNK_SIZE - CHUNK_OVERLAP} + {CHUNK_SIZE}, n) AS INT)], ' ')"
+       )} AS chunk_hash
+FROM f
 """,
         # mirrors pipeline/multimodal.py sample_frames: ceil(n/L) frames,
         # every STRIDE-th kept, per-frame length + checksum

@@ -1,0 +1,86 @@
+"""Curation operators: hash-split stability, stratified-cap contract,
+chunking coverage — plus the plan shapes that make them scale (split and
+chunking shuffle-free, cap's count side broadcast)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+import __spark_entry__ as E
+from public_transit_data_platform_sql_nosql_spark.pipeline import (
+    curation as cur,
+)
+from public_transit_data_platform_sql_nosql_spark.plans import plan_summary
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return E._aug(spark, SF_DIR)
+
+
+def test_split_is_stable_under_corpus_changes(docs):
+    """Membership is a function of doc_id alone: removing half the corpus
+    must not flip anyone else's split — the property that prevents eval
+    contamination across corpus rebuilds."""
+    full = {r["doc_id"]: r["split"]
+            for r in cur.split_assign(docs).collect()}
+    half = {r["doc_id"]: r["split"]
+            for r in cur.split_assign(
+                docs.filter("doc_id % 2 = 0")).collect()}
+    assert half and all(full[k] == v for k, v in half.items())
+    # both splits populated at the default 10%
+    frac = sum(1 for v in full.values() if v == "val") / len(full)
+    assert 0.02 < frac < 0.25
+
+
+def test_split_and_chunking_are_shuffle_free(docs):
+    assert plan_summary(cur.split_assign(docs))["exchanges"] == 0
+    assert plan_summary(cur.chunk_tokens(docs))["exchanges"] == 0
+
+
+def test_stratified_cap_contract(docs):
+    cap = 10
+    group_sizes = {r["lang"]: r["count"]
+                   for r in docs.groupBy("lang").count().collect()}
+    rows = cur.stratified_cap(docs, cap=cap).collect()
+    by_grp: dict[str, list] = {}
+    for r in rows:
+        by_grp.setdefault(r["lang"], []).append(r)
+    assert set(by_grp) == set(group_sizes)
+    for grp, members in by_grp.items():
+        assert len(members) == min(group_sizes[grp], cap)
+        ranks = sorted(r["sample_rank"] for r in members)
+        assert ranks == list(range(1, len(members) + 1))
+    # the count side must broadcast (prefilter stage), and the kept set
+    # must be deterministic across runs
+    assert plan_summary(
+        cur.stratified_cap(docs, cap=cap))["broadcast_hash_joins"] >= 1
+    again = {r["doc_id"] for r in cur.stratified_cap(docs, cap=cap).collect()}
+    assert again == {r["doc_id"] for r in rows}
+
+
+def test_chunk_tokens_coverage(docs):
+    step = cur.CHUNK_SIZE - cur.CHUNK_OVERLAP
+    n_toks = {
+        r["doc_id"]: len(r["text"].lower().strip().split())
+        for r in docs.select("doc_id", "text").collect()
+    }
+    chunks: dict[int, list] = {}
+    for r in cur.chunk_tokens(docs).collect():
+        chunks.setdefault(r["doc_id"], []).append(r)
+    for doc_id, n in n_toks.items():
+        got = sorted(chunks.get(doc_id, []), key=lambda r: r["chunk_idx"])
+        if n == 0:
+            assert not got
+            continue
+        assert [r["chunk_idx"] for r in got] == list(
+            range(math.ceil(n / step)))
+        for r in got:
+            start = r["chunk_idx"] * step
+            assert r["n_chunk_tokens"] == min(start + cur.CHUNK_SIZE, n) - start
+        # consecutive chunks overlap by CHUNK_OVERLAP tokens (until the
+        # tail), so every token is covered at least once
+        assert got[-1]["chunk_idx"] * step + got[-1]["n_chunk_tokens"] == n
