@@ -143,6 +143,50 @@ def stream_session_windows(
     )
 
 
+DOCS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the driver's documents parquet."""
+    return (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("pathGlobFilter", "documents.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(sf_dir)
+    )
+
+
+def stream_exact_dedup(docs: DataFrame) -> DataFrame:
+    """Streaming twin of pipeline/dedup.exact_dedup's keep-one: emit the
+    FIRST document seen per md5(text) key, suppress every later arrival —
+    ingestion-time dedup for a continuously arriving corpus.
+
+    Semantics note vs batch: batch keeps the min-doc_id member of each
+    group; the stream keeps the first ARRIVAL (whichever micro-batch
+    order delivers), so the kept representative may differ while the kept
+    key set is identical — the differential test asserts exactly that.
+
+    Scale note: plain ``dropDuplicates`` holds one state row per distinct
+    key forever.  On an unbounded 100 TB feed, key the call as
+    ``dropDuplicatesWithinWatermark`` on an ingest-time column instead,
+    which evicts state once the watermark passes — same plan shape,
+    bounded state.
+    """
+    return (
+        docs.withColumn("text_md5", F.md5("text"))
+        .dropDuplicates(["text_md5"])
+        .select("doc_id", "text_md5")
+    )
+
+
 _TOTALS_OUT = "user_id bigint, n_events bigint, sum_cents bigint"
 _TOTALS_STATE = "n_events bigint, sum_cents bigint"
 

@@ -99,6 +99,35 @@ def test_session_windows_match_batch_invariants(spark):
             assert s2 >= e1
 
 
+def test_stream_exact_dedup_matches_batch_keys(spark):
+    """Streaming dedup must keep exactly one doc per md5 key, and each
+    kept doc must belong to that key's batch dup-group (the kept
+    REPRESENTATIVE may differ from batch's min-doc_id — arrival order —
+    but the kept KEY set is identical)."""
+    from public_transit_data_platform_sql_nosql_spark.pipeline.dedup import (
+        exact_dedup,
+    )
+    from public_transit_data_platform_sql_nosql_spark.streaming.jobs import (
+        read_documents_stream,
+        stream_exact_dedup,
+    )
+
+    stream = read_documents_stream(spark, SF_DIR)
+    assert stream.isStreaming
+    run_to_memory(stream_exact_dedup(stream), "stream_dedup",
+                  mode="append")
+    got = spark.table("stream_dedup").collect()
+    docs = register_tpch(spark, SF_DIR, ("documents",))["documents"]
+    batch = exact_dedup(docs).collect()
+    groups: dict[str, set] = {}
+    for r in batch:
+        groups.setdefault(r["text_md5"], set()).add(r["doc_id"])
+    # one kept row per distinct key; the keeper is a group member
+    assert len(got) == len(groups)
+    assert {r["text_md5"] for r in got} == set(groups)
+    assert all(r["doc_id"] in groups[r["text_md5"]] for r in got)
+
+
 def test_stateful_running_totals_match_batch(spark):
     from public_transit_data_platform_sql_nosql_spark.streaming.jobs import (
         stream_user_running_totals,
