@@ -154,9 +154,10 @@ class TransitAPI:
             [(r["route_long_name"], r["route_short_name"]) for r in rows],
             "route_long_name string, route_short_name string",
         )
+        # svc is the partition key: the isin prunes to 3 directories
         per_service = self.spark.read.parquet(
             f"{self.precompute_dir}/q2_duration_speed"
-        ).filter(F.col("service_id").isin("1", "2", "3"))
+        ).filter(F.col("svc").isin("s1", "s2", "s3")).drop("svc")
         service_rows = _dicts(
             per_service.join(
                 F.broadcast(sel),
@@ -262,7 +263,7 @@ class TransitAPI:
             ps = _dicts(_semi(
                 self.spark.read.parquet(
                     f"{self.precompute_dir}/q4_hourly_frequency")
-                .filter(F.col("service_id").isin("1", "2", "3"))
+                .filter(F.col("svc").isin("s1", "s2", "s3")).drop("svc")
                 .groupBy("route_long_name", "route_short_name", "service_id")
                 .agg(F.sum("trips_per_hour").alias("trips_per_hour"))
             ))

@@ -139,7 +139,15 @@ def materialize_all(gtfs: dict[str, DataFrame], out_dir: str) -> None:
             gtfs["stop_times"], gtfs["trips"], gtfs["routes"]),
     }
     for name, build in builders.items():
-        build().write.mode("overwrite").parquet(os.path.join(out_dir, name))
+        # partition by service mode so every fast-path read (always
+        # filtered to one mode) prunes to a single directory instead of
+        # scanning all four.  The partition key is a PREFIXED copy
+        # ('s1'..'s4') — a bare '1' directory value would be inferred
+        # back as an int column and break the string comparisons — and
+        # service_id itself stays in the data files unchanged.
+        (build().withColumn("svc", F.concat(F.lit("s"), "service_id"))
+         .write.mode("overwrite").partitionBy("svc")
+         .parquet(os.path.join(out_dir, name)))
 
 
 def precomputed_available(out_dir: str, name: str) -> bool:
@@ -154,4 +162,6 @@ def read_precomputed(spark: SparkSession, out_dir: str, name: str,
     selects the whole-week rows."""
     df = spark.read.parquet(os.path.join(out_dir, name))
     sid = WEEK_SENTINEL if service_id in (None, "", "4") else str(service_id)
-    return df.filter(F.col("service_id") == sid)
+    # filter on the PARTITION key => directory pruning (PartitionFilters
+    # in the scan), not a data filter over all four modes
+    return df.filter(F.col("svc") == f"s{sid}").drop("svc")

@@ -41,6 +41,25 @@ def test_fastpath_matches_live(spark, tmp_path):
     )
 
 
+def test_fastpath_reads_prune_partitions(spark, tmp_path):
+    """The fast path filters on the svc partition key, so the scan must
+    carry a PartitionFilter (directory pruning) — one mode's files read,
+    not all four."""
+    from public_transit_data_platform_sql_nosql_spark.plans import (
+        executed_plan,
+    )
+
+    v = register_gtfs_views(spark, SF_DIR)
+    out = str(tmp_path / "results")
+    materialize_all(v, out)
+    df = read_precomputed(spark, out, "q4_hourly_frequency", "1")
+    plan = executed_plan(df)
+    assert "PartitionFilters" in plan and "svc" in plan
+    # and the pruned read returns exactly the one mode
+    assert {r["service_id"] for r in
+            df.select("service_id").distinct().collect()} == {"1"}
+
+
 def test_week_sentinel_rows_cover_all_modes(spark, tmp_path):
     v = register_gtfs_views(spark, SF_DIR)
     out = str(tmp_path / "results")
