@@ -408,14 +408,26 @@ def dedup_clusters(pairs: DataFrame,
                 "would be wrong — raise max_iters or leave it None"
             )
         if it % 3 == 0:
-            if checkpoint_dir is not None:
-                checkpointed = labels.checkpoint(eager=True)
-            else:
-                checkpointed = labels.localCheckpoint(eager=True)
-            labels.unpersist()
-            labels = checkpointed
+            labels = _truncate_lineage(labels, checkpoint_dir)
     sym.unpersist()
+    # truncate the RETURNED frame too: each round's plan references the
+    # previous round's twice (neighbor join + changed-check), so the
+    # un-truncated lineage grows multiplicatively — downstream consumers
+    # (keep_canonical, writes) would pay that at every re-plan.  After
+    # this the result plans as a flat scan (audited: ~6000 Exchange nodes
+    # in the plan string before, ~1 after).
+    labels = _truncate_lineage(labels, checkpoint_dir)
     return labels.select("doc_id", F.col("label").alias("canonical_id"))
+
+
+def _truncate_lineage(labels: DataFrame,
+                      checkpoint_dir: str | None) -> DataFrame:
+    if checkpoint_dir is not None:
+        checkpointed = labels.checkpoint(eager=True)
+    else:
+        checkpointed = labels.localCheckpoint(eager=True)
+    labels.unpersist()
+    return checkpointed
 
 
 def keep_canonical(docs: DataFrame, labels: DataFrame) -> DataFrame:
