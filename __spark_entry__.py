@@ -526,6 +526,11 @@ _PIPELINE_QUERIES = {
         lambda s, d: psim.lsh_topk(_emb(s, d)),
     "ann_ivf_topk":
         lambda s, d: psim.ivf_topk(_emb(s, d)),
+    "pipeline_curated_corpus":
+        lambda s, d: pcur.curated_corpus(
+            _aug(s, d),
+            pdedup.dedup_clusters(pdedup.minhash_lsh_pairs(_aug(s, d))),
+            ptext.quality_scores(_aug(s, d))),
     "curation_split":
         lambda s, d: pcur.split_assign(_aug(s, d)),
     "curation_stratified_cap":

@@ -121,6 +121,37 @@ def stratified_cap(docs: DataFrame, cap: int = DEFAULT_CAP,
     )
 
 
+MIN_QUALITY = 0.75
+
+
+def curated_corpus(docs: DataFrame, labels: DataFrame,
+                   quality: DataFrame,
+                   min_quality: float = MIN_QUALITY) -> DataFrame:
+    """The end-to-end curation pass a pretraining run starts from:
+    quality gate AND dedup keep-one AND train-split membership, composed
+    as three broadcast-or-hash left-semi joins over the corpus — the
+    whole selection stays inside one Spark plan (no driver hops between
+    stages).
+
+    ``labels`` is a dedup_clusters result; ``quality`` a
+    text.quality_scores result; both are plain DataFrames so callers can
+    swap in any dedup strategy or scorer with the same shape.
+    """
+    from .dedup import keep_canonical
+
+    kept = keep_canonical(docs, labels)
+    good = (quality.filter(F.col("quality_score") >= min_quality)
+            .select("doc_id"))
+    train = (split_assign(docs).filter(F.col("split") == "train")
+             .select("doc_id"))
+    return (
+        docs.select("doc_id", "lang")
+        .join(kept, "doc_id", "left_semi")
+        .join(good, "doc_id", "left_semi")
+        .join(train, "doc_id", "left_semi")
+    )
+
+
 def chunk_tokens(docs: DataFrame, chunk_size: int = CHUNK_SIZE,
                  overlap: int = CHUNK_OVERLAP) -> DataFrame:
     """Context-window chunking: overlapping token windows of

@@ -17,6 +17,7 @@ from .curation import (
     CHUNK_OVERLAP,
     CHUNK_SIZE,
     DEFAULT_CAP,
+    MIN_QUALITY,
     SPLIT_BUCKETS,
     SPLIT_SALT,
     VAL_PERMILLE,
@@ -97,6 +98,36 @@ def hyperplane_sql(j: int, dim: int = 64) -> str:
 DOCS = f"docs_aug AS ({DOCS_AUG_SQL})"
 _IN_STOP = "(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
 
+# quality-score CTE chain (pipeline/text.py quality_scores), shared by the
+# text_quality_scores oracle and the curated-corpus composition
+QUALITY_CTES = f"""qt AS (
+  SELECT doc_id,
+         CAST(len({TOKS}) AS BIGINT) AS n_tok,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(len(list_filter({TOKS}, t -> t IN {_IN_STOP})) AS BIGINT)
+           AS n_stop,
+         CAST(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g'))
+              AS BIGINT) AS n_punct
+  FROM docs_aug
+),
+qr AS (
+  SELECT doc_id, n_tok,
+         n_stop / CAST(greatest(n_tok, 1) AS DOUBLE) AS stop_ratio,
+         n_punct / CAST(greatest(n_chars, 1) AS DOUBLE) AS punct_ratio,
+         n_chars / CAST(greatest(n_tok, 1) AS DOUBLE) AS mean_word_len
+  FROM qt
+),
+qscore AS (
+  SELECT doc_id, n_tok, stop_ratio, punct_ratio, mean_word_len,
+         round(
+           least(n_tok / 100.0, 1.0) * 0.3
+           + (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.3
+           + (CASE WHEN stop_ratio >= 0.03 AND stop_ratio <= 0.6
+                   THEN 1.0 ELSE 0.5 END) * 0.2
+           + least(mean_word_len / 8.0, 1.0) * 0.2, 6) AS quality_score
+  FROM qr
+)"""
+
 # shared by the multimodal oracles: the fake decode is the utf-8 byte
 # sequence, recovered in DuckDB by hex-pair parsing of encode(text) (works
 # for any codepoint, not just ASCII) — mirrors pipeline/multimodal.py
@@ -176,34 +207,13 @@ FROM docs_aug
 """,
         "text_quality_scores": f"""
 WITH {DOCS},
-t AS (
-  SELECT doc_id,
-         CAST(len({TOKS}) AS BIGINT) AS n_tok,
-         CAST(length(text) AS BIGINT) AS n_chars,
-         CAST(len(list_filter({TOKS}, t -> t IN {_IN_STOP})) AS BIGINT)
-           AS n_stop,
-         CAST(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g'))
-              AS BIGINT) AS n_punct
-  FROM docs_aug
-),
-r AS (
-  SELECT doc_id, n_tok,
-         n_stop / CAST(greatest(n_tok, 1) AS DOUBLE) AS stop_ratio,
-         n_punct / CAST(greatest(n_chars, 1) AS DOUBLE) AS punct_ratio,
-         n_chars / CAST(greatest(n_tok, 1) AS DOUBLE) AS mean_word_len
-  FROM t
-)
+{QUALITY_CTES}
 SELECT doc_id, n_tok AS n_tokens,
        round(stop_ratio, 6) AS stopword_ratio,
        round(punct_ratio, 6) AS punct_ratio,
        round(mean_word_len, 6) AS mean_word_len,
-       round(
-         least(n_tok / 100.0, 1.0) * 0.3
-         + (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.3
-         + (CASE WHEN stop_ratio >= 0.03 AND stop_ratio <= 0.6
-                 THEN 1.0 ELSE 0.5 END) * 0.2
-         + least(mean_word_len / 8.0, 1.0) * 0.2, 6) AS quality_score
-FROM r
+       quality_score
+FROM qscore
 """,
         "text_language_id": f"""
 WITH {DOCS},
@@ -316,6 +326,26 @@ WHERE round(len(list_intersect(sa.hs, sb.hs))
 WITH RECURSIVE {CLUSTER_CTES}
 SELECT src AS doc_id, least(src, min(dst)) AS canonical_id
 FROM reach GROUP BY src
+""",
+        # end-to-end curation composition: quality gate AND dedup
+        # keep-one AND train-split membership (pipeline/curation.py
+        # curated_corpus) — the cluster, quality, and split fragments are
+        # the same ones the individual oracles use
+        "pipeline_curated_corpus": f"""
+WITH RECURSIVE {CLUSTER_CTES},
+clusters AS (
+  SELECT src AS doc_id, least(src, min(dst)) AS canonical_id
+  FROM reach GROUP BY src
+),
+{QUALITY_CTES}
+SELECT d.doc_id, d.lang
+FROM docs_aug d
+LEFT JOIN clusters c ON d.doc_id = c.doc_id
+JOIN qscore q ON d.doc_id = q.doc_id
+WHERE (c.canonical_id IS NULL OR c.canonical_id = d.doc_id)
+  AND q.quality_score >= {MIN_QUALITY}
+  AND {md5h(f"'{SPLIT_SALT}' || CAST(d.doc_id AS VARCHAR)")}
+        % {SPLIT_BUCKETS} >= {VAL_PERMILLE}
 """,
         # keep-one: corpus minus every non-canonical cluster member
         "dedup_keep_one": f"""

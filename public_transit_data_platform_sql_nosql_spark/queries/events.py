@@ -108,6 +108,29 @@ def daily_active_users(events: DataFrame) -> DataFrame:
     )
 
 
+def daily_active_users_approx(events: DataFrame,
+                              rsd: float = 0.02) -> DataFrame:
+    """Sketch-based DAU: ``approx_count_distinct`` (HyperLogLog++) instead
+    of exact COUNT(DISTINCT).
+
+    The scale path: exact distinct-count shuffles every (day, user) pair;
+    the HLL sketch is a fixed-size per-partition accumulator merged on one
+    row per day — at 100 TB the difference between a terabyte-scale
+    shuffle and kilobytes.  Approximate by construction, so it is NOT
+    oracle-hash-checked; tests bound its relative error against the exact
+    operator instead (tests/test_events_approx.py).
+    """
+    day = F.expr("ts div 86400000000000")
+    return (
+        events.select(day.alias("day_idx"), "user_id")
+        .groupBy("day_idx")
+        .agg(
+            F.approx_count_distinct("user_id", rsd).alias("n_users_approx"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
 def top_users_by_value(events: DataFrame, k: int = 3) -> DataFrame:
     """Per event_type: top-k users by total cents (row_number window,
     deterministic (sum desc, user_id) tiebreak)."""
