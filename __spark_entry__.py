@@ -537,6 +537,8 @@ _PIPELINE_QUERIES = {
         lambda s, d: pcur.stratified_cap(_aug(s, d)),
     "text_chunks":
         lambda s, d: pcur.chunk_tokens(_aug(s, d)),
+    "text_chunk_dedup":
+        lambda s, d: pcur.chunk_dedup(pcur.chunk_tokens(_aug(s, d))),
     "multimodal_ingest": _multimodal_ingest,
     "multimodal_features": _multimodal_features,
     # resized payload stays binary inside the plan; the declared query

@@ -124,6 +124,24 @@ def stratified_cap(docs: DataFrame, cap: int = DEFAULT_CAP,
 MIN_QUALITY = 0.75
 
 
+def chunk_dedup(chunks: DataFrame) -> DataFrame:
+    """Repeated-chunk detection over a ``chunk_tokens`` result: chunks
+    whose content hash occurs more than once across the corpus —
+    boilerplate headers, license blocks, mirrored passages — with the
+    canonical (min doc_id) owner.  One hash-partitioned groupBy on the
+    uniform chunk_hash key; the downstream drop is a left-anti join
+    against this (small) set, same shape as dedup keep-one."""
+    return (
+        chunks.groupBy("chunk_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("canonical_doc_id"),
+        )
+        .filter(F.col("n_occurrences") > 1)
+    )
+
+
 def curated_corpus(docs: DataFrame, labels: DataFrame,
                    quality: DataFrame,
                    min_quality: float = MIN_QUALITY) -> DataFrame:

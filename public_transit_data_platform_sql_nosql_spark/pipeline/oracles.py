@@ -601,6 +601,32 @@ SELECT doc_id, k AS chunk_idx,
        )} AS chunk_hash
 FROM f
 """,
+        # mirrors pipeline/curation.py chunk_dedup over the text_chunks
+        # derivation: repeated 64-token windows across the corpus
+        "text_chunk_dedup": f"""
+WITH {DOCS},
+t AS (SELECT doc_id, {TOKS} AS toks FROM docs_aug),
+f AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         unnest(range(0, CAST(ceil(len(toks)
+           / {float(CHUNK_SIZE - CHUNK_OVERLAP)}) AS BIGINT))) AS k
+  FROM t WHERE len(toks) > 0
+),
+ch AS (
+  SELECT doc_id,
+         {md5h(
+             f"array_to_string(toks[CAST(k * {CHUNK_SIZE - CHUNK_OVERLAP} + 1 AS INT)"
+             f" : CAST(least(k * {CHUNK_SIZE - CHUNK_OVERLAP} + {CHUNK_SIZE}, n) AS INT)], ' ')"
+         )} AS chunk_hash
+  FROM f
+)
+SELECT chunk_hash,
+       count(*) AS n_occurrences,
+       count(DISTINCT doc_id) AS n_docs,
+       min(doc_id) AS canonical_doc_id
+FROM ch
+GROUP BY 1 HAVING count(*) > 1
+""",
         # mirrors pipeline/multimodal.py sample_frames: ceil(n/L) frames,
         # every STRIDE-th kept, per-frame length + checksum
         "multimodal_frames": f"""
