@@ -21,7 +21,6 @@ from public_transit_data_platform_sql_nosql_spark.jobs.denormalize import (
 from public_transit_data_platform_sql_nosql_spark.queries import timetable as tt
 from public_transit_data_platform_sql_nosql_spark.queries.common import (
     hourly_frequency,
-    trip_stats,
 )
 from public_transit_data_platform_sql_nosql_spark.queries.q1_busiest_stops import (
     q1_busiest_stops,
@@ -132,11 +131,6 @@ def _q3(spark, sf_dir):
                               service_id=None, limit="all")
 
 
-def _q2_trip_stats(spark, sf_dir):
-    v = register_gtfs_views(spark, sf_dir)
-    return trip_stats(v["stop_times"], v["trips"])
-
-
 def _q2_weekday(spark, sf_dir):
     v = register_gtfs_views(spark, sf_dir)
     df = q2_route_stats(v["stop_times"], v["trips"], v["routes"],
@@ -200,22 +194,13 @@ def _q4_hourly_profile(spark, sf_dir):
     return hourly_profile(h, v["routes"], service_id="1")
 
 
-def _hours_gt24(spark, sf_dir):
+def _gtfs_time_functions(spark, sf_dir):
+    """F1 + F8 in one per-row frame over the past-midnight rows: the
+    >= 24h hour extraction AND the clock-face display wrap (previously two
+    near-identical driver queries; the per-row hour column is a stronger
+    check than the old hour histogram — every row's hour is hashed)."""
     from public_transit_data_platform_sql_nosql_spark.functions.gtfs_time import (
         hour_of_day,
-    )
-
-    v = register_gtfs_views(spark, sf_dir)
-    return (
-        v["stop_times"]
-        .filter(F.col("departure_secs") >= 86400)
-        .groupBy(hour_of_day("departure_secs").alias("hour_of_day"))
-        .agg(F.count(F.lit(1)).alias("n_events"))
-    )
-
-
-def _time_wrap(spark, sf_dir):
-    from public_transit_data_platform_sql_nosql_spark.functions.gtfs_time import (
         wrap_display_time,
     )
 
@@ -225,6 +210,7 @@ def _time_wrap(spark, sf_dir):
         .filter(F.col("departure_secs") >= 86400)
         .select(
             "trip_id", "stop_sequence", "departure_time",
+            hour_of_day("departure_secs").alias("hour_of_day"),
             wrap_display_time(F.col("departure_secs")).alias("display_time"),
         )
     )
@@ -299,6 +285,15 @@ def _precompute_q4(spark, sf_dir):
     return q4_result_table(v["stop_times"], v["trips"], v["routes"])
 
 
+def _precompute_q3(spark, sf_dir):
+    from public_transit_data_platform_sql_nosql_spark.jobs.precompute import (
+        q3_result_table,
+    )
+
+    v = register_gtfs_views(spark, sf_dir)
+    return q3_result_table(v["stop_times"], v["trips"], v["stops"])
+
+
 def _q2_breakdown_top5(spark, sf_dir):
     from public_transit_data_platform_sql_nosql_spark.queries.q2_duration_speed import (
         q2_per_service_breakdown,
@@ -338,6 +333,7 @@ def _get_timetable_flat(spark, sf_dir):
 _PARITY_QUERIES = {
     "precompute_q1_table": _precompute_q1,
     "precompute_q2_table": _precompute_q2,
+    "precompute_q3_table": _precompute_q3,
     "precompute_q4_table": _precompute_q4,
     "q2_service_breakdown_top5": _q2_breakdown_top5,
     "timetable_arrivals_flat": _arrivals_flat,
@@ -465,14 +461,6 @@ def _emb_aug(spark, sf_dir):
     return register_pipeline_views(spark, sf_dir)["emb_aug"]
 
 
-def _multimodal_ingest(spark, sf_dir):
-    return pmm.media_table(_aug(spark, sf_dir)).select(
-        "media_id", "kind",
-        F.col("meta.byte_len").alias("byte_len"),
-        F.col("meta.source").alias("source"),
-    )
-
-
 def _multimodal_features(spark, sf_dir):
     # The library API returns features as array<double>; the driver's
     # pandas canonicalizer can't hash lists, so the declared query
@@ -480,10 +468,14 @@ def _multimodal_features(spark, sf_dir):
     # through DECIMAL round-6 exactly like the DuckDB oracle (the raw
     # doubles are already bit-identical — integer bucket mass divided by
     # a fixed IEEE chain, see pipeline/multimodal.py — the quantize just
-    # pins the half-boundary rounding mode on both sides).
-    df = pmm.extract_features(pmm.media_table(_aug(spark, sf_dir)))
+    # pins the half-boundary rounding mode on both sides).  ``source``
+    # rides through the Arrow batch as a metadata passthrough — this also
+    # subsumes the old multimodal_ingest meta-column check.
+    media = pmm.media_table(_aug(spark, sf_dir)).withColumn(
+        "source", F.col("meta.source"))
+    df = pmm.extract_features(media, passthrough=("source",))
     return df.select(
-        "media_id", "kind", "byte_len", "checksum",
+        "media_id", "kind", "source", "byte_len", "checksum",
         *[
             F.round(F.element_at("features", k + 1).cast("decimal(28,12)"), 6)
             .cast("double").alias(f"f{k}")
@@ -493,14 +485,11 @@ def _multimodal_features(spark, sf_dir):
 
 
 _PIPELINE_QUERIES = {
-    "text_token_counts":
-        lambda s, d: ptext.token_counts(_aug(s, d)),
-    "text_quality_scores":
-        lambda s, d: ptext.quality_scores(_aug(s, d)),
-    "text_language_id":
-        lambda s, d: ptext.language_id(_aug(s, d)),
-    "text_fingerprints":
-        lambda s, d: ptext.fingerprints(_aug(s, d)),
+    # the whole text family (token counts, quality, language ID,
+    # fingerprints) in ONE single-pass driver query — the four library
+    # operators stay individually exposed in pipeline/text.py
+    "text_profile":
+        lambda s, d: ptext.text_profile(_aug(s, d)),
     "dedup_exact":
         lambda s, d: pdedup.exact_dedup(_aug(s, d)),
     "dedup_ngram_jaccard":
@@ -539,7 +528,6 @@ _PIPELINE_QUERIES = {
         lambda s, d: pcur.chunk_tokens(_aug(s, d)),
     "text_chunk_dedup":
         lambda s, d: pcur.chunk_dedup(pcur.chunk_tokens(_aug(s, d))),
-    "multimodal_ingest": _multimodal_ingest,
     "multimodal_features": _multimodal_features,
     # resized payload stays binary inside the plan; the declared query
     # projects its scalar summary columns (len/checksum/head bytes)
@@ -565,7 +553,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_busiest_stops": _q1,
         "q1_busiest_stops_weekday": _q1_weekday,
         "q3_transfer_points": _q3,
-        "q2_trip_stats": _q2_trip_stats,
         "q2_route_stats_weekday": _q2_weekday,
         "q2_route_stats_whole_week": _q2_whole_week,
         "q2_overall_weekday": _q2_overall_weekday,
@@ -576,8 +563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q4_totals_by_service": _q4_totals_by_service,
         "q2_longest_trip_path": _q2_longest_trip_path,
         "q4_hourly_profile": _q4_hourly_profile,
-        "gtfs_hours_past_24": _hours_gt24,
-        "gtfs_time_display_wrap": _time_wrap,
+        "gtfs_time_functions": _gtfs_time_functions,
         "denormalize_check": _denorm_check,
         "timetable_stops": _timetable_stops,
         "timetable_routes_for_stop": _routes_for_stop,
@@ -669,11 +655,6 @@ SELECT s.stop_id, s.stop_code, s.stop_name, s.stop_lat, s.stop_lon,
 FROM pairs p JOIN stops s USING (stop_id)
 GROUP BY 1, 2, 3, 4, 5
 HAVING COUNT(p.route_id) >= 2
-""",
-        "q2_trip_stats": f"""
-{c},
-{_TS_CTE}
-SELECT * FROM ts
 """,
         "q2_route_stats_weekday": f"""
 {c},
@@ -785,17 +766,10 @@ SELECT route_long_name, route_short_name,
          AS average_daily_trips
 FROM per_route
 """,
-        "gtfs_hours_past_24": f"""
-{c}
-SELECT CAST(floor(departure_secs / 3600) AS INT) AS hour_of_day,
-       COUNT(*) AS n_events
-FROM stop_times
-WHERE departure_secs >= 86400
-GROUP BY 1
-""",
-        "gtfs_time_display_wrap": f"""
+        "gtfs_time_functions": f"""
 {c}
 SELECT trip_id, stop_sequence, departure_time,
+       CAST(floor(departure_secs / 3600) AS INT) AS hour_of_day,
        printf('%02d:%02d:%02d',
               CAST(floor((departure_secs % 86400) / 3600) AS INT),
               CAST(floor((departure_secs % 3600) / 60) AS INT),
@@ -896,6 +870,25 @@ SELECT service_id, route_long_name, route_short_name, total_trips,
 FROM (SELECT * FROM per_service UNION ALL SELECT route_long_name,
       route_short_name, service_id, total_trips, avg_trip_distance_km,
       avg_duration_min, duration_stddev_min, avg_speed_kmh FROM weekly)
+""",
+        "precompute_q3_table": f"""
+{c},
+pairs AS (
+  SELECT DISTINCT t.service_id, st.stop_id, t.route_id
+  FROM stop_times st JOIN trips t USING (trip_id)
+)
+SELECT p.service_id, s.stop_id, s.stop_code, s.stop_name, s.stop_lat,
+       s.stop_lon, COUNT(p.route_id) AS num_unique_routes
+FROM pairs p JOIN stops s USING (stop_id)
+GROUP BY 1, 2, 3, 4, 5, 6
+HAVING COUNT(p.route_id) >= 2
+UNION ALL
+SELECT '4' AS service_id, s.stop_id, s.stop_code, s.stop_name, s.stop_lat,
+       s.stop_lon, COUNT(w.route_id) AS num_unique_routes
+FROM (SELECT DISTINCT stop_id, route_id FROM pairs) w
+JOIN stops s USING (stop_id)
+GROUP BY 1, 2, 3, 4, 5, 6
+HAVING COUNT(w.route_id) >= 2
 """,
         "precompute_q4_table": f"""
 {c},

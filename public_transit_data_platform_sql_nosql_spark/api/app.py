@@ -59,10 +59,37 @@ class TransitAPI:
         self.spark = spark
         self.gtfs = gtfs
         self.precompute_dir = precompute_dir
+        # session-scoped Q4 hourly cache (built lazily on first live q4)
+        self._q4_joined: Optional[DataFrame] = None
 
     def _fast(self, name: str) -> bool:
         return (self.precompute_dir is not None
                 and precomputed_available(self.precompute_dir, name))
+
+    def _hourly_joined(self) -> DataFrame:
+        """The reference creates ``vw_hourly_frequency`` ONCE at app start
+        and reuses it across requests (`sql_utils.py:46-70`, `SQL/app.py:73`).
+        Spark analog: build hourly ⋈ routes once per ``TransitAPI``
+        lifetime, UNfiltered by service, and keep it persisted — every
+        q4() call (any service mode) then plans as an InMemoryTableScan
+        plus a filter instead of re-aggregating stop_times.  Call
+        ``refresh()`` after the underlying GTFS frames change."""
+        if self._q4_joined is None:
+            hourly = hourly_frequency(self.gtfs["stop_times"],
+                                      self.gtfs["trips"])
+            self._q4_joined = hourly.join(
+                F.broadcast(self.gtfs["routes"].select(
+                    "route_id", "route_short_name", "route_long_name")),
+                "route_id",
+            ).persist()
+        return self._q4_joined
+
+    def refresh(self) -> None:
+        """Invalidate session-scoped caches (the reference's equivalent is
+        restarting the app / re-running ensure_view)."""
+        if self._q4_joined is not None:
+            self._q4_joined.unpersist()
+            self._q4_joined = None
 
     # -- Q1 ---------------------------------------------------------------
 
@@ -86,8 +113,18 @@ class TransitAPI:
 
     def q3(self, service_id: object = None,
            limit: object = None) -> list[dict]:
-        df = q3_transfer_points(self.gtfs["stop_times"], self.gtfs["trips"],
-                                self.gtfs["stops"], service_id, limit)
+        if self._fast("q3_transfer_points"):
+            df = read_precomputed(self.spark, self.precompute_dir,
+                                  "q3_transfer_points",
+                                  normalize_service_id(service_id))
+            df = apply_limit(
+                df.orderBy(F.desc("num_unique_routes"), F.asc("stop_id")),
+                limit,
+            ).drop("service_id")
+        else:
+            df = q3_transfer_points(self.gtfs["stop_times"],
+                                    self.gtfs["trips"], self.gtfs["stops"],
+                                    service_id, limit)
         return shapes.to_json_safe(shapes.shape_q3_rows(_dicts(df)))
 
     # -- Q2 ---------------------------------------------------------------
@@ -150,10 +187,10 @@ class TransitAPI:
         if sid is not None:
             return shapes.shape_q2_single_service(rows)
         key = ("route_long_name", "route_short_name")
-        sel = self.spark.createDataFrame(
-            [(r["route_long_name"], r["route_short_name"]) for r in rows],
-            "route_long_name string, route_short_name string",
-        )
+        # semi-join the ranked frame DIRECTLY (closed plan, same shape as
+        # the live q2 path) — the collected rows above are for JSON
+        # shaping only, never round-tripped back into a DataFrame
+        sel = ranked.select("route_long_name", "route_short_name")
         # svc is the partition key: the isin prunes to 3 directories
         per_service = self.spark.read.parquet(
             f"{self.precompute_dir}/q2_duration_speed"
@@ -177,41 +214,32 @@ class TransitAPI:
         sid = normalize_service_id(service_id)
         if self._fast("q4_hourly_frequency"):
             return shapes.to_json_safe(self._q4_fast(sid, limit))
-        hourly = hourly_frequency(self.gtfs["stop_times"],
-                                  self.gtfs["trips"])
+        # one q4() call fires THREE actions over the hourly frame (ranked
+        # collect, max_hour agg, detail collect) — all three read the
+        # SESSION-scoped persisted hourly ⋈ routes frame (built once per
+        # TransitAPI lifetime, see _hourly_joined), so repeat calls never
+        # re-aggregate stop_times.
+        joined = self._hourly_joined()
         if sid is not None:
-            hourly = hourly.filter(F.col("service_id") == sid)
-        # one q4() call fires THREE actions over this frame (ranked
-        # collect, max_hour agg, detail collect): persist for the call
-        # span so stop_times is scanned and the hourly aggregation built
-        # once — the Spark analog of the reference creating
-        # vw_hourly_frequency once at startup (`sql_utils.py:46-70`).
-        joined = hourly.join(
-            F.broadcast(self.gtfs["routes"].select(
-                "route_id", "route_short_name", "route_long_name")),
-            "route_id",
-        ).persist()
-        try:
-            ranked = apply_limit(
-                joined.groupBy("route_long_name")
-                .agg(F.sum("trips_per_hour").alias("total_daily_trips"))
-                .orderBy(F.desc("total_daily_trips"),
-                         F.asc("route_long_name")),
-                limit,
-            )
-            selected = {r["route_long_name"] for r in ranked.collect()}
-            # max_hour over ALL service-filtered rows (reference
-            # semantics), as a 1-row agg instead of a full collect
-            max_hour_row = joined.agg(F.max("hour_of_day")).first()[0]
-            detail = _dicts(
-                joined.join(
-                    F.broadcast(ranked.select("route_long_name")),
-                    "route_long_name", "left_semi",
-                ).orderBy("route_long_name", "service_id", "hour_of_day",
-                          F.coalesce("route_short_name", F.lit("")))
-            )
-        finally:
-            joined.unpersist()
+            joined = joined.filter(F.col("service_id") == sid)
+        ranked = apply_limit(
+            joined.groupBy("route_long_name")
+            .agg(F.sum("trips_per_hour").alias("total_daily_trips"))
+            .orderBy(F.desc("total_daily_trips"),
+                     F.asc("route_long_name")),
+            limit,
+        )
+        selected = {r["route_long_name"] for r in ranked.collect()}
+        # max_hour over ALL service-filtered rows (reference
+        # semantics), as a 1-row agg instead of a full collect
+        max_hour_row = joined.agg(F.max("hour_of_day")).first()[0]
+        detail = _dicts(
+            joined.join(
+                F.broadcast(ranked.select("route_long_name")),
+                "route_long_name", "left_semi",
+            ).orderBy("route_long_name", "service_id", "hour_of_day",
+                      F.coalesce("route_short_name", F.lit("")))
+        )
         payload = shapes.shape_q4(detail, selected, sid)
         payload["max_hour"] = int(max_hour_row or 0)
         return shapes.to_json_safe(payload)
@@ -237,18 +265,23 @@ class TransitAPI:
                      F.asc(F.coalesce("route_short_name", F.lit(""))))
         )
         # raw limit: apply_limit sanitizes internally ('all' => unlimited)
-        top = _dicts(apply_limit(totals, limit))
-        sel = self.spark.createDataFrame(
-            [(t["route_long_name"], t["route_short_name"]) for t in top],
-            "route_long_name string, route_short_name string",
+        topdf = apply_limit(totals, limit)
+        top = _dicts(topdf)
+        # semi-join the ranked frame directly — no driver round-trip (the
+        # collected rows feed JSON shaping only).  The key columns are
+        # RENAMED because topdf shares lineage with tbl (both read the
+        # same parquet): qualified self-join refs would be ambiguous.
+        sel = topdf.select(
+            F.col("route_long_name").alias("sel_long_name"),
+            F.col("route_short_name").alias("sel_short_name"),
         )
 
         def _semi(df: DataFrame) -> DataFrame:
             return df.join(
                 F.broadcast(sel),
-                [df["route_long_name"].eqNullSafe(sel["route_long_name"]),
+                [df["route_long_name"].eqNullSafe(F.col("sel_long_name")),
                  df["route_short_name"].eqNullSafe(
-                     sel["route_short_name"])],
+                     F.col("sel_short_name"))],
                 "left_semi",
             )
 

@@ -56,6 +56,42 @@ def q1_result_table(stop_times: DataFrame, trips: DataFrame,
         "service_id", *stop_cols, "total_trip_events", "num_unique_routes")
 
 
+def q3_result_table(stop_times: DataFrame, trips: DataFrame,
+                    stops: DataFrame) -> DataFrame:
+    """Transfer-point rows for service 1/2/3 plus recomputed whole-week
+    '4' rows (`generate_csv.py:40-75`).
+
+    Like Q1, the whole-week rows must be RE-COMPUTED: the per-stop count
+    is over DISTINCT (stop, route) pairs, which cannot be summed across
+    services.  The week pass reuses the per-service deduped pair set (a
+    second, smaller distinct) instead of rescanning stop_times.
+    """
+    pairs_svc = (
+        stop_times.select("trip_id", "stop_id")
+        .join(F.broadcast(trips.select("trip_id", "route_id", "service_id")),
+              "trip_id")
+        .select("service_id", "stop_id", "route_id")
+        .distinct()
+    )
+    stop_cols = ["stop_id", "stop_code", "stop_name", "stop_lat", "stop_lon"]
+    dims = F.broadcast(stops.select(*stop_cols))
+
+    def _count(pairs: DataFrame, keys: list[str]) -> DataFrame:
+        return (
+            pairs.join(dims, "stop_id")
+            .groupBy(*keys)
+            .agg(F.count("route_id").alias("num_unique_routes"))
+            .filter(F.col("num_unique_routes") >= 2)
+        )
+
+    per_service = _count(pairs_svc, ["service_id", *stop_cols])
+    whole_week = _count(
+        pairs_svc.select("stop_id", "route_id").distinct(), stop_cols
+    ).withColumn("service_id", F.lit(WEEK_SENTINEL))
+    return per_service.unionByName(whole_week).select(
+        "service_id", *stop_cols, "num_unique_routes")
+
+
 def q2_result_table(stop_times: DataFrame, trips: DataFrame,
                     routes: DataFrame) -> DataFrame:
     """Duration/speed rows per (route, service) plus SYNTHESIZED weekly
@@ -125,7 +161,7 @@ def q4_result_table(stop_times: DataFrame, trips: DataFrame,
 # --- materialization + fast path (S5/S6 + the app.py path probe) ----------
 
 RESULT_TABLES = ("q1_busiest_stops", "q2_duration_speed",
-                 "q4_hourly_frequency")
+                 "q3_transfer_points", "q4_hourly_frequency")
 
 
 def materialize_all(gtfs: dict[str, DataFrame], out_dir: str) -> None:
@@ -135,6 +171,8 @@ def materialize_all(gtfs: dict[str, DataFrame], out_dir: str) -> None:
             gtfs["stop_times"], gtfs["trips"], gtfs["stops"]),
         "q2_duration_speed": lambda: q2_result_table(
             gtfs["stop_times"], gtfs["trips"], gtfs["routes"]),
+        "q3_transfer_points": lambda: q3_result_table(
+            gtfs["stop_times"], gtfs["trips"], gtfs["stops"]),
         "q4_hourly_frequency": lambda: q4_result_table(
             gtfs["stop_times"], gtfs["trips"], gtfs["routes"]),
     }
@@ -151,8 +189,15 @@ def materialize_all(gtfs: dict[str, DataFrame], out_dir: str) -> None:
 
 
 def precomputed_available(out_dir: str, name: str) -> bool:
-    """The reference's CSV-existence probe (`SQL/app.py:61-65`)."""
-    return os.path.isdir(os.path.join(out_dir, name))
+    """The reference's CSV-existence probe (`SQL/app.py:61-65`), plus a
+    layout check: the fast paths filter on the ``svc`` partition key, so a
+    directory written by an older, unpartitioned materialization must NOT
+    pass the probe (it would fail at read time instead of falling back to
+    the live path)."""
+    path = os.path.join(out_dir, name)
+    if not os.path.isdir(path):
+        return False
+    return any(e.startswith("svc=") for e in os.listdir(path))
 
 
 def read_precomputed(spark: SparkSession, out_dir: str, name: str,

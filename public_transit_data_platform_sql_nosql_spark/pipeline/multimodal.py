@@ -94,38 +94,54 @@ def decode_payload(payload: bytes, kind: str, fake: bool = False):
     )
 
 
-def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    for pdf in batches:
-        rows = []
-        for media_id, kind, payload in zip(
-            pdf["media_id"], pdf["kind"], pdf["payload"]
-        ):
-            samples = decode_payload(bytes(payload), kind, fake=True)
-            n = len(samples) or 1
-            # deterministic fixed-width "embedding": per-bucket byte mass.
-            # Buckets accumulate as EXACT integers; the only float ops are
-            # the final two divisions (bucket/255.0/n) — a fixed IEEE
-            # sequence any engine reproduces bit-identically, which is what
-            # lets the DuckDB differential oracle hash-match these values.
-            bucket = [0] * FEATURE_DIM
-            for s in samples:
-                bucket[s % FEATURE_DIM] += s
-            rows.append(
-                {
+def _feature_batches(passthrough: tuple[str, ...] = ()):
+    out_cols = [f.name for f in FEATURES_SCHEMA] + list(passthrough)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, (media_id, kind, payload) in enumerate(zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            )):
+                samples = decode_payload(bytes(payload), kind, fake=True)
+                n = len(samples) or 1
+                # deterministic fixed-width "embedding": per-bucket byte
+                # mass.  Buckets accumulate as EXACT integers; the only
+                # float ops are the final two divisions (bucket/255.0/n) —
+                # a fixed IEEE sequence any engine reproduces
+                # bit-identically, which is what lets the DuckDB
+                # differential oracle hash-match these values.
+                bucket = [0] * FEATURE_DIM
+                for s in samples:
+                    bucket[s % FEATURE_DIM] += s
+                row = {
                     "media_id": media_id,
                     "kind": kind,
                     "byte_len": len(samples),
                     "checksum": sum(samples) % 1_000_000_007,
                     "features": [b / 255.0 / n for b in bucket],
                 }
-            )
-        yield pd.DataFrame(rows, columns=[f.name for f in FEATURES_SCHEMA])
+                for c in passthrough:
+                    row[c] = pdf[c].iloc[i]
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=out_cols)
+
+    return gen
 
 
-def extract_features(media: DataFrame) -> DataFrame:
-    """Arrow-batched feature extraction over the payload column."""
-    return media.select("media_id", "kind", "payload").mapInPandas(
-        _feature_batches, schema=FEATURES_SCHEMA
+def extract_features(media: DataFrame,
+                     passthrough: tuple[str, ...] = ()) -> DataFrame:
+    """Arrow-batched feature extraction over the payload column.
+
+    ``passthrough`` names top-level metadata columns of ``media`` carried
+    through the Arrow batch UNCHANGED — metadata stays attached to its
+    features without a re-join shuffle (the scale-right way to keep
+    provenance columns next to extracted features)."""
+    extra = [media.schema[c] for c in passthrough]
+    schema = T.StructType(FEATURES_SCHEMA.fields + extra)
+    return media.select("media_id", "kind", "payload",
+                        *passthrough).mapInPandas(
+        _feature_batches(tuple(passthrough)), schema=schema
     )
 
 

@@ -135,12 +135,13 @@ qscore AS (
 MM_BYTES = f"""mm_b AS (
   SELECT doc_id AS media_id,
          (['image', 'audio', 'video'])[CAST(doc_id % 3 AS INT) + 1] AS kind,
+         source,
          hex(encode(text)) AS h,
          CAST(octet_length(encode(text)) AS BIGINT) AS n
   FROM docs_aug
 ),
 mm_bytes AS (
-  SELECT media_id, kind, n,
+  SELECT media_id, kind, source, n,
          list_transform(range(0, CAST(n AS INT)),
            i -> CAST(('0x' || substr(h, 2 * i + 1, 2)) AS BIGINT)) AS bs
   FROM mm_b
@@ -196,27 +197,13 @@ def pipeline_oracles() -> dict[str, str]:
     )
 
     return {
-        "text_token_counts": f"""
-WITH {DOCS}
-SELECT doc_id,
-       CAST(len({TOKS}) AS BIGINT) AS n_tokens,
-       CAST(len(regexp_extract_all(lower(text), '{BPE_REGEX}')) AS BIGINT)
-         AS n_bpe_pieces,
-       CAST(length(text) AS BIGINT) AS n_chars
-FROM docs_aug
-""",
-        "text_quality_scores": f"""
+        # ONE oracle for the whole text family (token counts, quality,
+        # language ID, fingerprints) — the Spark side computes them in a
+        # single narrow pass (pipeline/text.py text_profile), the oracle
+        # as CTEs joined on doc_id (DuckDB dedups the shared scans).
+        "text_profile": f"""
 WITH {DOCS},
-{QUALITY_CTES}
-SELECT doc_id, n_tok AS n_tokens,
-       round(stop_ratio, 6) AS stopword_ratio,
-       round(punct_ratio, 6) AS punct_ratio,
-       round(mean_word_len, 6) AS mean_word_len,
-       quality_score
-FROM qscore
-""",
-        "text_language_id": f"""
-WITH {DOCS},
+{QUALITY_CTES},
 scores AS (
 {lang_arms}
 ),
@@ -225,21 +212,32 @@ best AS (
          row_number() OVER (PARTITION BY doc_id
                             ORDER BY score DESC, cand DESC) AS rn
   FROM scores
+),
+tc AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(lower(text), '{BPE_REGEX}')) AS BIGINT)
+           AS n_bpe_pieces,
+         CAST(length(text) AS BIGINT) AS n_chars
+  FROM docs_aug
+),
+fp AS (
+  SELECT doc_id, text, {TOKS} AS toks FROM docs_aug
 )
-SELECT doc_id, labeled_lang,
-       CASE WHEN score > 0 THEN cand ELSE 'und' END AS predicted_lang,
-       score AS marker_hits
-FROM best WHERE rn = 1
-""",
-        "text_fingerprints": f"""
-WITH {DOCS},
-t AS (SELECT doc_id, text, {TOKS} AS toks FROM docs_aug)
-SELECT doc_id,
-       {char_hash('text')} AS fingerprint,
-       list_min(list_transform(toks, tk -> {char_hash('tk')}))
-         AS min_token_hash,
-       CAST(len(toks) AS BIGINT) AS n_tokens
-FROM t
+SELECT q.doc_id, q.n_tok AS n_tokens, tc.n_bpe_pieces, tc.n_chars,
+       round(q.stop_ratio, 6) AS stopword_ratio,
+       round(q.punct_ratio, 6) AS punct_ratio,
+       round(q.mean_word_len, 6) AS mean_word_len,
+       q.quality_score,
+       b.labeled_lang,
+       CASE WHEN b.score > 0 THEN b.cand ELSE 'und' END AS predicted_lang,
+       b.score AS marker_hits,
+       {char_hash('fp.text')} AS fingerprint,
+       list_min(list_transform(fp.toks, tk -> {char_hash('tk')}))
+         AS min_token_hash
+FROM qscore q
+JOIN best b ON b.doc_id = q.doc_id AND b.rn = 1
+JOIN tc ON tc.doc_id = q.doc_id
+JOIN fp ON fp.doc_id = q.doc_id
 """,
         "dedup_exact": f"""
 WITH {DOCS},
@@ -482,22 +480,16 @@ ranked AS (
 )
 SELECT query_id, rank, neighbor_id, cos_sim FROM ranked WHERE rank <= 10
 """,
-        "multimodal_ingest": f"""
-WITH {DOCS}
-SELECT doc_id AS media_id,
-       (['image', 'audio', 'video'])[CAST(doc_id % 3 AS INT) + 1] AS kind,
-       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
-       source
-FROM docs_aug
-""",
         # mirrors pipeline/multimodal.py _feature_batches: per-bucket byte
         # mass accumulates as EXACT integers, so the only float ops are
         # the final /255.0/n chain, bit-identical across engines; both
         # sides then quantize through DECIMAL round-6 (__spark_entry__._r2).
+        # ``source`` is the metadata-passthrough column (the old
+        # multimodal_ingest oracle's meta check folded in).
         "multimodal_features": f"""
 WITH {DOCS},
 {MM_BYTES}
-SELECT media_id, kind, n AS byte_len,
+SELECT media_id, kind, source, n AS byte_len,
        list_reduce(list_prepend(CAST(0 AS BIGINT), bs),
                    (a, x) -> a + x) % 1000000007 AS checksum,
        {", ".join(

@@ -27,27 +27,14 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 }
 
 
-def token_counts(docs: DataFrame) -> DataFrame:
-    """Whitespace token count + BPE-ish piece count + char count."""
+def _signal_cols() -> dict[str, F.Column]:
+    """Every per-document text signal as an UNALIASED Column expression
+    over (text, lang).  The public operators below — and the one-pass
+    ``text_profile`` — select (and alias) subsets of this dict, so each
+    signal is defined exactly once."""
     toks = tokens(F.col("text"))
     pieces = F.regexp_extract_all(F.lower(F.col("text")),
                                   F.lit(BPE_REGEX), 0)
-    return docs.select(
-        "doc_id",
-        F.size(toks).cast("long").alias("n_tokens"),
-        F.size(pieces).cast("long").alias("n_bpe_pieces"),
-        F.length("text").cast("long").alias("n_chars"),
-    )
-
-
-def quality_scores(docs: DataFrame) -> DataFrame:
-    """Length / punctuation / stopword heuristics -> quality in [0, 1].
-
-    The score blends four signals a pretraining filter would use:
-    enough tokens, low punctuation density, a natural stopword rate,
-    and plausible mean word length.
-    """
-    toks = tokens(F.col("text"))
     n_tok = F.size(toks).cast("long")
     n_chars = F.length("text").cast("long")
     n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
@@ -64,20 +51,6 @@ def quality_scores(docs: DataFrame) -> DataFrame:
                  F.lit(1.0)).otherwise(F.lit(0.5)) * 0.2
         + F.least(mean_word_len / F.lit(8.0), F.lit(1.0)) * 0.2
     )
-    return docs.select(
-        "doc_id",
-        n_tok.alias("n_tokens"),
-        F.round(stop_ratio, 6).alias("stopword_ratio"),
-        F.round(punct_ratio, 6).alias("punct_ratio"),
-        F.round(mean_word_len, 6).alias("mean_word_len"),
-        F.round(score, 6).alias("quality_score"),
-    )
-
-
-def language_id(docs: DataFrame) -> DataFrame:
-    """Marker-lexicon language ID: hits per language, argmax with a
-    deterministic (score, lang)-max tiebreak; zero hits -> 'und'."""
-    toks = tokens(F.col("text"))
     scored = F.array(
         *[
             F.struct(
@@ -89,22 +62,65 @@ def language_id(docs: DataFrame) -> DataFrame:
         ]
     )
     best = F.array_max(scored)
-    return docs.select(
-        "doc_id",
-        F.col("lang").alias("labeled_lang"),
-        F.when(best["score"] > 0, best["lang"]).otherwise("und")
-        .alias("predicted_lang"),
-        best["score"].alias("marker_hits"),
-    )
+    return {
+        "n_tokens": n_tok,
+        "n_bpe_pieces": F.size(pieces).cast("long"),
+        "n_chars": n_chars,
+        "stopword_ratio": F.round(stop_ratio, 6),
+        "punct_ratio": F.round(punct_ratio, 6),
+        "mean_word_len": F.round(mean_word_len, 6),
+        "quality_score": F.round(score, 6),
+        "labeled_lang": F.col("lang"),
+        "predicted_lang": F.when(best["score"] > 0,
+                                 best["lang"]).otherwise("und"),
+        "marker_hits": best["score"],
+        "fingerprint": char_fold_hash(F.col("text")),
+        "min_token_hash": F.array_min(token_hashes(toks)),
+    }
+
+
+def _select(docs: DataFrame, names: list[str]) -> DataFrame:
+    c = _signal_cols()
+    return docs.select("doc_id", *[c[n].alias(n) for n in names])
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """Whitespace token count + BPE-ish piece count + char count."""
+    return _select(docs, ["n_tokens", "n_bpe_pieces", "n_chars"])
+
+
+def quality_scores(docs: DataFrame) -> DataFrame:
+    """Length / punctuation / stopword heuristics -> quality in [0, 1].
+
+    The score blends four signals a pretraining filter would use:
+    enough tokens, low punctuation density, a natural stopword rate,
+    and plausible mean word length.
+    """
+    return _select(docs, ["n_tokens", "stopword_ratio", "punct_ratio",
+                          "mean_word_len", "quality_score"])
+
+
+def language_id(docs: DataFrame) -> DataFrame:
+    """Marker-lexicon language ID: hits per language, argmax with a
+    deterministic (score, lang)-max tiebreak; zero hits -> 'und'."""
+    return _select(docs, ["labeled_lang", "predicted_lang", "marker_hits"])
 
 
 def fingerprints(docs: DataFrame) -> DataFrame:
     """Rolling-hash document fingerprint + cheap content signature
     (min token hash) for fast prefilter joins."""
-    toks = tokens(F.col("text"))
-    return docs.select(
-        "doc_id",
-        char_fold_hash(F.col("text")).alias("fingerprint"),
-        F.array_min(token_hashes(toks)).alias("min_token_hash"),
-        F.size(toks).cast("long").alias("n_tokens"),
-    )
+    return _select(docs, ["fingerprint", "min_token_hash", "n_tokens"])
+
+
+def text_profile(docs: DataFrame) -> DataFrame:
+    """ALL per-document text signals in ONE narrow pass: token/piece/char
+    counts, quality heuristics, language ID, and fingerprints.
+
+    This is how a real pretraining-filter stage runs them — one scan, one
+    projection, no joins — and it is the driver-checked query that covers
+    the whole text family (each signal is also exposed individually
+    above for composition)."""
+    return _select(docs, ["n_tokens", "n_bpe_pieces", "n_chars",
+                          "stopword_ratio", "punct_ratio", "mean_word_len",
+                          "quality_score", "labeled_lang", "predicted_lang",
+                          "marker_hits", "fingerprint", "min_token_hash"])

@@ -159,6 +159,51 @@ def test_q3_shape(apis):
         assert round(r["stop_lat"], 6) == r["stop_lat"]
 
 
+@pytest.mark.parametrize("sid", [None, "1", "2", "4"])
+def test_q3_live_equals_fast(apis, sid):
+    live, fast = apis
+    assert live.q3(sid, 10) == fast.q3(sid, 10)
+
+
+def test_q4_session_scoped_cache(apis):
+    """Repeat live q4() calls must hit the session-persisted hourly frame
+    (the reference's app-start ensure_view, sql_utils.py:46-70) — the
+    second call's source plans as an InMemoryTableScan — and refresh()
+    must drop it."""
+    from public_transit_data_platform_sql_nosql_spark.plans import (
+        executed_plan,
+    )
+
+    live, _ = apis
+    first = live.q4("1", 5)
+    cached = live._hourly_joined()
+    assert cached.storageLevel.useMemory
+    assert "InMemoryTableScan" in executed_plan(
+        cached.filter(cached["service_id"] == "1"))
+    # second call returns identical payload off the cache
+    assert live.q4("1", 5) == first
+    live.refresh()
+    assert live._q4_joined is None
+    # cache rebuilds transparently after invalidation
+    assert live.q4("1", 5) == first
+
+
+def test_fast_paths_no_driver_roundtrip(apis, monkeypatch):
+    """Fast-path q2/q4 semi-join the ranked frame directly, like the live
+    q2 path — createDataFrame must never run anywhere in the API."""
+    _, fast = apis
+
+    def boom(*a, **k):
+        raise AssertionError("fast path round-tripped through "
+                             "createDataFrame")
+
+    monkeypatch.setattr(fast.spark, "createDataFrame", boom)
+    assert fast.q2(None, 5)["routes"]
+    assert fast.q4(None, 5)["routes"]
+    assert fast.q2("1", 5)["routes"]
+    assert fast.q4("2", 5)["routes"]
+
+
 def test_q2_live_whole_week_no_driver_roundtrip(apis, monkeypatch):
     """The whole-week breakdown must semi-join the ranked frame directly —
     never collect route names and re-create a DataFrame from the driver."""

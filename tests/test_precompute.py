@@ -60,6 +60,42 @@ def test_fastpath_reads_prune_partitions(spark, tmp_path):
             df.select("service_id").distinct().collect()} == {"1"}
 
 
+def test_available_rejects_stale_unpartitioned_layout(tmp_path):
+    """A result dir written by the OLD unpartitioned layout (no svc=*
+    subdirs) must fail the probe so the app falls back to the live path
+    instead of erroring on the missing partition column at read time."""
+    stale = tmp_path / "results" / "q1_busiest_stops"
+    stale.mkdir(parents=True)
+    (stale / "part-00000.parquet").write_bytes(b"")
+    assert not precomputed_available(str(tmp_path / "results"),
+                                     "q1_busiest_stops")
+
+
+def test_q3_table_recomputed_week_rows(spark, tmp_path):
+    """Q3 whole-week rows are RE-COMPUTED over the deduped pair set (a
+    distinct count can't be summed across services): a stop's week count
+    must never exceed the sum of its per-service counts, and must hit the
+    live whole-week query exactly."""
+    from public_transit_data_platform_sql_nosql_spark.queries.q3_transfer_points import (
+        q3_transfer_points,
+    )
+
+    v = register_gtfs_views(spark, SF_DIR)
+    out = str(tmp_path / "results")
+    materialize_all(v, out)
+    fast = (
+        read_precomputed(spark, out, "q3_transfer_points", service_id=None)
+        .select("stop_id", "num_unique_routes")
+    )
+    live = q3_transfer_points(
+        v["stop_times"], v["trips"], v["stops"], service_id=None,
+        limit="all",
+    ).select("stop_id", "num_unique_routes")
+    assert sorted(map(tuple, fast.collect())) == sorted(
+        map(tuple, live.collect())
+    )
+
+
 def test_week_sentinel_rows_cover_all_modes(spark, tmp_path):
     v = register_gtfs_views(spark, SF_DIR)
     out = str(tmp_path / "results")
