@@ -945,12 +945,12 @@ WHERE st.stop_id = '17'
 {c},
 w AS (
   SELECT r.route_long_name, t.trip_headsign,
-         printf('%02d:%02d:%02d',
+         COALESCE(printf('%02d:%02d:%02d',
                 CAST(floor((st.departure_secs % 86400) / 3600) AS INT),
                 CAST(floor((st.departure_secs % 3600) / 60) AS INT),
-                CAST(st.departure_secs % 60 AS INT)) AS display_time
+                CAST(st.departure_secs % 60 AS INT)), 'NaT') AS display_time
   FROM stop_times st JOIN trips t USING (trip_id) JOIN routes r USING (route_id)
-  WHERE st.stop_id = '17' AND st.departure_time IS NOT NULL
+  WHERE st.stop_id = '17'
 )
 SELECT route_long_name, trip_headsign,
        COUNT(*) AS n_times,

@@ -18,7 +18,14 @@ reference's edge behaviors:
   ``route_short_name`` and ``trip_headsign`` are present
   (`Mongo/app.py:186`), and clock-face-wraps times at the edge exactly
   where the reference's ``simplify_time`` strips the Timedelta day part
-  (`Mongo/app.py:177-181`).
+  (`Mongo/app.py:177-181`).  The flat branch matches the requested
+  headsign by DIRECT equality (no NOT-IN-SERVICE/null exclusion,
+  `Mongo/app.py:185-204`); only the grouped branch applies P8.
+- ``/get_timetable`` keeps null departure_times as the literal 'NaT'
+  (the reference ETL stringifies pandas NaT into the stored doc,
+  `Mongo/denormalization.py:97`) and passes null route/headsign group
+  keys through — the reference's ``.get(key, default)`` fallbacks are
+  dead code since the ETL writes every key (see queries/timetable.py).
 
 Scale/serving notes: every timetable endpoint is a point lookup on
 ``stop_id`` — pass a ``.persist()``-ed (or bucketed-by-stop_id) denorm
@@ -66,10 +73,25 @@ def create_app(analytics: TransitAPI, denorm: DataFrame):
                           "directly")
     app = Flask("public_transit_data_platform_sql_nosql_spark")
 
+    # find_one-existence analog, serving-path shape: collect the stop-id
+    # SET once at app build (bounded: one short string per physical stop
+    # — a few MB even for a national feed) so the 404 check is a Python
+    # set probe instead of a per-request Spark filter job.  Keeps every
+    # endpoint at ONE Spark job per request; `refresh_stops` re-reads the
+    # set after a denorm reload.
+    known_stops: set[str] = set()
+
+    def refresh_stops() -> None:
+        known_stops.clear()
+        known_stops.update(
+            r["stop_id"] for r in denorm.select("stop_id").collect()
+        )
+
+    refresh_stops()
+    app.refresh_stops = refresh_stops
+
     def _stop_exists(stop_id: str) -> bool:
-        # find_one analog: point filter, probe one row
-        return bool(denorm.filter(F.col("stop_id") == stop_id)
-                    .limit(1).take(1))
+        return stop_id in known_stops
 
     # -- analytics (SQL/app.py:81-126) ----------------------------------
 

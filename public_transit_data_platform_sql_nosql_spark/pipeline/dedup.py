@@ -43,6 +43,7 @@ from .core import (
     P,
     SIMHASH_BITS,
     cosine,
+    dot,
     md5_hash64,
     tokens,
 )
@@ -307,22 +308,71 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     )
 
 
+EMB_BANDS = 2          # sign-bucket bands composed with the label block
+EMB_BAND_PLANES = 4    # hyperplanes (bucket bits) per band
+
+
 def embedding_near_dup(emb: DataFrame,
-                       threshold: float = 0.98) -> DataFrame:
-    """Embedding-cosine near-dup blocked by the cluster ``label`` column
-    (IVF-style coarse blocking: exact cosine only within a block)."""
-    a = emb.select(F.col("vec_id").alias("vec_a"), "label",
-                   F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("vec_b"),
-                   F.col("label").alias("label_b"),
-                   F.col("embedding").alias("eb"))
+                       threshold: float = 0.98,
+                       bands: int = EMB_BANDS,
+                       band_planes: int = EMB_BAND_PLANES) -> DataFrame:
+    """Embedding-cosine near-dup blocked by (``label``, sign-bucket):
+    the cluster label is the IVF-style coarse quantizer, and each label
+    block is further split by banded random-hyperplane sign buckets
+    (similarity.hyperplane) so ONE hot label cannot go quadratic — a
+    block of B vectors joins ~B^2/2^band_planes pairs per band instead
+    of B^2.
+
+    Banding is the recall knob (same trick as minhash_lsh_pairs): a pair
+    is a candidate if it agrees on the full bucket of ANY band.  At the
+    default threshold 0.98 (angle ~11.5 deg), P[one hyperplane splits a
+    pair] = angle/pi ~ 0.064, so a 4-plane band keeps ~77% of true pairs
+    and two independent bands together keep ~95% — a documented recall
+    trade for the 2^4-per-band blow-up bound, exactly mirrored by the
+    DuckDB oracle (pipeline/oracles.py) so the differential stays exact.
+    """
+    from .similarity import hyperplane
+
+    def band_bucket(b: int) -> F.Column:
+        bucket = F.lit(0).cast("long")
+        for i in range(band_planes):
+            j = b * band_planes + i
+            bit = F.when(
+                dot(F.col("embedding"), hyperplane(j)) >= 0,
+                F.lit(1 << i).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+            bucket = bucket + bit
+        return bucket
+
+    tagged = emb.select(
+        "vec_id", "label", "embedding",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).cast("int").alias("band"),
+                     band_bucket(b).alias("bval"))
+            for b in range(bands)
+        ])).alias("bb"),
+    ).select("vec_id", "label", "embedding",
+             F.col("bb.band").alias("band"), F.col("bb.bval").alias("bval"))
+
+    a = tagged.select(F.col("vec_id").alias("vec_a"), "label",
+                      "band", "bval", F.col("embedding").alias("ea"))
+    b = tagged.select(F.col("vec_id").alias("vec_b"),
+                      F.col("label").alias("label_b"),
+                      F.col("band").alias("band_b"),
+                      F.col("bval").alias("bval_b"),
+                      F.col("embedding").alias("eb"))
     cos = F.round(cosine(F.col("ea"), F.col("eb")), 6)
     return (
         a.join(b, (F.col("label") == F.col("label_b"))
+               & (F.col("band") == F.col("band_b"))
+               & (F.col("bval") == F.col("bval_b"))
                & (F.col("vec_a") < F.col("vec_b")))
         .select("vec_a", "vec_b", F.col("label").cast("long").alias("label"),
                 cos.alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
+        # a pair can match in several bands — dedupe AFTER the threshold
+        # filter so the distinct shuffles only surviving near-dup rows
+        .distinct()
     )
 
 

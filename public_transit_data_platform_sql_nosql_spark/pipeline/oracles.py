@@ -95,6 +95,27 @@ def hyperplane_sql(j: int, dim: int = 64) -> str:
     )
 
 
+def _emb_band_union_sql() -> str:
+    """Banded sign-bucket tagging for dedup_embedding_cosine — the exact
+    mirror of pipeline/dedup.embedding_near_dup's (label, band, bval)
+    blocking: band b's bucket bit i comes from hyperplane j = b*4+i."""
+    from .dedup import EMB_BAND_PLANES, EMB_BANDS
+
+    parts = []
+    for b in range(EMB_BANDS):
+        bits = " + ".join(
+            f"(CASE WHEN {dot_sql('embedding', hyperplane_sql(b * EMB_BAND_PLANES + i))}"
+            f" >= 0 THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+            for i in range(EMB_BAND_PLANES)
+        )
+        parts.append(
+            f"  SELECT vec_id, label, embedding, {b} AS band,\n"
+            f"         {bits} AS bval\n"
+            f"  FROM emb_aug"
+        )
+    return "\n  UNION ALL\n".join(parts)
+
+
 DOCS = f"docs_aug AS ({DOCS_AUG_SQL})"
 _IN_STOP = "(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
 
@@ -391,15 +412,19 @@ WHERE bit_count(xor(sim_a, sim_b)) <= 3
 """,
         "dedup_embedding_cosine": f"""
 WITH {EMB_AUG_DUCK_CTE},
+tagged AS (
+{_emb_band_union_sql()}
+),
 pairs AS (
-  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
          CAST(a.label AS BIGINT) AS label,
          round({cos_sql('a.embedding', 'b.embedding')}, 6) AS cos_sim
-  FROM emb_aug a JOIN emb_aug b
-    ON a.label = b.label AND a.vec_id < b.vec_id
+  FROM tagged a JOIN tagged b
+    ON a.label = b.label AND a.band = b.band AND a.bval = b.bval
+   AND a.vec_id < b.vec_id
+  WHERE round({cos_sql('a.embedding', 'b.embedding')}, 6) >= 0.98
 )
-SELECT vec_a, vec_b, label, cos_sim
-FROM pairs WHERE cos_sim >= 0.98
+SELECT vec_a, vec_b, label, cos_sim FROM pairs
 """,
         "ann_bruteforce_topk": f"""
 WITH pairs AS (

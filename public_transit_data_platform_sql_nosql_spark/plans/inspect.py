@@ -14,9 +14,11 @@ private APIs — so they work on any DataFrame regardless of source.
 
 from __future__ import annotations
 
+import itertools
 import re
+from typing import Callable
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 
 
 def executed_plan(df: DataFrame) -> str:
@@ -48,6 +50,27 @@ def scan_read_schemas(df: DataFrame) -> list[str]:
     — the column-pruning check: a scan reading columns the query never
     touches is a plan bug."""
     return re.findall(r"ReadSchema: struct<([^>]*)>", executed_plan(df))
+
+
+_JOB_GROUP_SEQ = itertools.count()
+
+
+def jobs_run(spark: SparkSession, thunk: Callable[[], object]) -> int:
+    """Number of Spark jobs ``thunk()`` triggers — the serving-path
+    guardrail (a request handler that fires a probe job before its real
+    query doubles cluster load per request).  Counts via a scoped job
+    group, so concurrent work in other threads is not attributed.  Note
+    one *action* can be several *jobs* under AQE (each materialized
+    shuffle stage is a job) — compare against the same action run
+    directly rather than asserting a literal 1."""
+    sc = spark.sparkContext
+    group = f"jobcount-{next(_JOB_GROUP_SEQ)}"
+    sc.setJobGroup(group, "jobs_run probe")
+    try:
+        thunk()
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    return len(sc.statusTracker().getJobIdsForGroup(group))
 
 
 def plan_summary(df: DataFrame) -> dict:

@@ -41,18 +41,26 @@ def _valid_headsign(x: Column) -> Column:
 
 
 def _exploded(denorm: DataFrame, stop_id: str | None,
-              filtered: bool = True) -> DataFrame:
-    """Explode ``upcoming_services``; ``filtered`` applies P7+P8 (used by
-    routes-for-stop and arrivals; get_timetable shows all services,
-    `Mongo/app.py:87-102`)."""
+              filtered: bool = True,
+              valid_headsign: bool = True) -> DataFrame:
+    """Explode ``upcoming_services``; ``filtered`` applies P7 and (by
+    default) P8 (used by routes-for-stop and arrivals; get_timetable
+    shows all services, `Mongo/app.py:87-102`).  ``valid_headsign=False``
+    keeps the public-service filter but skips the NOT-IN-SERVICE/null
+    headsign exclusion — the reference's flat arrivals drill-down
+    (`Mongo/app.py:185-204`) matches the requested headsign directly and
+    never applies P8."""
     df = denorm if stop_id is None else denorm.filter(
         F.col("stop_id") == stop_id
     )
     svc = F.col("upcoming_services")
     if filtered:
-        svc = F.filter(
-            svc, lambda x: _public_service(x) & _valid_headsign(x)
-        )
+        if valid_headsign:
+            svc = F.filter(
+                svc, lambda x: _public_service(x) & _valid_headsign(x)
+            )
+        else:
+            svc = F.filter(svc, _public_service)
     return df.select(
         "stop_id", F.explode(svc).alias("s")
     ).select(
@@ -93,11 +101,19 @@ def get_arrivals_flat(
     trip_headsign, service_id) selection (`Mongo/app.py:185-204`, the
     route+headsign drill-down that returns ``{"times": [...], "count"}``).
 
-    Public-service and valid-headsign filters (P7+P8) apply exactly as in
-    the grouped mode; the reference's ``simplify_time`` display unwrap is
-    an API-edge concern (api/shapes.py), not part of the set semantics.
+    The public-service filter (P7) always applies, matching the
+    reference's ``allowed_services`` check.  The valid-headsign exclusion
+    (P8) applies ONLY when no explicit ``trip_headsign`` is requested:
+    the reference's flat branch (`Mongo/app.py:185-204`) matches the
+    requested headsign by direct equality with no NOT-IN-SERVICE/null
+    exclusion, so a drill-down into trip_headsign='NOT IN SERVICE'
+    returns its times there — and here.  The reference's
+    ``simplify_time`` display unwrap is an API-edge concern
+    (api/shapes.py), not part of the set semantics.
     """
-    df = _exploded(denorm, stop_id).filter(
+    df = _exploded(
+        denorm, stop_id, valid_headsign=(trip_headsign is None)
+    ).filter(
         F.col("departure_time").isNotNull() & (F.col("departure_time") != "")
     )
     for col, val in (
@@ -142,13 +158,25 @@ def get_arrivals_grouped(
 def get_timetable(denorm: DataFrame, stop_id: str) -> DataFrame:
     """A17/O9: route_long_name -> headsign -> sorted wrapped times
     (`Mongo/app.py:66-113`).  Times are clock-face wrapped like the
-    reference's Timedelta round-trip (hour 25 -> 01)."""
+    reference's Timedelta round-trip (hour 25 -> 01).
+
+    Null departure_times are KEPT and rendered as the literal 'NaT':
+    the reference's ETL stores ``str(row['departure_time'])``
+    (`Mongo/denormalization.py:97`), so a SQL NULL time reaches Mongo as
+    the string 'NaT' (pandas NaT stringified) and shows up in the
+    timetable; dropping the row here would silently diverge.  Null
+    route_long_name / trip_headsign group keys pass through unchanged —
+    the reference's ``service.get(key, default)`` defaults are dead code
+    (the ETL writes every key on every service dict, so ``.get`` never
+    falls back to 'Unknown Route'/'Unknown Direction'), and a None key
+    serializes as "null" under Flask's jsonify in both stacks."""
     from ..functions.gtfs_time import time_to_secs, wrap_display_time
 
-    df = _exploded(denorm, stop_id, filtered=False).filter(
-        F.col("departure_time").isNotNull()
+    df = _exploded(denorm, stop_id, filtered=False)
+    wrapped = F.coalesce(
+        wrap_display_time(time_to_secs(F.col("departure_time"))),
+        F.lit("NaT"),
     )
-    wrapped = wrap_display_time(time_to_secs(F.col("departure_time")))
     return (
         df.withColumn("display_time", wrapped)
         .groupBy("route_long_name", "trip_headsign")

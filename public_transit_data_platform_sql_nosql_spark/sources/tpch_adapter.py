@@ -24,6 +24,8 @@ the only dialect substitution is format_string vs printf):
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 TPCH_TABLES = (
     "region", "nation", "customer", "supplier", "part",
@@ -138,9 +140,49 @@ def register_tpch(
     out = {}
     for name in tables:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if name == "events":
+            df = normalize_events_ts(df)
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
+
+
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` to the engine's internal convention —
+    BIGINT epoch NANOSECONDS — whatever physical type the parquet carries.
+
+    The driver regenerates the testdata between rounds and has shipped
+    ``ts`` both as TIMESTAMP(NANOS) (which ``nanosAsLong`` decodes to long
+    nanos already) and as timestamp[us] (which Spark 4 reads as
+    TIMESTAMP_NTZ).  Downstream operators (queries/events.py,
+    streaming/jobs.py) and their DuckDB oracles (`epoch_ns(ts)`) all
+    assume epoch nanos, so convert here, once, at the read boundary.
+
+    The TIMESTAMP_NTZ branch is deliberately session-timezone-free: an
+    NTZ value is a wall clock with no zone, and ``cast(ntz AS timestamp)``
+    would interpret it in the session zone — a different session zone
+    would silently shift every window/day bucket vs the DuckDB oracle
+    (whose ``epoch_ns`` treats the naive value as UTC).  Pure field
+    arithmetic (datediff + extract) pins the same treat-as-UTC semantics
+    regardless of ``spark.sql.session.timeZone``.
+    """
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, T.LongType):
+        return df
+    if isinstance(dt, T.TimestampType):
+        return df.withColumn("ts", F.unix_micros("ts") * F.lit(1000))
+    if isinstance(dt, T.TimestampNTZType):
+        epoch_us = (
+            F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01"))
+            .cast("long") * F.lit(86_400_000_000)
+            + F.expr("extract(HOUR FROM ts)").cast("long")
+            * F.lit(3_600_000_000)
+            + F.expr("extract(MINUTE FROM ts)").cast("long")
+            * F.lit(60_000_000)
+            + F.expr("CAST(extract(SECOND FROM ts) * 1000000 AS BIGINT)")
+        )
+        return df.withColumn("ts", epoch_us * F.lit(1000))
+    raise TypeError(f"events.ts: unsupported parquet type {dt}")
 
 
 def register_gtfs_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -22,23 +22,23 @@ from pyspark.sql import types as T
 
 NS = 1_000_000_000
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # nanos (legacy nanosAsLong)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def events_file_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
+    """The events parquet's own schema (streaming file sources need an
+    explicit schema; inferring it from the static footer keeps the stream
+    working whether the driver ships ``ts`` as nanos-long or
+    timestamp[us] — see sources/tpch_adapter.normalize_events_ts)."""
+    return spark.read.parquet(f"{sf_dir}/events.parquet").schema
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the driver's events parquet (one file per
-    batch caps micro-batch size, like maxFilesPerTrigger on a real feed)."""
-    return (
-        spark.readStream.schema(EVENTS_SCHEMA)
+    batch caps micro-batch size, like maxFilesPerTrigger on a real feed).
+    ``ts`` is normalized to epoch-nanos long at the read boundary, same
+    convention as the batch adapter."""
+    from ..sources.tpch_adapter import normalize_events_ts
+
+    return normalize_events_ts(
+        spark.readStream.schema(events_file_schema(spark, sf_dir))
         .option("pathGlobFilter", "events.parquet")
         .option("maxFilesPerTrigger", "1")
         .parquet(sf_dir)

@@ -127,6 +127,81 @@ def test_get_arrivals_grouped_and_flat(web):
     assert all(t[:2].isdigit() and int(t[:2]) < 24 for t in flat["times"])
 
 
+def test_get_arrivals_flat_not_in_service_drilldown(web):
+    """The reference's flat branch (`Mongo/app.py:185-204`) matches the
+    requested headsign by direct equality — no NOT-IN-SERVICE exclusion —
+    so drilling into a NOT IN SERVICE headsign returns its times."""
+    from pyspark.sql import functions as F
+
+    client, _, denorm = web
+    probe = (
+        denorm.select("stop_id",
+                      F.explode("upcoming_services").alias("s"))
+        .filter((F.col("s.trip_headsign") == "NOT IN SERVICE")
+                & F.col("s.service_id").isin("1", "2", "3")
+                & F.col("s.departure_time").isNotNull()
+                & (F.col("s.departure_time") != "")
+                & F.col("s.route_short_name").isNotNull())
+        .select("stop_id", "s.route_short_name")
+        .limit(1).collect()
+    )
+    assert probe, "fixture should inject NOT IN SERVICE headsigns"
+    stop, rsn = probe[0]["stop_id"], probe[0]["route_short_name"]
+    flat = client.get(
+        f"/get_arrivals?stop_id={stop}&route_short_name={rsn}"
+        "&trip_headsign=NOT%20IN%20SERVICE").get_json()
+    assert flat["count"] > 0 and flat["count"] == len(flat["times"])
+    # but the same headsign stays excluded from grouped mode (P8)
+    g = client.get(f"/get_arrivals?stop_id={stop}").get_json()
+    assert all(x["trip_headsign"] != "NOT IN SERVICE" for x in g["groups"])
+
+
+def test_get_timetable_keeps_null_times_as_nat(web):
+    """Null departure_times reach the reference's Mongo doc as the string
+    'NaT' (`Mongo/denormalization.py:97` stringifies pandas NaT) and show
+    up in the timetable — mirrored here instead of being dropped."""
+    from pyspark.sql import functions as F
+
+    client, _, denorm = web
+    probe = (
+        denorm.select("stop_id",
+                      F.explode("upcoming_services").alias("s"))
+        .filter(F.col("s.departure_time").isNull())
+        .select("stop_id").limit(1).collect()
+    )
+    assert probe, "fixture should inject null departure_times"
+    stop = probe[0]["stop_id"]
+    sched = client.get(f"/get_timetable?stop_id={stop}").get_json()
+    times = [t for route in sched.values()
+             for ts in route.values() for t in ts]
+    assert "NaT" in times
+    # NaT sorts after every HH:MM:SS string, same as the reference's
+    # Python sorted() over strings
+    for route in sched.values():
+        for ts in route.values():
+            assert ts == sorted(ts)
+
+
+def test_one_spark_job_per_timetable_request(web, spark):
+    """The 404 existence check is a driver-side set probe, not a Spark
+    job: an endpoint call runs exactly as many jobs as its underlying
+    query collect does alone (AQE may split one action into several
+    jobs, so compare — don't assert a literal 1)."""
+    from public_transit_data_platform_sql_nosql_spark.plans.inspect import (
+        jobs_run,
+    )
+
+    client, _, denorm = web
+    baseline = jobs_run(
+        spark, lambda: tt.get_timetable(denorm, STOP).collect())
+    via_http = jobs_run(
+        spark, lambda: client.get(f"/get_timetable?stop_id={STOP}"))
+    assert via_http == baseline
+    # and the unknown-stop 404 itself costs zero Spark jobs
+    assert jobs_run(
+        spark, lambda: client.get("/get_timetable?stop_id=nope")) == 0
+
+
 def test_wrap_clock_time():
     assert wrap_clock_time("25:30:00") == "01:30:00"
     assert wrap_clock_time("09:05:00") == "09:05:00"

@@ -43,12 +43,12 @@ def test_incremental_refresh_appends(spark, tmp_path):
     """foreachBatch refresh: streamed stop_times-like rows land in the
     sink exactly once under availableNow."""
     from public_transit_data_platform_sql_nosql_spark.streaming.jobs import (
-        EVENTS_SCHEMA,
+        events_file_schema,
         incremental_refresh,
     )
 
     stream = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(events_file_schema(spark, SF_DIR))
         .option("pathGlobFilter", "events.parquet")
         .parquet(SF_DIR)
     )
