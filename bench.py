@@ -74,8 +74,15 @@ def main() -> None:
 
 
 def _is_headline_extra(name: str) -> bool:
-    """Pipeline-module headliners (dedup/similarity/text) once they exist."""
-    return name.startswith(("dedup_minhash", "ann_", "text_quality"))
+    """Pipeline-module headliners (dedup/similarity/text) once they exist.
+    dedup_clusters (full connected-components fixpoint) and
+    pipeline_curated_corpus (quality + keep-one + split composition) are
+    the most expensive operators users run — benched so their wall time
+    has round-over-round history."""
+    return name.startswith((
+        "dedup_minhash", "dedup_clusters", "ann_", "text_profile",
+        "pipeline_curated_corpus",
+    ))
 
 
 if __name__ == "__main__":

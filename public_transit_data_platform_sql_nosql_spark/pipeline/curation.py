@@ -180,8 +180,10 @@ def chunk_tokens(docs: DataFrame, chunk_size: int = CHUNK_SIZE,
     content hash for downstream chunk-level dedup."""
     step = chunk_size - overlap
     toks = tokens(F.col("text"))
-    n = F.size("toks")
-    n_chunks = F.ceil(n / F.lit(float(step))).cast("int")
+    # ceil(n/step) in pure integer arithmetic — same DIV discipline as
+    # stratified_cap (see the round-on-cast note there); mirrored in the
+    # DuckDB oracle
+    n_chunks = F.expr(f"(size(toks) + {step - 1}) DIV {step}").cast("int")
     chunk = F.slice(F.col("toks"), F.col("k") * step + 1, chunk_size)
     return (
         docs.select("doc_id", toks.alias("toks"))

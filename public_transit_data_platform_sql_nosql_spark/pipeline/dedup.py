@@ -131,9 +131,11 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
     ``max_set_size`` SMALLEST hash values (sort_array + slice): for docs
     under the cap (every doc at test scale) the score is the exact
     Jaccard; a book-length doc above it is scored on its bottom-k hash
-    sketch — the classic bottom-k estimator, so the score degrades to an
-    unbiased estimate instead of materializing an unbounded per-row
-    array.  Both caps affect recall only for (a) pairs connected purely
+    sketch — |A_k ∩ B_k| / |A_k ∪ B_k| over the two per-doc sketches, a
+    biased but bounded approximation (the unbiased bottom-k estimator
+    would sketch the UNION'S bottom-k, which needs the pair in hand) —
+    so the score degrades gracefully instead of materializing an
+    unbounded per-row array.  Both caps affect recall only for (a) pairs connected purely
     through stopword-class shingles hotter than ``max_df`` (not near-dups
     at a 0.5 threshold anyway) and (b) sketch noise on docs with more
     than ``max_set_size`` distinct shingles.  The DuckDB oracle mirrors
@@ -383,11 +385,16 @@ def dedup_clusters(pairs: DataFrame,
     the step that turns pairwise matches into dedup groups (keep one doc
     per component, drop the rest).
 
-    Iterative min-label propagation (the alternating small-star/large-star
-    idea in its simplest form): every doc starts labeled with itself; each
-    round, a doc adopts the smallest label among itself and its neighbors;
-    stop when a round changes nothing.  Rounds needed = graph diameter
-    (near-dup components are tiny and star-like, so 2-4 in practice).
+    Iterative min-label propagation with POINTER JUMPING: every doc
+    starts labeled with itself; each round, a doc adopts the smallest
+    label among itself and its neighbors, then labels are path-halved
+    (label := label(label)) — the doubling step from the
+    large-star/small-star family of MapReduce connected-components
+    algorithms.  Neighbor-min alone needs diameter rounds (a chain of N
+    pairwise near-dups takes N rounds); the jump doubles propagation
+    reach each round, so convergence is O(log diameter) — 6-7 rounds for
+    a 100-node chain, 2-3 for the star-like components real near-dup
+    corpora produce.  Stop when a round changes nothing.
 
     The loop runs UNTIL CONVERGENCE by default — periodic checkpointing
     bounds the lineage, and the diameter bounds the rounds, so no
@@ -397,26 +404,48 @@ def dedup_clusters(pairs: DataFrame,
     downstream — a doc would survive dedup under a non-canonical id).
 
     Scale notes: each round is one groupBy on doc_id over the (deduped,
-    symmetric) edge list — shuffle keyed on a hash-uniform id.  Every 3rd
-    round the label table is checkpointed so the logical plan stays O(1)
-    deep for adversarial (long-chain) graphs instead of growing one join
-    per round.  ``checkpoint_dir=None`` uses ``localCheckpoint`` (fast,
+    symmetric) edge list — shuffle keyed on a hash-uniform id — plus the
+    jump's label-keyed self-join.  The label table is checkpointed EVERY
+    round: each round's plan references the previous round's several
+    times (neighbor join, jump self-join, changed-check), so without
+    truncation the logical plan grows ~4x per round and Catalyst's
+    analysis dominates wall time long before the data does (measured:
+    a 103-edge graph spent ~50 s in planning with every-3rd-round
+    truncation, ~3 s with every-round).  The round's label table is
+    materialized by the convergence check anyway, so the eager
+    checkpoint adds no extra pass over the data.  ``checkpoint_dir=None``
+    uses ``localCheckpoint`` (fast,
     but the truncated RDD lives in executor storage — lost on executor
     failure); pass a DFS path to switch to reliable ``checkpoint()``,
     the fault-tolerant variant to use on a real cluster with executor
     churn.  The convergence test is a 1-row aggregate, not a collect of
     labels.
+
+    SESSION-GLOBAL SIDE EFFECT: passing ``checkpoint_dir`` calls
+    ``setCheckpointDir`` on the shared SparkContext (like the
+    ``nanosAsLong`` conf in sources/tpch_adapter.py, there is no scoped
+    form), so later ``checkpoint()`` calls anywhere in the session write
+    there too.  Reliable-checkpoint files from each truncation round are
+    NOT auto-deleted — callers must clean the directory afterwards or
+    enable ``spark.cleaner.referenceTracking.cleanCheckpoints`` so the
+    GC of the dropped DataFrames reclaims them.
     """
     if checkpoint_dir is not None:
         pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
-    edges = (
-        pairs.select(F.col(pairs.columns[0]).alias("a"),
-                     F.col(pairs.columns[1]).alias("b"))
+    c0, c1 = pairs.columns[0], pairs.columns[1]
+    # symmetrize with ONE scan of pairs (explode both directions) — a
+    # union of pairs with its swap would evaluate the (possibly
+    # expensive, e.g. minhash) upstream plan twice
+    sym = (
+        pairs.select(F.explode(F.array(
+            F.struct(F.col(c0).alias("a"), F.col(c1).alias("b")),
+            F.struct(F.col(c1).alias("a"), F.col(c0).alias("b")),
+        )).alias("e"))
+        .select("e.a", "e.b")
         .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .persist()
     )
-    sym = edges.union(edges.select(F.col("b").alias("a"),
-                                   F.col("a").alias("b"))).distinct()
-    sym = sym.persist()
     labels = (
         sym.select(F.col("a").alias("doc_id"))
         .distinct()
@@ -428,7 +457,9 @@ def dedup_clusters(pairs: DataFrame,
             sym.join(labels, sym["b"] == labels["doc_id"])
             .groupBy("a").agg(F.min("label").alias("nmin"))
         )
-        new_labels = (
+        # propagated feeds both sides of the jump join — persist so the
+        # neighbor-min agg runs once per round, not twice
+        propagated = (
             labels.join(neighbor_min,
                         labels["doc_id"] == neighbor_min["a"], "left")
             .select(
@@ -438,35 +469,52 @@ def dedup_clusters(pairs: DataFrame,
                 .alias("label"),
             )
         ).persist()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1).count()
+        # pointer jump (path halving): label := min(label, label(label)).
+        # Labels are always doc_ids present in the table, so the self-join
+        # hits; left+coalesce keeps it total anyway.  One extra shuffle
+        # per round buys O(log diameter) total rounds.
+        parents = propagated.select(
+            F.col("doc_id").alias("label"),
+            F.col("label").alias("grand"),
         )
+        jumped = (
+            propagated.join(parents, "label", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"),
+                        F.coalesce(F.col("grand"), F.col("label")))
+                .alias("label"),
+            )
+        )
+        # fold the old label into the checkpointed frame so the
+        # convergence probe is a filter-count over already-materialized
+        # partitions, not a separate two-sided join job per round
+        stepped = _truncate_lineage(
+            jumped.join(
+                labels.select("doc_id",
+                              F.col("label").alias("old_label")),
+                "doc_id",
+            ).select(
+                "doc_id", "label",
+                (F.col("label") != F.col("old_label")).alias("chg"),
+            ),
+            checkpoint_dir,
+        )
+        propagated.unpersist()
+        changed = stepped.filter("chg").limit(1).count()
         labels.unpersist()
-        labels = new_labels
+        labels = stepped.select("doc_id", "label")
         if changed == 0:
             break
         it += 1
         if max_iters is not None and it >= max_iters:
             sym.unpersist()
-            labels.unpersist()
             raise RuntimeError(
                 f"dedup_clusters: still converging after {max_iters} "
                 "rounds (component diameter exceeds the cap); labels "
                 "would be wrong — raise max_iters or leave it None"
             )
-        if it % 3 == 0:
-            labels = _truncate_lineage(labels, checkpoint_dir)
     sym.unpersist()
-    # truncate the RETURNED frame too: each round's plan references the
-    # previous round's twice (neighbor join + changed-check), so the
-    # un-truncated lineage grows multiplicatively — downstream consumers
-    # (keep_canonical, writes) would pay that at every re-plan.  After
-    # this the result plans as a flat scan (audited: ~6000 Exchange nodes
-    # in the plan string before, ~1 after).
-    labels = _truncate_lineage(labels, checkpoint_dir)
     return labels.select("doc_id", F.col("label").alias("canonical_id"))
 
 

@@ -604,8 +604,8 @@ WITH {DOCS},
 t AS (SELECT doc_id, {TOKS} AS toks FROM docs_aug),
 f AS (
   SELECT doc_id, toks, len(toks) AS n,
-         unnest(range(0, CAST(ceil(len(toks)
-           / {float(CHUNK_SIZE - CHUNK_OVERLAP)}) AS BIGINT))) AS k
+         unnest(range(0, (len(toks) + {CHUNK_SIZE - CHUNK_OVERLAP - 1})
+           // {CHUNK_SIZE - CHUNK_OVERLAP})) AS k
   FROM t WHERE len(toks) > 0
 )
 SELECT doc_id, k AS chunk_idx,
@@ -625,8 +625,8 @@ WITH {DOCS},
 t AS (SELECT doc_id, {TOKS} AS toks FROM docs_aug),
 f AS (
   SELECT doc_id, toks, len(toks) AS n,
-         unnest(range(0, CAST(ceil(len(toks)
-           / {float(CHUNK_SIZE - CHUNK_OVERLAP)}) AS BIGINT))) AS k
+         unnest(range(0, (len(toks) + {CHUNK_SIZE - CHUNK_OVERLAP - 1})
+           // {CHUNK_SIZE - CHUNK_OVERLAP})) AS k
   FROM t WHERE len(toks) > 0
 ),
 ch AS (

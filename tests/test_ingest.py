@@ -90,3 +90,36 @@ def test_data_quality_report(spark, feed_dir, tmp_path):
     assert report["stop_times_pk_dup"] == 0
     assert report["trips_fk_route"] == 1     # T3 -> MISSING_ROUTE
     assert report["stop_times_fk_trip"] == 0
+
+
+def test_bucketed_stop_times_aggregates_without_shuffle(spark, feed_dir,
+                                                        tmp_path):
+    """The bucketed ingest path is the co-located-join/agg layout for the
+    100 TB case: a per-trip aggregation over the bucketed table must plan
+    with ZERO Exchange nodes (bucketing replaces the shuffle), and the
+    bucketed table must agree row-for-row with the plain parquet."""
+    from public_transit_data_platform_sql_nosql_spark.plans import (
+        plan_summary,
+    )
+
+    out = str(tmp_path / "parquet")
+    ingest_gtfs(spark, feed_dir, out, bucket_by_trip=True, buckets=4)
+    bucketed = spark.table("gtfs_stop_times_bucketed")
+    agg = bucketed.groupBy("trip_id").count()
+    s = plan_summary(agg)
+    assert s["exchanges"] == 0, s
+    plain = spark.read.parquet(f"{out}/stop_times")
+    assert bucketed.count() == plain.count()
+    # a trip_id-keyed self-join (headway-style pairing) also stays
+    # shuffle-free on both sides; disable auto-broadcast so the plan is
+    # the sort-merge shape a 100 TB fact-fact join would take (at test
+    # size AQE would broadcast, whose BroadcastExchange is not a shuffle)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = bucketed.alias("a").join(bucketed.alias("b"), "trip_id")
+        s = plan_summary(j)
+        assert s["sort_merge_joins"] == 1, s
+        assert s["exchanges"] == 0, s
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

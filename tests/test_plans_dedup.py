@@ -117,3 +117,42 @@ def test_ngram_scoring_uses_full_sets(spark):
     assert (1, 2) in rows
     assert rows[(1, 2)]["n_common"] == 3
     assert abs(rows[(1, 2)]["jaccard"] - 3 / 5) < 1e-6
+
+
+def test_embedding_hot_label_sub_blocked(spark):
+    """One hot label (every vector in the same coarse cluster) must NOT
+    produce all n**2/2 candidate pairs: the banded sign-buckets split the
+    block, while an exact-duplicate pair (same bucket in every band) is
+    always a candidate."""
+    import math
+
+    n, dim = 24, 64
+    rows = [
+        (i, 0, [float(((i * 31 + d * 7) % 13) - 6) for d in range(dim)])
+        for i in range(n)
+    ]
+    # exact duplicate of vec 0 -> identical buckets in every band
+    rows.append((n, 0, rows[0][2]))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>")
+    # threshold=-1 keeps every candidate: measures the blocking itself
+    cand = dedup.embedding_near_dup(emb, threshold=-1.0).count()
+    all_pairs = (n + 1) * n // 2
+    assert cand < all_pairs, (cand, all_pairs)
+    dups = dedup.embedding_near_dup(emb, threshold=0.98).collect()
+    assert any({r["vec_a"], r["vec_b"]} == {0, n} for r in dups)
+    s = plan_summary(dedup.embedding_near_dup(emb))
+    assert s["cartesian_products"] == 0
+
+
+def test_cluster_chain_converges_logarithmically(spark):
+    """Pointer jumping: a 64-node chain (worst-case diameter) must
+    converge in O(log N) rounds — 8 observed, 10 allowed for slack —
+    where plain neighbor-min propagation would need 63."""
+    n = 64
+    chain = spark.createDataFrame(
+        [(f"d{i:03d}", f"d{i+1:03d}") for i in range(n - 1)],
+        "doc_a string, doc_b string")
+    rows = dedup.dedup_clusters(chain, max_iters=10).collect()
+    assert len(rows) == n
+    assert all(r["canonical_id"] == "d000" for r in rows)
