@@ -23,7 +23,7 @@ write so downstream point lookups prune partitions.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -82,7 +82,46 @@ def denormalize_stop_timetables(
     )
 
 
-def write_stop_timetables(df: DataFrame, path: str) -> None:
+N_STOP_BUCKETS = 256
+
+
+def _stop_bucket(col: Column) -> Column:
+    """Deterministic hash bucket of a stop_id — the doc-store's partition
+    key.  xxhash64 is stable across Spark sessions/versions, so a store
+    written once prunes correctly forever."""
+    return F.pmod(F.xxhash64(col), F.lit(N_STOP_BUCKETS)).cast("int")
+
+
+def write_stop_timetables(df: DataFrame, path: str,
+                          bucket_stops: bool = False) -> None:
     """Replaces the reference's delete_many + bulk_write upsert loop
-    (`denormalization.py:68,129-135`) with an idempotent overwrite."""
-    df.write.mode("overwrite").parquet(path)
+    (`denormalization.py:68,129-135`) with an idempotent overwrite.
+
+    ``bucket_stops=True`` is the 100 TB layout the module docstring
+    prescribes: rows are hash-partitioned into ``stop_bucket=NN/``
+    directories (pre-shuffled on the same key so each partition writes
+    one file, not one file per task x partition).  A point lookup
+    through ``point_read`` then scans 1/256th of the store — partition
+    pruning visible as ``PartitionFilters`` in the plan — instead of
+    every file.  The plain layout stays the default for small feeds
+    where a directory per bucket costs more than it saves."""
+    if bucket_stops:
+        (df.withColumn("stop_bucket", _stop_bucket(F.col("stop_id")))
+           .repartition("stop_bucket")
+           .write.mode("overwrite")
+           .partitionBy("stop_bucket")
+           .parquet(path))
+    else:
+        df.write.mode("overwrite").parquet(path)
+
+
+def point_read(store: DataFrame, stop_id: str) -> DataFrame:
+    """S8 point lookup against a doc store read back from disk.  When the
+    store carries the ``stop_bucket`` partition column, the lookup filters
+    on it FIRST so the scan prunes to one partition directory; the
+    equality on stop_id then pushes into that partition's parquet scan."""
+    if "stop_bucket" in store.columns:
+        store = store.filter(
+            F.col("stop_bucket") == _stop_bucket(F.lit(stop_id))
+        ).drop("stop_bucket")
+    return store.filter(F.col("stop_id") == stop_id)

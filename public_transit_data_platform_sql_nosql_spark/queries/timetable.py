@@ -50,9 +50,15 @@ def _exploded(denorm: DataFrame, stop_id: str | None,
     headsign exclusion — the reference's flat arrivals drill-down
     (`Mongo/app.py:185-204`) matches the requested headsign directly and
     never applies P8."""
-    df = denorm if stop_id is None else denorm.filter(
-        F.col("stop_id") == stop_id
-    )
+    if stop_id is None:
+        df = denorm
+    else:
+        # point_read prunes to one stop_bucket partition when the denorm
+        # came from a bucketed doc store (jobs/denormalize.py) — plain
+        # frames fall back to the pushed stop_id filter
+        from ..jobs.denormalize import point_read
+
+        df = point_read(denorm, stop_id)
     svc = F.col("upcoming_services")
     if filtered:
         if valid_headsign:

@@ -63,3 +63,55 @@ def test_lineitem_scan_prunes_to_used_columns(gtfs):
     read_schema = plan.split("ReadSchema:")[-1]
     assert "l_quantity" not in read_schema
     assert "l_orderkey" in read_schema
+
+
+def test_bucketed_doc_store_point_read_prunes_partitions(spark, tmp_path):
+    """The 100 TB doc-store layout: a stop_id point lookup against the
+    hash-bucket-partitioned store must prune to ONE stop_bucket partition
+    (PartitionFilters in the scan) and return the same document as the
+    plain layout."""
+    from public_transit_data_platform_sql_nosql_spark.jobs.denormalize import (
+        denormalize_stop_timetables,
+        point_read,
+        write_stop_timetables,
+    )
+    from public_transit_data_platform_sql_nosql_spark.plans.inspect import (
+        executed_plan,
+    )
+    from public_transit_data_platform_sql_nosql_spark.sources.tpch_adapter import (
+        register_gtfs_views,
+    )
+    from tests.conftest import SF_DIR
+
+    gtfs = register_gtfs_views(spark, SF_DIR)
+    denorm = denormalize_stop_timetables(
+        gtfs["stop_times"], gtfs["trips"], gtfs["stops"], gtfs["routes"])
+    plain_dir = str(tmp_path / "plain")
+    bucketed_dir = str(tmp_path / "bucketed")
+    write_stop_timetables(denorm, plain_dir)
+    write_stop_timetables(denorm, bucketed_dir, bucket_stops=True)
+
+    store = spark.read.parquet(bucketed_dir)
+    lookup = point_read(store, "17")
+    plan = executed_plan(lookup)
+    assert "PartitionFilters" in plan and "stop_bucket" in plan, plan
+
+    got = lookup.collect()
+    want = point_read(spark.read.parquet(plain_dir), "17").collect()
+    assert len(got) == len(want) == 1
+    assert got[0]["stop_id"] == want[0]["stop_id"]
+    assert (got[0]["upcoming_services"] == want[0]["upcoming_services"])
+
+    # the timetable query layer routes its point lookups through
+    # point_read, so the same pruning reaches every endpoint query
+    from public_transit_data_platform_sql_nosql_spark.queries import (
+        timetable as tt,
+    )
+
+    grouped = tt.get_arrivals_grouped(store, "17")
+    assert "stop_bucket" in executed_plan(grouped)
+    b = [r.asDict(recursive=True) for r in grouped.collect()]
+    p = [r.asDict(recursive=True)
+         for r in tt.get_arrivals_grouped(
+             spark.read.parquet(plain_dir), "17").collect()]
+    assert b == p and len(b) > 0
