@@ -509,6 +509,12 @@ _PIPELINE_QUERIES = {
         lambda s, d: pdedup.keep_canonical(
             _aug(s, d),
             pdedup.dedup_clusters(pdedup.minhash_lsh_pairs(_aug(s, d)))),
+    # train/eval benchmark-decontamination: every 11th doc plays the
+    # held-out eval set; report = train docs sharing >= 3 shingles
+    "pipeline_decontaminate":
+        lambda s, d: pdedup.decontaminate_report(
+            _aug(s, d).filter("doc_id % 11 != 0"),
+            _aug(s, d).filter("doc_id % 11 = 0")),
     "ann_bruteforce_topk":
         lambda s, d: psim.brute_force_topk(_emb(s, d)),
     "ann_lsh_topk":

@@ -8,6 +8,11 @@ line: {"metric": ..., "value": total_sec, "unit": "sec",
 Reference envelope (BASELINE.md): each of Q1-Q4 < 6 s on ~4.3M stop_times;
 denormalization ETL 20+ min.  sf0.1 lineitem (~600k rows) is the closest
 driver-provided scale; per-query wall time here includes Spark job launch.
+
+NOTE round-over-round totals: r4 ADDED three heavyweights to the headline
+set (dedup_clusters — the full connected-components fixpoint,
+pipeline_curated_corpus, text_profile replacing the narrower
+text_quality), so compare BENCH_r4+ totals per-query, not by the sum.
 """
 
 from __future__ import annotations

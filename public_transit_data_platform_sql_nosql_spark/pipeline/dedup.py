@@ -528,6 +528,41 @@ def _truncate_lineage(labels: DataFrame,
     return checkpointed
 
 
+def decontaminate_report(train: DataFrame, eval_docs: DataFrame,
+                         n: int = 3, min_common: int = 3) -> DataFrame:
+    """Train/eval decontamination: training docs that share at least
+    ``min_common`` distinct word n-gram shingles with the EVAL CORPUS
+    (union of all eval docs' shingles) — the standard hygiene pass that
+    keeps benchmark answers out of a training set.  Returns
+    ``(doc_id, n_common)`` for contaminated train docs; compose with
+    ``drop_contaminated`` to get the clean corpus.
+
+    Scale notes: both sides reduce to (id, shingle_hash) inverted-index
+    tables; the overlap is ONE hash join on the uniform shingle_hash key
+    followed by a per-doc count — no pairwise doc comparison anywhere, so
+    eval sets of millions of rows are fine.  The eval side is deduped to
+    distinct hashes first, which keeps the join's build side minimal (AQE
+    broadcasts it when it fits).
+    """
+    sh_t = shingle_table(train, n)
+    sh_e = (
+        shingle_table(eval_docs, n)
+        .select("shingle_hash").distinct()
+    )
+    return (
+        sh_t.join(sh_e, "shingle_hash")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+    )
+
+
+def drop_contaminated(train: DataFrame, report: DataFrame) -> DataFrame:
+    """The clean corpus: train docs minus the decontamination report's
+    hits (left-anti hash join, same shape as keep_canonical)."""
+    return train.join(report.select("doc_id"), "doc_id", "left_anti")
+
+
 def keep_canonical(docs: DataFrame, labels: DataFrame) -> DataFrame:
     """Keep-one materialization: the corpus after dedup — every doc that is
     either untouched by any near-dup pair or the canonical (min-id) member

@@ -270,6 +270,19 @@ SELECT h.doc_id, h.text_md5, g.canonical_doc_id, g.dup_group_size,
        h.doc_id <> g.canonical_doc_id AS is_duplicate
 FROM h JOIN g USING (text_md5)
 """,
+        # mirrors pipeline/dedup.py decontaminate_report: train docs
+        # sharing >= 3 distinct shingles with the eval corpus' shingle set
+        "pipeline_decontaminate": f"""
+WITH {DOCS},
+tr AS (SELECT doc_id, {TOKS} AS toks FROM docs_aug WHERE doc_id % 11 <> 0),
+ev AS (SELECT doc_id, {TOKS} AS toks FROM docs_aug WHERE doc_id % 11 = 0),
+sh_t AS (SELECT DISTINCT doc_id, unnest({SHINGLE_HASHES}) AS shingle_hash
+         FROM tr),
+sh_e AS (SELECT DISTINCT unnest({SHINGLE_HASHES}) AS shingle_hash FROM ev)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_common
+FROM sh_t JOIN sh_e USING (shingle_hash)
+GROUP BY doc_id HAVING count(*) >= 3
+""",
         # mirrors BOTH scale guards in pipeline/dedup.py ngram_jaccard_pairs:
         # candidates only from shingles with df <= NGRAM_MAX_DF, scoring on
         # per-doc sets capped to the NGRAM_MAX_SET smallest hashes — so the

@@ -156,3 +156,21 @@ def test_cluster_chain_converges_logarithmically(spark):
     rows = dedup.dedup_clusters(chain, max_iters=10).collect()
     assert len(rows) == n
     assert all(r["canonical_id"] == "d000" for r in rows)
+
+
+def test_decontaminate_drops_eval_overlaps(spark):
+    """A train doc that copies an eval doc's text must be reported and
+    dropped; a disjoint doc survives.  The overlap join is hash-based
+    (no cartesian)."""
+    train = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "completely unrelated words nothing shared here at all")],
+        "doc_id long, text string")
+    ev = spark.createDataFrame(
+        [(100, "quick brown fox jumps over the lazy")],
+        "doc_id long, text string")
+    report = dedup.decontaminate_report(train, ev, min_common=3)
+    assert [r["doc_id"] for r in report.collect()] == [1]
+    clean = dedup.drop_contaminated(train, report)
+    assert [r["doc_id"] for r in clean.collect()] == [2]
+    assert plan_summary(report)["cartesian_products"] == 0
