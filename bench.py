@@ -31,7 +31,11 @@ def main() -> None:
     import __spark_entry__ as entrymod
     from public_transit_data_platform_sql_nosql_spark.session import get_spark
 
-    spark = get_spark(app_name="bench")
+    # 2m input splits: the sf0.1 corpus is a handful of single-digit-MB
+    # parquet files, and Spark's 128m default split would scan each on
+    # 1-3 cores (measured: q1 1.92s -> 1.24s with the full machine
+    # engaged).  A real cluster run keeps the default — see get_spark.
+    spark = get_spark(app_name="bench", files_max_partition_bytes="2m")
 
     headline = [
         "q1_busiest_stops",

@@ -17,7 +17,14 @@ def get_spark(
     app_name: str = "transit-analytics-engine",
     master: str | None = None,
     shuffle_partitions: int | None = None,
+    files_max_partition_bytes: str | None = None,
 ) -> SparkSession:
+    """``files_max_partition_bytes`` sizes file-scan input splits.  Spark's
+    128m default assumes many large files; a single-digit-MB single-file
+    input (the local bench/test corpus) then scans on 1-3 cores while the
+    other 29 idle.  Pass e.g. "2m" to re-engage the full machine on small
+    inputs.  Leave None on a real cluster — at 100 TB the default split
+    size is right, and shrinking it would explode the task count."""
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     master = master or f"local[{cpus}]"
     shuffle_partitions = shuffle_partitions or cpus
@@ -37,6 +44,14 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
     )
+    if files_max_partition_bytes is not None:
+        builder = (
+            builder.config("spark.sql.files.maxPartitionBytes",
+                           files_max_partition_bytes)
+            # proportionally cheaper synthetic open cost so the small
+            # splits aren't re-merged by the packing heuristic
+            .config("spark.sql.files.openCostInBytes", "262144")
+        )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
