@@ -1,0 +1,92 @@
+"""Small-file compaction for append-mode parquet sinks.
+
+The streaming jobs (streaming/jobs.py incremental_refresh) and any
+micro-batched loader append one file set per trigger; after days of
+5-minute batches a sink holds tens of thousands of KB-sized files, and at
+100 TB the scan's task-scheduling and footer-reading overhead dwarfs the
+I/O (the same failure mode table formats solve with OPTIMIZE).  The
+reference never hits this because MySQL/Mongo own their storage
+(`/root/reference/Mongo/denormalization.py` upserts in place); a
+parquet-backed engine has to own it explicitly.
+
+``compact_parquet_dir`` rewrites a directory into ~``target_file_bytes``
+files:
+
+  read -> repartition(ceil(bytes / target)) -> write tmp -> swap -> rm old
+
+The swap uses the Hadoop FileSystem API through the JVM gateway, so the
+same code is correct on local disk, HDFS, or any Hadoop-compatible store —
+NOT python os.rename, which only exists on the driver's local FS.  The
+swap window is two renames; concurrent READERS that already planned their
+scan keep working on the old file handles (posix) or fail-and-retry
+(object stores), but concurrent WRITERS must be paused — same contract as
+every table-format-less compaction.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import SparkSession
+
+
+def _fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath, jvm
+
+
+def parquet_dir_stats(spark: SparkSession, path: str) -> tuple[int, int]:
+    """(n_data_files, total_bytes) for the parquet files under ``path``."""
+    fs, hpath, jvm = _fs(spark, path)
+    n, total = 0, 0
+    it = fs.listFiles(hpath, True)
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if name.endswith(".parquet") and not name.startswith((".", "_")):
+            n += 1
+            total += st.getLen()
+    return n, total
+
+
+def compact_parquet_dir(spark: SparkSession, path: str,
+                        target_file_bytes: int = 128 * 1024 * 1024,
+                        min_files: int = 2) -> dict:
+    """Rewrite ``path`` into ``ceil(total_bytes / target_file_bytes)``
+    parquet files.  No-op (returns ``{"compacted": False, ...}``) when the
+    directory already holds fewer than ``min_files`` data files or fewer
+    files than the target count — rewriting would churn bytes for nothing.
+
+    Returns a stats dict so schedulers can log/alert on it.
+    """
+    files_before, total_bytes = parquet_dir_stats(spark, path)
+    n_target = max(1, math.ceil(total_bytes / target_file_bytes))
+    if files_before < min_files or files_before <= n_target:
+        return {"compacted": False, "files_before": files_before,
+                "files_after": files_before, "bytes": total_bytes}
+
+    fs, hpath, jvm = _fs(spark, path)
+    tmp = jvm.org.apache.hadoop.fs.Path(path + "._compact_tmp")
+    old = jvm.org.apache.hadoop.fs.Path(path + "._compact_old")
+    # stale leftovers from a crashed previous run
+    for p in (tmp, old):
+        if fs.exists(p):
+            fs.delete(p, True)
+
+    (spark.read.parquet(path)
+     .repartition(n_target)
+     .write.mode("overwrite").parquet(tmp.toString()))
+
+    if not fs.rename(hpath, old):
+        raise IOError(f"compact: rename {path} -> {old} failed")
+    if not fs.rename(tmp, hpath):
+        # roll back so the sink never disappears
+        fs.rename(old, hpath)
+        raise IOError(f"compact: rename {tmp} -> {path} failed (rolled back)")
+    fs.delete(old, True)
+
+    files_after, _ = parquet_dir_stats(spark, path)
+    return {"compacted": True, "files_before": files_before,
+            "files_after": files_after, "bytes": total_bytes}

@@ -131,6 +131,38 @@ def daily_active_users_approx(events: DataFrame,
     )
 
 
+def heavy_hitter_users(events: DataFrame,
+                       min_share: float = 0.001) -> DataFrame:
+    """EXACT heavy hitters with sketch-bounded memory: users contributing
+    at least ``min_share`` of all events.
+
+    Two passes, the classic scalable shape:
+    1. candidate generation with ``freqItems`` (Karp et al. streaming
+       frequent-items — per-partition bounded counters merged once; may
+       contain false positives, never false negatives);
+    2. one exact count over ONLY the candidate set (broadcast ``isin``
+       filter), so the verification groupBy touches a bounded key set.
+
+    At 100 TB the naive exact plan shuffles every (user_id) pair-count;
+    this shuffles only events whose user survived the sketch — for a
+    0.1% threshold that is <= 1000 distinct keys by construction.
+    Approximate machinery but exact output, so tests compare it to the
+    naive plan directly (tests/test_events_approx.py).
+    """
+    total = events.count()
+    threshold = int(total * min_share) + (total * min_share > int(
+        total * min_share))  # ceil without float drift
+    cands = events.select("user_id").freqItems(
+        ["user_id"], min_share).collect()[0][0]
+    return (
+        events.filter(F.col("user_id").isin(list(cands)))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .filter(F.col("n_events") >= threshold)
+        .orderBy(F.desc("n_events"), F.asc("user_id"))
+    )
+
+
 def top_users_by_value(events: DataFrame, k: int = 3) -> DataFrame:
     """Per event_type: top-k users by total cents (row_number window,
     deterministic (sum desc, user_id) tiebreak)."""

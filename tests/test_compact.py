@@ -1,0 +1,81 @@
+"""Small-file compaction: an appended-to parquet sink collapses to the
+target file count with identical rows, survives repeat (idempotent
+no-op), and composes with the streaming incremental sink."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from public_transit_data_platform_sql_nosql_spark.jobs.compact import (
+    compact_parquet_dir,
+    parquet_dir_stats,
+)
+
+
+def _fragmented_sink(spark, path: str, appends: int = 3,
+                     files_per_append: int = 16) -> int:
+    df = spark.range(2000).select(
+        F.col("id"), (F.col("id") % 7).alias("k"))
+    for _ in range(appends):
+        df.repartition(files_per_append).write.mode("append").parquet(path)
+    return 2000 * appends
+
+
+def test_compact_collapses_files_and_keeps_rows(spark, tmp_path):
+    sink = str(tmp_path / "sink")
+    n_rows = _fragmented_sink(spark, sink)
+    files_before, total_bytes = parquet_dir_stats(spark, sink)
+    assert files_before == 48
+    checksum = spark.read.parquet(sink).agg(
+        F.sum("id"), F.count(F.lit(1))).collect()[0]
+
+    stats = compact_parquet_dir(spark, sink, target_file_bytes=total_bytes)
+    assert stats["compacted"] is True
+    assert stats["files_before"] == 48
+    assert stats["files_after"] == 1
+
+    after = spark.read.parquet(sink)
+    assert after.count() == n_rows
+    assert after.agg(F.sum("id"), F.count(F.lit(1))).collect()[0] == checksum
+
+    # second pass is a no-op: already at (or under) the target count
+    again = compact_parquet_dir(spark, sink, target_file_bytes=total_bytes)
+    assert again["compacted"] is False
+    assert again["files_after"] == 1
+
+
+def test_compact_respects_target_size(spark, tmp_path):
+    import math
+
+    sink = str(tmp_path / "sink")
+    _fragmented_sink(spark, sink)
+    _, total_bytes = parquet_dir_stats(spark, sink)
+    target = max(1, total_bytes // 4)
+    stats = compact_parquet_dir(spark, sink, target_file_bytes=target)
+    assert stats["compacted"] is True
+    assert stats["files_after"] == math.ceil(total_bytes / target)
+
+
+def test_compact_streaming_sink(spark, tmp_path):
+    """The motivating composition: the streaming incremental sink's
+    per-batch files compact without losing a row."""
+    from public_transit_data_platform_sql_nosql_spark.streaming.jobs import (
+        incremental_refresh,
+        read_events_stream,
+    )
+    from tests.conftest import SF_DIR
+
+    sink = str(tmp_path / "sink")
+    chk = str(tmp_path / "chk")
+    q = incremental_refresh(
+        read_events_stream(spark, SF_DIR),
+        lambda df: df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n")),
+        sink, chk,
+    )
+    q.awaitTermination()
+    before = spark.read.parquet(sink).agg(F.sum("n")).collect()[0][0]
+    compact_parquet_dir(spark, sink, target_file_bytes=1 << 30, min_files=1)
+    files_after, _ = parquet_dir_stats(spark, sink)
+    assert files_after == 1
+    assert spark.read.parquet(sink).agg(F.sum("n")).collect()[0][0] == before
