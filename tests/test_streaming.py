@@ -150,3 +150,47 @@ def test_stateful_running_totals_match_batch(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_normalize_events_ts_all_physical_types(spark):
+    """The driver has shipped events.ts as nanos-long and timestamp[us]
+    across rounds; every branch must land on the same epoch-nanos value,
+    independent of the session timezone."""
+    import datetime
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from public_transit_data_platform_sql_nosql_spark.sources.tpch_adapter import (
+        normalize_events_ts,
+    )
+
+    wall = datetime.datetime(2026, 3, 5, 12, 34, 56, 789012)
+    nanos = 1772714096789012000  # 2026-03-05T12:34:56.789012Z
+
+    long_df = spark.createDataFrame(
+        [(nanos,)], T.StructType([T.StructField("ts", T.LongType())]))
+    ntz_df = spark.createDataFrame(
+        [(wall,)], T.StructType([T.StructField("ts", T.TimestampNTZType())]))
+    # TimestampType: build from the NTZ wall clock in an explicit UTC
+    # session so the fixture is timezone-pinned
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        tz_df = spark.createDataFrame(
+            [(wall,)], T.StructType([T.StructField("ts", T.TimestampType())]))
+        results = {
+            name: normalize_events_ts(df).select("ts").collect()[0][0]
+            for name, df in (("long", long_df), ("ntz", ntz_df),
+                             ("tz", tz_df))
+        }
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    assert results == {"long": nanos, "ntz": nanos, "tz": nanos}, results
+    # and the NTZ arithmetic is session-timezone-proof
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+        shifted = normalize_events_ts(ntz_df).select("ts").collect()[0][0]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    assert shifted == nanos
