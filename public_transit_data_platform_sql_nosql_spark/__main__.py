@@ -1,0 +1,157 @@
+"""Runnable entry points — the engine's analog of the reference's
+operational scripts, so "switching repos" keeps the same muscle memory:
+
+  reference                                   this engine
+  ---------                                   -----------
+  python SQL/generate_csv.py                  ... precompute
+  python Mongo/denormalization.py             ... denormalize
+  python SQL/app.py / Mongo/app.py            ... serve
+  (no analog — MySQL owns storage)            ... compact
+
+Usage (all flags optional where noted):
+
+  python -m public_transit_data_platform_sql_nosql_spark ingest \
+      --dataset-dir feed/ --out out/parquet [--bucket-by-trip]
+  python -m public_transit_data_platform_sql_nosql_spark denormalize \
+      --sf-dir /root/testdata/sf0.01 --out out/denorm [--bucket-stops]
+  python -m public_transit_data_platform_sql_nosql_spark precompute \
+      --sf-dir /root/testdata/sf0.01 --out out/results
+  python -m public_transit_data_platform_sql_nosql_spark compact \
+      --path out/denorm [--target-mb 128]
+  python -m public_transit_data_platform_sql_nosql_spark serve \
+      --sf-dir /root/testdata/sf0.01 [--precompute-dir out/results]
+      [--port 5000]
+
+``--sf-dir`` commands read the driver's TPC-H-shaped testdata through the
+GTFS adapter; ``ingest`` reads a real GTFS text feed.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _spark(app: str):
+    from .session import get_spark
+
+    return get_spark(app_name=f"transit-cli-{app}")
+
+
+def _gtfs(spark, sf_dir: str):
+    from .sources.tpch_adapter import register_gtfs_views
+
+    return register_gtfs_views(spark, sf_dir)
+
+
+def cmd_ingest(args: argparse.Namespace) -> int:
+    from .sources.ingest import ingest_gtfs
+
+    spark = _spark("ingest")
+    out = ingest_gtfs(spark, args.dataset_dir, args.out,
+                      bucket_by_trip=args.bucket_by_trip)
+    print(json.dumps({"tables": out}))
+    return 0
+
+
+def cmd_denormalize(args: argparse.Namespace) -> int:
+    from .jobs.denormalize import (
+        denormalize_stop_timetables,
+        write_stop_timetables,
+    )
+
+    spark = _spark("denormalize")
+    g = _gtfs(spark, args.sf_dir)
+    df = denormalize_stop_timetables(
+        g["stop_times"], g["trips"], g["stops"], g["routes"])
+    write_stop_timetables(df, args.out, bucket_stops=args.bucket_stops)
+    print(json.dumps({"out": args.out,
+                      "stops": spark.read.parquet(args.out).count(),
+                      "bucketed": args.bucket_stops}))
+    return 0
+
+
+def cmd_precompute(args: argparse.Namespace) -> int:
+    from .jobs.precompute import materialize_all
+
+    spark = _spark("precompute")
+    materialize_all(_gtfs(spark, args.sf_dir), args.out)
+    print(json.dumps({"out": args.out}))
+    return 0
+
+
+def cmd_compact(args: argparse.Namespace) -> int:
+    from .jobs.compact import compact_parquet_dir
+
+    spark = _spark("compact")
+    stats = compact_parquet_dir(
+        spark, args.path,
+        target_file_bytes=args.target_mb * 1024 * 1024)
+    print(json.dumps(stats))
+    return 0
+
+
+def build_serve_app(spark, sf_dir: str, precompute_dir: str | None):
+    """Wire the full serving stack (analytics + timetable endpoints) —
+    separated from ``cmd_serve`` so tests can build the app without
+    binding a port."""
+    from .api.app import TransitAPI
+    from .api.http import create_app
+    from .jobs.denormalize import denormalize_stop_timetables
+
+    g = _gtfs(spark, sf_dir)
+    denorm = denormalize_stop_timetables(
+        g["stop_times"], g["trips"], g["stops"], g["routes"]).persist()
+    denorm.count()
+    api = TransitAPI(spark, g, precompute_dir=precompute_dir)
+    return create_app(api, denorm)
+
+
+def cmd_serve(args: argparse.Namespace) -> int:  # pragma: no cover
+    spark = _spark("serve")
+    app = build_serve_app(spark, args.sf_dir, args.precompute_dir)
+    app.run(host=args.host, port=args.port)
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(
+        prog="python -m public_transit_data_platform_sql_nosql_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pi = sub.add_parser("ingest", help="GTFS text feed -> parquet")
+    pi.add_argument("--dataset-dir", required=True)
+    pi.add_argument("--out", required=True)
+    pi.add_argument("--bucket-by-trip", action="store_true")
+    pi.set_defaults(fn=cmd_ingest)
+
+    pd = sub.add_parser("denormalize", help="build the stop doc store")
+    pd.add_argument("--sf-dir", required=True)
+    pd.add_argument("--out", required=True)
+    pd.add_argument("--bucket-stops", action="store_true")
+    pd.set_defaults(fn=cmd_denormalize)
+
+    pp = sub.add_parser("precompute", help="materialize q1-q4 result tables")
+    pp.add_argument("--sf-dir", required=True)
+    pp.add_argument("--out", required=True)
+    pp.set_defaults(fn=cmd_precompute)
+
+    pc = sub.add_parser("compact", help="compact an append-mode sink")
+    pc.add_argument("--path", required=True)
+    pc.add_argument("--target-mb", type=int, default=128)
+    pc.set_defaults(fn=cmd_compact)
+
+    ps = sub.add_parser("serve", help="run the HTTP API")
+    ps.add_argument("--sf-dir", required=True)
+    ps.add_argument("--precompute-dir", default=None)
+    ps.add_argument("--host", default="127.0.0.1")
+    ps.add_argument("--port", type=int, default=5000)
+    ps.set_defaults(fn=cmd_serve)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -121,7 +121,8 @@ def ngram_candidates(sh: DataFrame, max_df: int) -> DataFrame:
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
                         threshold: float = 0.5,
                         max_df: int = NGRAM_MAX_DF,
-                        max_set_size: int = NGRAM_MAX_SET) -> DataFrame:
+                        max_set_size: int = NGRAM_MAX_SET,
+                        sketch_estimator: str = "pairwise") -> DataFrame:
     """Exact n-gram Jaccard over an inverted-index self-join.
 
     Candidate generation prunes shingles whose document frequency exceeds
@@ -131,11 +132,15 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
     ``max_set_size`` SMALLEST hash values (sort_array + slice): for docs
     under the cap (every doc at test scale) the score is the exact
     Jaccard; a book-length doc above it is scored on its bottom-k hash
-    sketch — |A_k ∩ B_k| / |A_k ∪ B_k| over the two per-doc sketches, a
-    biased but bounded approximation (the unbiased bottom-k estimator
-    would sketch the UNION'S bottom-k, which needs the pair in hand) —
-    so the score degrades gracefully instead of materializing an
-    unbounded per-row array.  Both caps affect recall only for (a) pairs connected purely
+    sketch.  Two estimators via ``sketch_estimator``: ``"pairwise"``
+    (default, and what the driver oracle mirrors) scores
+    |A_k ∩ B_k| / |A_k ∪ B_k| over the two per-doc sketches — a biased
+    but bounded approximation; ``"union"`` is the classic UNBIASED
+    bottom-k estimator, |both ∩ bottom_k(A∪B)| / |bottom_k(A∪B)|, which
+    is computable exactly from the same per-doc sketches (the k smallest
+    of the union are a subset of the two sketches' elements) at the cost
+    of one extra array merge per candidate pair.  Both are exact full
+    Jaccard whenever the docs fit under the cap.  Both caps affect recall only for (a) pairs connected purely
     through stopword-class shingles hotter than ``max_df`` (not near-dups
     at a 0.5 threshold anyway) and (b) sketch noise on docs with more
     than ``max_set_size`` distinct shingles.  The DuckDB oracle mirrors
@@ -152,13 +157,29 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
                 1, max_set_size).alias("hs"))
     inter = F.size(F.array_intersect(F.col("ha.hs"), F.col("hb.hs")))
     union = (F.size(F.col("ha.hs")) + F.size(F.col("hb.hs")) - inter)
+    if sketch_estimator == "union":
+        # unbiased bottom-k: restrict to the k smallest hashes of the
+        # UNION (computable exactly from the two per-doc bottom-k
+        # sketches), then estimate J = |both ∩ bottom_k(A∪B)| / k'.
+        # Exact when both docs are under the cap (the union slice then
+        # holds the whole union).
+        uk = F.slice(
+            F.array_sort(F.array_union(F.col("ha.hs"), F.col("hb.hs"))),
+            1, max_set_size)
+        in_both = F.size(F.array_intersect(
+            uk, F.array_intersect(F.col("ha.hs"), F.col("hb.hs"))))
+        score = F.round(in_both / F.size(uk).cast("double"), 6)
+        n_common = in_both
+    else:
+        score = F.round(inter / union.cast("double"), 6)
+        n_common = inter
     return (
         cand.join(hs.alias("ha"), F.col("doc_a") == F.col("ha.doc_id"))
         .join(hs.alias("hb"), F.col("doc_b") == F.col("hb.doc_id"))
         .select(
             "doc_a", "doc_b",
-            inter.cast("long").alias("n_common"),
-            F.round(inter / union.cast("double"), 6).alias("jaccard"),
+            n_common.cast("long").alias("n_common"),
+            score.alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )

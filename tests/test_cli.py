@@ -1,0 +1,47 @@
+"""CLI entry points: each subcommand drives its job end-to-end (invoked
+in-process — the session is shared, the arg wiring is what's under
+test)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from public_transit_data_platform_sql_nosql_spark.__main__ import (
+    build_serve_app,
+    main,
+)
+from tests.conftest import SF_DIR
+
+
+def test_cli_denormalize_and_compact(spark, tmp_path, capsys):
+    out = str(tmp_path / "denorm")
+    assert main(["denormalize", "--sf-dir", SF_DIR, "--out", out,
+                 "--bucket-stops"]) == 0
+    payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert payload["stops"] > 0 and payload["bucketed"] is True
+    assert main(["compact", "--path", out, "--target-mb", "128"]) == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert {"compacted", "files_before", "files_after"} <= set(stats)
+
+
+def test_cli_precompute(spark, tmp_path, capsys):
+    out = str(tmp_path / "results")
+    assert main(["precompute", "--sf-dir", SF_DIR, "--out", out]) == 0
+    from public_transit_data_platform_sql_nosql_spark.jobs.precompute import (
+        precomputed_available,
+    )
+
+    for name in ("q1_busiest_stops", "q2_duration_speed",
+                 "q3_transfer_points", "q4_hourly_frequency"):
+        assert precomputed_available(out, name), name
+
+
+def test_cli_serve_app_builds(spark):
+    pytest.importorskip("flask")
+    app = build_serve_app(spark, SF_DIR, None)
+    app.config["TESTING"] = True
+    client = app.test_client()
+    assert client.get("/").status_code == 200
+    assert client.get("/api/q1?limit=3").status_code == 200

@@ -174,3 +174,33 @@ def test_decontaminate_drops_eval_overlaps(spark):
     clean = dedup.drop_contaminated(train, report)
     assert [r["doc_id"] for r in clean.collect()] == [2]
     assert plan_summary(report)["cartesian_products"] == 0
+
+
+def test_ngram_union_bottom_k_estimator(spark):
+    """The opt-in unbiased union-bottom-k estimator matches the same
+    computation done independently in Python, and equals exact Jaccard
+    when docs fit under the cap."""
+    base = " ".join(f"tok{i}" for i in range(60))
+    variant = " ".join(f"tok{i}" if i % 10 else f"alt{i}"
+                       for i in range(60))
+    docs = spark.createDataFrame(
+        [(1, base), (2, variant)], "doc_id long, text string")
+    k = 20
+    rows = dedup.ngram_jaccard_pairs(
+        docs, threshold=0.0, max_set_size=k,
+        sketch_estimator="union").collect()
+    assert len(rows) == 1
+    sa = set(sorted(_py_shingle_hashes(base))[:k])
+    sb = set(sorted(_py_shingle_hashes(variant))[:k])
+    uk = sorted(sa | sb)[:k]
+    in_both = sum(1 for h in uk if h in sa and h in sb)
+    assert rows[0]["n_common"] == in_both
+    assert abs(rows[0]["jaccard"] - round(in_both / len(uk), 6)) < 1e-9
+    # under the cap both estimators are the exact Jaccard
+    small = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e g")],
+        "doc_id long, text string")
+    r_pair = dedup.ngram_jaccard_pairs(small, threshold=0.0).collect()[0]
+    r_union = dedup.ngram_jaccard_pairs(
+        small, threshold=0.0, sketch_estimator="union").collect()[0]
+    assert r_pair["jaccard"] == r_union["jaccard"]
