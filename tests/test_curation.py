@@ -84,3 +84,28 @@ def test_chunk_tokens_coverage(docs):
         # consecutive chunks overlap by CHUNK_OVERLAP tokens (until the
         # tail), so every token is covered at least once
         assert got[-1]["chunk_idx"] * step + got[-1]["n_chunk_tokens"] == n
+
+
+def test_chunk_tokens_boundary_sizes(spark):
+    """The integer ceil-division chunk count at exact window boundaries:
+    n = 1, step-1, step, step+1, size, size+1, 2*size, and a co-prime
+    size — chunk indices dense, sizes exact, full coverage."""
+    step = cur.CHUNK_SIZE - cur.CHUNK_OVERLAP
+    sizes = [1, step - 1, step, step + 1, cur.CHUNK_SIZE,
+             cur.CHUNK_SIZE + 1, 2 * cur.CHUNK_SIZE, 317]
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"t{j}" for j in range(n)))
+         for i, n in enumerate(sizes)],
+        "doc_id long, text string")
+    by_doc: dict[int, list] = {}
+    for r in cur.chunk_tokens(docs).collect():
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i, n in enumerate(sizes):
+        got = sorted(by_doc[i], key=lambda r: r["chunk_idx"])
+        assert [r["chunk_idx"] for r in got] == list(
+            range(math.ceil(n / step))), (i, n)
+        for r in got:
+            start = r["chunk_idx"] * step
+            assert r["n_chunk_tokens"] == min(
+                start + cur.CHUNK_SIZE, n) - start, (i, n)
+        assert got[-1]["chunk_idx"] * step + got[-1]["n_chunk_tokens"] == n
