@@ -162,3 +162,39 @@ def q2_per_service_breakdown(
         )
         .orderBy("route_long_name", "service_id")
     )
+
+
+def route_duration_quantiles(
+    stop_times: DataFrame,
+    trips: DataFrame,
+    routes: DataFrame,
+    probs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Per-route trip-duration quantiles via ``percentile_approx`` — the
+    sketch companion to q2's mean/stddev (an extension; the reference has
+    no quantile query).
+
+    The scale path: exact percentiles need a per-route SORT of every trip
+    duration; the approx sketch is a bounded-size per-partition
+    accumulator merged once per route — same shuffle shape as the
+    existing avg/stddev aggregate.  Error is bounded by 1/``accuracy``
+    in rank space.  Approximate by construction, so no value-hash oracle;
+    tests bound it against exact percentiles
+    (tests/test_events_approx.py)."""
+    from .common import trip_stats
+
+    per_trip = trip_stats(stop_times, trips)
+    qcols = [
+        F.percentile_approx("trip_duration_seconds", F.lit(p),
+                            F.lit(accuracy))
+        .alias(f"p{int(p * 100)}_duration_secs")
+        for p in probs
+    ]
+    return (
+        per_trip.groupBy("route_id")
+        .agg(F.count(F.lit(1)).alias("n_trips"), *qcols)
+        .join(F.broadcast(routes.select("route_id", "route_long_name")),
+              "route_id")
+        .orderBy("route_id")
+    )

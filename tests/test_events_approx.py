@@ -57,3 +57,42 @@ def test_heavy_hitters_match_naive_exact(spark):
             .filter(F.col("n") >= threshold)
             .orderBy(F.desc("n"), F.asc("user_id")).collect()]
     assert got == want and len(got) > 0
+
+
+def test_route_duration_quantiles_bounded_error(spark):
+    """percentile_approx per route must land within the sketch's rank
+    guarantee of the exact percentile (checked in rank space: the
+    approx value's true rank is within 1% of the target rank)."""
+    from pyspark.sql import functions as F
+
+    from public_transit_data_platform_sql_nosql_spark.queries.common import (
+        trip_stats,
+    )
+    from public_transit_data_platform_sql_nosql_spark.queries.q2_duration_speed import (
+        route_duration_quantiles,
+    )
+    from public_transit_data_platform_sql_nosql_spark.sources.tpch_adapter import (
+        register_gtfs_views,
+    )
+    from tests.conftest import SF_DIR
+
+    gtfs = register_gtfs_views(spark, SF_DIR)
+    got = route_duration_quantiles(
+        gtfs["stop_times"], gtfs["trips"], gtfs["routes"]).collect()
+    assert len(got) > 0
+    durations: dict[str, list[int]] = {}
+    for r in trip_stats(gtfs["stop_times"], gtfs["trips"]).collect():
+        durations.setdefault(r["route_id"], []).append(
+            r["trip_duration_seconds"])
+    for row in got:
+        ds = sorted(durations[row["route_id"]])
+        assert row["n_trips"] == len(ds)
+        for p in (50, 90, 99):
+            v = row[f"p{p}_duration_secs"]
+            assert v in ds  # percentile_approx returns a real sample
+            lo = sum(1 for d in ds if d < v)
+            hi = sum(1 for d in ds if d <= v)
+            target = p / 100 * len(ds)
+            slack = max(1.0, 0.01 * len(ds))
+            assert lo - slack <= target <= hi + slack, (
+                row["route_id"], p, v, lo, hi, target)
