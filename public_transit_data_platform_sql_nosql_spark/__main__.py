@@ -92,25 +92,37 @@ def cmd_compact(args: argparse.Namespace) -> int:
     return 0
 
 
-def build_serve_app(spark, sf_dir: str, precompute_dir: str | None):
+def build_serve_app(spark, sf_dir: str, precompute_dir: str | None,
+                    denorm_path: str | None = None):
     """Wire the full serving stack (analytics + timetable endpoints) —
     separated from ``cmd_serve`` so tests can build the app without
-    binding a port."""
+    binding a port.
+
+    ``denorm_path`` serves the timetable endpoints from a doc store on
+    disk (the ``denormalize`` subcommand's output) instead of rebuilding
+    the ETL in memory at startup.  A ``--bucket-stops`` store then gives
+    every point lookup partition pruning (jobs/denormalize.point_read),
+    which is the right trade for stores too big to persist: cold-start
+    instantly, scan 1/256th per request."""
     from .api.app import TransitAPI
     from .api.http import create_app
     from .jobs.denormalize import denormalize_stop_timetables
 
     g = _gtfs(spark, sf_dir)
-    denorm = denormalize_stop_timetables(
-        g["stop_times"], g["trips"], g["stops"], g["routes"]).persist()
-    denorm.count()
+    if denorm_path is not None:
+        denorm = spark.read.parquet(denorm_path)
+    else:
+        denorm = denormalize_stop_timetables(
+            g["stop_times"], g["trips"], g["stops"], g["routes"]).persist()
+        denorm.count()
     api = TransitAPI(spark, g, precompute_dir=precompute_dir)
     return create_app(api, denorm)
 
 
 def cmd_serve(args: argparse.Namespace) -> int:  # pragma: no cover
     spark = _spark("serve")
-    app = build_serve_app(spark, args.sf_dir, args.precompute_dir)
+    app = build_serve_app(spark, args.sf_dir, args.precompute_dir,
+                          denorm_path=args.denorm_path)
     app.run(host=args.host, port=args.port)
     return 0
 
@@ -145,6 +157,9 @@ def main(argv: list[str] | None = None) -> int:
     ps = sub.add_parser("serve", help="run the HTTP API")
     ps.add_argument("--sf-dir", required=True)
     ps.add_argument("--precompute-dir", default=None)
+    ps.add_argument("--denorm-path", default=None,
+                    help="serve timetables from a denormalize output dir "
+                         "(bucketed stores get pruned point lookups)")
     ps.add_argument("--host", default="127.0.0.1")
     ps.add_argument("--port", type=int, default=5000)
     ps.set_defaults(fn=cmd_serve)

@@ -51,6 +51,22 @@ def parquet_dir_stats(spark: SparkSession, path: str) -> tuple[int, int]:
     return n, total
 
 
+def partition_columns(spark: SparkSession, path: str) -> list[str]:
+    """Hive-style partition columns of ``path``, detected from the first
+    ``col=value`` directory chain (empty list for a flat layout)."""
+    fs, hpath, jvm = _fs(spark, path)
+    cols: list[str] = []
+    current = hpath
+    while True:
+        sub = [st.getPath() for st in fs.listStatus(current)
+               if st.isDirectory() and "=" in st.getPath().getName()
+               and not st.getPath().getName().startswith((".", "_"))]
+        if not sub:
+            return cols
+        cols.append(sub[0].getName().split("=", 1)[0])
+        current = sub[0]
+
+
 def compact_parquet_dir(spark: SparkSession, path: str,
                         target_file_bytes: int = 128 * 1024 * 1024,
                         min_files: int = 2) -> dict:
@@ -58,6 +74,12 @@ def compact_parquet_dir(spark: SparkSession, path: str,
     parquet files.  No-op (returns ``{"compacted": False, ...}``) when the
     directory already holds fewer than ``min_files`` data files or fewer
     files than the target count — rewriting would churn bytes for nothing.
+
+    Hive-partitioned layouts (e.g. the bucketed doc store's
+    ``stop_bucket=NN/`` directories) are preserved: the rewrite
+    re-shuffles on the detected partition columns and writes with
+    ``partitionBy``, so partition pruning keeps working after compaction
+    instead of silently degrading to a flat scan.
 
     Returns a stats dict so schedulers can log/alert on it.
     """
@@ -75,9 +97,17 @@ def compact_parquet_dir(spark: SparkSession, path: str,
         if fs.exists(p):
             fs.delete(p, True)
 
-    (spark.read.parquet(path)
-     .repartition(n_target)
-     .write.mode("overwrite").parquet(tmp.toString()))
+    pcols = partition_columns(spark, path)
+    df = spark.read.parquet(path)
+    if pcols:
+        # one output file per partition directory (the per-partition
+        # byte share is what the target bounds); pre-shuffle on the
+        # partition key so each directory is written by one task
+        writer = (df.repartition(*pcols)
+                  .write.mode("overwrite").partitionBy(*pcols))
+    else:
+        writer = df.repartition(n_target).write.mode("overwrite")
+    writer.parquet(tmp.toString())
 
     if not fs.rename(hpath, old):
         raise IOError(f"compact: rename {path} -> {old} failed")

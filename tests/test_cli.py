@@ -45,3 +45,23 @@ def test_cli_serve_app_builds(spark):
     client = app.test_client()
     assert client.get("/").status_code == 200
     assert client.get("/api/q1?limit=3").status_code == 200
+
+
+def test_cli_serve_from_bucketed_store(spark, tmp_path, capsys):
+    """serve --denorm-path over a bucketed doc store: endpoints answer
+    identically to the in-memory build, with point lookups hitting the
+    pruned path."""
+    pytest.importorskip("flask")
+    out = str(tmp_path / "denorm")
+    assert main(["denormalize", "--sf-dir", SF_DIR, "--out", out,
+                 "--bucket-stops"]) == 0
+    capsys.readouterr()
+    disk_app = build_serve_app(spark, SF_DIR, None, denorm_path=out)
+    mem_app = build_serve_app(spark, SF_DIR, None)
+    for app in (disk_app, mem_app):
+        app.config["TESTING"] = True
+    d, m = disk_app.test_client(), mem_app.test_client()
+    assert (d.get("/get_timetable?stop_id=17").get_json()
+            == m.get("/get_timetable?stop_id=17").get_json())
+    assert (d.get("/get_arrivals?stop_id=17").get_json()
+            == m.get("/get_arrivals?stop_id=17").get_json())

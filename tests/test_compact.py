@@ -79,3 +79,38 @@ def test_compact_streaming_sink(spark, tmp_path):
     files_after, _ = parquet_dir_stats(spark, sink)
     assert files_after == 1
     assert spark.read.parquet(sink).agg(F.sum("n")).collect()[0][0] == before
+
+
+def test_compact_preserves_partitioned_layout(spark, tmp_path):
+    """Compacting the bucketed doc store must keep the stop_bucket=NN/
+    directory layout (and therefore point_read's partition pruning),
+    not flatten it into plain files."""
+    from public_transit_data_platform_sql_nosql_spark.jobs.compact import (
+        partition_columns,
+    )
+    from public_transit_data_platform_sql_nosql_spark.plans.inspect import (
+        executed_plan,
+    )
+
+    sink = str(tmp_path / "store")
+    df = spark.range(500).select(
+        F.col("id").cast("string").alias("stop_id"),
+        (F.col("id") % 13).cast("int").alias("stop_bucket"),
+        (F.col("id") * 7).alias("payload"))
+    # fragment: several appends, many files per bucket
+    for _ in range(3):
+        df.repartition(8).write.mode("append") \
+            .partitionBy("stop_bucket").parquet(sink)
+    assert partition_columns(spark, sink) == ["stop_bucket"]
+    before = spark.read.parquet(sink).count()
+
+    stats = compact_parquet_dir(spark, sink, target_file_bytes=1 << 30,
+                                min_files=1)
+    assert stats["compacted"] is True
+    assert partition_columns(spark, sink) == ["stop_bucket"]
+    assert stats["files_after"] == 13  # one per bucket directory
+
+    store = spark.read.parquet(sink)
+    assert store.count() == before
+    plan = executed_plan(store.filter(F.col("stop_bucket") == 3))
+    assert "PartitionFilters" in plan and "stop_bucket" in plan
