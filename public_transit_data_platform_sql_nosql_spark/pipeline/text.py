@@ -124,3 +124,26 @@ def text_profile(docs: DataFrame) -> DataFrame:
                           "stopword_ratio", "punct_ratio", "mean_word_len",
                           "quality_score", "labeled_lang", "predicted_lang",
                           "marker_hits", "fingerprint", "min_token_hash"])
+
+
+def vocabulary(docs: DataFrame, top_k: int | None = None,
+               min_count: int = 1) -> DataFrame:
+    """Corpus token-frequency table — the input a tokenizer-training or
+    stopword-induction step consumes.
+
+    Scale notes: explode -> ONE hash aggregation on the token key with
+    map-side combine (the per-partition partials bound the shuffle to
+    distinct-tokens-per-partition, not corpus tokens); ``top_k`` plans as
+    TakeOrderedAndProject, so no global sort materializes even when the
+    vocabulary is huge.  Zipf skew on hot tokens is absorbed by the
+    partial aggregation — the hot key reaches the shuffle once per
+    partition.
+    """
+    vocab = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
+        .filter(F.col("n_occurrences") >= min_count)
+        .orderBy(F.desc("n_occurrences"), F.asc("token"))
+    )
+    return vocab.limit(top_k) if top_k is not None else vocab

@@ -109,3 +109,24 @@ def test_chunk_tokens_boundary_sizes(spark):
             assert r["n_chunk_tokens"] == min(
                 start + cur.CHUNK_SIZE, n) - start, (i, n)
         assert got[-1]["chunk_idx"] * step + got[-1]["n_chunk_tokens"] == n
+
+
+def test_vocabulary_matches_python_counter(spark, docs):
+    """Corpus vocabulary equals an independent Python count, ranks by
+    (count desc, token asc), and the top-k path plans as
+    TakeOrderedAndProject (no global sort)."""
+    from collections import Counter
+
+    from public_transit_data_platform_sql_nosql_spark.pipeline.text import (
+        vocabulary,
+    )
+
+    counts: Counter = Counter()
+    for r in docs.select("text").collect():
+        counts.update(r["text"].lower().strip().split())
+    got = [(r["token"], r["n_occurrences"])
+           for r in vocabulary(docs, top_k=25).collect()]
+    want = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:25]
+    assert got == want
+    assert plan_summary(vocabulary(docs, top_k=25))[
+        "take_ordered_and_project"]
