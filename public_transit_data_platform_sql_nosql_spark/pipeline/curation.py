@@ -199,3 +199,40 @@ def chunk_tokens(docs: DataFrame, chunk_size: int = CHUNK_SIZE,
             md5_hash64(F.concat_ws(" ", chunk)).alias("chunk_hash"),
         )
     )
+
+
+def training_chunks(docs: DataFrame, labels: DataFrame,
+                    quality: DataFrame,
+                    decont_report: DataFrame | None = None,
+                    min_quality: float = MIN_QUALITY) -> DataFrame:
+    """The COMPLETE pretraining-data pass, docs in -> training sequences
+    out, as ONE closed Spark plan:
+
+      quality gate ∩ dedup keep-one ∩ train split   (curated_corpus)
+      minus eval-contaminated docs                  (decontaminate_report)
+      -> overlapping context windows                (chunk_tokens)
+      minus corpus-repeated boilerplate windows     (chunk_dedup, keeping
+                                                     each repeated chunk's
+                                                     canonical owner copy)
+
+    Every stage is a hash/broadcast join or a per-doc projection — no
+    driver round-trips between stages, so Catalyst sees (and can
+    re-order/prune across) the whole pipeline, and the plan scales the
+    same way its pieces were individually shown to.
+    """
+    kept = curated_corpus(docs, labels, quality, min_quality)
+    if decont_report is not None:
+        kept = kept.join(decont_report.select("doc_id"),
+                         "doc_id", "left_anti")
+    chunks = chunk_tokens(
+        docs.join(kept.select("doc_id"), "doc_id", "left_semi"))
+    boiler = chunk_dedup(chunks)
+    # drop repeated windows EXCEPT the canonical owner's copy, so shared
+    # content survives exactly once corpus-wide
+    return chunks.join(
+        boiler.select("chunk_hash",
+                      F.col("canonical_doc_id").alias("_canon")),
+        "chunk_hash", "left",
+    ).filter(
+        F.col("_canon").isNull() | (F.col("doc_id") == F.col("_canon"))
+    ).drop("_canon")

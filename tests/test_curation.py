@@ -130,3 +130,48 @@ def test_vocabulary_matches_python_counter(spark, docs):
     assert got == want
     assert plan_summary(vocabulary(docs, top_k=25))[
         "take_ordered_and_project"]
+
+
+def test_training_chunks_end_to_end(spark, docs):
+    """docs -> training sequences: surviving chunks come only from
+    curated, non-contaminated docs; every repeated window keeps exactly
+    its canonical copy; the whole pass is one closed plan (no cartesian,
+    no driver hops)."""
+    from pyspark.sql import functions as F
+
+    from public_transit_data_platform_sql_nosql_spark.pipeline import (
+        dedup as pd_,
+    )
+    from public_transit_data_platform_sql_nosql_spark.pipeline import (
+        text as pt,
+    )
+
+    labels = pd_.dedup_clusters(pd_.minhash_lsh_pairs(docs))
+    quality = pt.quality_scores(docs)
+    decont = pd_.decontaminate_report(
+        docs.filter("doc_id % 11 != 0"), docs.filter("doc_id % 11 = 0"))
+    out = cur.training_chunks(docs, labels, quality,
+                              decont_report=decont).persist()
+    assert out.count() > 0
+    kept_docs = {r["doc_id"] for r in
+                 cur.curated_corpus(docs, labels, quality)
+                 .join(decont.select("doc_id"), "doc_id", "left_anti")
+                 .collect()}
+    assert {r["doc_id"] for r in out.select("doc_id").distinct().collect()
+            } <= kept_docs
+    # repeated windows: exactly one surviving copy per chunk_hash among
+    # the chunks that were corpus-repeated
+    dup_counts = (out.groupBy("chunk_hash")
+                  .agg(F.countDistinct("doc_id").alias("nd")).collect())
+    boiler = {r["chunk_hash"] for r in
+              cur.chunk_dedup(cur.chunk_tokens(
+                  docs.join(
+                      spark.createDataFrame(
+                          [(d,) for d in kept_docs], "doc_id long"),
+                      "doc_id", "left_semi"))).collect()}
+    for r in dup_counts:
+        if r["chunk_hash"] in boiler:
+            assert r["nd"] == 1
+    s = plan_summary(cur.training_chunks(docs, labels, quality))
+    assert s["cartesian_products"] == 0
+    out.unpersist()
