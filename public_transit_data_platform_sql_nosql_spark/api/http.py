@@ -23,9 +23,11 @@ reference's edge behaviors:
   `Mongo/app.py:185-204`); only the grouped branch applies P8.
 - ``/get_timetable`` keeps null departure_times as the literal 'NaT'
   (the reference ETL stringifies pandas NaT into the stored doc,
-  `Mongo/denormalization.py:97`) and passes null route/headsign group
-  keys through — the reference's ``.get(key, default)`` fallbacks are
-  dead code since the ETL writes every key (see queries/timetable.py).
+  `Mongo/denormalization.py:97`); null route/headsign group keys are
+  emitted as the "null" JSON key — the reference's ``.get(key,
+  default)`` fallbacks are dead code since the ETL writes every key
+  (see queries/timetable.py), and its Flask jsonify would 500 sorting a
+  None key against named ones, so this is the one deliberate deviation.
 
 Scale/serving notes: every timetable endpoint is a point lookup on
 ``stop_id`` — pass a ``.persist()``-ed (or bucketed-by-stop_id) denorm
@@ -131,10 +133,19 @@ def create_app(analytics: TransitAPI, denorm: DataFrame):
             return jsonify({"error": "Missing 'stop_id' parameter"}), 400
         if not _stop_exists(stop_id):
             return jsonify({"error": f"Stop ID not found: {stop_id}"}), 404
-        sched: dict[Any, dict[Any, list[str]]] = {}
+        # Null group keys become the literal "null" key — what plain
+        # json.dumps emits for a None dict key.  DELIBERATE deviation:
+        # Flask's sort_keys jsonify raises on a dict mixing None and str
+        # keys, so the reference app 500s on a stop whose services mix
+        # null and named routes; emitting the unsorted-dumps key shape
+        # keeps the endpoint total without inventing new labels.
+        sched: dict[str, dict[str, list[str]]] = {}
         for r in tt.get_timetable(denorm, stop_id).collect():
-            sched.setdefault(r["route_long_name"], {})[
-                r["trip_headsign"]] = list(r["times"])
+            route = ("null" if r["route_long_name"] is None
+                     else r["route_long_name"])
+            head = ("null" if r["trip_headsign"] is None
+                    else r["trip_headsign"])
+            sched.setdefault(route, {})[head] = list(r["times"])
         return jsonify(sched)
 
     @app.get("/get_routes_for_stop")

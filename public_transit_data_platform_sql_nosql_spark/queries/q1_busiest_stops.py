@@ -49,3 +49,48 @@ def q1_busiest_stops(
         .orderBy(F.desc("total_trip_events"), F.asc("stop_id"))
     )
     return apply_limit(agg, limit)
+
+
+def q1_busiest_stops_approx(
+    stop_times: DataFrame,
+    trips: DataFrame,
+    stops: DataFrame,
+    service_id: object = None,
+    limit: object = 20,
+    rsd: float = 0.02,
+) -> DataFrame:
+    """Q1's scale variant: ``approx_count_distinct`` (HLL++) for the
+    per-stop route count.
+
+    Exact COUNT(DISTINCT route_id) expands each group into its distinct
+    route set before counting — a second shuffle keyed on (stop, route).
+    The sketch keeps the plan at ONE aggregation pass with a fixed-size
+    accumulator per stop, which is the shape to run when stops number in
+    the millions and golden-exact route counts don't matter (dashboards,
+    monitoring).  total_trip_events (the ranking key) stays exact, so
+    the top-k ordering matches the exact variant wherever event counts
+    differ — only the route-count column is approximate (bounded by
+    ``rsd``; tests/test_events_approx.py).
+    """
+    t = apply_service_filter(
+        trips.select("trip_id", "route_id", "service_id"), service_id
+    )
+    agg = (
+        stop_times.select("trip_id", "stop_id")
+        .join(F.broadcast(t), "trip_id")
+        .join(
+            F.broadcast(
+                stops.select("stop_id", "stop_code", "stop_name",
+                             "stop_lat", "stop_lon")
+            ),
+            "stop_id",
+        )
+        .groupBy("stop_id", "stop_code", "stop_name", "stop_lat", "stop_lon")
+        .agg(
+            F.count(F.lit(1)).alias("total_trip_events"),
+            F.approx_count_distinct("route_id", rsd)
+            .alias("num_unique_routes_approx"),
+        )
+        .orderBy(F.desc("total_trip_events"), F.asc("stop_id"))
+    )
+    return apply_limit(agg, limit)

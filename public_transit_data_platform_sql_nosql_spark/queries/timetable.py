@@ -174,8 +174,10 @@ def get_timetable(denorm: DataFrame, stop_id: str) -> DataFrame:
     route_long_name / trip_headsign group keys pass through unchanged —
     the reference's ``service.get(key, default)`` defaults are dead code
     (the ETL writes every key on every service dict, so ``.get`` never
-    falls back to 'Unknown Route'/'Unknown Direction'), and a None key
-    serializes as "null" under Flask's jsonify in both stacks."""
+    falls back to 'Unknown Route'/'Unknown Direction').  The HTTP edge
+    maps a None key to the literal "null" (api/http.py — Flask's sorted
+    jsonify cannot mix None and str keys; the reference app would 500
+    there)."""
     from ..functions.gtfs_time import time_to_secs, wrap_display_time
 
     df = _exploded(denorm, stop_id, filtered=False)

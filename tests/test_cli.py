@@ -65,3 +65,21 @@ def test_cli_serve_from_bucketed_store(spark, tmp_path, capsys):
             == m.get("/get_timetable?stop_id=17").get_json())
     assert (d.get("/get_arrivals?stop_id=17").get_json()
             == m.get("/get_arrivals?stop_id=17").get_json())
+
+
+def test_cli_ingest(spark, tmp_path, capsys):
+    from tests.test_ingest import _FEED
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    for fname, body in _FEED.items():
+        (feed / fname).write_text(body)
+    out = str(tmp_path / "parquet")
+    assert main(["ingest", "--dataset-dir", str(feed), "--out", out,
+                 "--bucket-by-trip"]) == 0
+    payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert set(payload["tables"]) == {"calendar", "routes", "trips",
+                                      "stops", "stop_times"}
+    assert spark.read.parquet(payload["tables"]["stops"]).count() == 2
+    # the bucketed variant landed as a metastore table too
+    assert spark.table("gtfs_stop_times_bucketed").count() == 4

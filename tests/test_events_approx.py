@@ -96,3 +96,30 @@ def test_route_duration_quantiles_bounded_error(spark):
             slack = max(1.0, 0.01 * len(ds))
             assert lo - slack <= target <= hi + slack, (
                 row["route_id"], p, v, lo, hi, target)
+
+
+def test_q1_approx_route_counts_bounded(spark):
+    """The HLL route-count variant ranks identically to exact Q1 (the
+    ranking key stays exact) and its route counts sit within the sketch
+    error of the exact distinct counts."""
+    from public_transit_data_platform_sql_nosql_spark.queries.q1_busiest_stops import (
+        q1_busiest_stops,
+        q1_busiest_stops_approx,
+    )
+    from public_transit_data_platform_sql_nosql_spark.sources.tpch_adapter import (
+        register_gtfs_views,
+    )
+    from tests.conftest import SF_DIR
+
+    gtfs = register_gtfs_views(spark, SF_DIR)
+    args = (gtfs["stop_times"], gtfs["trips"], gtfs["stops"], None, 50)
+    exact = q1_busiest_stops(*args).collect()
+    approx = q1_busiest_stops_approx(*args).collect()
+    assert [r["stop_id"] for r in approx] == [r["stop_id"] for r in exact]
+    assert all(a["total_trip_events"] == e["total_trip_events"]
+               for a, e in zip(approx, exact))
+    for a, e in zip(approx, exact):
+        err = abs(a["num_unique_routes_approx"] - e["num_unique_routes"])
+        assert err <= max(1, 0.1 * e["num_unique_routes"]), (
+            a["stop_id"], a["num_unique_routes_approx"],
+            e["num_unique_routes"])

@@ -167,11 +167,13 @@ def test_get_timetable_keeps_null_times_as_nat(web):
         denorm.select("stop_id",
                       F.explode("upcoming_services").alias("s"))
         .filter(F.col("s.departure_time").isNull())
-        .select("stop_id").limit(1).collect()
+        .select("stop_id").orderBy("stop_id").limit(1).collect()
     )
     assert probe, "fixture should inject null departure_times"
     stop = probe[0]["stop_id"]
-    sched = client.get(f"/get_timetable?stop_id={stop}").get_json()
+    resp = client.get(f"/get_timetable?stop_id={stop}")
+    assert resp.status_code == 200
+    sched = resp.get_json()
     times = [t for route in sched.values()
              for ts in route.values() for t in ts]
     assert "NaT" in times
@@ -180,6 +182,32 @@ def test_get_timetable_keeps_null_times_as_nat(web):
     for route in sched.values():
         for ts in route.values():
             assert ts == sorted(ts)
+
+
+def test_get_timetable_null_group_keys_serialize(web):
+    """A stop whose services mix null and named route/headsign keys must
+    answer 200 with the None keys emitted as the "null" JSON key (the
+    reference's sorted jsonify would 500 there — documented deviation)."""
+    from pyspark.sql import functions as F
+
+    client, _, denorm = web
+    probe = (
+        denorm.select("stop_id",
+                      F.explode("upcoming_services").alias("s"))
+        .groupBy("stop_id")
+        .agg(F.sum(F.col("s.trip_headsign").isNull().cast("int"))
+             .alias("nulls"),
+             F.sum(F.col("s.trip_headsign").isNotNull().cast("int"))
+             .alias("named"))
+        .filter((F.col("nulls") > 0) & (F.col("named") > 0))
+        .orderBy("stop_id").limit(1).collect()
+    )
+    assert probe, "fixture should mix null and named headsigns somewhere"
+    stop = probe[0]["stop_id"]
+    resp = client.get(f"/get_timetable?stop_id={stop}")
+    assert resp.status_code == 200
+    sched = resp.get_json()
+    assert "null" in {h for route in sched.values() for h in route}
 
 
 def test_one_spark_job_per_timetable_request(web, spark):
