@@ -194,3 +194,35 @@ def test_normalize_events_ts_all_physical_types(spark):
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
     assert shifted == nanos
+
+
+def test_stream_decontaminate_matches_batch(spark, tmp_path):
+    """Streaming ingest hygiene: decontaminating each micro-batch against
+    a static eval set (foreachBatch + the batch operators) keeps exactly
+    the docs the batch pipeline keeps — the corpus-hygiene ops run
+    incrementally with no streaming-specific rewrite."""
+    from public_transit_data_platform_sql_nosql_spark.pipeline.dedup import (
+        decontaminate_report,
+        drop_contaminated,
+    )
+    from public_transit_data_platform_sql_nosql_spark.streaming.jobs import (
+        incremental_refresh,
+        read_documents_stream,
+    )
+
+    docs = register_tpch(spark, SF_DIR, ("documents",))["documents"]
+    eval_docs = docs.filter("doc_id % 11 = 0")
+
+    def clean(batch):
+        return drop_contaminated(
+            batch, decontaminate_report(batch, eval_docs))
+
+    sink = str(tmp_path / "sink")
+    chk = str(tmp_path / "chk")
+    q = incremental_refresh(
+        read_documents_stream(spark, SF_DIR), clean, sink, chk)
+    q.awaitTermination()
+    got = {r["doc_id"] for r in spark.read.parquet(sink).collect()}
+    want = {r["doc_id"] for r in drop_contaminated(
+        docs, decontaminate_report(docs, eval_docs)).collect()}
+    assert got == want and len(got) > 0
