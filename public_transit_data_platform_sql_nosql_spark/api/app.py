@@ -29,6 +29,7 @@ Scale notes (beyond the reference, which collects everything):
 
 from __future__ import annotations
 
+import threading
 from typing import Any, Optional
 
 from pyspark.sql import DataFrame, SparkSession
@@ -59,8 +60,12 @@ class TransitAPI:
         self.spark = spark
         self.gtfs = gtfs
         self.precompute_dir = precompute_dir
-        # session-scoped Q4 hourly cache (built lazily on first live q4)
+        # session-scoped Q4 hourly cache (built lazily on first live q4);
+        # the lock serializes the first build — under a threaded Flask
+        # server, two concurrent first q4() calls would otherwise both
+        # persist the frame and orphan one cached copy for the session
         self._q4_joined: Optional[DataFrame] = None
+        self._q4_lock = threading.Lock()
 
     def _fast(self, name: str) -> bool:
         return (self.precompute_dir is not None
@@ -74,22 +79,24 @@ class TransitAPI:
         q4() call (any service mode) then plans as an InMemoryTableScan
         plus a filter instead of re-aggregating stop_times.  Call
         ``refresh()`` after the underlying GTFS frames change."""
-        if self._q4_joined is None:
-            hourly = hourly_frequency(self.gtfs["stop_times"],
-                                      self.gtfs["trips"])
-            self._q4_joined = hourly.join(
-                F.broadcast(self.gtfs["routes"].select(
-                    "route_id", "route_short_name", "route_long_name")),
-                "route_id",
-            ).persist()
-        return self._q4_joined
+        with self._q4_lock:
+            if self._q4_joined is None:
+                hourly = hourly_frequency(self.gtfs["stop_times"],
+                                          self.gtfs["trips"])
+                self._q4_joined = hourly.join(
+                    F.broadcast(self.gtfs["routes"].select(
+                        "route_id", "route_short_name", "route_long_name")),
+                    "route_id",
+                ).persist()
+            return self._q4_joined
 
     def refresh(self) -> None:
         """Invalidate session-scoped caches (the reference's equivalent is
         restarting the app / re-running ensure_view)."""
-        if self._q4_joined is not None:
-            self._q4_joined.unpersist()
-            self._q4_joined = None
+        with self._q4_lock:
+            if self._q4_joined is not None:
+                self._q4_joined.unpersist()
+                self._q4_joined = None
 
     # -- Q1 ---------------------------------------------------------------
 

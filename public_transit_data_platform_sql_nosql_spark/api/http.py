@@ -81,11 +81,13 @@ def create_app(analytics: TransitAPI, denorm: DataFrame):
     # set probe instead of a per-request Spark filter job.  Keeps every
     # endpoint at ONE Spark job per request; `refresh_stops` re-reads the
     # set after a denorm reload.
-    known_stops: set[str] = set()
+    # one-element holder so refresh swaps the WHOLE set atomically —
+    # clear()-then-update would 404 valid stops for concurrent requests
+    # during the (potentially seconds-long, disk-backed) rebuild window
+    known_stops: list[frozenset[str]] = [frozenset()]
 
     def refresh_stops() -> None:
-        known_stops.clear()
-        known_stops.update(
+        known_stops[0] = frozenset(
             r["stop_id"] for r in denorm.select("stop_id").collect()
         )
 
@@ -93,7 +95,7 @@ def create_app(analytics: TransitAPI, denorm: DataFrame):
     app.refresh_stops = refresh_stops
 
     def _stop_exists(stop_id: str) -> bool:
-        return stop_id in known_stops
+        return stop_id in known_stops[0]
 
     # -- analytics (SQL/app.py:81-126) ----------------------------------
 

@@ -67,24 +67,49 @@ def partition_columns(spark: SparkSession, path: str) -> list[str]:
         current = sub[0]
 
 
+def leaf_partition_dir_count(spark: SparkSession, path: str) -> int:
+    """Number of leaf directories holding data files under ``path``
+    (1 for a flat layout)."""
+    fs, hpath, jvm = _fs(spark, path)
+    dirs = set()
+    it = fs.listFiles(hpath, True)
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if name.endswith(".parquet") and not name.startswith((".", "_")):
+            dirs.add(st.getPath().getParent().toString())
+    return max(1, len(dirs))
+
+
 def compact_parquet_dir(spark: SparkSession, path: str,
                         target_file_bytes: int = 128 * 1024 * 1024,
                         min_files: int = 2) -> dict:
-    """Rewrite ``path`` into ``ceil(total_bytes / target_file_bytes)``
-    parquet files.  No-op (returns ``{"compacted": False, ...}``) when the
-    directory already holds fewer than ``min_files`` data files or fewer
-    files than the target count — rewriting would churn bytes for nothing.
+    """Rewrite ``path`` into ~``target_file_bytes`` parquet files.
+    No-op (returns ``{"compacted": False, ...}``) when the directory
+    already holds fewer than ``min_files`` data files or is already at
+    (or under) its target file count — rewriting would churn bytes for
+    nothing.
 
     Hive-partitioned layouts (e.g. the bucketed doc store's
     ``stop_bucket=NN/`` directories) are preserved: the rewrite
     re-shuffles on the detected partition columns and writes with
     ``partitionBy``, so partition pruning keeps working after compaction
-    instead of silently degrading to a flat scan.
+    instead of silently degrading to a flat scan.  The file-count target
+    is per-layout: a flat dir gets ``ceil(total/target)`` files; a
+    partitioned dir gets ``ceil(per_dir_share/target)`` files PER leaf
+    directory (hash-salted within the partition key so a hot partition's
+    rows split across tasks).  The per-dir share assumes roughly even
+    partitions — a skewed hot directory still gets only its salt-split
+    file count, bounded but larger files than the target.
 
     Returns a stats dict so schedulers can log/alert on it.
     """
     files_before, total_bytes = parquet_dir_stats(spark, path)
-    n_target = max(1, math.ceil(total_bytes / target_file_bytes))
+    pcols = partition_columns(spark, path)
+    n_dirs = leaf_partition_dir_count(spark, path) if pcols else 1
+    files_per_dir = max(1, math.ceil(total_bytes / n_dirs
+                                     / target_file_bytes))
+    n_target = n_dirs * files_per_dir
     if files_before < min_files or files_before <= n_target:
         return {"compacted": False, "files_before": files_before,
                 "files_after": files_before, "bytes": total_bytes}
@@ -97,13 +122,18 @@ def compact_parquet_dir(spark: SparkSession, path: str,
         if fs.exists(p):
             fs.delete(p, True)
 
-    pcols = partition_columns(spark, path)
     df = spark.read.parquet(path)
     if pcols:
-        # one output file per partition directory (the per-partition
-        # byte share is what the target bounds); pre-shuffle on the
-        # partition key so each directory is written by one task
-        writer = (df.repartition(*pcols)
+        from pyspark.sql import functions as F
+
+        # deterministic salt splits each partition directory's rows
+        # across `files_per_dir` tasks; partitionBy still routes every
+        # row to its directory, so a dir gets at most files_per_dir files
+        salt = F.pmod(F.xxhash64(F.struct(*[F.col(c) for c in df.columns])),
+                      F.lit(files_per_dir))
+        writer = (df.withColumn("_salt", salt)
+                  .repartition(n_target, *pcols, "_salt")
+                  .drop("_salt")
                   .write.mode("overwrite").partitionBy(*pcols))
     else:
         writer = df.repartition(n_target).write.mode("overwrite")

@@ -227,12 +227,23 @@ def training_chunks(docs: DataFrame, labels: DataFrame,
     chunks = chunk_tokens(
         docs.join(kept.select("doc_id"), "doc_id", "left_semi"))
     boiler = chunk_dedup(chunks)
-    # drop repeated windows EXCEPT the canonical owner's copy, so shared
-    # content survives exactly once corpus-wide
+    # drop repeated windows EXCEPT the canonical owner's FIRST copy, so
+    # shared content survives exactly once corpus-wide — including when
+    # the canonical doc itself repeats the window (in-doc boilerplate).
+    # The canonical position is resolved with one extra aggregation over
+    # only the flagged hashes' canonical-doc rows (a bounded set).
+    canon = boiler.select("chunk_hash",
+                          F.col("canonical_doc_id").alias("_canon"))
+    canon_first = (
+        chunks.join(canon, "chunk_hash")
+        .filter(F.col("doc_id") == F.col("_canon"))
+        .groupBy("chunk_hash")
+        .agg(F.min("chunk_idx").alias("_canon_idx"))
+    )
     return chunks.join(
-        boiler.select("chunk_hash",
-                      F.col("canonical_doc_id").alias("_canon")),
-        "chunk_hash", "left",
+        canon.join(canon_first, "chunk_hash"), "chunk_hash", "left",
     ).filter(
-        F.col("_canon").isNull() | (F.col("doc_id") == F.col("_canon"))
-    ).drop("_canon")
+        F.col("_canon").isNull()
+        | ((F.col("doc_id") == F.col("_canon"))
+           & (F.col("chunk_idx") == F.col("_canon_idx")))
+    ).drop("_canon", "_canon_idx")

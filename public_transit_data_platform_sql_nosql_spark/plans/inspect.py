@@ -64,12 +64,19 @@ def jobs_run(spark: SparkSession, thunk: Callable[[], object]) -> int:
     shuffle stage is a job) — compare against the same action run
     directly rather than asserting a literal 1."""
     sc = spark.sparkContext
+    props = ("spark.jobGroup.id", "spark.job.description",
+             "spark.job.interruptOnCancel")
+    saved = {p: sc.getLocalProperty(p) for p in props}
     group = f"jobcount-{next(_JOB_GROUP_SEQ)}"
     sc.setJobGroup(group, "jobs_run probe")
     try:
         thunk()
     finally:
-        sc.setLocalProperty("spark.jobGroup.id", None)
+        # setJobGroup sets all three thread-locals; restore the caller's
+        # values so an enclosing job group (e.g. request cancellation)
+        # keeps working after the probe
+        for p in props:
+            sc.setLocalProperty(p, saved[p])
     return len(sc.statusTracker().getJobIdsForGroup(group))
 
 

@@ -145,17 +145,35 @@ def heavy_hitter_users(events: DataFrame,
 
     At 100 TB the naive exact plan shuffles every (user_id) pair-count;
     this shuffles only events whose user survived the sketch — for a
-    0.1% threshold that is <= 1000 distinct keys by construction.
+    0.1% threshold that is <= 2000 distinct keys by construction.
     Approximate machinery but exact output, so tests compare it to the
     naive plan directly (tests/test_events_approx.py).
+
+    No-false-negative guarantee: ``freqItems`` only promises items with
+    frequency STRICTLY greater than ``support * n``, so the sketch runs
+    at support = ``min_share / 2`` — every user with count >=
+    ceil(min_share * n) then has count > (min_share/2) * n and must
+    appear among the candidates.  Spark caps support at >= 1e-4, so
+    ``min_share`` below 2e-4 cannot keep the guarantee and raises.
     """
+    import math
+
+    if min_share < 2e-4:
+        raise ValueError(
+            "min_share < 2e-4 cannot guarantee exactness: freqItems "
+            "support is floored at 1e-4 and the sketch must run at "
+            "min_share / 2 to avoid boundary false negatives")
     total = events.count()
-    threshold = int(total * min_share) + (total * min_share > int(
-        total * min_share))  # ceil without float drift
+    threshold = math.ceil(total * min_share)
     cands = events.select("user_id").freqItems(
-        ["user_id"], min_share).collect()[0][0]
+        ["user_id"], min_share / 2).collect()[0][0]
+    # NULL is a real group in the naive plan but `isin` drops it — keep
+    # null user_ids explicitly so the two plans agree
+    keep = F.col("user_id").isin(list(cands))
+    if any(c is None for c in cands):
+        keep = keep | F.col("user_id").isNull()
     return (
-        events.filter(F.col("user_id").isin(list(cands)))
+        events.filter(keep)
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n_events"))
         .filter(F.col("n_events") >= threshold)

@@ -114,3 +114,10 @@ def test_compact_preserves_partitioned_layout(spark, tmp_path):
     assert store.count() == before
     plan = executed_plan(store.filter(F.col("stop_bucket") == 3))
     assert "PartitionFilters" in plan and "stop_bucket" in plan
+
+    # idempotence holds for the partitioned layout too: already at one
+    # file per directory -> no rewrite
+    again = compact_parquet_dir(spark, sink, target_file_bytes=1 << 30,
+                                min_files=1)
+    assert again["compacted"] is False
+    assert again["files_after"] == 13

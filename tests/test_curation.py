@@ -159,10 +159,10 @@ def test_training_chunks_end_to_end(spark, docs):
                  .collect()}
     assert {r["doc_id"] for r in out.select("doc_id").distinct().collect()
             } <= kept_docs
-    # repeated windows: exactly one surviving copy per chunk_hash among
-    # the chunks that were corpus-repeated
+    # repeated windows: exactly ONE surviving row per corpus-repeated
+    # chunk_hash — across docs AND within the canonical doc
     dup_counts = (out.groupBy("chunk_hash")
-                  .agg(F.countDistinct("doc_id").alias("nd")).collect())
+                  .agg(F.count(F.lit(1)).alias("n")).collect())
     boiler = {r["chunk_hash"] for r in
               cur.chunk_dedup(cur.chunk_tokens(
                   docs.join(
@@ -171,7 +171,7 @@ def test_training_chunks_end_to_end(spark, docs):
                       "doc_id", "left_semi"))).collect()}
     for r in dup_counts:
         if r["chunk_hash"] in boiler:
-            assert r["nd"] == 1
+            assert r["n"] == 1
     s = plan_summary(cur.training_chunks(docs, labels, quality))
     assert s["cartesian_products"] == 0
     out.unpersist()

@@ -46,12 +46,14 @@ def test_heavy_hitters_match_naive_exact(spark):
     )
     from tests.conftest import SF_DIR
 
+    import math
+
     events = register_tpch(spark, SF_DIR, ("events",))["events"]
     share = 0.002
     got = [(r["user_id"], r["n_events"])
            for r in heavy_hitter_users(events, share).collect()]
     total = events.count()
-    threshold = -(-total * share // 1)
+    threshold = math.ceil(total * share)
     want = [(r["user_id"], r["n"]) for r in
             events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
             .filter(F.col("n") >= threshold)
