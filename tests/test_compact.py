@@ -121,3 +121,34 @@ def test_compact_preserves_partitioned_layout(spark, tmp_path):
                                 min_files=1)
     assert again["compacted"] is False
     assert again["files_after"] == 13
+
+
+def test_compact_splits_hot_partitions(spark, tmp_path):
+    """A partition directory holding more than target_file_bytes gets
+    salt-split into several files instead of one giant file."""
+    sink = str(tmp_path / "store")
+    df = spark.range(20_000).select(
+        F.col("id"),
+        F.when(F.col("id") % 100 == 0, F.lit(1)).otherwise(F.lit(0))
+        .cast("int").alias("part"),
+        F.sha2(F.col("id").cast("string"), 256).alias("payload"))
+    for _ in range(2):
+        df.repartition(16).write.mode("append") \
+            .partitionBy("part").parquet(sink)
+    _, total = parquet_dir_stats(spark, sink)
+    # target sized so each of the 2 dirs' share needs ~4 files
+    stats = compact_parquet_dir(spark, sink,
+                                target_file_bytes=max(1, total // 8),
+                                min_files=1)
+    assert stats["compacted"] is True
+    per_dir: dict[str, int] = {}
+    import os
+
+    for root, _dirs, files in os.walk(sink):
+        n = sum(1 for f in files
+                if f.endswith(".parquet") and not f.startswith((".", "_")))
+        if n:
+            per_dir[os.path.basename(root)] = n
+    # the hot partition (part=0 holds ~99% of rows) got multiple files
+    assert per_dir["part=0"] > 1, per_dir
+    assert spark.read.parquet(sink).count() == 40_000
