@@ -16,7 +16,8 @@ sort within each group instead, which scales (no global sort) and is
 deterministic (trip_id tiebreak).
 
 Scale notes: the only wide exchange is the groupBy on stop_id (high
-cardinality, well-distributed).  trips/routes/stops are broadcast.  At
+cardinality, well-distributed).  routes/stops are broadcast; trips is
+size-gated (it grows with stop_times — see operators/hints.py).  At
 100 TB you'd additionally ``repartition(stop_id)`` before a partitioned
 write so downstream point lookups prune partitions.
 """
@@ -25,6 +26,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from ..operators.hints import broadcast_if_small
 
 
 def denormalize_stop_timetables(
@@ -35,8 +38,9 @@ def denormalize_stop_timetables(
 ) -> DataFrame:
     joined = (
         stop_times.select("trip_id", "stop_id", "departure_time")
-        .join(F.broadcast(trips.select("trip_id", "route_id", "service_id",
-                                       "trip_headsign")), "trip_id")
+        .join(broadcast_if_small(
+            trips.select("trip_id", "route_id", "service_id",
+                         "trip_headsign")), "trip_id")
         .join(F.broadcast(routes.select("route_id", "route_short_name",
                                         "route_long_name")), "route_id")
     )

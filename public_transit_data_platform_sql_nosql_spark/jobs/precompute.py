@@ -27,6 +27,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.hints import broadcast_if_small
 from ..queries.common import hourly_frequency, trip_stats
 
 WEEK_SENTINEL = "4"
@@ -38,8 +39,8 @@ def q1_result_table(stop_times: DataFrame, trips: DataFrame,
     '4' rows (`generate_csv.py:17-37`)."""
     base = (
         stop_times.select("trip_id", "stop_id")
-        .join(F.broadcast(trips.select("trip_id", "route_id", "service_id")),
-              "trip_id")
+        .join(broadcast_if_small(
+            trips.select("trip_id", "route_id", "service_id")), "trip_id")
         .join(F.broadcast(stops.select("stop_id", "stop_code", "stop_name",
                                        "stop_lat", "stop_lon")), "stop_id")
     )
@@ -68,8 +69,8 @@ def q3_result_table(stop_times: DataFrame, trips: DataFrame,
     """
     pairs_svc = (
         stop_times.select("trip_id", "stop_id")
-        .join(F.broadcast(trips.select("trip_id", "route_id", "service_id")),
-              "trip_id")
+        .join(broadcast_if_small(
+            trips.select("trip_id", "route_id", "service_id")), "trip_id")
         .select("service_id", "stop_id", "route_id")
         .distinct()
     )

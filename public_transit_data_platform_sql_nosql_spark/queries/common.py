@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.gtfs_time import hour_of_day
+from ..operators.hints import broadcast_if_small
 
 
 def hourly_frequency(stop_times: DataFrame, trips: DataFrame) -> DataFrame:
@@ -25,7 +26,8 @@ def hourly_frequency(stop_times: DataFrame, trips: DataFrame) -> DataFrame:
     return (
         stop_times.select("trip_id", "departure_secs")
         .filter(F.col("departure_secs").isNotNull())
-        .join(F.broadcast(trips.select("trip_id", "route_id", "service_id")),
+        .join(broadcast_if_small(
+            trips.select("trip_id", "route_id", "service_id")),
               "trip_id")
         .withColumn("hour_of_day", hour_of_day("departure_secs"))
         .groupBy("route_id", "service_id", "hour_of_day")
@@ -42,7 +44,8 @@ def trip_stats(stop_times: DataFrame, trips: DataFrame,
     return (
         stop_times.select("trip_id", "arrival_secs", "departure_secs",
                           "shape_dist_traveled")
-        .join(F.broadcast(trips.select("trip_id", "route_id", "service_id")),
+        .join(broadcast_if_small(
+            trips.select("trip_id", "route_id", "service_id")),
               "trip_id")
         .groupBy("trip_id", "route_id", "service_id")
         .agg(

@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..operators.hints import broadcast_if_small
 from ..operators.params import apply_limit, apply_service_filter
 
 
@@ -33,7 +34,7 @@ def q1_busiest_stops(
     )
     agg = (
         stop_times.select("trip_id", "stop_id")
-        .join(F.broadcast(t), "trip_id")
+        .join(broadcast_if_small(t), "trip_id")
         .join(
             F.broadcast(
                 stops.select("stop_id", "stop_code", "stop_name",
@@ -77,7 +78,7 @@ def q1_busiest_stops_approx(
     )
     agg = (
         stop_times.select("trip_id", "stop_id")
-        .join(F.broadcast(t), "trip_id")
+        .join(broadcast_if_small(t), "trip_id")
         .join(
             F.broadcast(
                 stops.select("stop_id", "stop_code", "stop_name",

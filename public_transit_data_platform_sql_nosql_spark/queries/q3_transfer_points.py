@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..operators.hints import broadcast_if_small
 from ..operators.params import apply_limit, apply_service_filter
 
 
@@ -33,7 +34,7 @@ def q3_transfer_points(
     )
     pairs = (
         stop_times.select("trip_id", "stop_id")
-        .join(F.broadcast(t), "trip_id")
+        .join(broadcast_if_small(t), "trip_id")
         .select("stop_id", "route_id")
         .distinct()
     )

