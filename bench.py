@@ -31,11 +31,14 @@ def main() -> None:
     import __spark_entry__ as entrymod
     from public_transit_data_platform_sql_nosql_spark.session import get_spark
 
-    # 2m input splits: the sf0.1 corpus is a handful of single-digit-MB
-    # parquet files, and Spark's 128m default split would scan each on
-    # 1-3 cores (measured: q1 1.92s -> 1.24s with the full machine
-    # engaged).  A real cluster run keeps the default — see get_spark.
-    spark = get_spark(app_name="bench", files_max_partition_bytes="2m")
+    # Spark's default 128m input splits.  A same-process interleaved A/B
+    # at sf0.1 (r5; 5 reps, per-query medians) measured 2m splits as a
+    # small net LOSS — totals 2m 7.242s / 8m 7.029s / 16m 7.036s /
+    # 128m 6.781s — the per-task scheduling overhead of ~64x more tasks
+    # outweighs the extra scan parallelism at this corpus size, and the
+    # r4 regression vs r3 was box noise, not this knob.  The default is
+    # also what a real 100 TB cluster run wants.
+    spark = get_spark(app_name="bench")
 
     headline = [
         "q1_busiest_stops",
