@@ -471,11 +471,28 @@ def _multimodal_features(spark, sf_dir):
     # pins the half-boundary rounding mode on both sides).  ``source``
     # rides through the Arrow batch as a metadata passthrough — this also
     # subsumes the old multimodal_ingest meta-column check.
-    media = pmm.media_table(_aug(spark, sf_dir)).withColumn(
-        "source", F.col("meta.source"))
-    df = pmm.extract_features(media, passthrough=("source",))
+    #
+    # The ingest shape is pinned EXPLICITLY (VERDICT r4 item 3), not just
+    # via the decode path: ``ingest_byte_len`` is media_table's
+    # meta.byte_len (octet_length of the binary payload, computed at
+    # ingest) and ``ingest_head_hex`` hex-dumps the payload's first 8
+    # raw bytes JVM-side BEFORE the pandas UDF — so the oracle hashes
+    # media_table's own schema/values (row count = full documents
+    # cardinality), and a drifting ingest cannot hide behind a matching
+    # decode.
+    media = (
+        pmm.media_table(_aug(spark, sf_dir))
+        .withColumn("source", F.col("meta.source"))
+        .withColumn("ingest_byte_len", F.col("meta.byte_len"))
+        .withColumn("ingest_head_hex",
+                    F.lower(F.hex(F.expr("substring(payload, 1, 8)"))))
+    )
+    df = pmm.extract_features(
+        media,
+        passthrough=("source", "ingest_byte_len", "ingest_head_hex"))
     return df.select(
         "media_id", "kind", "source", "byte_len", "checksum",
+        "ingest_byte_len", "ingest_head_hex",
         *[
             F.round(F.element_at("features", k + 1).cast("decimal(28,12)"), 6)
             .cast("double").alias(f"f{k}")

@@ -163,6 +163,7 @@ MM_BYTES = f"""mm_b AS (
 ),
 mm_bytes AS (
   SELECT media_id, kind, source, n,
+         lower(substr(h, 1, 16)) AS head16,
          list_transform(range(0, CAST(n AS INT)),
            i -> CAST(('0x' || substr(h, 2 * i + 1, 2)) AS BIGINT)) AS bs
   FROM mm_b
@@ -523,13 +524,17 @@ SELECT query_id, rank, neighbor_id, cos_sim FROM ranked WHERE rank <= 10
         # the final /255.0/n chain, bit-identical across engines; both
         # sides then quantize through DECIMAL round-6 (__spark_entry__._r2).
         # ``source`` is the metadata-passthrough column (the old
-        # multimodal_ingest oracle's meta check folded in).
+        # multimodal_ingest oracle's meta check folded in), and
+        # ingest_byte_len / ingest_head_hex pin media_table's meta struct
+        # and raw payload bytes at ingest time (VERDICT r4 item 3).
         "multimodal_features": f"""
 WITH {DOCS},
 {MM_BYTES}
 SELECT media_id, kind, source, n AS byte_len,
        list_reduce(list_prepend(CAST(0 AS BIGINT), bs),
                    (a, x) -> a + x) % 1000000007 AS checksum,
+       n AS ingest_byte_len,
+       head16 AS ingest_head_hex,
        {", ".join(
            f"CAST(ROUND(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), "
            f"list_filter(bs, x -> x % 8 = {k})), (a, x) -> a + x) "
