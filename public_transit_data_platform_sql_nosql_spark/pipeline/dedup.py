@@ -424,35 +424,44 @@ def dedup_clusters(pairs: DataFrame,
     returning half-merged labels (which would corrupt keep_canonical
     downstream — a doc would survive dedup under a non-canonical id).
 
-    Scale notes: each round is one groupBy on doc_id over the (deduped,
-    symmetric) edge list — shuffle keyed on a hash-uniform id — plus the
-    jump's label-keyed self-join.  The label table is checkpointed EVERY
-    round: each round's plan references the previous round's several
-    times (neighbor join, jump self-join, changed-check), so without
-    truncation the logical plan grows ~4x per round and Catalyst's
-    analysis dominates wall time long before the data does (measured:
-    a 103-edge graph spent ~50 s in planning with every-3rd-round
-    truncation, ~3 s with every-round).  The round's label table is
-    materialized by the convergence check anyway, so the eager
-    checkpoint adds no extra pass over the data.  ``checkpoint_dir=None``
-    uses ``localCheckpoint`` (fast,
-    but the truncated RDD lives in executor storage — lost on executor
-    failure); pass a DFS path to switch to reliable ``checkpoint()``,
-    the fault-tolerant variant to use on a real cluster with executor
-    churn.  The convergence test is a 1-row aggregate, not a collect of
-    labels.
+    Scale notes: each round is TWO shuffles — (1) one union-then-groupBy
+    on doc_id that fuses the neighbor-min aggregation, the least(self,
+    neighbor) merge, and the old-label capture into a single exchange (a
+    marker column distinguishes each doc's self row from its neighbor
+    contributions, so ``min(label)`` is the merged label and
+    ``max(label WHERE is_self)`` is the previous round's label riding
+    along for the convergence check — no re-join against the previous
+    label table), and (2) the jump's label-keyed self-join, through
+    which ``old_label`` also rides.  The label table is checkpointed
+    EVERY round: each round's plan references the previous round's
+    several times (neighbor join, jump self-join), so without truncation
+    the logical plan grows ~4x per round and Catalyst's analysis
+    dominates wall time long before the data does (measured: a 103-edge
+    graph spent ~50 s in planning with every-3rd-round truncation, ~3 s
+    with every-round).  The round's label table is materialized by the
+    convergence check anyway, so the eager checkpoint adds no extra pass
+    over the data.  ``checkpoint_dir=None`` uses ``localCheckpoint``
+    (fast, but the truncated RDD lives in executor storage — lost on
+    executor failure); pass a DFS path to switch to reliable
+    ``checkpoint()``, the fault-tolerant variant to use on a real
+    cluster with executor churn.  The convergence test is a 1-row
+    aggregate, not a collect of labels.
 
     SESSION-GLOBAL SIDE EFFECT: passing ``checkpoint_dir`` calls
     ``setCheckpointDir`` on the shared SparkContext (like the
     ``nanosAsLong`` conf in sources/tpch_adapter.py, there is no scoped
     form), so later ``checkpoint()`` calls anywhere in the session write
-    there too.  Reliable-checkpoint files from each truncation round are
-    NOT auto-deleted — callers must clean the directory afterwards or
-    enable ``spark.cleaner.referenceTracking.cleanCheckpoints`` so the
-    GC of the dropped DataFrames reclaims them.
+    under ``checkpoint_dir`` too.  Reliable-checkpoint files ARE
+    self-cleaning across rounds: each round checkpoints into its own
+    ``round-N/`` subdirectory and deletes ``round-(N-1)/`` once round N
+    is materialized (lineage is truncated, so the prior files are
+    unreferenced), leaving at most ONE round's files on disk — a
+    scheduled job cannot accumulate unbounded DFS storage.  The final
+    round's directory backs the RETURNED DataFrame and therefore
+    survives; callers delete ``checkpoint_dir`` when done with the
+    result (or persist it elsewhere first).
     """
-    if checkpoint_dir is not None:
-        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+    sc = pairs.sparkSession.sparkContext
     c0, c1 = pairs.columns[0], pairs.columns[1]
     # symmetrize with ONE scan of pairs (explode both directions) — a
     # union of pairs with its swap would evaluate the (possibly
@@ -473,55 +482,58 @@ def dedup_clusters(pairs: DataFrame,
         .withColumn("label", F.col("doc_id"))
     ).persist()
     it = 0
+    prev_round_dir: str | None = None
     while True:
-        neighbor_min = (
+        if checkpoint_dir is not None:
+            round_dir = f"{checkpoint_dir}/round-{it}"
+            sc.setCheckpointDir(round_dir)
+        else:
+            round_dir = None
+        # one exchange: neighbor contributions + self rows -> per-doc
+        # min(label), with the pre-round label captured from the self row
+        contrib = (
             sym.join(labels, sym["b"] == labels["doc_id"])
-            .groupBy("a").agg(F.min("label").alias("nmin"))
+            .select(F.col("a").alias("doc_id"), "label",
+                    F.lit(False).alias("is_self"))
         )
-        # propagated feeds both sides of the jump join — persist so the
-        # neighbor-min agg runs once per round, not twice
-        propagated = (
-            labels.join(neighbor_min,
-                        labels["doc_id"] == neighbor_min["a"], "left")
-            .select(
-                "doc_id",
-                F.least(F.col("label"),
-                        F.coalesce(F.col("nmin"), F.col("label")))
-                .alias("label"),
+        merged = (
+            labels.select("doc_id", "label", F.lit(True).alias("is_self"))
+            .unionByName(contrib)
+            .groupBy("doc_id")
+            .agg(
+                F.min("label").alias("label"),
+                F.max(F.when(F.col("is_self"), F.col("label")))
+                .alias("old_label"),
             )
-        ).persist()
+        ).persist()  # feeds both sides of the jump join — compute once
         # pointer jump (path halving): label := min(label, label(label)).
         # Labels are always doc_ids present in the table, so the self-join
         # hits; left+coalesce keeps it total anyway.  One extra shuffle
         # per round buys O(log diameter) total rounds.
-        parents = propagated.select(
+        parents = merged.select(
             F.col("doc_id").alias("label"),
             F.col("label").alias("grand"),
         )
-        jumped = (
-            propagated.join(parents, "label", "left")
+        stepped = _truncate_lineage(
+            merged.join(parents, "label", "left")
             .select(
                 "doc_id",
                 F.least(F.col("label"),
                         F.coalesce(F.col("grand"), F.col("label")))
                 .alias("label"),
+                "old_label",
             )
-        )
-        # fold the old label into the checkpointed frame so the
-        # convergence probe is a filter-count over already-materialized
-        # partitions, not a separate two-sided join job per round
-        stepped = _truncate_lineage(
-            jumped.join(
-                labels.select("doc_id",
-                              F.col("label").alias("old_label")),
-                "doc_id",
-            ).select(
+            .select(
                 "doc_id", "label",
                 (F.col("label") != F.col("old_label")).alias("chg"),
             ),
             checkpoint_dir,
         )
-        propagated.unpersist()
+        merged.unpersist()
+        # round it is materialized; round it-1's files are unreferenced
+        if prev_round_dir is not None:
+            _delete_path(sc, prev_round_dir)
+        prev_round_dir = round_dir
         changed = stepped.filter("chg").limit(1).count()
         labels.unpersist()
         labels = stepped.select("doc_id", "label")
@@ -537,6 +549,16 @@ def dedup_clusters(pairs: DataFrame,
             )
     sym.unpersist()
     return labels.select("doc_id", F.col("label").alias("canonical_id"))
+
+
+def _delete_path(sc, path: str) -> None:
+    """Recursively delete ``path`` through the Hadoop FileSystem API, so
+    checkpoint-round cleanup works on any store Spark can checkpoint to
+    (local, HDFS, object stores), not just the driver's local disk."""
+    jvm = sc._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(sc._jsc.hadoopConfiguration())
+    fs.delete(hpath, True)
 
 
 def _truncate_lineage(labels: DataFrame,
