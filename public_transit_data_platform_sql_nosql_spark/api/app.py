@@ -45,6 +45,7 @@ from ..queries.q1_busiest_stops import q1_busiest_stops
 from ..queries.q2_duration_speed import (
     q2_per_service_breakdown,
     q2_route_stats,
+    trip_stats_joined,
 )
 from ..queries.q3_transfer_points import q3_transfer_points
 from . import shapes
@@ -60,12 +61,15 @@ class TransitAPI:
         self.spark = spark
         self.gtfs = gtfs
         self.precompute_dir = precompute_dir
-        # session-scoped Q4 hourly cache (built lazily on first live q4);
-        # the lock serializes the first build — under a threaded Flask
-        # server, two concurrent first q4() calls would otherwise both
-        # persist the frame and orphan one cached copy for the session
+        # session-scoped Q4 hourly / Q2 trip-stats caches (built lazily
+        # on first live call); the lock serializes the first build —
+        # under a threaded Flask server, two concurrent first calls would
+        # otherwise both persist the frame and orphan one cached copy for
+        # the session
         self._q4_joined: Optional[DataFrame] = None
         self._q4_lock = threading.Lock()
+        self._q2_joined: Optional[DataFrame] = None
+        self._q2_lock = threading.Lock()
 
     def _fast(self, name: str) -> bool:
         return (self.precompute_dir is not None
@@ -90,6 +94,21 @@ class TransitAPI:
                 ).persist()
             return self._q4_joined
 
+    def _q2_stats_joined(self) -> DataFrame:
+        """Session-scoped per-trip stats ⋈ routes — the Q2 analog of
+        ``_hourly_joined`` (the reference builds its Q2 CTE's source view
+        once at app start and reuses it across requests, `SQL/app.py:73`).
+        Q2 is the heaviest live endpoint; caching the service-UNfiltered
+        per-trip aggregation means every q2() mode (weekday, whole-week,
+        breakdown) re-aggregates an InMemoryTableScan of ~|trips| rows
+        instead of re-scanning stop_times per request."""
+        with self._q2_lock:
+            if self._q2_joined is None:
+                self._q2_joined = trip_stats_joined(
+                    self.gtfs["stop_times"], self.gtfs["trips"],
+                    self.gtfs["routes"]).persist()
+            return self._q2_joined
+
     def refresh(self) -> None:
         """Invalidate session-scoped caches (the reference's equivalent is
         restarting the app / re-running ensure_view)."""
@@ -97,6 +116,10 @@ class TransitAPI:
             if self._q4_joined is not None:
                 self._q4_joined.unpersist()
                 self._q4_joined = None
+        with self._q2_lock:
+            if self._q2_joined is not None:
+                self._q2_joined.unpersist()
+                self._q2_joined = None
 
     # -- Q1 ---------------------------------------------------------------
 
@@ -151,7 +174,9 @@ class TransitAPI:
             # pattern this repo's docstrings warn against).
             ranked = q2_route_stats(self.gtfs["stop_times"],
                                     self.gtfs["trips"], self.gtfs["routes"],
-                                    None, limit, whole_week=True).persist()
+                                    None, limit, whole_week=True,
+                                    stats_joined=self._q2_stats_joined()
+                                    ).persist()
             try:
                 rep_short = (
                     self.gtfs["routes"]
@@ -166,6 +191,7 @@ class TransitAPI:
                     self.gtfs["stop_times"], self.gtfs["trips"],
                     self.gtfs["routes"],
                     ranked.select("route_long_name"),
+                    stats_joined=self._q2_stats_joined(),
                 ))
             finally:
                 ranked.unpersist()
@@ -173,7 +199,8 @@ class TransitAPI:
         else:
             rows = _dicts(q2_route_stats(
                 self.gtfs["stop_times"], self.gtfs["trips"],
-                self.gtfs["routes"], sid, limit, whole_week=False))
+                self.gtfs["routes"], sid, limit, whole_week=False,
+                stats_joined=self._q2_stats_joined()))
             for r in rows:
                 r.setdefault("service_id", sid)
             payload = shapes.shape_q2_single_service(rows)

@@ -25,10 +25,22 @@ from typing import Any, Optional
 
 
 def round2(v: Optional[float]) -> Optional[float]:
-    """F5: the reference's ``_round2`` (`sql_utils.py:172-175`)."""
+    """F5: the reference's ``_round2`` (`sql_utils.py:172-175`), with one
+    robustness addition: the double is quantized to 8 dp BEFORE the 2-dp
+    format.  The live and fast paths aggregate the same data through
+    different physical plans (cache layouts, precompute jobs), so their
+    doubles can differ in the last ulp; a value sitting exactly at a 2-dp
+    half boundary (15.42499999999999982 vs 15.42500000000000071) would
+    then round differently per path.  The reference never faces this —
+    its CSV fast path stores the SQL path's literal values — so the
+    pre-quantize (same move as __spark_entry__._round2's DECIMAL(28,8)
+    hop) restores the determinism the reference gets for free.  Output
+    differs from a raw ``f"{v:.2f}"`` only when the true value lies
+    within 1e-8 of a half boundary, where the reference itself is
+    ulp-unstable."""
     if v is None:
         return None
-    return float(f"{float(v):.2f}")
+    return float(f"{round(float(v), 8):.2f}")
 
 
 def round6(v: Optional[float]) -> Optional[float]:

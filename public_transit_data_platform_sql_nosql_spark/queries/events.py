@@ -1,9 +1,12 @@
 """Event-stream analytics over the ``events`` table (batch forms).
 
-The ``ts`` column is TIMESTAMP(NANOS) parquet; Spark 4 reads it as long
-nanos under ``spark.sql.legacy.parquet.nanosAsLong`` (session.py), so all
-window math here is integer nanosecond arithmetic — exact, timezone-free,
-and bit-identical to the DuckDB oracle's ``epoch_ns``.
+Input contract: ``ts`` is BIGINT epoch NANOSECONDS after
+``sources/tpch_adapter.normalize_events_ts`` — whatever physical type the
+parquet carries (the driver has shipped both TIMESTAMP(NANOS) and
+timestamp[us] across rounds; normalization happens once, at the read
+boundary).  All window math here is integer nanosecond arithmetic —
+exact, timezone-free, and bit-identical to the DuckDB oracle's
+``epoch_ns``.
 
 Money-like doubles are aggregated as integer cents
 (``sum(round(value*100))``): double summation order differs between

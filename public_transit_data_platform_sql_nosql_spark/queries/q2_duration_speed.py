@@ -38,6 +38,21 @@ def route_trip_stats(
     return apply_service_filter(trip_stats(stop_times, trips), service_id)
 
 
+def trip_stats_joined(stop_times: DataFrame, trips: DataFrame,
+                      routes: DataFrame) -> DataFrame:
+    """The service-UNfiltered per-trip stats frame joined to route names —
+    the shared upstream of every Q2 variant.  ``TransitAPI`` persists one
+    of these per session (the analog of the reference's app-start view,
+    `sql_utils.py:46-70`) and passes it back in via ``stats_joined`` so
+    repeat q2 requests re-aggregate an InMemoryTableScan instead of
+    stop_times."""
+    return trip_stats(stop_times, trips).join(
+        F.broadcast(routes.select("route_id", "route_short_name",
+                                  "route_long_name")),
+        "route_id",
+    )
+
+
 def q2_route_stats(
     stop_times: DataFrame,
     trips: DataFrame,
@@ -45,20 +60,20 @@ def q2_route_stats(
     service_id: object = None,
     limit: object = 20,
     whole_week: bool | None = None,
+    stats_joined: DataFrame | None = None,
 ) -> DataFrame:
     """Per-route aggregates ranked by avg duration (O3).
 
     ``whole_week`` defaults to True iff no service filter is active, like the
-    reference's mode switch (`sql_utils.py:177-178`).
+    reference's mode switch (`sql_utils.py:177-178`).  ``stats_joined``
+    (if given) replaces the stop_times re-aggregation — see
+    :func:`trip_stats_joined`; the service filter still applies on top.
     """
-    stats = route_trip_stats(stop_times, trips, service_id)
+    if stats_joined is None:
+        stats_joined = trip_stats_joined(stop_times, trips, routes)
     if whole_week is None:
         whole_week = service_id is None or str(service_id) not in ("1", "2", "3")
-    joined = stats.join(
-        F.broadcast(routes.select("route_id", "route_short_name",
-                                  "route_long_name")),
-        "route_id",
-    )
+    joined = apply_service_filter(stats_joined, service_id)
     group_cols = (["route_long_name"] if whole_week
                   else ["route_long_name", "route_short_name"])
     agg = (
@@ -139,15 +154,14 @@ def q2_per_service_breakdown(
     trips: DataFrame,
     routes: DataFrame,
     top_routes: DataFrame,
+    stats_joined: DataFrame | None = None,
 ) -> DataFrame:
     """Whole-week drill-down: per-service rows restricted to the ranked
     routes -- the reference's membership-set semi join J5
-    (`sql_utils.py:196,231-232`)."""
-    stats = trip_stats(stop_times, trips).join(
-        F.broadcast(routes.select("route_id", "route_short_name",
-                                  "route_long_name")),
-        "route_id",
-    )
+    (`sql_utils.py:196,231-232`).  ``stats_joined`` as in
+    :func:`q2_route_stats`."""
+    stats = (stats_joined if stats_joined is not None
+             else trip_stats_joined(stop_times, trips, routes))
     return (
         stats.join(F.broadcast(top_routes.select("route_long_name")),
                    "route_long_name", "left_semi")

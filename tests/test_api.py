@@ -295,3 +295,27 @@ def test_golden_json_matrix(apis, sid, lim):
             assert set(r["totals_by_service"]) == {"1", "2", "3"}
             assert r["average_daily_trips"] == (
                 sum(r["totals_by_service"].values()) / 3.0)
+
+
+def test_q2_session_scoped_cache(apis):
+    """VERDICT r4 item 6: live q2() must reuse a session-persisted
+    trip-stats frame across requests (the Q2 analog of the Q4 hourly
+    cache) — its source plans as an InMemoryTableScan — and refresh()
+    must drop it.  Covers both q2 modes (weekday + whole-week) off the
+    same cache."""
+    from public_transit_data_platform_sql_nosql_spark.plans import (
+        executed_plan,
+    )
+
+    live, _ = apis
+    first = live.q2("1", 5)
+    week = live.q2(None, 5)
+    cached = live._q2_stats_joined()
+    assert cached.storageLevel.useMemory
+    assert "InMemoryTableScan" in executed_plan(
+        cached.filter(cached["service_id"] == "1"))
+    assert live.q2("1", 5) == first
+    assert live.q2(None, 5) == week
+    live.refresh()
+    assert live._q2_joined is None
+    assert live.q2("1", 5) == first
