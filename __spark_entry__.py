@@ -827,16 +827,15 @@ WHERE st.stop_id = '42'
         "timetable_arrivals_grouped": f"""
 {c}
 SELECT t.route_id, r.route_short_name, t.trip_headsign,
-       MIN(st.departure_time) AS first_time,
-       MAX(st.departure_time) AS last_time,
+       MIN(COALESCE(st.departure_time, 'NaT')) AS first_time,
+       MAX(COALESCE(st.departure_time, 'NaT')) AS last_time,
        COUNT(*) AS n_arrivals
 FROM stop_times st JOIN trips t USING (trip_id) JOIN routes r USING (route_id)
 WHERE st.stop_id = '17'
   AND t.service_id IN ('1', '2', '3')
   AND t.trip_headsign IS NOT NULL
   AND t.trip_headsign <> 'NOT IN SERVICE'
-  AND st.departure_time IS NOT NULL
-  AND st.departure_time <> ''
+  AND COALESCE(st.departure_time, 'NaT') <> ''
 GROUP BY 1, 2, 3
 """,
         "precompute_q1_table": f"""
@@ -955,14 +954,13 @@ GROUP BY 1, 2
 """,
         "timetable_arrivals_flat": f"""
 {c}
-SELECT st.departure_time
+SELECT COALESCE(st.departure_time, 'NaT') AS departure_time
 FROM stop_times st JOIN trips t USING (trip_id) JOIN routes r USING (route_id)
 WHERE st.stop_id = '17'
   AND t.service_id IN ('1', '2', '3')
   AND t.trip_headsign IS NOT NULL
   AND t.trip_headsign <> 'NOT IN SERVICE'
-  AND st.departure_time IS NOT NULL
-  AND st.departure_time <> ''
+  AND COALESCE(st.departure_time, 'NaT') <> ''
 """,
         "timetable_get_timetable": f"""
 {c},

@@ -21,13 +21,17 @@ reference's edge behaviors:
   (`Mongo/app.py:177-181`).  The flat branch matches the requested
   headsign by DIRECT equality (no NOT-IN-SERVICE/null exclusion,
   `Mongo/app.py:185-204`); only the grouped branch applies P8.
-- ``/get_timetable`` keeps null departure_times as the literal 'NaT'
-  (the reference ETL stringifies pandas NaT into the stored doc,
-  `Mongo/denormalization.py:97`); null route/headsign group keys are
-  emitted as the "null" JSON key — the reference's ``.get(key,
-  default)`` fallbacks are dead code since the ETL writes every key
-  (see queries/timetable.py), and its Flask jsonify would 500 sorting a
-  None key against named ones, so this is the one deliberate deviation.
+- ``/get_timetable`` AND ``/get_arrivals`` keep null departure_times as
+  the literal 'NaT' (the reference ETL stringifies pandas NaT into the
+  stored doc, `Mongo/denormalization.py:97`, and 'NaT' is truthy so it
+  survives the reference's ``if t`` filters and is counted); null
+  route/headsign group keys are emitted as the "null" JSON key — the
+  reference's ``.get(key, default)`` fallbacks are dead code since the
+  ETL writes every key (see queries/timetable.py), and its Flask
+  jsonify would 500 sorting a None key against named ones, so this is
+  the one deliberate deviation.  A route/headsign genuinely NAMED
+  'null' would collide with that key: the handler merges the groups'
+  time lists instead of letting one silently clobber the other.
 
 Scale/serving notes: every timetable endpoint is a point lookup on
 ``stop_id`` — pass a ``.persist()``-ed (or bucketed-by-stop_id) denorm
@@ -147,7 +151,13 @@ def create_app(analytics: TransitAPI, denorm: DataFrame):
                      else r["route_long_name"])
             head = ("null" if r["trip_headsign"] is None
                     else r["trip_headsign"])
-            sched.setdefault(route, {})[head] = list(r["times"])
+            by_head = sched.setdefault(route, {})
+            if head in by_head:
+                # a group genuinely named 'null' aliasing the None key:
+                # merge (re-sorted) rather than clobber
+                by_head[head] = sorted(by_head[head] + list(r["times"]))
+            else:
+                by_head[head] = list(r["times"])
         return jsonify(sched)
 
     @app.get("/get_routes_for_stop")

@@ -15,12 +15,19 @@ files:
   read -> repartition(ceil(bytes / target)) -> write tmp -> swap -> rm old
 
 The swap uses the Hadoop FileSystem API through the JVM gateway, so the
-same code is correct on local disk, HDFS, or any Hadoop-compatible store —
-NOT python os.rename, which only exists on the driver's local FS.  The
-swap window is two renames; concurrent READERS that already planned their
-scan keep working on the old file handles (posix) or fail-and-retry
-(object stores), but concurrent WRITERS must be paused — same contract as
-every table-format-less compaction.
+same code RUNS on local disk, HDFS, or any Hadoop-compatible store — NOT
+python os.rename, which only exists on the driver's local FS.  The
+crash-safety claim is scoped to stores with ATOMIC directory rename
+(posix, HDFS): there each swap step either happens or doesn't, and a
+crash between the two renames is repaired on the next run (the sink is
+restored from ``._compact_old`` before anything else).  On S3A-class
+object stores rename is a non-atomic copy+delete — a crash mid-"rename"
+can leave a partially-copied tree that this module cannot distinguish
+from a complete one; run compaction there under a table format (Iceberg/
+Delta OPTIMIZE) or accept the window.  The swap window is two renames;
+concurrent READERS that already planned their scan keep working on the
+old file handles (posix) or fail-and-retry, but concurrent WRITERS must
+be paused — same contract as every table-format-less compaction.
 """
 
 from __future__ import annotations
@@ -104,6 +111,18 @@ def compact_parquet_dir(spark: SparkSession, path: str,
 
     Returns a stats dict so schedulers can log/alert on it.
     """
+    fs, hpath, jvm = _fs(spark, path)
+    old = jvm.org.apache.hadoop.fs.Path(path + "._compact_old")
+    # crash recovery: a previous run that died between its two renames
+    # left the sink missing and the data stranded in ._compact_old —
+    # restore it FIRST (before stats, which would throw on the missing
+    # sink, and before stale-leftover cleanup, which would delete the
+    # only surviving copy)
+    if not fs.exists(hpath) and fs.exists(old):
+        if not fs.rename(old, hpath):
+            raise IOError(
+                f"compact: recovery rename {old} -> {path} failed")
+
     files_before, total_bytes = parquet_dir_stats(spark, path)
     pcols = partition_columns(spark, path)
     n_dirs = leaf_partition_dir_count(spark, path) if pcols else 1
@@ -114,30 +133,44 @@ def compact_parquet_dir(spark: SparkSession, path: str,
         return {"compacted": False, "files_before": files_before,
                 "files_after": files_before, "bytes": total_bytes}
 
-    fs, hpath, jvm = _fs(spark, path)
     tmp = jvm.org.apache.hadoop.fs.Path(path + "._compact_tmp")
-    old = jvm.org.apache.hadoop.fs.Path(path + "._compact_old")
-    # stale leftovers from a crashed previous run
+    # stale leftovers from a crashed previous run (the sink exists, so
+    # an ._compact_old here is a superseded copy, not the only one)
     for p in (tmp, old):
         if fs.exists(p):
             fs.delete(p, True)
 
-    df = spark.read.parquet(path)
-    if pcols:
-        from pyspark.sql import functions as F
+    # partition values round-trip through directory NAMES: with type
+    # inference on, a string-typed value that looks numeric (part=00,
+    # dates) would be re-inferred and rewritten with a mutated directory
+    # name and changed column type.  Compaction must never rewrite
+    # values, so inference is off for the rewrite read — partition
+    # columns come back as strings, directory names are preserved
+    # byte-for-byte, and downstream readers re-infer exactly as before.
+    inference_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    saved_inference = spark.conf.get(inference_key)
+    spark.conf.set(inference_key, "false")
+    try:
+        df = spark.read.parquet(path)
+        if pcols:
+            from pyspark.sql import functions as F
 
-        # deterministic salt splits each partition directory's rows
-        # across `files_per_dir` tasks; partitionBy still routes every
-        # row to its directory, so a dir gets at most files_per_dir files
-        salt = F.pmod(F.xxhash64(F.struct(*[F.col(c) for c in df.columns])),
-                      F.lit(files_per_dir))
-        writer = (df.withColumn("_salt", salt)
-                  .repartition(n_target, *pcols, "_salt")
-                  .drop("_salt")
-                  .write.mode("overwrite").partitionBy(*pcols))
-    else:
-        writer = df.repartition(n_target).write.mode("overwrite")
-    writer.parquet(tmp.toString())
+            # deterministic salt splits each partition directory's rows
+            # across `files_per_dir` tasks; partitionBy still routes
+            # every row to its directory, so a dir gets at most
+            # files_per_dir files
+            salt = F.pmod(
+                F.xxhash64(F.struct(*[F.col(c) for c in df.columns])),
+                F.lit(files_per_dir))
+            writer = (df.withColumn("_salt", salt)
+                      .repartition(n_target, *pcols, "_salt")
+                      .drop("_salt")
+                      .write.mode("overwrite").partitionBy(*pcols))
+        else:
+            writer = df.repartition(n_target).write.mode("overwrite")
+        writer.parquet(tmp.toString())
+    finally:
+        spark.conf.set(inference_key, saved_inference)
 
     if not fs.rename(hpath, old):
         raise IOError(f"compact: rename {path} -> {old} failed")

@@ -116,12 +116,20 @@ def get_arrivals_flat(
     returns its times there — and here.  The reference's
     ``simplify_time`` display unwrap is an API-edge concern
     (api/shapes.py), not part of the set semantics.
+
+    Null departure_times are KEPT, as the literal 'NaT', exactly like
+    ``get_timetable``: the reference ETL stringifies pandas NaT into the
+    stored doc (`Mongo/denormalization.py:97`), and the string 'NaT' is
+    truthy, so it survives the reference's ``[t for t in times if t]``
+    and is counted ('NaT' also sorts after every HH:MM:SS string in both
+    engines).  Only genuinely empty strings are dropped — the one falsy
+    value the reference's filter can see.
     """
     df = _exploded(
         denorm, stop_id, valid_headsign=(trip_headsign is None)
-    ).filter(
-        F.col("departure_time").isNotNull() & (F.col("departure_time") != "")
-    )
+    ).withColumn(
+        "departure_time", F.coalesce(F.col("departure_time"), F.lit("NaT"))
+    ).filter(F.col("departure_time") != "")
     for col, val in (
         ("route_short_name", route_short_name),
         ("trip_headsign", trip_headsign),
@@ -140,10 +148,14 @@ def get_arrivals_grouped(
     service_id: str | None = None,
 ) -> DataFrame:
     """A19: arrivals at a stop grouped by (route_id, headsign) with the
-    sorted time list and per-group count (`Mongo/app.py:206-244`)."""
-    df = _exploded(denorm, stop_id).filter(
-        F.col("departure_time").isNotNull() & (F.col("departure_time") != "")
-    )
+    sorted time list and per-group count (`Mongo/app.py:206-244`).
+
+    Null departure_times are kept as 'NaT' in the time lists and counts,
+    matching the reference's truthy stringified-NaT behavior — see
+    ``get_arrivals_flat``."""
+    df = _exploded(denorm, stop_id).withColumn(
+        "departure_time", F.coalesce(F.col("departure_time"), F.lit("NaT"))
+    ).filter(F.col("departure_time") != "")
     for col, val in (
         ("route_short_name", route_short_name),
         ("trip_headsign", trip_headsign),

@@ -152,3 +152,50 @@ def test_compact_splits_hot_partitions(spark, tmp_path):
     # the hot partition (part=0 holds ~99% of rows) got multiple files
     assert per_dir["part=0"] > 1, per_dir
     assert spark.read.parquet(sink).count() == 40_000
+
+
+def test_compact_recovers_stranded_old_dir(spark, tmp_path):
+    """ADVICE r4: a crash between the two swap renames leaves the sink
+    path missing and the data stranded in ._compact_old.  The next run
+    must restore it before proceeding instead of throwing from
+    listFiles — and then compact normally."""
+    import os
+    import shutil
+
+    sink = str(tmp_path / "store")
+    _fragmented_sink(spark, sink, appends=3)
+    want = spark.read.parquet(sink).count()
+    # simulate the mid-swap crash: first rename done, second never ran
+    shutil.move(sink, sink + "._compact_old")
+    assert not os.path.exists(sink)
+    stats = compact_parquet_dir(spark, sink, target_file_bytes=1 << 30,
+                                min_files=1)
+    assert stats["compacted"] is True
+    assert not os.path.exists(sink + "._compact_old")
+    assert spark.read.parquet(sink).count() == want
+
+
+def test_compact_preserves_stringy_partition_values(spark, tmp_path):
+    """ADVICE r4: partition values that LOOK numeric (part=00) must not
+    be re-inferred and rewritten with mutated directory names — the
+    rewrite read disables partitionColumnTypeInference."""
+    import os
+
+    sink = str(tmp_path / "store")
+    df = spark.range(500).select(
+        F.col("id"),
+        F.format_string("%02d", (F.col("id") % 3).cast("int")).alias("part"))
+    for _ in range(3):
+        df.repartition(4).write.mode("append") \
+            .partitionBy("part").parquet(sink)
+    before = {d for d in os.listdir(sink) if d.startswith("part=")}
+    assert before == {"part=00", "part=01", "part=02"}
+    stats = compact_parquet_dir(spark, sink, target_file_bytes=1 << 30,
+                                min_files=1)
+    assert stats["compacted"] is True
+    after = {d for d in os.listdir(sink) if d.startswith("part=")}
+    assert after == before, after
+    # conf restored for the rest of the session
+    assert spark.conf.get(
+        "spark.sql.sources.partitionColumnTypeInference.enabled") == "true"
+    assert spark.read.parquet(sink).count() == 1500
