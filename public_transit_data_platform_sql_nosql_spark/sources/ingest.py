@@ -94,6 +94,79 @@ def ingest_gtfs(spark: SparkSession, dataset_dir: str, out_dir: str,
     return out
 
 
+def jdbc_scan_options(
+    url: str,
+    table: str,
+    partition_column: str | None = None,
+    num_partitions: int | None = None,
+    lower_bound: int | str | None = None,
+    upper_bound: int | str | None = None,
+    fetch_size: int = 10_000,
+    driver: str | None = None,
+) -> dict[str, str]:
+    """Option dict for a (possibly partitioned) Spark JDBC scan — pure
+    function so the construction rules are unit-testable without a live
+    database.
+
+    A partitioned scan needs ALL FOUR of partition_column / numPartitions
+    / lowerBound / upperBound (Spark's contract: it generates one
+    ``WHERE pc >= x AND pc < y`` stride per partition); passing a subset
+    raises here, at call time, instead of as an opaque JVM error at plan
+    time.  ``fetch_size`` caps rows per DB round-trip (the driver-level
+    analog of the reference's 100k-row pagination)."""
+    opts = {"url": url, "dbtable": table, "fetchsize": str(fetch_size)}
+    if driver is not None:
+        opts["driver"] = driver
+    part = {"partitionColumn": partition_column,
+            "numPartitions": num_partitions,
+            "lowerBound": lower_bound,
+            "upperBound": upper_bound}
+    given = {k: v for k, v in part.items() if v is not None}
+    if given and len(given) < 4:
+        missing = sorted(set(part) - set(given))
+        raise ValueError(
+            f"partitioned JDBC scan needs all of {sorted(part)}; "
+            f"missing {missing}")
+    opts.update({k: str(v) for k, v in given.items()})
+    return opts
+
+
+def read_jdbc_table(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    partition_column: str | None = None,
+    num_partitions: int | None = None,
+    lower_bound: int | str | None = None,
+    upper_bound: int | str | None = None,
+    fetch_size: int = 10_000,
+    driver: str | None = None,
+) -> DataFrame:
+    """S2's secondary source path: read a table straight from the
+    reference's retained relational store over JDBC
+    (`/root/reference/SQL/sql_utils.py:17-20` opens the same MySQL
+    connection per request; here it is a declarative source).
+
+    Scale notes: with ``partition_column`` (a roughly-uniform integer
+    column — an auto-increment PK) the scan runs as ``num_partitions``
+    CONCURRENT slice queries, one per executor task — the distributed
+    replacement for the reference's driver-side 100k-row chunk loop
+    (SURVEY.md S3).  Without it the whole table funnels through ONE task;
+    fine for dimension tables, never for facts.  Catalyst pushes
+    projections and filters into the generated SQL (visible as
+    PushedFilters in the scan node), so ``read_jdbc_table(...).select(
+    "a").filter(...)`` ships only the needed columns/rows out of the
+    database.  ``table`` accepts a subquery alias (``"(SELECT ...) t"``)
+    for source-side pre-aggregation."""
+    reader = spark.read.format("jdbc")
+    for k, v in jdbc_scan_options(
+        url, table, partition_column, num_partitions,
+        lower_bound, upper_bound, fetch_size, driver,
+    ).items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
 def load_gtfs(spark: SparkSession, parquet_dir: str) -> dict[str, DataFrame]:
     """Read an ingested feed back as the standard 5-table dict."""
     return {
