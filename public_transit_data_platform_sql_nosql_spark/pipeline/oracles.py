@@ -567,6 +567,50 @@ SELECT media_id, kind,
            (a, b) -> a || b) AS head_hex
 FROM rz
 """,
+        # resize summary LEFT JOIN sampled frames — the merged driver
+        # row pinning both transforms (see __spark_entry__)
+        "multimodal_transforms": f"""
+WITH {DOCS},
+{MM_BYTES},
+rz AS (
+  SELECT media_id, kind, n,
+         CASE WHEN n = 0 THEN CAST([] AS BIGINT[])
+              ELSE list_transform(range(0, {RESIZE_OUT_LEN}),
+                     i -> bs[CAST((i * n) // {RESIZE_OUT_LEN} AS INT) + 1])
+         END AS rs
+  FROM mm_bytes
+),
+rzs AS (
+  SELECT media_id, kind,
+         CAST(len(rs) AS BIGINT) AS out_len,
+         list_reduce(list_prepend(CAST(0 AS BIGINT), rs),
+                     (a, x) -> a + x) % 1000000007 AS resize_checksum,
+         list_reduce(list_prepend('',
+             list_transform(rs[1:8], x -> printf('%02x', x))),
+             (a, b) -> a || b) AS head_hex
+  FROM rz
+),
+frall AS (
+  SELECT media_id, n, bs,
+         unnest(range(0, (n + {FRAME_LEN - 1}) // {FRAME_LEN}))
+           AS frame_idx
+  FROM mm_bytes
+),
+frs AS (
+  SELECT media_id, frame_idx,
+         least(n, (frame_idx + 1) * {FRAME_LEN})
+           - frame_idx * {FRAME_LEN} AS frame_len,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+             bs[CAST(frame_idx * {FRAME_LEN} + 1 AS INT)
+                : CAST(least(n, (frame_idx + 1) * {FRAME_LEN}) AS INT)]),
+             (a, x) -> a + x) % 1000000007 AS frame_checksum
+  FROM frall
+  WHERE frame_idx % {FRAME_STRIDE} = 0
+)
+SELECT r.media_id, r.kind, r.out_len, r.resize_checksum, r.head_hex,
+       f.frame_idx, f.frame_len, f.frame_checksum
+FROM rzs r LEFT JOIN frs f USING (media_id)
+""",
         # mirrors pipeline/curation.py split_assign: bucket is a stable
         # per-doc hash, so both engines assign identical membership
         "curation_split": f"""
@@ -617,6 +661,8 @@ FROM r WHERE sample_rank <= {DEFAULT_CAP}
         # mirrors pipeline/curation.py chunk_tokens: chunk k covers
         # tokens [k*step, k*step + size); hash over the space-joined
         # chunk text
+        # chunk rows LEFT JOINed to the corpus-wide dup aggregate for
+        # their hash — one driver row pins chunking AND chunk dedup
         "text_chunks": f"""
 WITH {DOCS},
 t AS (SELECT doc_id, {TOKS} AS toks FROM docs_aug),
@@ -625,8 +671,9 @@ f AS (
          unnest(range(0, (len(toks) + {CHUNK_SIZE - CHUNK_OVERLAP - 1})
            // {CHUNK_SIZE - CHUNK_OVERLAP})) AS k
   FROM t WHERE len(toks) > 0
-)
-SELECT doc_id, k AS chunk_idx,
+),
+ch AS (
+  SELECT doc_id, k AS chunk_idx,
        CAST(least(k * {CHUNK_SIZE - CHUNK_OVERLAP} + {CHUNK_SIZE}, n)
             - k * {CHUNK_SIZE - CHUNK_OVERLAP} AS BIGINT)
          AS n_chunk_tokens,
@@ -634,7 +681,18 @@ SELECT doc_id, k AS chunk_idx,
            f"array_to_string(toks[CAST(k * {CHUNK_SIZE - CHUNK_OVERLAP} + 1 AS INT)"
            f" : CAST(least(k * {CHUNK_SIZE - CHUNK_OVERLAP} + {CHUNK_SIZE}, n) AS INT)], ' ')"
        )} AS chunk_hash
-FROM f
+  FROM f
+),
+dup AS (
+  SELECT chunk_hash,
+         count(*) AS dup_occurrences,
+         count(DISTINCT doc_id) AS dup_docs,
+         min(doc_id) AS dup_canonical_doc_id
+  FROM ch GROUP BY 1 HAVING count(*) > 1
+)
+SELECT ch.chunk_hash, ch.doc_id, ch.chunk_idx, ch.n_chunk_tokens,
+       d.dup_occurrences, d.dup_docs, d.dup_canonical_doc_id
+FROM ch LEFT JOIN dup d USING (chunk_hash)
 """,
         # mirrors pipeline/curation.py chunk_dedup over the text_chunks
         # derivation: repeated 64-token windows across the corpus

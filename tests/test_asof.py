@@ -1,0 +1,122 @@
+"""asof_join / range_join: differential correctness (DuckDB ASOF JOIN,
+brute-force python) and the plan guarantees that make them scale (no
+nested-loop/cartesian shapes)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from public_transit_data_platform_sql_nosql_spark.operators.asof import (
+    asof_join,
+    range_join,
+)
+from public_transit_data_platform_sql_nosql_spark.plans import executed_plan
+
+
+def _trades_quotes(spark):
+    # deterministic, collision-bearing: several keys, repeated instants
+    trades = spark.createDataFrame(
+        [(i, f"k{i % 3}", (i * 37) % 100) for i in range(60)],
+        "trade_id long, sym string, ts long",
+    )
+    quotes = spark.createDataFrame(
+        [(f"k{j % 3}", (j * 11) % 100, 1000 + j) for j in range(40)],
+        "sym string, ts long, px long",
+    ).groupBy("sym", "ts").agg(F.max("px").alias("px"))  # unique (key, ts)
+    return trades, quotes
+
+
+def test_asof_backward_matches_duckdb(spark):
+    trades, quotes = _trades_quotes(spark)
+    got = {
+        (r["trade_id"], r["px_asof"], r["ts_asof"])
+        for r in asof_join(trades, quotes, on="ts", by="sym").collect()
+    }
+    con = duckdb.connect()
+    con.register("trades", trades.toPandas())
+    con.register("quotes", quotes.toPandas())
+    want = set(con.execute("""
+        SELECT t.trade_id, q.px, q.ts
+        FROM trades t ASOF LEFT JOIN quotes q
+          ON t.sym = q.sym AND q.ts <= t.ts
+    """).fetchall())
+    assert got == want
+
+
+def test_asof_forward_and_tolerance(spark):
+    trades, quotes = _trades_quotes(spark)
+    qrows = [(r["sym"], r["ts"], r["px"]) for r in quotes.collect()]
+
+    def naive(sym, ts, direction, tol):
+        if direction == "backward":
+            cand = [(qts, px) for qs, qts, px in qrows
+                    if qs == sym and qts <= ts]
+            best = max(cand, default=None)
+        else:
+            cand = [(qts, px) for qs, qts, px in qrows
+                    if qs == sym and qts >= ts]
+            best = min(cand, default=None)
+        if best is None or (tol is not None and abs(best[0] - ts) > tol):
+            return (None, None)
+        return (best[1], best[0])
+
+    for direction in ("backward", "forward"):
+        for tol in (None, 7):
+            got = {
+                (r["trade_id"], r["px_asof"], r["ts_asof"])
+                for r in asof_join(trades, quotes, on="ts", by="sym",
+                                   direction=direction,
+                                   tolerance=tol).collect()
+            }
+            want = {
+                (r["trade_id"],
+                 *naive(r["sym"], r["ts"], direction, tol))
+                for r in trades.collect()
+            }
+            assert got == want, (direction, tol)
+
+
+def test_asof_no_join_in_plan(spark):
+    """The whole point: one window, zero joins of any kind."""
+    trades, quotes = _trades_quotes(spark)
+    plan = executed_plan(asof_join(trades, quotes, on="ts", by="sym"))
+    for op in ("BroadcastNestedLoopJoin", "CartesianProduct",
+               "SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
+        assert op not in plan, plan
+    assert "Window" in plan
+
+
+def test_asof_validates_inputs(spark):
+    trades, quotes = _trades_quotes(spark)
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(trades, quotes, on="ts", by="sym", direction="sideways")
+    with pytest.raises(ValueError, match="lacks join column"):
+        asof_join(trades, quotes.drop("sym"), on="ts", by="sym")
+
+
+def test_range_join_matches_naive_and_plan(spark):
+    points = spark.createDataFrame(
+        [(i, f"u{i % 5}", (i * 61) % 500) for i in range(200)],
+        "pid long, user string, ts long",
+    )
+    intervals = spark.createDataFrame(
+        [(j, f"u{j % 5}", (j * 97) % 400, (j * 97) % 400 + 30 + (j % 4) * 40)
+         for j in range(40)]
+        + [(99, "u0", 50, 50)],  # degenerate: dropped
+        "iid long, user string, lo long, hi long",
+    )
+    out = range_join(points, intervals, point_on="ts",
+                     start_col="lo", end_col="hi", by="user",
+                     bucket_width=64)
+    got = {(r["pid"], r["iid"]) for r in out.collect()}
+    prow = [(r["pid"], r["user"], r["ts"]) for r in points.collect()]
+    irow = [(r["iid"], r["user"], r["lo"], r["hi"])
+            for r in intervals.collect()]
+    want = {(p, i) for p, pu, ts in prow for i, iu, lo, hi in irow
+            if pu == iu and lo <= ts < hi}
+    assert got == want and got
+    plan = executed_plan(out)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
