@@ -175,3 +175,56 @@ def test_training_chunks_end_to_end(spark, docs):
     s = plan_summary(cur.training_chunks(docs, labels, quality))
     assert s["cartesian_products"] == 0
     out.unpersist()
+
+
+def test_pack_sequences_matches_naive(spark, docs):
+    """pack_sequences vs a brute-force python packer over the same chunk
+    rows: identical (doc, seq) membership and totals; sequences are
+    contiguous chunk runs; every non-final sequence reaches the budget;
+    and the whole thing plans with ONE exchange (the groupBy reuses the
+    window's doc_id partitioning)."""
+    budget = 160
+    chunks = cur.chunk_tokens(docs)
+    rows = sorted(
+        ((r["doc_id"], r["chunk_idx"], r["n_chunk_tokens"])
+         for r in chunks.collect()))
+    want: dict[tuple, list] = {}
+    cum: dict = {}
+    for doc, idx, n in rows:
+        c = cum.get(doc, 0)
+        want.setdefault((doc, c // budget), []).append((idx, n))
+        cum[doc] = c + n
+    packed = cur.pack_sequences(chunks, token_budget=budget)
+    got = {(r["doc_id"], r["seq_idx"]):
+           (r["n_chunks"], r["seq_tokens"],
+            r["first_chunk_idx"], r["last_chunk_idx"])
+           for r in packed.collect()}
+    assert set(got) == set(want)
+    for key, members in want.items():
+        idxs = [i for i, _ in members]
+        total = sum(n for _, n in members)
+        assert got[key] == (len(members), total, min(idxs), max(idxs))
+        assert max(idxs) - min(idxs) + 1 == len(members)  # contiguous
+    # non-final sequences meet the budget (padding only at doc tails)
+    finals = {doc: max(s for d, s in want if d == doc) for doc, _ in want}
+    for (doc, seq), (_, total, _, _) in got.items():
+        if seq != finals[doc]:
+            assert total >= budget
+    # plan-shape assertion on a FRESH (unexecuted) frame: a finalized
+    # AQE plan string duplicates its exchanges (stage + initial-plan
+    # sections), so count before any action runs
+    fresh = plan_summary(cur.pack_sequences(cur.chunk_tokens(docs),
+                                            token_budget=budget))
+    assert fresh["exchanges"] == 1
+    # ...and that one exchange keys on doc_id alone: the groupBy reuses
+    # the window's partitioning instead of re-shuffling on (doc, seq)
+    from public_transit_data_platform_sql_nosql_spark.plans import (
+        executed_plan,
+    )
+
+    plan = executed_plan(cur.pack_sequences(cur.chunk_tokens(docs),
+                                            token_budget=budget))
+    import re
+
+    assert all(part.startswith("doc_id")
+               for part in re.findall(r"hashpartitioning\((\w+)", plan))
