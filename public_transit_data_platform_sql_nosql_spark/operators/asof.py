@@ -85,6 +85,11 @@ def asof_join(
     vout = {v: v + suffix for v in value_cols}
     r_on_out = on + suffix
     lcols = left.columns
+    clash = (set(vout.values()) | {r_on_out, "_side"}) & set(lcols)
+    if clash:
+        raise ValueError(
+            f"left columns {sorted(clash)} collide with as-of output "
+            f"names; pass a different suffix")
 
     l_part = left.select(
         *lcols,
@@ -162,6 +167,14 @@ def range_join(
     would corrupt epoch-nanos values above 2^53.
     """
     by = _as_list(by)
+    if "_bucket" in points.columns or "_bucket" in intervals.columns:
+        raise ValueError("inputs must not carry a _bucket column")
+    overlap = (set(points.columns) - set(by)) & (
+        set(intervals.columns) - set(by))
+    if overlap:
+        raise ValueError(
+            f"non-key columns {sorted(overlap)} exist on both sides; "
+            "rename before range_join (output carries all columns)")
     wlit = int(bucket_width)
     pb = points.withColumn(
         "_bucket", F.expr(f"`{point_on}` DIV {wlit}"))

@@ -53,6 +53,8 @@ def salted_join(
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner|left, got {how!r}")
     keys = [on] if isinstance(on, str) else list(on)
+    if _SALT in big.columns or _SALT in small.columns:
+        raise ValueError(f"inputs must not carry a {_SALT} column")
     salted_big = big.withColumn(
         _SALT,
         F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]),

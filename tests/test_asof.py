@@ -120,3 +120,18 @@ def test_range_join_matches_naive_and_plan(spark):
     plan = executed_plan(out)
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_collision_guards(spark):
+    trades, quotes = _trades_quotes(spark)
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(trades.withColumn("px_asof", F.lit(1)), quotes,
+                  on="ts", by="sym")
+    pts = spark.createDataFrame([(1, 5)], "pid long, ts long")
+    iv = spark.createDataFrame([(2, 0, 10)], "iid long, lo long, hi long")
+    with pytest.raises(ValueError, match="_bucket"):
+        range_join(pts.withColumn("_bucket", F.lit(0)), iv,
+                   point_on="ts", start_col="lo", end_col="hi")
+    with pytest.raises(ValueError, match="both sides"):
+        range_join(pts, iv.withColumnRenamed("iid", "pid"),
+                   point_on="ts", start_col="lo", end_col="hi")
