@@ -411,8 +411,6 @@ _EVENTS_QUERIES = {
         lambda s, d: ev.sessionize(_events(s, d)),
     "events_json_kv_stats":
         lambda s, d: ev.json_kv_stats(_events(s, d)),
-    "events_daily_active_users":
-        lambda s, d: ev.daily_active_users(_events(s, d)),
     "events_top_users_by_value":
         lambda s, d: ev.top_users_by_value(_events(s, d)),
     "events_asof_join": _events_asof_join,
@@ -664,6 +662,12 @@ _PIPELINE_QUERIES = {
     # chunk_tokens and chunk_dedup stay individually exposed below and
     # in pytest.
     "text_chunks": _text_chunks_with_dups,
+    # token-budget sequence packing over the chunk table (budget 160 so
+    # sf docs span several sequences); oracle mirrors the exclusive
+    # prefix-sum DIV bucketing in DuckDB window SQL
+    "pipeline_pack_sequences":
+        lambda s, d: pcur.pack_sequences(pcur.chunk_tokens(_aug(s, d)),
+                                         token_budget=160),
     "multimodal_features": _multimodal_features,
     # resize + frame-sampling fused into one driver row (same cap
     # escape valve): each media's resize summary (len/checksum/head
@@ -673,10 +677,13 @@ _PIPELINE_QUERIES = {
 }
 
 # Driver-INVISIBLE entries (the harness checks the first 50 only): the
-# operators whose standalone rows were merged above keep callable
-# entries here for tests and users; their hard signal now rides in the
-# merged rows.
+# operators whose standalone rows were merged above (or whose signal
+# class is carried by stronger rows — DAU's distinct-count shape also
+# lives in q1 and events_windowed_counts) keep callable, oracle-checked
+# entries here for tests and users.
 _EXTRA_QUERIES = {
+    "events_daily_active_users":
+        lambda s, d: ev.daily_active_users(_events(s, d)),
     "text_chunk_dedup":
         lambda s, d: pcur.chunk_dedup(pcur.chunk_tokens(_aug(s, d))),
     "multimodal_resize":

@@ -567,6 +567,40 @@ SELECT media_id, kind,
            (a, b) -> a || b) AS head_hex
 FROM rz
 """,
+        # mirrors pipeline/curation.py pack_sequences: exclusive
+        # prefix-sum of chunk tokens per doc, integer-DIV'd by the
+        # budget — window SQL twin of the Spark window
+        "pipeline_pack_sequences": f"""
+WITH {DOCS},
+t AS (SELECT doc_id, {TOKS} AS toks FROM docs_aug),
+f AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         unnest(range(0, (len(toks) + {CHUNK_SIZE - CHUNK_OVERLAP - 1})
+           // {CHUNK_SIZE - CHUNK_OVERLAP})) AS k
+  FROM t WHERE len(toks) > 0
+),
+ch AS (
+  SELECT doc_id, k AS chunk_idx,
+         CAST(least(k * {CHUNK_SIZE - CHUNK_OVERLAP} + {CHUNK_SIZE}, n)
+              - k * {CHUNK_SIZE - CHUNK_OVERLAP} AS BIGINT)
+           AS n_chunk_tokens
+  FROM f
+),
+cum AS (
+  SELECT doc_id, chunk_idx, n_chunk_tokens,
+         COALESCE(SUM(n_chunk_tokens) OVER (PARTITION BY doc_id
+             ORDER BY chunk_idx
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           0) AS c
+  FROM ch
+)
+SELECT doc_id, c // 160 AS seq_idx,
+       count(*) AS n_chunks,
+       CAST(sum(n_chunk_tokens) AS BIGINT) AS seq_tokens,
+       min(chunk_idx) AS first_chunk_idx,
+       max(chunk_idx) AS last_chunk_idx
+FROM cum GROUP BY 1, 2
+""",
         # resize summary LEFT JOIN sampled frames — the merged driver
         # row pinning both transforms (see __spark_entry__)
         "multimodal_transforms": f"""
