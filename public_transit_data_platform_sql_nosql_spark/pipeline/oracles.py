@@ -594,7 +594,7 @@ cum AS (
            0) AS c
   FROM ch
 )
-SELECT doc_id, c // 160 AS seq_idx,
+SELECT doc_id, CAST(c // 160 AS BIGINT) AS seq_idx,
        count(*) AS n_chunks,
        CAST(sum(n_chunk_tokens) AS BIGINT) AS seq_tokens,
        min(chunk_idx) AS first_chunk_idx,
