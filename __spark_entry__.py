@@ -589,6 +589,18 @@ def _multimodal_features(spark, sf_dir):
 
 
 def _text_chunks_with_dups(spark, sf_dir):
+    """Chunk rows left-joined to their corpus-wide duplication verdict —
+    routed through operators/skew.salted_join: chunk_hash is the
+    textbook skewed key (a viral chunk's occurrences all share one
+    hash), the dup side is the small aggregated one, and `left` is the
+    exact supported salted shape.  The driver's hash-checked oracle for
+    this entry therefore pins salted_join's correctness every round: a
+    double-count (row replicated into >1 salt) or a lost match breaks
+    rows/hash immediately."""
+    from public_transit_data_platform_sql_nosql_spark.operators.skew import (
+        salted_join,
+    )
+
     ch = pcur.chunk_tokens(_aug(spark, sf_dir))
     dup = pcur.chunk_dedup(ch).select(
         "chunk_hash",
@@ -596,7 +608,7 @@ def _text_chunks_with_dups(spark, sf_dir):
         F.col("n_docs").alias("dup_docs"),
         F.col("canonical_doc_id").alias("dup_canonical_doc_id"),
     )
-    return ch.join(dup, "chunk_hash", "left")
+    return salted_join(ch, dup, on="chunk_hash", how="left", n_salt=8)
 
 
 def _multimodal_transforms(spark, sf_dir):
@@ -691,6 +703,19 @@ _EXTRA_QUERIES = {
         .select("media_id", "kind", "out_len", "checksum", "head_hex"),
     "multimodal_frames":
         lambda s, d: pmm.sample_frames(pmm.media_table(_aug(s, d))),
+    # the flagship docs -> training-sequences composition (curate +
+    # decontaminate + chunk + boilerplate-drop in ONE closed plan);
+    # benched in bench.py so a lost cross-stage reuse is visible in the
+    # round-over-round numbers, oracle-checked so the composition (not
+    # just its pieces) has a hash signal
+    "pipeline_training_chunks":
+        lambda s, d: pcur.training_chunks(
+            _aug(s, d),
+            pdedup.dedup_clusters(pdedup.minhash_lsh_pairs(_aug(s, d))),
+            ptext.quality_scores(_aug(s, d)),
+            pdedup.decontaminate_report(
+                _aug(s, d).filter("doc_id % 11 != 0"),
+                _aug(s, d).filter("doc_id % 11 = 0"))),
 }
 
 

@@ -93,7 +93,8 @@ def _is_headline_extra(name: str) -> bool:
     has round-over-round history."""
     return name.startswith((
         "dedup_minhash", "dedup_clusters", "ann_", "text_profile",
-        "pipeline_curated_corpus", "events_asof", "events_range",
+        "pipeline_curated_corpus", "pipeline_training_chunks",
+        "events_asof", "events_range",
     ))
 
 

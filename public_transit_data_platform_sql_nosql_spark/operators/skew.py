@@ -45,11 +45,15 @@ def salted_join(
     duplicate small-side unmatched rows per salt).
 
     The salt hashes the big side's FULL row (xxhash64), so it is
-    deterministic under retries and spreads a hot key's rows uniformly
-    regardless of which columns are skewed.  Cost model: small side
-    bytes x n_salt extra shuffle volume buys the hot key n_salt-way
-    parallelism — size n_salt to the worst key's share of a task, not
-    higher."""
+    deterministic under retries and spreads a hot key's rows across
+    salts whichever columns carry the skew — with one limit: rows that
+    are IDENTICAL in every column hash to the same salt, so skew caused
+    by exact duplicate rows is not spread (there is no deterministic
+    way to distinguish copies; dedupe-and-count upstream, or carry a
+    unique row id into the hash, when exact duplicates are expected).
+    Cost model: small side bytes x n_salt extra shuffle volume buys the
+    hot key n_salt-way parallelism — size n_salt to the worst key's
+    share of a task, not higher."""
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner|left, got {how!r}")
     keys = [on] if isinstance(on, str) else list(on)

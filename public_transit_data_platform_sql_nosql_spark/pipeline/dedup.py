@@ -456,7 +456,13 @@ def dedup_clusters(pairs: DataFrame,
     ``round-N/`` subdirectory and deletes ``round-(N-1)/`` once round N
     is materialized (lineage is truncated, so the prior files are
     unreferenced), leaving at most ONE round's files on disk — a
-    scheduled job cannot accumulate unbounded DFS storage.  The final
+    scheduled job cannot accumulate unbounded DFS storage.  COROLLARY:
+    no OTHER ``checkpoint()`` may run concurrently in the session while
+    this loop is live — because the checkpoint dir is session-global, a
+    concurrent checkpoint lands inside the current ``round-N/`` and is
+    DELETED on the next rotation (not merely orphaned).  Run concurrent
+    checkpointing work with ``checkpoint_dir=None`` (localCheckpoint
+    does not touch the shared dir) or in its own SparkSession.  The final
     round's directory backs the RETURNED DataFrame and therefore
     survives; callers delete ``checkpoint_dir`` when done with the
     result (or persist it elsewhere first).

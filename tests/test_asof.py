@@ -94,6 +94,76 @@ def test_asof_validates_inputs(spark):
         asof_join(trades, quotes, on="ts", by="sym", direction="sideways")
     with pytest.raises(ValueError, match="lacks join column"):
         asof_join(trades, quotes.drop("sym"), on="ts", by="sym")
+    with pytest.raises(ValueError, match="bucket_width"):
+        asof_join(trades, quotes, on="ts", by="sym", bucket_width=0)
+    with pytest.raises(ValueError, match="bucket_width"):
+        asof_join(trades, quotes, on="ts", by="sym", bucket_width=-5)
+
+
+def test_asof_null_right_ts_never_matches(spark):
+    """A right row with null ts must not leak its value columns into
+    matches (pandas merge_asof / DuckDB ASOF parity)."""
+    left = spark.createDataFrame([(1, "a", 10)], "lid long, k string, ts long")
+    right = spark.createDataFrame(
+        [("a", None, 777)], "k string, ts long, v long")
+    rows = asof_join(left, right, on="ts", by="k").collect()
+    assert len(rows) == 1
+    assert rows[0]["v_asof"] is None and rows[0]["ts_asof"] is None
+    # and with a real match present, the null-ts row still never wins
+    right2 = spark.createDataFrame(
+        [("a", None, 777), ("a", 5, 42)], "k string, ts long, v long")
+    rows2 = asof_join(left, right2, on="ts", by="k").collect()
+    assert (rows2[0]["v_asof"], rows2[0]["ts_asof"]) == (42, 5)
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+@pytest.mark.parametrize("tol", [None, 7])
+@pytest.mark.parametrize("width", [1, 8, 64, 1000])
+def test_asof_bucketed_matches_flat(spark, direction, tol, width):
+    """The hot-key escape hatch returns the exact flat-path answer for
+    every direction/tolerance/width combination, including widths far
+    larger (one bucket) and far smaller (per-instant buckets) than the
+    data spread."""
+    trades, quotes = _trades_quotes(spark)
+    flat = {
+        tuple(r) for r in asof_join(
+            trades, quotes, on="ts", by="sym",
+            direction=direction, tolerance=tol).collect()
+    }
+    bucketed = {
+        tuple(r) for r in asof_join(
+            trades, quotes, on="ts", by="sym",
+            direction=direction, tolerance=tol,
+            bucket_width=width).collect()
+    }
+    assert bucketed == flat
+
+
+def test_asof_bucketed_hot_key_spreads_and_matches_duckdb(spark):
+    """ONE key carrying every row — the flat path's worst case.  The
+    bucketed path must (a) partition the big window by (key, bucket) so
+    the hot key runs multi-task, and (b) still match DuckDB ASOF JOIN."""
+    left = spark.createDataFrame(
+        [(i, "hot", (i * 37) % 1000) for i in range(600)],
+        "lid long, k string, ts long",
+    )
+    right = spark.createDataFrame(
+        [("hot", (j * 13) % 990, 100 + j) for j in range(300)],
+        "k string, ts long, v long",
+    ).groupBy("k", "ts").agg(F.max("v").alias("v"))
+    out = asof_join(left, right, on="ts", by="k", bucket_width=100)
+    got = {(r["lid"], r["v_asof"], r["ts_asof"]) for r in out.collect()}
+    con = duckdb.connect()
+    con.register("l", left.toPandas())
+    con.register("r", right.toPandas())
+    want = set(con.execute("""
+        SELECT l.lid, r.v, r.ts
+        FROM l ASOF LEFT JOIN r ON l.k = r.k AND r.ts <= l.ts
+    """).fetchall())
+    assert got == want
+    # the in-bucket window is keyed by (k, _asof_bkt), not k alone
+    plan = executed_plan(out)
+    assert "_asof_bkt" in plan, plan
 
 
 def test_range_join_matches_naive_and_plan(spark):
@@ -120,6 +190,45 @@ def test_range_join_matches_naive_and_plan(spark):
     plan = executed_plan(out)
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_range_join_auto_width_and_validation(spark):
+    points = spark.createDataFrame(
+        [(i, (i * 61) % 500) for i in range(200)],
+        "pid long, ts long",
+    )
+    intervals = spark.createDataFrame(
+        [(j, (j * 97) % 400, (j * 97) % 400 + 30 + (j % 4) * 40)
+         for j in range(40)],
+        "iid long, lo long, hi long",
+    )
+    # auto width (median interval length) gives the same matches as an
+    # explicit width
+    auto = range_join(points, intervals, point_on="ts",
+                      start_col="lo", end_col="hi")
+    explicit = range_join(points, intervals, point_on="ts",
+                          start_col="lo", end_col="hi", bucket_width=64)
+    got_auto = {(r["pid"], r["iid"]) for r in auto.collect()}
+    got_explicit = {(r["pid"], r["iid"]) for r in explicit.collect()}
+    assert got_auto == got_explicit and got_auto
+    # auto width bounds the explosion: exploded interval rows stay
+    # within ~(len/median + 1) per interval; with len in [30, 150] and
+    # median ~90, that is < 3 buckets per interval on average
+    med = sorted(r["hi"] - r["lo"] for r in intervals.collect())[20]
+    from pyspark.sql import functions as SF
+    exploded = intervals.select(
+        SF.explode(SF.sequence(
+            SF.expr(f"lo DIV {med}"), SF.expr(f"(hi - 1) DIV {med}")
+        ))).count()
+    assert exploded <= 3 * intervals.count()
+    for bad in (0, -7):
+        with pytest.raises(ValueError, match="bucket_width"):
+            range_join(points, intervals, point_on="ts",
+                       start_col="lo", end_col="hi", bucket_width=bad)
+    # degenerate-only intervals: empty result, no crash, any auto width
+    degen = spark.createDataFrame([(1, 9, 9)], "iid long, lo long, hi long")
+    assert range_join(points, degen, point_on="ts",
+                      start_col="lo", end_col="hi").count() == 0
 
 
 def test_collision_guards(spark):
