@@ -224,8 +224,14 @@ def training_chunks(docs: DataFrame, labels: DataFrame,
     if decont_report is not None:
         kept = kept.join(decont_report.select("doc_id"),
                          "doc_id", "left_anti")
+    # `chunks` feeds THREE consumers below (the kept-chunk join, the
+    # boilerplate aggregate, and the canonical-position resolution);
+    # without a persist, each consumer re-executes the whole curation
+    # subtree above it — measured 2x wall time at sf0.1.  The cache
+    # stays (the returned plan reads it); a long-lived session can
+    # spark.catalog.clearCache() after materializing the result.
     chunks = chunk_tokens(
-        docs.join(kept.select("doc_id"), "doc_id", "left_semi"))
+        docs.join(kept.select("doc_id"), "doc_id", "left_semi")).persist()
     boiler = chunk_dedup(chunks)
     # drop repeated windows EXCEPT the canonical owner's FIRST copy, so
     # shared content survives exactly once corpus-wide — including when
