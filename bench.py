@@ -62,6 +62,16 @@ def main() -> None:
     # was unconfirmable at n=2)
     times: dict[str, float] = {}
     for name in headline:
+        # fresh storage slate per query: several pipeline operators persist
+        # shared intermediates (documented — the returned plan reads them),
+        # so repeated reps would otherwise accumulate stale cached blocks
+        # and measure GC pressure instead of the plan
+        spark.catalog.clearCache()
+        # one untimed warmup per query: first execution of a novel plan
+        # pays JIT/codegen compilation that a steady-state cluster
+        # amortizes away (r6 measured dedup_clusters first-touch at 34 s
+        # vs 4 s steady); the timed medians measure the plan
+        qs[name](spark, SF_DIR).count()
         samples, n = [], 0
         for _ in range(3):
             t0 = time.monotonic()
