@@ -642,10 +642,19 @@ _PIPELINE_QUERIES = {
     "dedup_clusters":
         lambda s, d: pdedup.dedup_clusters(
             pdedup.minhash_lsh_pairs(_aug(s, d))),
-    "dedup_keep_one":
-        lambda s, d: pdedup.keep_canonical(
+    # the flagship docs -> training-sequences composition (curate +
+    # decontaminate + chunk + boilerplate-drop in ONE closed plan);
+    # benched in bench.py so a lost cross-stage reuse is visible in the
+    # round-over-round numbers, and driver-visible (in-cap) so the
+    # COMPOSITION — not just its pieces — has a hash signal every round
+    "pipeline_training_chunks":
+        lambda s, d: pcur.training_chunks(
             _aug(s, d),
-            pdedup.dedup_clusters(pdedup.minhash_lsh_pairs(_aug(s, d)))),
+            pdedup.dedup_clusters(pdedup.minhash_lsh_pairs(_aug(s, d))),
+            ptext.quality_scores(_aug(s, d)),
+            pdedup.decontaminate_report(
+                _aug(s, d).filter("doc_id % 11 != 0"),
+                _aug(s, d).filter("doc_id % 11 = 0"))),
     # train/eval benchmark-decontamination: every 11th doc plays the
     # held-out eval set; report = train docs sharing >= 3 shingles
     "pipeline_decontaminate":
@@ -696,6 +705,14 @@ _PIPELINE_QUERIES = {
 _EXTRA_QUERIES = {
     "events_daily_active_users":
         lambda s, d: ev.daily_active_users(_events(s, d)),
+    # keep-canonical's left-anti-vs-drop-set signal is carried in-cap by
+    # BOTH pipeline_curated_corpus and pipeline_training_chunks (each
+    # applies keep-one inside its composition); the standalone row moved
+    # here when training_chunks took its driver slot (r6)
+    "dedup_keep_one":
+        lambda s, d: pdedup.keep_canonical(
+            _aug(s, d),
+            pdedup.dedup_clusters(pdedup.minhash_lsh_pairs(_aug(s, d)))),
     "text_chunk_dedup":
         lambda s, d: pcur.chunk_dedup(pcur.chunk_tokens(_aug(s, d))),
     "multimodal_resize":
@@ -703,19 +720,6 @@ _EXTRA_QUERIES = {
         .select("media_id", "kind", "out_len", "checksum", "head_hex"),
     "multimodal_frames":
         lambda s, d: pmm.sample_frames(pmm.media_table(_aug(s, d))),
-    # the flagship docs -> training-sequences composition (curate +
-    # decontaminate + chunk + boilerplate-drop in ONE closed plan);
-    # benched in bench.py so a lost cross-stage reuse is visible in the
-    # round-over-round numbers, oracle-checked so the composition (not
-    # just its pieces) has a hash signal
-    "pipeline_training_chunks":
-        lambda s, d: pcur.training_chunks(
-            _aug(s, d),
-            pdedup.dedup_clusters(pdedup.minhash_lsh_pairs(_aug(s, d))),
-            ptext.quality_scores(_aug(s, d)),
-            pdedup.decontaminate_report(
-                _aug(s, d).filter("doc_id % 11 != 0"),
-                _aug(s, d).filter("doc_id % 11 = 0"))),
 }
 
 
