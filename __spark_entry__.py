@@ -51,6 +51,7 @@ from public_transit_data_platform_sql_nosql_spark.pipeline import (
 from public_transit_data_platform_sql_nosql_spark.pipeline import (
     similarity as psim,
 )
+from public_transit_data_platform_sql_nosql_spark.pipeline import mixing as pmix
 from public_transit_data_platform_sql_nosql_spark.pipeline import text as ptext
 from public_transit_data_platform_sql_nosql_spark.pipeline.oracles import (
     pipeline_oracles,
@@ -672,8 +673,13 @@ _PIPELINE_QUERIES = {
             _aug(s, d),
             pdedup.dedup_clusters(pdedup.minhash_lsh_pairs(_aug(s, d))),
             ptext.quality_scores(_aug(s, d))),
+    # split + temperature source-mix + shard assignment in ONE driver
+    # row (50-cap merge discipline): one row per doc carries all three
+    # memberships, so one hash pins split_assign, source_mix AND
+    # shard_assign every round; the standalone operators stay exposed
+    # in pipeline/curation.py + pipeline/mixing.py and pytest-covered
     "curation_split":
-        lambda s, d: pcur.split_assign(_aug(s, d)),
+        lambda s, d: pmix.curation_assignments(_aug(s, d)),
     "curation_stratified_cap":
         lambda s, d: pcur.stratified_cap(_aug(s, d)),
     # chunking AND chunk-level dedup in one driver row (the 50-entry cap

@@ -22,6 +22,7 @@ from .curation import (
     SPLIT_SALT,
     VAL_PERMILLE,
 )
+from .mixing import DEFAULT_N_SHARDS, MIX_RES, MIX_SALT, SHARD_SALT
 from .multimodal import FRAME_LEN, FRAME_STRIDE, RESIZE_OUT_LEN
 from .similarity import NUM_HYPERPLANES
 from .source import DOCS_AUG_SQL, EMB_AUG_DUCK_CTE
@@ -645,20 +646,42 @@ SELECT r.media_id, r.kind, r.out_len, r.resize_checksum, r.head_hex,
        f.frame_idx, f.frame_len, f.frame_checksum
 FROM rzs r LEFT JOIN frs f USING (media_id)
 """,
-        # mirrors pipeline/curation.py split_assign: bucket is a stable
-        # per-doc hash, so both engines assign identical membership
+        # mirrors pipeline/mixing.py curation_assignments — split
+        # (curation.py split_assign), temperature source mixing
+        # (integer acceptance test h^2*n_src < M^2*n_min) and shard
+        # numbering in one statement, so the driver hash pins all
+        # three memberships every round
         "curation_split": f"""
 WITH {DOCS},
+c AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_src
+  FROM docs_aug GROUP BY source
+),
+cm AS (SELECT source, n_src, MIN(n_src) OVER () AS n_min FROM c),
 b AS (
-  SELECT doc_id,
+  SELECT doc_id, source,
          {md5h(f"'{SPLIT_SALT}' || CAST(doc_id AS VARCHAR)")}
-           % {SPLIT_BUCKETS} AS bucket
+           % {SPLIT_BUCKETS} AS bucket,
+         {md5h(f"'{MIX_SALT}' || CAST(doc_id AS VARCHAR)")}
+           % {MIX_RES} AS hmix,
+         {md5h(f"'{SHARD_SALT}' || CAST(doc_id AS VARCHAR)")} AS hshard
   FROM docs_aug
 )
-SELECT doc_id, bucket,
-       CASE WHEN bucket < {VAL_PERMILLE} THEN 'val' ELSE 'train' END
-         AS split
-FROM b
+SELECT b.doc_id, b.source, b.bucket,
+       CASE WHEN b.bucket < {VAL_PERMILLE} THEN 'val' ELSE 'train' END
+         AS split,
+       cm.n_src,
+       (b.hmix * b.hmix * cm.n_src
+          < {MIX_RES * MIX_RES} * cm.n_min) AS mix_kept,
+       b.hshard % {DEFAULT_N_SHARDS} AS shard_idx,
+       CAST(ROW_NUMBER() OVER (PARTITION BY b.hshard % {DEFAULT_N_SHARDS}
+                               ORDER BY b.hshard, b.doc_id) - 1
+            AS BIGINT) AS shard_pos,
+       CAST((ROW_NUMBER() OVER (PARTITION BY b.hshard % {DEFAULT_N_SHARDS}
+                                ORDER BY b.hshard, b.doc_id) - 1)
+            * {DEFAULT_N_SHARDS} + b.hshard % {DEFAULT_N_SHARDS}
+            AS BIGINT) AS order_idx
+FROM b JOIN cm USING (source)
 """,
         # mirrors pipeline/curation.py stratified_cap: the SAME two
         # stages (count -> integer-division threshold -> hash-position
