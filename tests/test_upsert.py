@@ -1,0 +1,97 @@
+"""Incremental MERGE into parquet sinks: replace-on-key semantics,
+partition-scoped rewrites that leave untouched partitions' files alone,
+crash recovery from a stranded swap, and key-uniqueness enforcement."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from public_transit_data_platform_sql_nosql_spark.jobs.upsert import (
+    upsert_parquet_dir,
+)
+
+
+def _rows(spark, path):
+    return {(r["k"], r["v"]) for r in spark.read.parquet(path).collect()}
+
+
+def _mkdf(spark, pairs):
+    return spark.createDataFrame(
+        [(int(k), str(v)) for k, v in pairs], "k long, v string")
+
+
+def test_upsert_flat_merge(spark, tmp_path):
+    sink = str(tmp_path / "sink")
+    st = upsert_parquet_dir(
+        spark, sink, _mkdf(spark, [(1, "a"), (2, "b"), (3, "c")]), ["k"])
+    assert st["created"] is True
+    st = upsert_parquet_dir(
+        spark, sink, _mkdf(spark, [(2, "B"), (4, "d")]), ["k"])
+    assert st["created"] is False and st["rows_upserted"] == 2
+    assert _rows(spark, sink) == {(1, "a"), (2, "B"), (3, "c"), (4, "d")}
+    # idempotent: re-applying the same batch changes nothing
+    upsert_parquet_dir(spark, sink, _mkdf(spark, [(2, "B"), (4, "d")]), ["k"])
+    assert _rows(spark, sink) == {(1, "a"), (2, "B"), (3, "c"), (4, "d")}
+
+
+def test_upsert_rejects_duplicate_update_keys(spark, tmp_path):
+    sink = str(tmp_path / "sink")
+    with pytest.raises(ValueError, match="not unique"):
+        upsert_parquet_dir(
+            spark, sink, _mkdf(spark, [(1, "a"), (1, "b")]), ["k"])
+
+
+def test_upsert_partition_scoped_rewrite(spark, tmp_path):
+    """Only the partition directories named in the updates are rewritten;
+    untouched partitions keep their exact files (same names, same
+    mtimes)."""
+    sink = str(tmp_path / "sink")
+    base = spark.createDataFrame(
+        [(i, f"v{i}", i % 4) for i in range(100)], "k long, v string, p long")
+    upsert_parquet_dir(spark, sink, base, ["k"], partition_col="p")
+    assert len(os.listdir(sink)) >= 4
+
+    untouched = sorted(os.listdir(os.path.join(sink, "p=3")))
+    mtimes = {f: os.path.getmtime(os.path.join(sink, "p=3", f))
+              for f in untouched}
+
+    ups = spark.createDataFrame(
+        [(0, "NEW", 0), (200, "ins", 1)], "k long, v string, p long")
+    st = upsert_parquet_dir(spark, sink, ups, ["k"], partition_col="p")
+    assert sorted(st["partitions"]) == [0, 1]
+
+    after = spark.read.parquet(sink)
+    got = {(r["k"], r["v"], r["p"]) for r in after.collect()}
+    expect = {(i, f"v{i}", i % 4) for i in range(100) if i != 0}
+    expect |= {(0, "NEW", 0), (200, "ins", 1)}
+    assert got == expect
+
+    # p=3 files byte-identical (never read, never rewritten)
+    assert sorted(os.listdir(os.path.join(sink, "p=3"))) == untouched
+    for f, m in mtimes.items():
+        assert os.path.getmtime(os.path.join(sink, "p=3", f)) == m
+
+
+def test_upsert_creates_partitioned_sink(spark, tmp_path):
+    sink = str(tmp_path / "sink")
+    ups = spark.createDataFrame(
+        [(1, "a", 0), (2, "b", 1)], "k long, v string, p long")
+    st = upsert_parquet_dir(spark, sink, ups, ["k"], partition_col="p")
+    assert st["created"] is True and sorted(st["partitions"]) == [0, 1]
+    assert spark.read.parquet(sink).count() == 2
+
+
+def test_upsert_crash_recovery(spark, tmp_path):
+    """A sink directory stranded at ._upsert_old (crash between the two
+    swap renames) is restored before the next merge runs."""
+    sink = str(tmp_path / "sink")
+    upsert_parquet_dir(
+        spark, sink, _mkdf(spark, [(1, "a"), (2, "b")]), ["k"])
+    # simulate the crash window: sink renamed away, tmp never moved in
+    os.rename(sink, sink + "._upsert_old")
+    st = upsert_parquet_dir(spark, sink, _mkdf(spark, [(3, "c")]), ["k"])
+    assert st["created"] is False
+    assert _rows(spark, sink) == {(1, "a"), (2, "b"), (3, "c")}
