@@ -726,6 +726,11 @@ _EXTRA_QUERIES = {
         .select("media_id", "kind", "out_len", "checksum", "head_hex"),
     "multimodal_frames":
         lambda s, d: pmm.sample_frames(pmm.media_table(_aug(s, d))),
+    # deterministic k-means corpus clustering (semantic-dedup /
+    # topic-balance upstream): hash-seeded, integer-quantized centroid
+    # updates, fully oracle-checked (verify + pytest differential)
+    "embedding_kmeans":
+        lambda s, d: psim.embedding_kmeans(_emb(s, d)),
 }
 
 

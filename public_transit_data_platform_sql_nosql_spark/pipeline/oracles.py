@@ -481,6 +481,57 @@ ranked AS (
 )
 SELECT query_id, rank, neighbor_id, cos_sim FROM ranked WHERE rank <= 10
 """,
+        # mirrors pipeline/similarity.py embedding_kmeans (k=8, n_iter=2,
+        # loop unrolled): hash-seeded init, round-6-cosine argmax with
+        # (cos DESC, cid ASC) tie-break, integer milli-quantized centroid
+        # sums — every step exact across engines
+        "embedding_kmeans": f"""
+WITH s AS (
+  SELECT vec_id, embedding,
+         {md5h("'km-v1' || CAST(vec_id AS VARCHAR)")} AS h
+  FROM embeddings
+  ORDER BY h, vec_id LIMIT 8
+),
+c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS BIGINT) AS cid,
+         embedding AS centroid
+  FROM s
+),
+a1 AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY round({cos_sql('e.embedding', 'c.centroid')}, 6)
+               DESC, c.cid) AS rn
+    FROM embeddings e, c0 c
+  ) WHERE rn = 1
+),
+comp1 AS (
+  SELECT cid, u.pos AS pos, CAST(SUM(u.q) AS BIGINT) AS s
+  FROM (
+    SELECT cid, UNNEST(list_transform(range(1, 65),
+         i -> struct_pack(pos := i,
+              q := CAST(round(embedding[i] * 1000) AS BIGINT)))) AS u
+    FROM a1
+  )
+  GROUP BY 1, 2
+),
+c1 AS (
+  SELECT cid, list(CAST(s AS DOUBLE) ORDER BY pos) AS centroid
+  FROM comp1 GROUP BY cid
+),
+a2 AS (
+  SELECT vec_id, cid, cos_sim FROM (
+    SELECT e.vec_id, c.cid,
+           round({cos_sql('e.embedding', 'c.centroid')}, 6) AS cos_sim,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY round({cos_sql('e.embedding', 'c.centroid')}, 6)
+               DESC, c.cid) AS rn
+    FROM embeddings e, c1 c
+  ) WHERE rn = 1
+)
+SELECT vec_id, cid AS cluster_id, cos_sim FROM a2
+""",
         "ann_ivf_topk": f"""
 WITH comp AS (
   SELECT label, u.pos AS pos, CAST(SUM(u.q) AS BIGINT) AS s

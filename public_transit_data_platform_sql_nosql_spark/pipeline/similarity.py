@@ -169,3 +169,100 @@ def ivf_topk(emb: DataFrame, num_queries: int = 8, k: int = 10,
                 .alias("cos_sim"))
     )
     return _ranked(pairs, k)
+
+
+KMEANS_SALT = "km-v1"
+KMEANS_K = 8
+KMEANS_ITERS = 2
+
+
+def _quantized_centroids(assigned: DataFrame) -> DataFrame:
+    """(cid, centroid) from an assignment table carrying ``embedding`` —
+    ELEMENT-WISE INTEGER SUM of milli-quantized components, the same
+    exact-across-engines trick as ``cell_centroids`` (integer addition
+    is associative, so partial aggregation order can't change the
+    result; cosine only needs the direction, so sum ~ mean)."""
+    comp = (
+        assigned.select("cid", F.posexplode("embedding").alias("pos", "c"))
+        .groupBy("cid", "pos")
+        .agg(F.sum(F.expr("cast(round(c * 1000) AS bigint)")).alias("s"))
+    )
+    return (
+        comp.groupBy("cid")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "s"))).alias("ps"))
+        .select(
+            "cid",
+            F.expr("transform(ps, x -> cast(x.s AS double))")
+            .alias("centroid"),
+        )
+    )
+
+
+def _assign(emb: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: vectors x broadcast(k centroids),
+    argmax cosine with a (round-6 cos DESC, cid ASC) total tie-break.
+    One map-side-combinable groupBy on vec_id — no per-vector window."""
+    scored = (
+        emb.join(F.broadcast(cents))
+        .select(
+            "vec_id", "embedding", "cid",
+            F.round(cosine(F.col("embedding"), F.col("centroid")), 6)
+            .alias("cos_sim"))
+    )
+    return (
+        scored.groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.struct("cid", "cos_sim"),
+                F.struct(F.col("cos_sim"), (-F.col("cid")).alias("nc")))
+            .alias("best"),
+            F.any_value("embedding").alias("embedding"))
+        .select("vec_id", "embedding",
+                F.col("best.cid").alias("cid"),
+                F.col("best.cos_sim").alias("cos_sim"))
+    )
+
+
+def embedding_kmeans(emb: DataFrame, k: int = KMEANS_K,
+                     n_iter: int = KMEANS_ITERS) -> DataFrame:
+    """Deterministic k-means over the embedding column — the corpus
+    clustering step behind semantic dedup / topic-balanced sampling
+    (cluster first, then dedup or cap within clusters).  Returns
+    ``(vec_id, cluster_id, cos_sim)`` — each vector's cluster and its
+    round-6 cosine to that cluster's centroid.
+
+    Engine-independent by construction: seeds are the ``k`` vectors
+    with the smallest ``md5(salt||vec_id)`` (a TakeOrdered top-k, not a
+    random init), centroid updates are exact integer sums of
+    milli-quantized components, and every argmax carries a total
+    (cos DESC, cid ASC) tie-break — so the DuckDB oracle reproduces the
+    clustering bit-for-bit.
+
+    Scale shape per iteration: one broadcast of k centroids, one narrow
+    score projection, one map-side-combinable groupBy(vec_id) argmax,
+    one (cid, pos) aggregation emitting 64*k rows.  ``n_iter`` is a
+    compile-time constant (the loop is unrolled into ONE static plan —
+    no checkpointing, no driver round-trips); for the tens-of-iterations
+    regime, re-persist assignments per round instead.
+    """
+    from .core import md5_hash64
+
+    h = md5_hash64(F.concat(F.lit(KMEANS_SALT),
+                            F.col("vec_id").cast("string")))
+    seeds = (
+        emb.select("vec_id", "embedding", h.alias("h"))
+        .orderBy("h", "vec_id")
+        .limit(k)
+    )
+    ws = Window.orderBy("h", "vec_id")
+    cents = (
+        seeds.select(
+            (F.row_number().over(ws) - 1).cast("long").alias("cid"),
+            F.col("embedding").alias("centroid"))
+    )
+    assigned = _assign(emb, cents)
+    for _ in range(n_iter - 1):
+        cents = _quantized_centroids(assigned)
+        assigned = _assign(emb, cents)
+    return assigned.select(
+        "vec_id", F.col("cid").alias("cluster_id"), "cos_sim")

@@ -1,0 +1,103 @@
+"""embedding_kmeans: exact numpy mirror of the deterministic Lloyd's
+iterations, clustering-quality sanity, DuckDB differential, and the
+broadcast-only plan shape."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+import __spark_entry__ as E
+from public_transit_data_platform_sql_nosql_spark.pipeline import (
+    similarity as sim,
+)
+from public_transit_data_platform_sql_nosql_spark.pipeline.core import P
+from public_transit_data_platform_sql_nosql_spark.plans import plan_summary
+from tests.conftest import SF_DIR, duckdb_rows, spark_rows
+
+
+def _emb(spark):
+    return E._emb(spark, SF_DIR)
+
+
+def _h(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % P
+
+
+def _numpy_kmeans(vecs: dict[int, np.ndarray], k: int, n_iter: int):
+    """Independent mirror: same seeding, same round-6 argmax tie-break,
+    same milli-quantized integer centroid sums."""
+    ids = sorted(vecs)
+    seeds = sorted(ids, key=lambda v: (_h(f"{sim.KMEANS_SALT}{v}"), v))[:k]
+    cents = {c: vecs[v].astype(float) for c, v in enumerate(seeds)}
+
+    def assign(cents):
+        out = {}
+        for v in ids:
+            best = None
+            for c in sorted(cents):
+                ctr = cents[c]
+                cos = float(vecs[v] @ ctr) / np.sqrt(float(vecs[v] @ vecs[v])) \
+                    / np.sqrt(float(ctr @ ctr))
+                cos = round(cos, 6)
+                if best is None or cos > best[1]:
+                    best = (c, cos)
+            out[v] = best
+        return out
+
+    a = assign(cents)
+    for _ in range(n_iter - 1):
+        sums: dict[int, np.ndarray] = {}
+        for v, (c, _cos) in a.items():
+            q = np.round(vecs[v] * 1000).astype(np.int64)
+            sums[c] = sums.get(c, np.zeros(len(q), dtype=np.int64)) + q
+        cents = {c: s.astype(float) for c, s in sums.items()}
+        a = assign(cents)
+    return a
+
+
+def test_kmeans_matches_numpy_mirror(spark):
+    emb = _emb(spark)
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=float)
+            for r in emb.collect()}
+    expect = _numpy_kmeans(vecs, sim.KMEANS_K, sim.KMEANS_ITERS)
+    got = {r["vec_id"]: (r["cluster_id"], r["cos_sim"])
+           for r in sim.embedding_kmeans(emb).collect()}
+    assert set(got) == set(expect)
+    for v in got:
+        assert got[v][0] == expect[v][0], (v, got[v], expect[v])
+        assert abs(got[v][1] - expect[v][1]) < 1e-9
+
+
+def test_kmeans_matches_duckdb_oracle(spark, ddb):
+    s = spark_rows(E.queries()["embedding_kmeans"](spark, SF_DIR))
+    d = duckdb_rows(ddb, E.oracle_sql()["embedding_kmeans"])
+    assert s == d
+
+
+def test_kmeans_clusters_are_coherent(spark):
+    """Mean cosine-to-own-centroid beats the mean pairwise cosine of the
+    corpus — i.e. the clustering actually clusters."""
+    emb = _emb(spark)
+    rows = sim.embedding_kmeans(emb).collect()
+    own = float(np.mean([r["cos_sim"] for r in rows]))
+    vecs = np.array(
+        [r["embedding"] for r in emb.limit(100).collect()], dtype=float)
+    norm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    global_mean = float((norm @ norm.T).mean())
+    assert own > global_mean + 0.05
+    # every cluster id in range, all vectors assigned
+    assert {r["cluster_id"] for r in rows} <= set(range(sim.KMEANS_K))
+    assert len(rows) == emb.count()
+
+
+def test_kmeans_plan_shape(spark):
+    """Centroid joins must broadcast; no sort-merge join or shuffle-side
+    cartesian anywhere in the unrolled plan."""
+    p = plan_summary(sim.embedding_kmeans(_emb(spark)))
+    assert p["sort_merge_joins"] == 0
+    assert p["cartesian_products"] == 0
+    # the k-row centroid table rides a broadcast (nested-loop for the
+    # conditionless scoring join) — never a shuffle of the vector side
+    assert p["broadcast_nested_loop_joins"] >= 1
