@@ -731,6 +731,10 @@ _EXTRA_QUERIES = {
     # updates, fully oracle-checked (verify + pytest differential)
     "embedding_kmeans":
         lambda s, d: psim.embedding_kmeans(_emb(s, d)),
+    # SemDeDup composition: k-means blocking + within-cluster keep-first
+    # (augmented corpus, so the planted near-dups give real positives)
+    "semantic_dedup":
+        lambda s, d: psim.semantic_dedup(_emb_aug(s, d)),
 }
 
 

@@ -117,6 +117,59 @@ def _emb_band_union_sql() -> str:
     return "\n  UNION ALL\n".join(parts)
 
 
+def kmeans_ctes(src: str) -> str:
+    """CTE chain mirroring pipeline/similarity.py embedding_kmeans over
+    the table ``src`` (k=8, n_iter=2 unrolled; final assignment in
+    ``a2``): hash seeding, round-6 argmax with (cos DESC, cid ASC)
+    tie-break, integer milli-quantized centroid sums."""
+    from .similarity import KMEANS_K, KMEANS_SALT
+
+    return f"""s AS (
+  SELECT vec_id, embedding,
+         {md5h(f"'{KMEANS_SALT}' || CAST(vec_id AS VARCHAR)")} AS h
+  FROM {src}
+  ORDER BY h, vec_id LIMIT {KMEANS_K}
+),
+c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS BIGINT) AS cid,
+         embedding AS centroid
+  FROM s
+),
+a1 AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY round({cos_sql('e.embedding', 'c.centroid')}, 6)
+               DESC, c.cid) AS rn
+    FROM {src} e, c0 c
+  ) WHERE rn = 1
+),
+comp1 AS (
+  SELECT cid, u.pos AS pos, CAST(SUM(u.q) AS BIGINT) AS s
+  FROM (
+    SELECT cid, UNNEST(list_transform(range(1, 65),
+         i -> struct_pack(pos := i,
+              q := CAST(round(embedding[i] * 1000) AS BIGINT)))) AS u
+    FROM a1
+  )
+  GROUP BY 1, 2
+),
+c1 AS (
+  SELECT cid, list(CAST(s AS DOUBLE) ORDER BY pos) AS centroid
+  FROM comp1 GROUP BY cid
+),
+a2 AS (
+  SELECT vec_id, cid, cos_sim FROM (
+    SELECT e.vec_id, c.cid,
+           round({cos_sql('e.embedding', 'c.centroid')}, 6) AS cos_sim,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY round({cos_sql('e.embedding', 'c.centroid')}, 6)
+               DESC, c.cid) AS rn
+    FROM {src} e, c1 c
+  ) WHERE rn = 1
+)"""
+
+
 DOCS = f"docs_aug AS ({DOCS_AUG_SQL})"
 _IN_STOP = "(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
 
@@ -486,51 +539,27 @@ SELECT query_id, rank, neighbor_id, cos_sim FROM ranked WHERE rank <= 10
         # (cos DESC, cid ASC) tie-break, integer milli-quantized centroid
         # sums — every step exact across engines
         "embedding_kmeans": f"""
-WITH s AS (
-  SELECT vec_id, embedding,
-         {md5h("'km-v1' || CAST(vec_id AS VARCHAR)")} AS h
-  FROM embeddings
-  ORDER BY h, vec_id LIMIT 8
-),
-c0 AS (
-  SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS BIGINT) AS cid,
-         embedding AS centroid
-  FROM s
-),
-a1 AS (
-  SELECT vec_id, embedding, cid FROM (
-    SELECT e.vec_id, e.embedding, c.cid,
-           row_number() OVER (PARTITION BY e.vec_id
-             ORDER BY round({cos_sql('e.embedding', 'c.centroid')}, 6)
-               DESC, c.cid) AS rn
-    FROM embeddings e, c0 c
-  ) WHERE rn = 1
-),
-comp1 AS (
-  SELECT cid, u.pos AS pos, CAST(SUM(u.q) AS BIGINT) AS s
-  FROM (
-    SELECT cid, UNNEST(list_transform(range(1, 65),
-         i -> struct_pack(pos := i,
-              q := CAST(round(embedding[i] * 1000) AS BIGINT)))) AS u
-    FROM a1
-  )
-  GROUP BY 1, 2
-),
-c1 AS (
-  SELECT cid, list(CAST(s AS DOUBLE) ORDER BY pos) AS centroid
-  FROM comp1 GROUP BY cid
-),
-a2 AS (
-  SELECT vec_id, cid, cos_sim FROM (
-    SELECT e.vec_id, c.cid,
-           round({cos_sql('e.embedding', 'c.centroid')}, 6) AS cos_sim,
-           row_number() OVER (PARTITION BY e.vec_id
-             ORDER BY round({cos_sql('e.embedding', 'c.centroid')}, 6)
-               DESC, c.cid) AS rn
-    FROM embeddings e, c1 c
-  ) WHERE rn = 1
-)
+WITH {kmeans_ctes('embeddings')}
 SELECT vec_id, cid AS cluster_id, cos_sim FROM a2
+""",
+        # mirrors pipeline/similarity.py semantic_dedup: k-means blocking
+        # (over the augmented corpus, whose planted near-dups give real
+        # positives) + within-cluster keep-first
+        "semantic_dedup": f"""
+WITH {EMB_AUG_DUCK_CTE},
+{kmeans_ctes('emb_aug')},
+t AS (
+  SELECT e.vec_id, e.embedding, a2.cid
+  FROM emb_aug e JOIN a2 USING (vec_id)
+),
+drops AS (
+  SELECT DISTINCT b.vec_id
+  FROM t a JOIN t b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE round({cos_sql('a.embedding', 'b.embedding')}, 6) >= 0.98
+)
+SELECT t.vec_id, t.cid AS cluster_id,
+       (d.vec_id IS NULL) AS kept
+FROM t LEFT JOIN drops d ON t.vec_id = d.vec_id
 """,
         "ann_ivf_topk": f"""
 WITH comp AS (

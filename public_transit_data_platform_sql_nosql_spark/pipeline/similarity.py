@@ -266,3 +266,49 @@ def embedding_kmeans(emb: DataFrame, k: int = KMEANS_K,
         assigned = _assign(emb, cents)
     return assigned.select(
         "vec_id", F.col("cid").alias("cluster_id"), "cos_sim")
+
+
+def semantic_dedup(emb: DataFrame, threshold: float = 0.98,
+                   k: int = KMEANS_K,
+                   n_iter: int = KMEANS_ITERS) -> DataFrame:
+    """SemDeDup-style semantic deduplication: cluster the corpus with
+    ``embedding_kmeans``, then compare vectors ONLY within their cluster
+    and drop every vector that has a >= ``threshold`` cosine near-dup
+    with a smaller ``vec_id`` (deterministic keep-first).  Returns one
+    row per vector: ``(vec_id, cluster_id, kept)``.
+
+    Unlike ``dedup.embedding_near_dup`` this needs NO precomputed label
+    column — the k-means assignment IS the blocking key, so it runs on
+    raw unlabeled corpora.  Recall caveat: a near-dup pair straddling a
+    cluster boundary is missed (same class of trade as the banded
+    blocking documented on embedding_near_dup).
+
+    Scale: the pairwise stage is a self-join blocked on cluster_id, so
+    its cost is sum(|cluster|^2) — pick ``k`` proportional to corpus
+    size (SemDeDup practice: clusters of ~10^3-10^4 vectors) to bound
+    every block; a window-free broadcast k-means iteration upstream
+    costs one k-row broadcast each.
+    """
+    assigned = emb.join(
+        embedding_kmeans(emb, k, n_iter).select("vec_id", "cluster_id"),
+        "vec_id")
+    a = assigned.select(F.col("vec_id").alias("vec_a"),
+                        F.col("cluster_id").alias("cl_a"),
+                        F.col("embedding").alias("ea"))
+    b = assigned.select(F.col("vec_id").alias("vec_b"),
+                        F.col("cluster_id").alias("cl_b"),
+                        F.col("embedding").alias("eb"))
+    drops = (
+        a.join(b, (F.col("cl_a") == F.col("cl_b"))
+               & (F.col("vec_a") < F.col("vec_b")))
+        .filter(F.round(cosine(F.col("ea"), F.col("eb")), 6)
+                >= F.lit(threshold))
+        .select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+        .withColumn("_dup", F.lit(True))
+    )
+    return (
+        assigned.join(drops, "vec_id", "left")
+        .select("vec_id", "cluster_id",
+                F.coalesce(~F.col("_dup"), F.lit(True)).alias("kept"))
+    )

@@ -101,3 +101,26 @@ def test_kmeans_plan_shape(spark):
     # the k-row centroid table rides a broadcast (nested-loop for the
     # conditionless scoring join) — never a shuffle of the vector side
     assert p["broadcast_nested_loop_joins"] >= 1
+
+
+def test_semantic_dedup_matches_duckdb_oracle(spark, ddb):
+    s = spark_rows(E.queries()["semantic_dedup"](spark, SF_DIR))
+    d = duckdb_rows(ddb, E.oracle_sql()["semantic_dedup"])
+    assert s == d
+
+
+def test_semantic_dedup_drops_planted_near_dups(spark):
+    """The augmented corpus plants a ~0.999-cosine copy of every 5th
+    vector (vec_id + 1_000_000); semantic dedup must drop (almost all
+    of) the copies and keep originals — keep-first keeps the smaller
+    vec_id."""
+    rows = sim.semantic_dedup(E._emb_aug(spark, SF_DIR)).collect()
+    kept = {r["vec_id"] for r in rows if r["kept"]}
+    planted = {r["vec_id"] for r in rows} - {
+        r["vec_id"] for r in rows if r["vec_id"] < 1_000_000}
+    dropped_planted = planted - kept
+    # recall bound: a planted pair is only missed when k-means splits it
+    # across clusters
+    assert len(dropped_planted) >= 0.9 * len(planted)
+    # originals whose copy was dropped are kept (keep-first)
+    assert all(v - 1_000_000 in kept or v in kept for v in planted)
