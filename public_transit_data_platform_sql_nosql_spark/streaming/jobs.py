@@ -226,3 +226,36 @@ def stream_user_running_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_upsert(updates_stream: DataFrame, sink_path: str,
+                  checkpoint_path: str, key_cols: list[str],
+                  partition_col: str | None = None):
+    """foreachBatch incremental MERGE: each micro-batch upserts into the
+    parquet sink via jobs/upsert.upsert_parquet_dir — matching keys
+    replaced, new keys appended, rewrite scope bounded to the touched
+    hive partitions when ``partition_col`` is set.  The append-only
+    ``incremental_refresh`` twin plus this one cover both CDC shapes
+    (insert-only feeds vs keyed update feeds); with the source's
+    checkpointed offsets each batch merges exactly once, so replays
+    after a crash are idempotent (same keys, same rows).
+
+    A batch that repeats a key (two updates to one row inside the batch
+    window) is ambiguous and REFUSED by upsert_parquet_dir's uniqueness
+    check — deduplicate upstream (e.g. keep the max-timestamp row per
+    key in the batch transform) before this sink.
+    """
+    from ..jobs.upsert import upsert_parquet_dir
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        upsert_parquet_dir(batch_df.sparkSession, sink_path, batch_df,
+                           key_cols, partition_col=partition_col)
+
+    return (
+        updates_stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -95,3 +95,34 @@ def test_upsert_crash_recovery(spark, tmp_path):
     st = upsert_parquet_dir(spark, sink, _mkdf(spark, [(3, "c")]), ["k"])
     assert st["created"] is False
     assert _rows(spark, sink) == {(1, "a"), (2, "b"), (3, "c")}
+
+
+def test_stream_upsert_merges_batches(spark, tmp_path):
+    """foreachBatch MERGE sink: two source files streamed as separate
+    micro-batches merge into the sink with replace-on-key semantics
+    (batches carry overlapping keys; the later batch's rows win)."""
+    from public_transit_data_platform_sql_nosql_spark.streaming.jobs import (
+        stream_upsert,
+    )
+
+    src = tmp_path / "src"
+    _mkdf(spark, [(1, "a"), (2, "b")]).coalesce(1).write.parquet(
+        str(src / "batch0"))
+    _mkdf(spark, [(2, "B"), (3, "c")]).coalesce(1).write.parquet(
+        str(src / "batch1"))
+
+    stream = (
+        spark.readStream.schema("k long, v string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    sink = str(tmp_path / "sink")
+    chk = str(tmp_path / "chk")
+    q = stream_upsert(stream, sink, chk, ["k"])
+    q.awaitTermination()
+    # 3 distinct keys survive; key 2 holds exactly one of its two values
+    # (merge semantics, not append — which value depends on file order)
+    rows = dict(_rows(spark, sink))
+    assert set(rows) == {1, 2, 3}
+    assert rows[1] == "a" and rows[3] == "c" and rows[2] in {"b", "B"}
+    assert spark.read.parquet(sink).count() == 3
