@@ -583,7 +583,11 @@ def decontaminate_report(train: DataFrame, eval_docs: DataFrame,
     ``min_common`` distinct word n-gram shingles with the EVAL CORPUS
     (union of all eval docs' shingles) — the standard hygiene pass that
     keeps benchmark answers out of a training set.  Returns
-    ``(doc_id, n_common)`` for contaminated train docs; compose with
+    ``(doc_id, n_common, n_doc, overlap_ratio)`` for contaminated train
+    docs — the count of shared shingles, the doc's own distinct-shingle
+    count, and their round-6 ratio, so callers can threshold on GRADED
+    contamination (a 3-shingle hit means something different in a
+    20-shingle doc than in a 2000-shingle one); compose with
     ``drop_contaminated`` to get the clean corpus.
 
     Scale notes: both sides reduce to (id, shingle_hash) inverted-index
@@ -591,18 +595,27 @@ def decontaminate_report(train: DataFrame, eval_docs: DataFrame,
     followed by a per-doc count — no pairwise doc comparison anywhere, so
     eval sets of millions of rows are fine.  The eval side is deduped to
     distinct hashes first, which keeps the join's build side minimal (AQE
-    broadcasts it when it fits).
+    broadcasts it when it fits).  The per-doc total rides the same
+    doc_id partitioning as the overlap count, so the final join adds no
+    exchange.
     """
     sh_t = shingle_table(train, n)
     sh_e = (
         shingle_table(eval_docs, n)
         .select("shingle_hash").distinct()
     )
+    totals = sh_t.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_doc"))
     return (
         sh_t.join(sh_e, "shingle_hash")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
         .filter(F.col("n_common") >= min_common)
+        .join(totals, "doc_id")
+        .select(
+            "doc_id", "n_common", "n_doc",
+            F.round(F.col("n_common") / F.col("n_doc"), 6)
+            .alias("overlap_ratio"))
     )
 
 

@@ -333,10 +333,17 @@ tr AS (SELECT doc_id, {TOKS} AS toks FROM docs_aug WHERE doc_id % 11 <> 0),
 ev AS (SELECT doc_id, {TOKS} AS toks FROM docs_aug WHERE doc_id % 11 = 0),
 sh_t AS (SELECT DISTINCT doc_id, unnest({SHINGLE_HASHES}) AS shingle_hash
          FROM tr),
-sh_e AS (SELECT DISTINCT unnest({SHINGLE_HASHES}) AS shingle_hash FROM ev)
-SELECT doc_id, CAST(count(*) AS BIGINT) AS n_common
-FROM sh_t JOIN sh_e USING (shingle_hash)
-GROUP BY doc_id HAVING count(*) >= 3
+sh_e AS (SELECT DISTINCT unnest({SHINGLE_HASHES}) AS shingle_hash FROM ev),
+totals AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_doc
+           FROM sh_t GROUP BY doc_id),
+hits AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_common
+  FROM sh_t JOIN sh_e USING (shingle_hash)
+  GROUP BY doc_id HAVING count(*) >= 3
+)
+SELECT doc_id, n_common, n_doc,
+       round(n_common / n_doc, 6) AS overlap_ratio
+FROM hits JOIN totals USING (doc_id)
 """,
         # mirrors BOTH scale guards in pipeline/dedup.py ngram_jaccard_pairs:
         # candidates only from shingles with df <= NGRAM_MAX_DF, scoring on
