@@ -595,23 +595,23 @@ def decontaminate_report(train: DataFrame, eval_docs: DataFrame,
     followed by a per-doc count — no pairwise doc comparison anywhere, so
     eval sets of millions of rows are fine.  The eval side is deduped to
     distinct hashes first, which keeps the join's build side minimal (AQE
-    broadcasts it when it fits).  The per-doc total rides the same
-    doc_id partitioning as the overlap count, so the final join adds no
-    exchange.
+    broadcasts it when it fits).  Both counts come from ONE pass over
+    the train shingle table: the eval probe is a LEFT join (the probe
+    side is distinct, so no fan-out) and n_common is the count of
+    matched rows — the shingle subtree is never scanned twice.
     """
     sh_t = shingle_table(train, n)
     sh_e = (
         shingle_table(eval_docs, n)
         .select("shingle_hash").distinct()
+        .withColumn("_hit", F.lit(1))
     )
-    totals = sh_t.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_doc"))
     return (
-        sh_t.join(sh_e, "shingle_hash")
+        sh_t.join(sh_e, "shingle_hash", "left")
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_doc"),
+             F.count("_hit").cast("long").alias("n_common"))
         .filter(F.col("n_common") >= min_common)
-        .join(totals, "doc_id")
         .select(
             "doc_id", "n_common", "n_doc",
             F.round(F.col("n_common") / F.col("n_doc"), 6)
