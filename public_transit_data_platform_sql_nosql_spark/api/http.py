@@ -216,8 +216,17 @@ def create_app(analytics: TransitAPI, denorm: DataFrame):
                                    g["trip_headsign"]))
         return jsonify({"groups": groups, "total_count": total})
 
+    # -- UI + discovery (reference serves index.html at "/":
+    #    SQL/app.py:78, Mongo/index.html; ours is an original page) ----
+
     @app.get("/")
     def index():
+        from .ui import INDEX_HTML
+
+        return INDEX_HTML, 200, {"Content-Type": "text/html; charset=utf-8"}
+
+    @app.get("/api")
+    def api_index():
         return jsonify({"endpoints": ["/api/q1", "/api/q2", "/api/q3",
                                       "/api/q4", "/get_stops",
                                       "/get_timetable",

@@ -235,3 +235,19 @@ def test_wrap_clock_time():
     assert wrap_clock_time("09:05:00") == "09:05:00"
     assert wrap_clock_time(None) == ""
     assert wrap_clock_time("") == ""
+
+
+def test_root_serves_ui_and_api_discovery(web):
+    """'/' serves the HTML dashboard (reference parity: index.html at
+    root) and /api keeps the machine-readable endpoint listing."""
+    client, _, _ = web
+    r = client.get("/")
+    assert r.status_code == 200
+    assert r.content_type.startswith("text/html")
+    body = r.get_data(as_text=True)
+    for ep in ("/api/", "/get_timetable", "/get_routes_for_stop",
+               "/get_stops"):
+        assert ep in body
+    r2 = client.get("/api")
+    assert r2.status_code == 200
+    assert "/api/q1" in r2.get_json()["endpoints"]
