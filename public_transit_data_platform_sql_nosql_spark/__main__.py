@@ -18,6 +18,8 @@ Usage (all flags optional where noted):
       --sf-dir /root/testdata/sf0.01 --out out/results
   python -m public_transit_data_platform_sql_nosql_spark compact \
       --path out/denorm [--target-mb 128]
+  python -m public_transit_data_platform_sql_nosql_spark upsert \
+      --path out/store --updates batch/ --key k [--partition-col p]
   python -m public_transit_data_platform_sql_nosql_spark serve \
       --sf-dir /root/testdata/sf0.01 [--precompute-dir out/results]
       [--port 5000]
@@ -92,6 +94,18 @@ def cmd_compact(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_upsert(args: argparse.Namespace) -> int:
+    spark = _spark("upsert")
+    from .jobs.upsert import upsert_parquet_dir
+
+    stats = upsert_parquet_dir(
+        spark, args.path, spark.read.parquet(args.updates),
+        key_cols=args.key.split(","),
+        partition_col=args.partition_col)
+    print(json.dumps(stats))
+    return 0
+
+
 def build_serve_app(spark, sf_dir: str, precompute_dir: str | None,
                     denorm_path: str | None = None):
     """Wire the full serving stack (analytics + timetable endpoints) —
@@ -153,6 +167,16 @@ def main(argv: list[str] | None = None) -> int:
     pc.add_argument("--path", required=True)
     pc.add_argument("--target-mb", type=int, default=128)
     pc.set_defaults(fn=cmd_compact)
+
+    pu = sub.add_parser("upsert", help="MERGE a parquet batch into a sink")
+    pu.add_argument("--path", required=True, help="sink directory")
+    pu.add_argument("--updates", required=True, help="parquet batch to merge")
+    pu.add_argument("--key", required=True,
+                    help="comma-separated key column(s)")
+    pu.add_argument("--partition-col", default=None,
+                    help="hive partition column for partition-scoped "
+                         "rewrites")
+    pu.set_defaults(fn=cmd_upsert)
 
     ps = sub.add_parser("serve", help="run the HTTP API")
     ps.add_argument("--sf-dir", required=True)

@@ -83,3 +83,26 @@ def test_cli_ingest(spark, tmp_path, capsys):
     assert spark.read.parquet(payload["tables"]["stops"]).count() == 2
     # the bucketed variant landed as a metastore table too
     assert spark.table("gtfs_stop_times_bucketed").count() == 4
+
+
+def test_cli_upsert(spark, tmp_path, capsys):
+    import json
+
+    from public_transit_data_platform_sql_nosql_spark.__main__ import main
+
+    base = tmp_path / "base"
+    batch = tmp_path / "batch"
+    sink = str(tmp_path / "sink")
+    spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string") \
+        .write.parquet(str(base))
+    spark.createDataFrame([(2, "B"), (3, "c")], "k long, v string") \
+        .write.parquet(str(batch))
+
+    assert main(["upsert", "--path", sink, "--updates", str(base),
+                 "--key", "k"]) == 0
+    assert main(["upsert", "--path", sink, "--updates", str(batch),
+                 "--key", "k"]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert json.loads(out[-1])["rows_upserted"] == 2
+    got = {(r["k"], r["v"]) for r in spark.read.parquet(sink).collect()}
+    assert got == {(1, "a"), (2, "B"), (3, "c")}
