@@ -189,3 +189,27 @@ def curation_assignments(docs: DataFrame,
             .alias("order_idx"),
         )
     )
+
+
+def write_training_shards(docs: DataFrame, path: str,
+                          n_shards: int = DEFAULT_N_SHARDS,
+                          salt: str = SHARD_SALT) -> None:
+    """Materialize ``shard_assign`` as physical shard files: the docs
+    land in ``path/shard_idx=NN/`` directories, ONE file per shard,
+    rows stored in ``shard_pos`` order — the layout a training loader
+    consumes sequentially (read shards round-robin to reproduce
+    ``order_idx`` order globally).
+
+    Plan: one repartition on shard_idx (each output file is built by
+    exactly one task) + an in-partition sort — no global sort.  At
+    100 TB pick ``n_shards`` so a shard is a few GB: the write
+    parallelism IS n_shards, same as shard_assign's window.
+    """
+    assigned = docs.join(shard_assign(docs, n_shards, salt), "doc_id")
+    (
+        assigned.repartition(n_shards, "shard_idx")
+        .sortWithinPartitions("shard_idx", "shard_pos")
+        .write.mode("overwrite")
+        .partitionBy("shard_idx")
+        .parquet(path)
+    )

@@ -139,3 +139,35 @@ def test_mixing_plan_shapes(docs):
     assert c["sort_merge_joins"] == 0
     assert c["cartesian_products"] == 0
     assert c["broadcast_nested_loop_joins"] == 0
+
+
+def test_write_training_shards_layout(spark, docs, tmp_path):
+    """One directory per shard, one data file each, rows in shard_pos
+    order inside every file, nothing lost."""
+    import os
+
+    from public_transit_data_platform_sql_nosql_spark.pipeline.mixing import (
+        write_training_shards,
+    )
+
+    out = str(tmp_path / "shards")
+    n_shards = 4
+    write_training_shards(docs, out, n_shards=n_shards)
+    dirs = sorted(d for d in os.listdir(out) if d.startswith("shard_idx="))
+    assert len(dirs) == n_shards
+    total = 0
+    for d in dirs:
+        files = [f for f in os.listdir(os.path.join(out, d))
+                 if f.endswith(".parquet")]
+        assert len(files) == 1
+        part = spark.read.parquet(os.path.join(out, d))
+        poss = [r["shard_pos"] for r in part.select("shard_pos").collect()]
+        # parquet preserves write order within the file
+        assert poss == sorted(poss) == list(range(len(poss)))
+        total += len(poss)
+    assert total == docs.count()
+    # round-trip read reproduces the assignment exactly
+    back = spark.read.parquet(out).select("doc_id", "shard_idx", "shard_pos")
+    expect = mix.shard_assign(docs, n_shards=n_shards)
+    assert back.exceptAll(
+        expect.select("doc_id", "shard_idx", "shard_pos")).count() == 0
