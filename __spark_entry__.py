@@ -735,6 +735,18 @@ _EXTRA_QUERIES = {
     # (augmented corpus, so the planted near-dups give real positives)
     "semantic_dedup":
         lambda s, d: psim.semantic_dedup(_emb_aug(s, d)),
+    # the END-TO-END flagship: docs -> curate -> decontaminate -> chunk
+    # -> boilerplate-drop -> token-budget sequence packing, ONE plan
+    "pipeline_training_sequences":
+        lambda s, d: pcur.pack_sequences(
+            pcur.training_chunks(
+                _aug(s, d),
+                pdedup.dedup_clusters(pdedup.minhash_lsh_pairs(_aug(s, d))),
+                ptext.quality_scores(_aug(s, d)),
+                pdedup.decontaminate_report(
+                    _aug(s, d).filter("doc_id % 11 != 0"),
+                    _aug(s, d).filter("doc_id % 11 = 0"))),
+            token_budget=160),
 }
 
 

@@ -260,6 +260,80 @@ reach AS (
   SELECT reach.src, e.b FROM reach JOIN edges e ON reach.dst = e.a
 )"""
 
+# full docs -> kept-training-chunks chain (pipeline/curation.py
+# training_chunks), terminating in CTE ``tc`` — shared by the
+# pipeline_training_chunks oracle and the packed-sequences composition
+# so a mismatch localizes to the stage that differs.  Use with
+# ``WITH RECURSIVE`` (CLUSTER_CTES's reach is recursive).
+TRAINING_CHUNKS_CTES = f"""{CLUSTER_CTES},
+clusters AS (
+  SELECT src AS doc_id, least(src, min(dst)) AS canonical_id
+  FROM reach GROUP BY src
+),
+{QUALITY_CTES},
+curated AS (
+  SELECT d.doc_id
+  FROM docs_aug d
+  LEFT JOIN clusters c ON d.doc_id = c.doc_id
+  JOIN qscore q ON d.doc_id = q.doc_id
+  WHERE (c.canonical_id IS NULL OR c.canonical_id = d.doc_id)
+    AND q.quality_score >= {MIN_QUALITY}
+    AND {md5h(f"'{SPLIT_SALT}' || CAST(d.doc_id AS VARCHAR)")}
+          % {SPLIT_BUCKETS} >= {VAL_PERMILLE}
+),
+sh_t AS (
+  SELECT DISTINCT doc_id, unnest({SHINGLE_HASHES}) AS shingle_hash
+  FROM t WHERE doc_id % 11 <> 0
+),
+sh_e AS (
+  SELECT DISTINCT unnest({SHINGLE_HASHES}) AS shingle_hash
+  FROM t WHERE doc_id % 11 = 0
+),
+contam AS (
+  SELECT doc_id FROM sh_t JOIN sh_e USING (shingle_hash)
+  GROUP BY doc_id HAVING count(*) >= 3
+),
+kept AS (
+  SELECT doc_id FROM curated
+  WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+),
+f AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         unnest(range(0, (len(toks) + {CHUNK_SIZE - CHUNK_OVERLAP - 1})
+           // {CHUNK_SIZE - CHUNK_OVERLAP})) AS k
+  FROM t
+  WHERE len(toks) > 0 AND doc_id IN (SELECT doc_id FROM kept)
+),
+ch AS (
+  SELECT doc_id, k AS chunk_idx,
+       CAST(least(k * {CHUNK_SIZE - CHUNK_OVERLAP} + {CHUNK_SIZE}, n)
+            - k * {CHUNK_SIZE - CHUNK_OVERLAP} AS BIGINT)
+         AS n_chunk_tokens,
+       {md5h(
+           f"array_to_string(toks[CAST(k * {CHUNK_SIZE - CHUNK_OVERLAP} + 1 AS INT)"
+           f" : CAST(least(k * {CHUNK_SIZE - CHUNK_OVERLAP} + {CHUNK_SIZE}, n) AS INT)], ' ')"
+       )} AS chunk_hash
+  FROM f
+),
+boiler AS (
+  SELECT chunk_hash, min(doc_id) AS canonical_doc_id
+  FROM ch GROUP BY 1 HAVING count(*) > 1
+),
+canon_first AS (
+  SELECT ch.chunk_hash, min(ch.chunk_idx) AS canon_idx
+  FROM ch JOIN boiler b USING (chunk_hash)
+  WHERE ch.doc_id = b.canonical_doc_id
+  GROUP BY ch.chunk_hash
+),
+tc AS (
+  SELECT ch.chunk_hash, ch.doc_id, ch.chunk_idx, ch.n_chunk_tokens
+  FROM ch
+  LEFT JOIN boiler b USING (chunk_hash)
+  LEFT JOIN canon_first cf USING (chunk_hash)
+  WHERE b.canonical_doc_id IS NULL
+     OR (ch.doc_id = b.canonical_doc_id AND ch.chunk_idx = cf.canon_idx)
+)"""
+
 
 # --- per-operator oracles -------------------------------------------------
 
@@ -872,72 +946,29 @@ GROUP BY 1 HAVING count(*) > 1
         # Every fragment is the same one the individual oracles use, so
         # a mismatch here localizes to the COMPOSITION, not a stage.
         "pipeline_training_chunks": f"""
-WITH RECURSIVE {CLUSTER_CTES},
-clusters AS (
-  SELECT src AS doc_id, least(src, min(dst)) AS canonical_id
-  FROM reach GROUP BY src
-),
-{QUALITY_CTES},
-curated AS (
-  SELECT d.doc_id
-  FROM docs_aug d
-  LEFT JOIN clusters c ON d.doc_id = c.doc_id
-  JOIN qscore q ON d.doc_id = q.doc_id
-  WHERE (c.canonical_id IS NULL OR c.canonical_id = d.doc_id)
-    AND q.quality_score >= {MIN_QUALITY}
-    AND {md5h(f"'{SPLIT_SALT}' || CAST(d.doc_id AS VARCHAR)")}
-          % {SPLIT_BUCKETS} >= {VAL_PERMILLE}
-),
-sh_t AS (
-  SELECT DISTINCT doc_id, unnest({SHINGLE_HASHES}) AS shingle_hash
-  FROM t WHERE doc_id % 11 <> 0
-),
-sh_e AS (
-  SELECT DISTINCT unnest({SHINGLE_HASHES}) AS shingle_hash
-  FROM t WHERE doc_id % 11 = 0
-),
-contam AS (
-  SELECT doc_id FROM sh_t JOIN sh_e USING (shingle_hash)
-  GROUP BY doc_id HAVING count(*) >= 3
-),
-kept AS (
-  SELECT doc_id FROM curated
-  WHERE doc_id NOT IN (SELECT doc_id FROM contam)
-),
-f AS (
-  SELECT doc_id, toks, len(toks) AS n,
-         unnest(range(0, (len(toks) + {CHUNK_SIZE - CHUNK_OVERLAP - 1})
-           // {CHUNK_SIZE - CHUNK_OVERLAP})) AS k
-  FROM t
-  WHERE len(toks) > 0 AND doc_id IN (SELECT doc_id FROM kept)
-),
-ch AS (
-  SELECT doc_id, k AS chunk_idx,
-       CAST(least(k * {CHUNK_SIZE - CHUNK_OVERLAP} + {CHUNK_SIZE}, n)
-            - k * {CHUNK_SIZE - CHUNK_OVERLAP} AS BIGINT)
-         AS n_chunk_tokens,
-       {md5h(
-           f"array_to_string(toks[CAST(k * {CHUNK_SIZE - CHUNK_OVERLAP} + 1 AS INT)"
-           f" : CAST(least(k * {CHUNK_SIZE - CHUNK_OVERLAP} + {CHUNK_SIZE}, n) AS INT)], ' ')"
-       )} AS chunk_hash
-  FROM f
-),
-boiler AS (
-  SELECT chunk_hash, min(doc_id) AS canonical_doc_id
-  FROM ch GROUP BY 1 HAVING count(*) > 1
-),
-canon_first AS (
-  SELECT ch.chunk_hash, min(ch.chunk_idx) AS canon_idx
-  FROM ch JOIN boiler b USING (chunk_hash)
-  WHERE ch.doc_id = b.canonical_doc_id
-  GROUP BY ch.chunk_hash
+WITH RECURSIVE {TRAINING_CHUNKS_CTES}
+SELECT chunk_hash, doc_id, chunk_idx, n_chunk_tokens FROM tc
+""",
+        # the END-TO-END flagship: the same kept-chunk chain packed into
+        # token-budget sequences (pipeline/curation.py pack_sequences
+        # over training_chunks output) — budget 160, same window SQL as
+        # the pipeline_pack_sequences oracle but over tc
+        "pipeline_training_sequences": f"""
+WITH RECURSIVE {TRAINING_CHUNKS_CTES},
+cum AS (
+  SELECT doc_id, chunk_idx, n_chunk_tokens,
+         COALESCE(SUM(n_chunk_tokens) OVER (PARTITION BY doc_id
+             ORDER BY chunk_idx
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           0) AS c
+  FROM tc
 )
-SELECT ch.chunk_hash, ch.doc_id, ch.chunk_idx, ch.n_chunk_tokens
-FROM ch
-LEFT JOIN boiler b USING (chunk_hash)
-LEFT JOIN canon_first cf USING (chunk_hash)
-WHERE b.canonical_doc_id IS NULL
-   OR (ch.doc_id = b.canonical_doc_id AND ch.chunk_idx = cf.canon_idx)
+SELECT doc_id, CAST(c // 160 AS BIGINT) AS seq_idx,
+       count(*) AS n_chunks,
+       CAST(sum(n_chunk_tokens) AS BIGINT) AS seq_tokens,
+       min(chunk_idx) AS first_chunk_idx,
+       max(chunk_idx) AS last_chunk_idx
+FROM cum GROUP BY 1, 2
 """,
         # mirrors pipeline/multimodal.py sample_frames: ceil(n/L) frames,
         # every STRIDE-th kept, per-frame length + checksum

@@ -228,3 +228,23 @@ def test_pack_sequences_matches_naive(spark, docs):
 
     assert all(part.startswith("doc_id")
                for part in re.findall(r"hashpartitioning\((\w+)", plan))
+
+
+def test_training_sequences_composition_matches_oracle(spark, ddb):
+    """The end-to-end docs -> packed-training-sequences composition
+    (training_chunks piped into pack_sequences) against its composed
+    DuckDB oracle."""
+    from tests.conftest import duckdb_rows, spark_rows
+
+    name = "pipeline_training_sequences"
+    s = spark_rows(E.queries()[name](spark, SF_DIR))
+    d = duckdb_rows(ddb, E.oracle_sql()[name])
+    assert s == d
+    # every packed sequence except a doc's last must reach the budget
+    rows = E.queries()[name](spark, SF_DIR).collect()
+    last = {}
+    for r in rows:
+        last[r["doc_id"]] = max(last.get(r["doc_id"], -1), r["seq_idx"])
+    for r in rows:
+        if r["seq_idx"] != last[r["doc_id"]]:
+            assert r["seq_tokens"] >= 160
