@@ -51,6 +51,9 @@ from public_transit_data_platform_sql_nosql_spark.pipeline import (
 from public_transit_data_platform_sql_nosql_spark.pipeline import (
     similarity as psim,
 )
+from public_transit_data_platform_sql_nosql_spark.pipeline import (
+    cleaning as pclean,
+)
 from public_transit_data_platform_sql_nosql_spark.pipeline import mixing as pmix
 from public_transit_data_platform_sql_nosql_spark.pipeline import text as ptext
 from public_transit_data_platform_sql_nosql_spark.pipeline.oracles import (
@@ -622,6 +625,22 @@ def _multimodal_transforms(spark, sf_dir):
     return rz.join(fr, "media_id", "left")
 
 
+def _pii_injected(docs):
+    """Append a synthetic email/phone/IP footer to every 13th doc —
+    deterministic test PII with known provenance (the raw corpus has
+    none), mirrored 1:1 by the oracle's CASE expression."""
+    d = F.col("doc_id")
+    footer = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), d.cast("string"),
+        F.lit("@example.com or +4179"),
+        (d + 1000000).cast("string"),
+        F.lit(" from 10.0."), (d % 256).cast("string"), F.lit(".1"),
+    )
+    return docs.withColumn(
+        "text", F.when(d % 13 == 0, footer).otherwise(F.col("text")))
+
+
 _PIPELINE_QUERIES = {
     # the whole text family (token counts, quality, language ID,
     # fingerprints) in ONE single-pass driver query — the four library
@@ -735,6 +754,15 @@ _EXTRA_QUERIES = {
     # (augmented corpus, so the planted near-dups give real positives)
     "semantic_dedup":
         lambda s, d: psim.semantic_dedup(_emb_aug(s, d)),
+    # intra-doc repetition collapse — the corpus's own repeated token
+    # runs ("batch batch batch") are the positives
+    "text_collapse_runs":
+        lambda s, d: pclean.collapse_token_runs(_aug(s, d)),
+    # PII redaction over a deterministic injection (every 13th doc gets
+    # a synthetic email/phone/IP footer via the SAME expression in both
+    # engines — the raw synthetic corpus contains no PII, docs_aug-style)
+    "text_scrub_pii":
+        lambda s, d: pclean.scrub_pii(_pii_injected(_aug(s, d))),
     # the END-TO-END flagship: docs -> curate -> decontaminate -> chunk
     # -> boilerplate-drop -> token-budget sequence packing, ONE plan
     "pipeline_training_sequences":

@@ -1,0 +1,85 @@
+"""Text-cleaning operators: the in-place document repairs that run
+before chunking — intra-doc repetition collapse and PII redaction.
+
+Both are NARROW per-row Column expressions (no shuffle, no UDF): the
+whole pass is a projection that Catalyst fuses into the scan, so at
+100 TB cleaning costs one codegen'd map over the corpus.  Every
+transformation has a DuckDB list/regex mirror (pipeline/oracles.py) so
+the outputs stay hash-checked.
+
+- ``collapse_token_runs`` — collapse immediate token repetitions
+  ("batch batch batch" -> "batch"), the cheap degenerate-repetition
+  cleanup (stuck generation loops, copy-paste stutter) that runs before
+  any n-gram stage so repeated runs can't masquerade as content.
+- ``scrub_pii`` — redact emails / IPv4s / international phone numbers
+  with typed placeholder tokens and per-kind counts.  Patterns are
+  deliberately RE2-safe (no backreferences, no lookaround) so the same
+  regex means the same thing in Spark (Java regex), DuckDB (RE2), and
+  most other engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .core import tokens
+
+# RE2-safe patterns (also valid Java regex with identical semantics)
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PHONE_RE = r"\+\d{7,15}"
+
+EMAIL_TOKEN = "<EMAIL>"
+IPV4_TOKEN = "<IP>"
+PHONE_TOKEN = "<PHONE>"
+
+
+def collapse_token_runs(docs: DataFrame) -> DataFrame:
+    """One row per doc: ``(doc_id, n_before, n_after, clean_text)`` with
+    immediate token repetitions collapsed to a single occurrence.
+    Pure array expressions (tokenize -> keep tokens that differ from
+    their predecessor -> rejoin); the k-th repetition is dropped
+    whatever k is, non-adjacent repeats are untouched.
+    """
+    toks = tokens(F.col("text"))
+    # index-aware filter: keep position i iff i == 0 or the token
+    # differs from its predecessor.  F.get is 0-based and null-safe, and
+    # (i == 0) short-circuits the boolean OR for the first element;
+    # empty arrays filter to empty with no index arithmetic at all.
+    kept = F.filter(
+        "_toks",
+        lambda x, i: (i == F.lit(0)) | (x != F.get("_toks", i - 1)))
+    return (
+        docs.select("doc_id", toks.alias("_toks"))
+        .select(
+            "doc_id",
+            F.size("_toks").cast("long").alias("n_before"),
+            kept.alias("_kept"),
+        )
+        .select(
+            "doc_id", "n_before",
+            F.size("_kept").cast("long").alias("n_after"),
+            F.concat_ws(" ", "_kept").alias("clean_text"),
+        )
+    )
+
+
+def scrub_pii(docs: DataFrame) -> DataFrame:
+    """One row per doc: ``(doc_id, n_emails, n_ips, n_phones,
+    clean_text)`` — counts measured on the ORIGINAL text, redaction
+    applied email -> IP -> phone (the patterns cannot overlap, so the
+    order is immaterial; it is fixed anyway for determinism)."""
+    t = F.col("text")
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, F.lit(EMAIL_RE), F.lit(EMAIL_TOKEN)),
+            F.lit(IPV4_RE), F.lit(IPV4_TOKEN)),
+        F.lit(PHONE_RE), F.lit(PHONE_TOKEN))
+    return docs.select(
+        "doc_id",
+        F.regexp_count(t, F.lit(EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(t, F.lit(IPV4_RE)).cast("long").alias("n_ips"),
+        F.regexp_count(t, F.lit(PHONE_RE)).cast("long").alias("n_phones"),
+        clean.alias("clean_text"),
+    )

@@ -10,6 +10,14 @@ and hash-compares values, per the CORRECTNESS gate.
 from __future__ import annotations
 
 from .core import NGRAM_MAX_DF, NGRAM_MAX_SET, P
+from .cleaning import (
+    EMAIL_RE,
+    EMAIL_TOKEN,
+    IPV4_RE,
+    IPV4_TOKEN,
+    PHONE_RE,
+    PHONE_TOKEN,
+)
 from .curation import (
     CAP_MARGIN_ABS,
     CAP_MARGIN_PCT,
@@ -335,6 +343,15 @@ tc AS (
 )"""
 
 
+# the driver's deterministic PII injection (__spark_entry__._pii_injected)
+_PII_TEXT = (
+    "CASE WHEN doc_id % 13 = 0 THEN text || ' contact user' || "
+    "CAST(doc_id AS VARCHAR) || '@example.com or +4179' || "
+    "CAST(doc_id + 1000000 AS VARCHAR) || ' from 10.0.' || "
+    "CAST(doc_id % 256 AS VARCHAR) || '.1' ELSE text END"
+)
+
+
 # --- per-operator oracles -------------------------------------------------
 
 def pipeline_oracles() -> dict[str, str]:
@@ -351,6 +368,41 @@ def pipeline_oracles() -> dict[str, str]:
         # language ID, fingerprints) — the Spark side computes them in a
         # single narrow pass (pipeline/text.py text_profile), the oracle
         # as CTEs joined on doc_id (DuckDB dedups the shared scans).
+        # mirrors pipeline/cleaning.py collapse_token_runs (1-based list
+        # indexing twin of the Spark sequence/transform/filter chain)
+        "text_collapse_runs": f"""
+WITH {DOCS},
+t AS (SELECT doc_id, {TOKS} AS toks FROM docs_aug),
+k AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_before,
+         list_filter(list_transform(range(1, len(toks) + 1),
+           i -> CASE WHEN i = 1 OR toks[i - 1] <> toks[i]
+                THEN toks[i] END), x -> x IS NOT NULL) AS kept
+  FROM t
+)
+SELECT doc_id, n_before, CAST(len(kept) AS BIGINT) AS n_after,
+       array_to_string(kept, ' ') AS clean_text
+FROM k
+""",
+        # mirrors pipeline/cleaning.py scrub_pii over the shared
+        # injection expression; counts on the original text, then the
+        # same email -> IP -> phone replacement chain
+        "text_scrub_pii": f"""
+WITH {DOCS},
+p AS (SELECT doc_id, {_PII_TEXT} AS text FROM docs_aug)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS BIGINT)
+         AS n_emails,
+       CAST(len(regexp_extract_all(text, '{IPV4_RE}')) AS BIGINT)
+         AS n_ips,
+       CAST(len(regexp_extract_all(text, '{PHONE_RE}')) AS BIGINT)
+         AS n_phones,
+       regexp_replace(regexp_replace(regexp_replace(
+           text, '{EMAIL_RE}', '{EMAIL_TOKEN}', 'g'),
+           '{IPV4_RE}', '{IPV4_TOKEN}', 'g'),
+           '{PHONE_RE}', '{PHONE_TOKEN}', 'g') AS clean_text
+FROM p
+""",
         "text_profile": f"""
 WITH {DOCS},
 {QUALITY_CTES},
