@@ -55,6 +55,9 @@ from public_transit_data_platform_sql_nosql_spark.pipeline import (
     cleaning as pclean,
 )
 from public_transit_data_platform_sql_nosql_spark.pipeline import mixing as pmix
+from public_transit_data_platform_sql_nosql_spark.pipeline import (
+    profile as pprof,
+)
 from public_transit_data_platform_sql_nosql_spark.pipeline import text as ptext
 from public_transit_data_platform_sql_nosql_spark.pipeline.oracles import (
     pipeline_oracles,
@@ -754,6 +757,10 @@ _EXTRA_QUERIES = {
     # (augmented corpus, so the planted near-dups give real positives)
     "semantic_dedup":
         lambda s, d: psim.semantic_dedup(_emb_aug(s, d)),
+    # one-pass per-column table profiling (exact variant; approx_profile
+    # is the pytest-bounded HLL scale path)
+    "table_profile":
+        lambda s, d: pprof.table_profile(_aug(s, d)),
     # intra-doc repetition collapse — the corpus's own repeated token
     # runs ("batch batch batch") are the positives
     "text_collapse_runs":

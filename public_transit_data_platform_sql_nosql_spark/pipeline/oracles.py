@@ -343,6 +343,25 @@ tc AS (
 )"""
 
 
+def profile_union_sql(cols: tuple[str, ...] = (
+        "doc_id", "text", "lang", "source", "n_chars")) -> str:
+    """DuckDB twin of pipeline/profile.py table_profile over docs_aug:
+    one UNION ALL branch per column, min/max through VARCHAR casts
+    (binary string ordering in both engines)."""
+    parts = []
+    for c in cols:
+        parts.append(
+            f"  SELECT '{c}' AS \"column\",\n"
+            f"         CAST(COUNT(*) AS BIGINT) AS n_rows,\n"
+            f"         CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)"
+            f" AS BIGINT) AS n_nulls,\n"
+            f"         CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,\n"
+            f"         MIN(CAST({c} AS VARCHAR)) AS min_value,\n"
+            f"         MAX(CAST({c} AS VARCHAR)) AS max_value\n"
+            f"  FROM docs_aug")
+    return "\n  UNION ALL\n".join(parts)
+
+
 # the driver's deterministic PII injection (__spark_entry__._pii_injected)
 _PII_TEXT = (
     "CASE WHEN doc_id % 13 = 0 THEN text || ' contact user' || "
@@ -368,6 +387,12 @@ def pipeline_oracles() -> dict[str, str]:
         # language ID, fingerprints) — the Spark side computes them in a
         # single narrow pass (pipeline/text.py text_profile), the oracle
         # as CTEs joined on doc_id (DuckDB dedups the shared scans).
+        # mirrors pipeline/profile.py table_profile (exact variant; the
+        # HLL approx_profile twin is pytest error-bounded instead)
+        "table_profile": f"""
+WITH {DOCS}
+{profile_union_sql()}
+""",
         # mirrors pipeline/cleaning.py collapse_token_runs (1-based list
         # indexing twin of the Spark sequence/transform/filter chain)
         "text_collapse_runs": f"""
