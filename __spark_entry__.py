@@ -425,6 +425,16 @@ _EVENTS_QUERIES = {
 }
 
 _EVENTS_ORACLES = {
+    # queries/events.py heavy_hitter_users: approximate candidate
+    # machinery, EXACT output — so the naive exact group-by is a valid
+    # hash oracle
+    "events_heavy_hitters": """
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY user_id
+HAVING COUNT(*) >= (SELECT CAST(CEIL(COUNT(*) * 0.001) AS BIGINT)
+                    FROM events)
+""",
     "events_windowed_counts": """
 WITH e AS (
   SELECT event_type, user_id,
@@ -761,6 +771,14 @@ _EXTRA_QUERIES = {
     # is the pytest-bounded HLL scale path)
     "table_profile":
         lambda s, d: pprof.table_profile(_aug(s, d)),
+    # corpus token-frequency top-k (tokenizer-training input); total
+    # (count DESC, token ASC) order so the limit boundary is stable
+    "text_vocabulary":
+        lambda s, d: ptext.vocabulary(_aug(s, d), top_k=100),
+    # exact heavy hitters (freqItems candidates + bounded verify);
+    # output is exact so the naive SQL group-by IS the oracle
+    "events_heavy_hitters":
+        lambda s, d: ev.heavy_hitter_users(_events(s, d), min_share=0.001),
     # intra-doc repetition collapse — the corpus's own repeated token
     # runs ("batch batch batch") are the positives
     "text_collapse_runs":

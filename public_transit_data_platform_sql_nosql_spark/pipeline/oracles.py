@@ -387,6 +387,16 @@ def pipeline_oracles() -> dict[str, str]:
         # language ID, fingerprints) — the Spark side computes them in a
         # single narrow pass (pipeline/text.py text_profile), the oracle
         # as CTEs joined on doc_id (DuckDB dedups the shared scans).
+        # mirrors pipeline/text.py vocabulary (top_k=100): total
+        # (count DESC, token ASC) order makes the limit boundary stable
+        "text_vocabulary": f"""
+WITH {DOCS},
+t AS (SELECT unnest({TOKS}) AS token FROM docs_aug)
+SELECT token, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+FROM t GROUP BY token
+ORDER BY n_occurrences DESC, token ASC
+LIMIT 100
+""",
         # mirrors pipeline/profile.py table_profile (exact variant; the
         # HLL approx_profile twin is pytest error-bounded instead)
         "table_profile": f"""
