@@ -124,3 +124,11 @@ def test_semantic_dedup_drops_planted_near_dups(spark):
     assert len(dropped_planted) >= 0.9 * len(planted)
     # originals whose copy was dropped are kept (keep-first)
     assert all(v - 1_000_000 in kept or v in kept for v in planted)
+
+
+def test_semantic_dedup_plan_has_no_cartesian(spark):
+    """The pairwise stage must run as a cluster_id-blocked equi-join —
+    never a cartesian; the only nested-loop is the k-row centroid
+    broadcast inside the k-means subtree."""
+    p = plan_summary(sim.semantic_dedup(E._emb_aug(spark, SF_DIR)))
+    assert p["cartesian_products"] == 0
