@@ -312,3 +312,68 @@ def semantic_dedup(emb: DataFrame, threshold: float = 0.98,
         .select("vec_id", "cluster_id",
                 F.coalesce(~F.col("_dup"), F.lit(True)).alias("kept"))
     )
+
+
+def write_ivf_index(emb: DataFrame, path: str, k: int = KMEANS_K,
+                    n_iter: int = KMEANS_ITERS) -> None:
+    """Persist an IVF layout: vectors written hive-partitioned by their
+    k-means cluster (``cluster_id=NN/`` directories) plus the final
+    centroid table at ``<path>/_centroids`` — the on-disk twin of
+    ``ivf_topk``'s in-memory probe.  At 100 TB this is THE vector
+    serving layout: a query reads the tiny centroid table, ranks
+    clusters, and scans only the ``nprobe`` probed directories —
+    partition pruning turns ANN from a full corpus scan into a few
+    directory reads (same trick as the bucketed doc store,
+    jobs/denormalize.py).
+
+    ``_centroids`` holds the INTEGER milli-quantized sums driving the
+    final assignment, so query-side ranking reproduces the clustering's
+    own geometry exactly.
+    """
+    assigned = emb.join(
+        embedding_kmeans(emb, k, n_iter).select("vec_id", "cluster_id"),
+        "vec_id")
+    (
+        assigned.repartition("cluster_id")
+        .write.mode("overwrite").partitionBy("cluster_id").parquet(path)
+    )
+    cents = _quantized_centroids(
+        assigned.withColumnRenamed("cluster_id", "cid"))
+    cents.select(F.col("cid").alias("cluster_id"), "centroid") \
+        .coalesce(1).write.mode("overwrite").parquet(f"{path}/_centroids")
+
+
+def ivf_index_topk(spark, path: str, query_vec: list[float], k: int = 10,
+                   nprobe: int = 2) -> DataFrame:
+    """ANN over a ``write_ivf_index`` layout: rank the stored centroids
+    against ``query_vec`` (driver-side — the centroid table is k rows by
+    construction), then exact cosine top-k over ONLY the ``nprobe`` best
+    clusters' directories.  The cluster_id IN-filter prunes partitions
+    at plan time (PartitionFilters — plan-asserted in tests), so the
+    scan cost is |probed clusters|, independent of corpus size.
+    """
+    import math
+
+    cents = spark.read.parquet(f"{path}/_centroids").collect()
+    qn = math.sqrt(sum(x * x for x in query_vec))
+
+    def cos(c):
+        d = sum(a * b for a, b in zip(query_vec, c))
+        n = math.sqrt(sum(x * x for x in c))
+        return d / n / qn if n else -1.0
+
+    ranked = sorted(
+        ((round(cos(r["centroid"]), 6), r["cluster_id"]) for r in cents),
+        key=lambda t: (-t[0], t[1]))
+    probe = [cid for _, cid in ranked[:nprobe]]
+
+    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("cluster_id").isin(probe))
+        .select(
+            "vec_id", "cluster_id",
+            F.round(cosine(F.col("embedding"), qcol), 6).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(k)
+    )

@@ -132,3 +132,46 @@ def test_semantic_dedup_plan_has_no_cartesian(spark):
     broadcast inside the k-means subtree."""
     p = plan_summary(sim.semantic_dedup(E._emb_aug(spark, SF_DIR)))
     assert p["cartesian_products"] == 0
+
+
+def test_ivf_index_write_query_roundtrip(spark, tmp_path):
+    """Persisted IVF layout: query scans ONLY the probed cluster
+    directories (PartitionFilters plan-asserted), matches a brute-force
+    recompute within those clusters, and with nprobe = k equals the
+    global exact top-k."""
+    import numpy as np
+
+    emb = _emb(spark)
+    path = str(tmp_path / "ivf")
+    sim.write_ivf_index(emb, path)
+
+    qvec = [float(x) for x in
+            emb.filter("vec_id = 0").collect()[0]["embedding"]]
+    res = sim.ivf_index_topk(spark, path, qvec, k=5, nprobe=2)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cluster_id" in plan, plan
+    rows = res.collect()
+    assert len(rows) == 5
+
+    # brute-force mirror within the probed clusters
+    stored = spark.read.parquet(path).collect()
+    probed = {r["cluster_id"] for r in rows}
+    qa = np.array(qvec)
+
+    def cos(v):
+        v = np.array(v, dtype=float)
+        return round(float(v @ qa) / np.linalg.norm(v) / np.linalg.norm(qa),
+                     6)
+
+    cand = sorted(
+        ((cos(r["embedding"]), r["vec_id"]) for r in stored
+         if r["cluster_id"] in probed),
+        key=lambda t: (-t[0], t[1]))[:5]
+    assert [(r["cos_sim"], r["vec_id"]) for r in rows] == cand
+
+    # probing every cluster recovers the global exact top-k
+    full = sim.ivf_index_topk(spark, path, qvec, k=5,
+                              nprobe=sim.KMEANS_K).collect()
+    allc = sorted(((cos(r["embedding"]), r["vec_id"]) for r in stored),
+                  key=lambda t: (-t[0], t[1]))[:5]
+    assert [(r["cos_sim"], r["vec_id"]) for r in full] == allc
