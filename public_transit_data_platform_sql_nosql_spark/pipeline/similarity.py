@@ -377,3 +377,40 @@ def ivf_index_topk(spark, path: str, query_vec: list[float], k: int = 10,
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(k)
     )
+
+
+def embedding_kmeans_iterate(emb: DataFrame, k: int = KMEANS_K,
+                             n_iter: int = 10) -> DataFrame:
+    """The many-iterations k-means: same per-step math as
+    ``embedding_kmeans`` (so the two agree exactly for equal ``n_iter``)
+    but with the assignment table lineage-truncated each round via an
+    eager ``localCheckpoint`` — the unrolled static plan doubles in
+    depth per iteration, which Catalyst re-analyzes superlinearly past
+    a handful of rounds, while the checkpointed loop stays O(1) plan
+    depth per step (the same trade dedup_clusters makes; use reliable
+    ``checkpoint()`` on a real cluster for fault tolerance).
+
+    Per-iteration cost is unchanged: one k-row centroid broadcast + one
+    map-side-combined argmax groupBy + one 64*k-row aggregation.
+    """
+    from .core import md5_hash64
+
+    h = md5_hash64(F.concat(F.lit(KMEANS_SALT),
+                            F.col("vec_id").cast("string")))
+    seeds = (
+        emb.select("vec_id", "embedding", h.alias("h"))
+        .orderBy("h", "vec_id")
+        .limit(k)
+    )
+    ws = Window.orderBy("h", "vec_id")
+    cents = seeds.select(
+        (F.row_number().over(ws) - 1).cast("long").alias("cid"),
+        F.col("embedding").alias("centroid"))
+    assigned = _assign(emb, cents).localCheckpoint(eager=True)
+    for _ in range(n_iter - 1):
+        cents = _quantized_centroids(assigned)
+        nxt = _assign(emb, cents).localCheckpoint(eager=True)
+        assigned.unpersist()
+        assigned = nxt
+    return assigned.select(
+        "vec_id", F.col("cid").alias("cluster_id"), "cos_sim")

@@ -175,3 +175,16 @@ def test_ivf_index_write_query_roundtrip(spark, tmp_path):
     allc = sorted(((cos(r["embedding"]), r["vec_id"]) for r in stored),
                   key=lambda t: (-t[0], t[1]))[:5]
     assert [(r["cos_sim"], r["vec_id"]) for r in full] == allc
+
+
+def test_kmeans_iterate_matches_unrolled(spark):
+    """The checkpointed loop and the unrolled static plan are the same
+    algorithm — identical assignments at matching n_iter."""
+    emb = _emb(spark)
+    for n in (2, 3):
+        unrolled = {(r["vec_id"], r["cluster_id"], r["cos_sim"])
+                    for r in sim.embedding_kmeans(emb, n_iter=n).collect()}
+        looped = {(r["vec_id"], r["cluster_id"], r["cos_sim"])
+                  for r in sim.embedding_kmeans_iterate(
+                      emb, n_iter=n).collect()}
+        assert unrolled == looped
