@@ -414,3 +414,35 @@ def embedding_kmeans_iterate(emb: DataFrame, k: int = KMEANS_K,
         assigned = nxt
     return assigned.select(
         "vec_id", F.col("cid").alias("cluster_id"), "cos_sim")
+
+
+def ivf_index_upsert(spark, path: str, new_emb: DataFrame) -> dict:
+    """Incremental IVF maintenance: assign ``new_emb`` vectors to the
+    STORED centroids (one broadcast of the k-row table — the index's
+    geometry is not recomputed) and MERGE them into the partitioned
+    layout via jobs/upsert — only the receiving cluster directories are
+    read and rewritten, so adding a daily batch of vectors costs the
+    touched partitions, not an index rebuild.  Re-cluster periodically
+    (write_ivf_index) when drift accumulates; ``cluster_id`` is a
+    stable function of (vector, stored centroids), satisfying the
+    upsert's stable-partition-column contract.
+    """
+    from ..jobs.upsert import upsert_parquet_dir
+
+    cents = (
+        spark.read.parquet(f"{path}/_centroids")
+        .withColumnRenamed("cluster_id", "cid")
+    )
+    assigned = (
+        _assign(new_emb, cents)
+        .select("vec_id", "embedding",
+                F.col("cid").alias("cluster_id"))
+    )
+    stored_cols = spark.read.parquet(path).columns
+    extra = new_emb.drop("vec_id", "embedding")
+    if extra.columns:
+        assigned = assigned.join(
+            new_emb.drop("embedding"), "vec_id")
+    return upsert_parquet_dir(
+        spark, path, assigned.select(*stored_cols), ["vec_id"],
+        partition_col="cluster_id")

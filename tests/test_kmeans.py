@@ -188,3 +188,37 @@ def test_kmeans_iterate_matches_unrolled(spark):
                   for r in sim.embedding_kmeans_iterate(
                       emb, n_iter=n).collect()}
         assert unrolled == looped
+
+
+def test_ivf_index_upsert_touches_only_receiving_partitions(spark,
+                                                            tmp_path):
+    """New vectors merge into the stored IVF layout through the
+    partition-scoped upsert: assignments use the STORED centroids, only
+    receiving cluster dirs rewrite, and queries see the new vectors."""
+    emb = _emb(spark)
+    path = str(tmp_path / "ivf")
+    sim.write_ivf_index(emb, path)
+    n0 = spark.read.parquet(path).count()
+
+    # re-insert two existing vectors (update path) + one new vector that
+    # duplicates vec 0's embedding (must land in vec 0's cluster)
+    base = {r["vec_id"]: r for r in emb.collect()}
+    v0 = base[0]["embedding"]
+    newbie = [(999999, v0, base[0]["label"])]
+    updates = spark.createDataFrame(
+        [(1, base[1]["embedding"], base[1]["label"]),
+         (2, base[2]["embedding"], base[2]["label"])] + newbie,
+        emb.schema)
+    st = sim.ivf_index_upsert(spark, path, updates)
+    assert st["rows_upserted"] == 3
+
+    after = spark.read.parquet(path)
+    assert after.count() == n0 + 1
+    got = {r["vec_id"]: r["cluster_id"] for r in after.collect()
+           if r["vec_id"] in (0, 999999)}
+    assert got[999999] == got[0]
+    # the duplicate embedding ranks at the top of a query for v0
+    top = sim.ivf_index_topk(spark, path, [float(x) for x in v0],
+                             k=2, nprobe=2).collect()
+    assert {r["vec_id"] for r in top} == {0, 999999}
+    assert all(r["cos_sim"] == 1.0 for r in top)
