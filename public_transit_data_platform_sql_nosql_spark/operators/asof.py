@@ -97,13 +97,47 @@ def asof_join(
     Cited parity target: pandas ``merge_asof`` / DuckDB ``ASOF JOIN``
     semantics (tests differential against DuckDB).
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, got "
-                         f"{direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward|forward|nearest, "
+                         f"got {direction!r}")
     if bucket_width is not None and int(bucket_width) <= 0:
         raise ValueError(
             f"bucket_width must be a positive integer, got {bucket_width!r}")
     by = _as_list(by)
+    if direction == "nearest":
+        # pandas merge_asof parity: closest match on either side,
+        # backward ("prior") wins exact-distance ties.  Composed from
+        # the two directed passes — forward runs over the backward
+        # output, then a per-column closest-wins coalesce; costs two
+        # windows instead of one, same shuffle key.
+        if value_cols is None:
+            value_cols = [c for c in right.columns
+                          if c not in set(by) | {on}]
+        vout = {v: v + suffix for v in value_cols}
+        r_on_out = on + suffix
+        clash = (set(vout.values()) | {r_on_out}) & set(left.columns)
+        if clash:
+            raise ValueError(
+                f"left columns {sorted(clash)} collide with as-of output "
+                f"names; pass a different suffix")
+        b = asof_join(left, right, on=on, by=by, value_cols=value_cols,
+                      direction="backward", tolerance=tolerance,
+                      suffix="__asof_bwd", bucket_width=bucket_width)
+        f = asof_join(b, right, on=on, by=by, value_cols=value_cols,
+                      direction="forward", tolerance=tolerance,
+                      suffix="__asof_fwd", bucket_width=bucket_width)
+        ts_b = F.col(on + "__asof_bwd")
+        ts_f = F.col(on + "__asof_fwd")
+        prefer_b = ts_b.isNotNull() & (
+            ts_f.isNull()
+            | ((F.col(on) - ts_b) <= (ts_f - F.col(on))))
+        return f.select(
+            *left.columns,
+            *[F.when(prefer_b, F.col(v + "__asof_bwd"))
+              .otherwise(F.col(v + "__asof_fwd")).alias(vout[v])
+              for v in value_cols],
+            F.when(prefer_b, ts_b).otherwise(ts_f).alias(r_on_out),
+        )
     key_set = set(by) | {on}
     for c in key_set:
         if c not in right.columns:

@@ -42,15 +42,24 @@ def _mirror_asof(left, right, direction, tolerance):
         by_key.setdefault(k, []).append((t, v))
     out = []
     for k, t, lid in left:
-        cands = [
-            (rt, rv) for rt, rv in by_key.get(k, [])
-            if (rt <= t if direction == "backward" else rt >= t)
-        ]
+        if direction == "nearest":
+            cands = list(by_key.get(k, []))
+        else:
+            cands = [
+                (rt, rv) for rt, rv in by_key.get(k, [])
+                if (rt <= t if direction == "backward" else rt >= t)
+            ]
         if tolerance is not None:
             cands = [c for c in cands if abs(c[0] - t) <= tolerance]
         if cands:
-            rt, rv = (max(cands) if direction == "backward"
-                      else min(cands))
+            if direction == "backward":
+                rt, rv = max(cands)
+            elif direction == "forward":
+                rt, rv = min(cands)
+            else:
+                # nearest; backward ("prior") wins exact-distance ties
+                rt, rv = min(cands,
+                             key=lambda c: (abs(c[0] - t), c[0] > t))
             out.append((k, t, lid, rt, rv))
         else:
             out.append((k, t, lid, None, None))
@@ -63,6 +72,9 @@ def _mirror_asof(left, right, direction, tolerance):
     (3, "backward", 25, None),
     (4, "forward", 10, 64),
     (5, "backward", None, 32),
+    (6, "nearest", None, None),
+    (7, "nearest", 25, None),
+    (8, "nearest", None, 64),
 ])
 def test_asof_join_matches_mirror(spark, seed, direction, tolerance,
                                   bucket_width):
