@@ -41,6 +41,7 @@ from public_transit_data_platform_sql_nosql_spark.queries.q4_hourly_frequency im
     whole_week_hourly,
 )
 from public_transit_data_platform_sql_nosql_spark.queries import events as ev
+from public_transit_data_platform_sql_nosql_spark.queries import geo as geoq
 from public_transit_data_platform_sql_nosql_spark.pipeline import (
     curation as pcur,
 )
@@ -638,6 +639,22 @@ def _multimodal_transforms(spark, sf_dir):
     return rz.join(fr, "media_id", "left")
 
 
+def _boiler_injected(docs):
+    """Append a corpus-wide newsletter line + a unique ref line to every
+    3rd doc — deterministic boilerplate with known provenance (the raw
+    corpus is newline-free), mirrored 1:1 by the oracle's CASE.  The
+    newsletter line's df is ~n/3 >> LINE_MIN_DF (dropped); the ref line
+    is unique (kept)."""
+    d = F.col("doc_id")
+    footer = F.concat(
+        F.col("text"),
+        F.lit("\nsubscribe to the transit newsletter\nref "),
+        d.cast("string"),
+    )
+    return docs.withColumn(
+        "text", F.when(d % 3 == 0, footer).otherwise(F.col("text")))
+
+
 def _pii_injected(docs):
     """Append a synthetic email/phone/IP footer to every 13th doc —
     deterministic test PII with known provenance (the raw corpus has
@@ -790,6 +807,28 @@ _EXTRA_QUERIES = {
         lambda s, d: pclean.scrub_pii(_pii_injected(_aug(s, d))),
     # the END-TO-END flagship: docs -> curate -> decontaminate -> chunk
     # -> boilerplate-drop -> token-budget sequence packing, ONE plan
+    # BM25 full-text search over the corpus (integer-micro quantized
+    # per-term scores so the per-doc sum is order-independent)
+    "text_search_bm25":
+        lambda s, d: ptext.search_bm25(
+            _aug(s, d), ["spark", "window", "merge"], top_k=20),
+    # per-doc top-5 TF-IDF keywords (BM25-shaped idf — transcendental-free
+    # so the score doubles hash-compare bit-identically)
+    "text_tfidf_keywords":
+        lambda s, d: ptext.tfidf_keywords(_aug(s, d), top_k=5),
+    # corpus-level line dedup (C4-style boilerplate removal) over a
+    # deterministic newsletter-footer injection
+    "text_line_dedup":
+        lambda s, d: pclean.drop_boilerplate_lines(
+            _boiler_injected(_aug(s, d))),
+    # grid-blocked spatial self-join: stop pairs within ~2.2 km
+    "geo_stop_pairs":
+        lambda s, d: geoq.stop_pairs_within(
+            register_gtfs_views(s, d)["stops"], eps=0.02),
+    # point radius lookup ("stops near me"), nearest first
+    "geo_stops_nearby":
+        lambda s, d: geoq.stops_nearby(
+            register_gtfs_views(s, d)["stops"], 43.5, -79.5, radius=0.05),
     "pipeline_training_sequences":
         lambda s, d: pcur.pack_sequences(
             pcur.training_chunks(
@@ -856,6 +895,59 @@ def _r2(expr: str) -> str:
 
 def _gtfs_oracles(c: str) -> dict[str, str]:
     return {
+        # mirrors queries/geo.py stop_pairs_within (eps=0.02): grid cells
+        # + 3x3 neighborhood equi-join; every arithmetic step (floor-div
+        # cell ids, squared-degree distance) is the same IEEE op sequence
+        # as the Spark side, with explicit DOUBLE casts so DuckDB's
+        # DECIMAL literals can't change the math
+        "geo_stop_pairs": f"""
+{c},
+pts AS (
+  SELECT stop_id, stop_lat, stop_lon,
+         CAST(floor(stop_lat / CAST(0.02 AS DOUBLE)) AS BIGINT) AS cx,
+         CAST(floor(stop_lon * CAST(0.725 AS DOUBLE)
+                    / CAST(0.02 AS DOUBLE)) AS BIGINT) AS cy
+  FROM stops
+),
+lft AS (
+  SELECT p.stop_id AS id_a, p.stop_lat AS lat_a, p.stop_lon AS lon_a,
+         p.cx + dx.d AS cx, p.cy + dy.d AS cy
+  FROM pts p,
+       (SELECT unnest([-1, 0, 1]) AS d) dx,
+       (SELECT unnest([-1, 0, 1]) AS d) dy
+)
+SELECT l.id_a AS stop_id_a, r.stop_id AS stop_id_b,
+       (l.lat_a - r.stop_lat) * (l.lat_a - r.stop_lat)
+         + ((l.lon_a - r.stop_lon) * CAST(0.725 AS DOUBLE))
+           * ((l.lon_a - r.stop_lon) * CAST(0.725 AS DOUBLE)) AS dist2_deg
+FROM lft l JOIN pts r ON l.cx = r.cx AND l.cy = r.cy
+WHERE CAST(l.id_a AS BIGINT) < CAST(r.stop_id AS BIGINT)
+  AND (l.lat_a - r.stop_lat) * (l.lat_a - r.stop_lat)
+        + ((l.lon_a - r.stop_lon) * CAST(0.725 AS DOUBLE))
+          * ((l.lon_a - r.stop_lon) * CAST(0.725 AS DOUBLE))
+      <= CAST(0.02 AS DOUBLE) * CAST(0.02 AS DOUBLE)
+""",
+        # mirrors queries/geo.py stops_nearby(43.5, -79.5, 0.05): the
+        # Spark side's 3x3 candidate-cell prefilter is a pure
+        # performance device (the neighborhood provably covers the
+        # radius), so the oracle states just the semantics — the exact
+        # distance predicate over all stops
+        "geo_stops_nearby": f"""
+{c}
+SELECT stop_id, stop_lat, stop_lon,
+       (CAST(43.5 AS DOUBLE) - stop_lat)
+         * (CAST(43.5 AS DOUBLE) - stop_lat)
+         + ((CAST(-79.5 AS DOUBLE) - stop_lon) * CAST(0.725 AS DOUBLE))
+           * ((CAST(-79.5 AS DOUBLE) - stop_lon) * CAST(0.725 AS DOUBLE))
+         AS dist2_deg
+FROM stops
+WHERE (CAST(43.5 AS DOUBLE) - stop_lat)
+        * (CAST(43.5 AS DOUBLE) - stop_lat)
+        + ((CAST(-79.5 AS DOUBLE) - stop_lon) * CAST(0.725 AS DOUBLE))
+          * ((CAST(-79.5 AS DOUBLE) - stop_lon) * CAST(0.725 AS DOUBLE))
+      <= CAST(0.05 AS DOUBLE) * CAST(0.05 AS DOUBLE)
+ORDER BY dist2_deg, stop_id
+""",
         "q2_longest_trip_path": f"""
 {c},
 top1 AS (

@@ -23,7 +23,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .core import tokens
+from .core import md5_hash64, tokens
+
+# corpus-level line dedup: a line must appear in at least this many
+# distinct documents to be treated as boilerplate and dropped
+LINE_MIN_DF = 3
 
 # RE2-safe patterns (also valid Java regex with identical semantics)
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
@@ -82,4 +86,65 @@ def scrub_pii(docs: DataFrame) -> DataFrame:
         F.regexp_count(t, F.lit(IPV4_RE)).cast("long").alias("n_ips"),
         F.regexp_count(t, F.lit(PHONE_RE)).cast("long").alias("n_phones"),
         clean.alias("clean_text"),
+    )
+
+
+def drop_boilerplate_lines(docs: DataFrame,
+                           min_df: int = LINE_MIN_DF) -> DataFrame:
+    """Corpus-level LINE deduplication (the C4/RefinedWeb "remove
+    repeated lines" pass): a line occurring in >= ``min_df`` distinct
+    documents is boilerplate (nav menus, cookie banners, footers) and is
+    removed from EVERY document; each document's survivors are rejoined
+    in their original order.
+
+    Returns one row per doc: ``(doc_id, n_lines, n_removed,
+    clean_text)`` — docs whose every line is boilerplate keep their row
+    with an empty ``clean_text`` (they are downstream length-filter
+    fodder, not silent drops).
+
+    Scale shape (this is a global operator, unlike the narrow cleaners
+    above): posexplode lines -> distinct (line_hash, doc) -> count
+    distinct docs per line hash (two map-side-combined aggregations, so
+    a line repeated inside one hot document reaches the shuffle once)
+    -> left join the hot-line set back on ``line_hash`` -> one per-doc
+    aggregation rebuilding the text via array_sort(collect_list(struct))
+    on the line index.  The hot-line table is the join's build side and
+    is df-filtered first; a corpus-wide banner is ONE row there, so the
+    join fans out, never multiplies.  Line identity is the 64-bit
+    md5-derived hash — at 100 TB swap for full xxhash64(line) if the
+    ~1e-10 collision odds at mod-P matter.
+    """
+    if min_df < 2:
+        raise ValueError(f"min_df must be >= 2, got {min_df!r}")
+    lines = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), "\n")).alias("idx", "line"),
+    ).withColumn("line_hash", md5_hash64(F.col("line")))
+    hot = (
+        lines.select("line_hash", "doc_id").distinct()
+        .groupBy("line_hash")
+        .agg(F.count(F.lit(1)).cast("long").alias("line_df"))
+        .filter(F.col("line_df") >= min_df)
+        .select("line_hash", F.lit(True).alias("_hot"))
+    )
+    tagged = lines.join(hot, "line_hash", "left")
+    kept_struct = F.when(
+        F.col("_hot").isNull(),
+        F.struct(F.col("idx"), F.col("line")),
+    )
+    return (
+        tagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(F.when(F.col("_hot").isNotNull(), 1).otherwise(0))
+            .cast("long").alias("n_removed"),
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda s: s["line"],
+                ),
+            ).alias("clean_text"),
+        )
+        .select("doc_id", "n_lines", "n_removed", "clean_text")
     )

@@ -1078,4 +1078,119 @@ SELECT media_id, kind, frame_idx,
 FROM fr
 WHERE frame_idx % {FRAME_STRIDE} = 0
 """,
+        # mirrors pipeline/text.py tfidf_keywords: per-doc top-5 by the
+        # BM25-shaped idf weight tf * (N - df + 0.5) / (df + 0.5) — the
+        # arithmetic uses only exactly-rounded IEEE ops (no ln), so the
+        # doubles are bit-identical across engines (see the operator's
+        # docstring); ties broken (score DESC, token ASC)
+        "text_tfidf_keywords": f"""
+WITH {DOCS},
+t AS (SELECT doc_id, {TOKS} AS toks FROM docs_aug),
+tok AS (SELECT doc_id, unnest(toks) AS token FROM t),
+tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+       FROM tok GROUP BY 1, 2),
+dfc AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM docs_aug),
+j AS (
+  SELECT tf.doc_id, tf.token, tf.tf, dfc.df,
+         CAST(tf.tf AS DOUBLE)
+           * (CAST(n.n_docs - dfc.df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+           / (CAST(dfc.df AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS score
+  FROM tf JOIN dfc USING (token), n
+),
+r AS (
+  SELECT doc_id, token, tf, df, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, token ASC) AS kw_rank
+  FROM j
+)
+SELECT doc_id, CAST(kw_rank AS BIGINT) AS kw_rank, token, tf, df, score
+FROM r WHERE kw_rank <= 5
+""",
+        # mirrors pipeline/cleaning.py drop_boilerplate_lines over the
+        # __spark_entry__ boilerplate injection (every 3rd doc gets a
+        # corpus-wide newsletter line + a unique ref line): lines in
+        # >= 3 distinct docs are dropped, survivors rejoin in order
+        "text_line_dedup": f"""
+WITH {DOCS},
+b AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN
+           text || chr(10) || 'subscribe to the transit newsletter'
+                || chr(10) || 'ref ' || CAST(doc_id AS VARCHAR)
+         ELSE text END AS text
+  FROM docs_aug
+),
+l AS (
+  SELECT doc_id, ls, unnest(range(1, len(ls) + 1)) AS i
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM b)
+),
+lh AS (
+  SELECT doc_id, i - 1 AS idx, ls[i] AS line,
+         {md5h("ls[i]")} AS line_hash
+  FROM l
+),
+hot AS (
+  SELECT line_hash
+  FROM (SELECT DISTINCT line_hash, doc_id FROM lh)
+  GROUP BY 1 HAVING count(*) >= 3
+)
+SELECT lh.doc_id,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN h.line_hash IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_removed,
+       COALESCE(string_agg(CASE WHEN h.line_hash IS NULL THEN lh.line END,
+                           chr(10) ORDER BY lh.idx), '') AS clean_text
+FROM lh LEFT JOIN hot h ON lh.line_hash = h.line_hash
+GROUP BY 1
+""",
+        # mirrors pipeline/text.py search_bm25(['spark','window','merge'],
+        # k1=1.2, b=0.75, top_k=20).  Float constants are interpolated
+        # via Python repr so both engines parse the IDENTICAL double
+        # (incl. k1+1.0, computed in Python on the Spark side too);
+        # per-term scores are floor-quantized to int64 micros before the
+        # per-doc sum, so the aggregation is order-independent and the
+        # hash compare is exact
+        "text_search_bm25": f"""
+WITH {DOCS},
+t AS (SELECT doc_id, {TOKS} AS toks FROM docs_aug),
+base AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM t),
+tr AS (
+  SELECT doc_id, dl, token FROM (
+    SELECT doc_id, dl, unnest(toks) AS token FROM base
+  ) WHERE token IN ('spark', 'window', 'merge')
+),
+tf AS (SELECT doc_id, dl, token, CAST(count(*) AS BIGINT) AS tf
+       FROM tr GROUP BY 1, 2, 3),
+dfc AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CAST(len({TOKS}) AS BIGINT)) AS BIGINT) AS total_len
+  FROM docs_aug
+),
+j AS (
+  SELECT tf.doc_id, tf.dl, tf.tf, dfc.df, s.n_docs, s.total_len
+  FROM tf JOIN dfc USING (token), stats s
+),
+sc AS (
+  SELECT doc_id,
+         CAST(floor(
+           ((CAST(n_docs - df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+              / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+           * (CAST(tf AS DOUBLE) * CAST({1.2 + 1.0!r} AS DOUBLE))
+           / (CAST(tf AS DOUBLE) + CAST({1.2!r} AS DOUBLE)
+              * ((CAST(1.0 AS DOUBLE) - CAST({0.75!r} AS DOUBLE))
+                 + CAST({0.75!r} AS DOUBLE)
+                   * (CAST(dl AS DOUBLE)
+                      / (CAST(total_len AS DOUBLE)
+                         / CAST(n_docs AS DOUBLE)))))
+           * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS score_micro
+  FROM j
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_hit,
+       CAST(sum(score_micro) AS BIGINT) AS score_micro
+FROM sc GROUP BY 1
+ORDER BY score_micro DESC, doc_id ASC
+LIMIT 20
+""",
     }

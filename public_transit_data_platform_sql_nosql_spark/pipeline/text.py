@@ -147,3 +147,141 @@ def vocabulary(docs: DataFrame, top_k: int | None = None,
         .orderBy(F.desc("n_occurrences"), F.asc("token"))
     )
     return vocab.limit(top_k) if top_k is not None else vocab
+
+
+def tfidf_keywords(docs: DataFrame, top_k: int = 5) -> DataFrame:
+    """Per-document top-``top_k`` keywords by TF-IDF — the keyword /
+    topic-tag extraction step of a corpus-indexing pipeline.
+
+    Returns (doc_id, kw_rank, token, tf, df, score) where ``score`` is a
+    BM25-shaped idf weight
+
+        score = tf * (n_docs - df + 0.5) / (df + 0.5)
+
+    chosen over ``tf * ln(n_docs/df)`` deliberately: it ranks identically
+    (monotone-decreasing in df) but uses ONLY +,-,*,/ — each exactly
+    rounded under IEEE 754 — so two independent engines produce
+    bit-identical doubles and the differential oracle can hash-compare
+    values (libm ``ln`` carries no cross-engine ulp guarantee).
+
+    Scale shape: explode -> map-side-combined (doc, token) TF aggregation
+    -> token DF aggregation over the (already distinct-per-doc) TF table
+    -> one shuffle join back on ``token`` -> per-doc top-k window.  The
+    corpus-size scalar joins into the vocab-sized DF table on a constant
+    key as a 1-row broadcast (BroadcastHashJoin, never a Cartesian).
+    Zipf-hot tokens skew the token join; AQE's skew-join split absorbs
+    it (each TF row matches exactly one DF row, so salting is never
+    semantically needed).
+    """
+    from pyspark.sql import Window
+
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+    tf = (
+        tok.groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dfc = tf.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    n = (
+        docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .withColumn("_k", F.lit(1))
+    )
+    dfn = (
+        dfc.withColumn("_k", F.lit(1))
+        .join(F.broadcast(n), "_k")
+        .drop("_k")
+    )
+    score = (
+        F.col("tf").cast("double")
+        * ((F.col("n_docs") - F.col("df")).cast("double") + F.lit(0.5))
+        / (F.col("df").cast("double") + F.lit(0.5))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("token"))
+    return (
+        tf.join(dfn, "token")
+        .withColumn("score", score)
+        .withColumn("kw_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("kw_rank") <= top_k)
+        .select("doc_id", "kw_rank", "token", "tf", "df", "score")
+    )
+
+
+def search_bm25(docs: DataFrame, query_terms: list[str],
+                k1: float = 1.2, b: float = 0.75,
+                top_k: int = 20) -> DataFrame:
+    """BM25-shaped full-text search: rank documents against a bag of
+    query terms.  Returns (doc_id, n_terms_hit, score_micro) top-k by
+    (score_micro DESC, doc_id ASC).
+
+    Scoring = sum over matched terms of
+
+        idf_ratio(t) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+
+    with ``idf_ratio = (N - df + 0.5)/(df + 0.5)`` — the pre-log BM25
+    idf, kept log-free so every step is an exactly-rounded IEEE op (see
+    ``tfidf_keywords``).  Each per-term score is then quantized to
+    integer MICROS (floor(score * 1e6)) before the per-doc sum: double
+    addition is not associative and Spark sums partitions in a
+    nondeterministic order, so summing doubles would break the
+    differential hash — summing int64 micros is exact and
+    order-independent.
+
+    Scale shape: the ``token IN query`` filter lands directly on the
+    exploded token stream (pre-shuffle), so the per-term TF table holds
+    only matching docs; term df comes from that same filtered table
+    (count of docs per matched term — no corpus-wide vocabulary pass);
+    the (N, avgdl) corpus scalars are ONE 1-row aggregate broadcast in
+    on a constant key; the final per-doc sum + top-k plans as a
+    map-side-combined aggregation + TakeOrderedAndProject.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    toks = tokens(F.col("text"))
+    base = docs.select(
+        "doc_id", F.size(toks).cast("long").alias("dl"), toks.alias("_t"))
+    term_rows = (
+        base.select("doc_id", "dl", F.explode("_t").alias("token"))
+        .filter(F.col("token").isin(*[str(t).lower() for t in query_terms]))
+    )
+    tf = (
+        term_rows.groupBy("doc_id", "dl", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dfc = tf.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    stats = (
+        docs.agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.size(tokens(F.col("text"))).cast("long"))
+            .cast("long").alias("total_len"),
+        )
+        .withColumn("_k", F.lit(1))
+    )
+    scored = (
+        tf.join(F.broadcast(dfc), "token")
+        .withColumn("_k", F.lit(1))
+        .join(F.broadcast(stats), "_k")
+    )
+    avgdl = F.col("total_len").cast("double") / F.col("n_docs").cast("double")
+    idf = (
+        ((F.col("n_docs") - F.col("df")).cast("double") + F.lit(0.5))
+        / (F.col("df").cast("double") + F.lit(0.5))
+    )
+    tfd = F.col("tf").cast("double")
+    denom = tfd + F.lit(k1) * (
+        F.lit(1.0) - F.lit(b)
+        + F.lit(b) * (F.col("dl").cast("double") / avgdl)
+    )
+    term_score = idf * (tfd * F.lit(k1 + 1.0)) / denom
+    return (
+        scored
+        .withColumn(
+            "score_micro",
+            F.floor(term_score * F.lit(1000000.0)).cast("long"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms_hit"),
+            F.sum("score_micro").cast("long").alias("score_micro"),
+        )
+        .orderBy(F.desc("score_micro"), F.asc("doc_id"))
+        .limit(top_k)
+    )
