@@ -105,6 +105,7 @@ def _is_headline_extra(name: str) -> bool:
         "dedup_minhash", "dedup_clusters", "ann_", "text_profile",
         "pipeline_curated_corpus", "pipeline_training_chunks",
         "events_asof", "events_range", "semantic_dedup",
+        "text_search_bm25", "geo_stop_pairs",
     ))
 
 

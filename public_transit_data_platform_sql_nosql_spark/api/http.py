@@ -216,6 +216,36 @@ def create_app(analytics: TransitAPI, denorm: DataFrame):
                                    g["trip_headsign"]))
         return jsonify({"groups": groups, "total_count": total})
 
+    # -- geo extension (the reference renders stops on a Leaflet map but
+    #    never serves a spatial QUERY; this is the "stops near me" lookup
+    #    that map consumes, backed by queries/geo.py's cell-pruned scan) --
+
+    @app.get("/api/stops_nearby")
+    def api_stops_nearby():
+        from ..queries.geo import DEFAULT_EPS, stops_nearby
+
+        try:
+            lat = float(request.args["lat"])
+            lon = float(request.args["lon"])
+            radius = float(request.args.get("radius", DEFAULT_EPS))
+            limit = int(request.args.get("limit", 20))
+        except (KeyError, ValueError):
+            return jsonify({"error": "lat and lon are required floats; "
+                                     "radius/limit optional"}), 400
+        if radius <= 0 or limit <= 0:
+            return jsonify({"error": "radius and limit must be > 0"}), 400
+        pts = denorm.select(
+            "stop_id", "stop_name",
+            F.col("location")["coordinates"][1].alias("stop_lat"),
+            F.col("location")["coordinates"][0].alias("stop_lon"),
+        )
+        rows = stops_nearby(pts, lat, lon, radius=radius, limit=limit,
+                            extra_cols=("stop_name",)).collect()
+        return jsonify({"stops": [
+            {"stop_id": r["stop_id"], "stop_name": r["stop_name"],
+             "stop_lat": r["stop_lat"], "stop_lon": r["stop_lon"],
+             "dist2_deg": r["dist2_deg"]} for r in rows]})
+
     # -- UI + discovery (reference serves index.html at "/":
     #    SQL/app.py:78, Mongo/index.html; ours is an original page) ----
 
@@ -231,6 +261,7 @@ def create_app(analytics: TransitAPI, denorm: DataFrame):
                                       "/api/q4", "/get_stops",
                                       "/get_timetable",
                                       "/get_routes_for_stop",
-                                      "/get_arrivals"]})
+                                      "/get_arrivals",
+                                      "/api/stops_nearby"]})
 
     return app

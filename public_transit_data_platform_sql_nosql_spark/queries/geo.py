@@ -55,11 +55,12 @@ DEFAULT_EPS = 0.02
 _NEIGHBOR_OFFSETS = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
 
 
-def _cells(df: DataFrame, eps: float) -> DataFrame:
+def _cells(df: DataFrame, eps: float,
+           extra: tuple[str, ...] = ()) -> DataFrame:
     """Home-cell assignment: floor-divide the (scaled) coordinates by the
     cell width.  Pure arithmetic => bit-identical across engines."""
     return df.select(
-        "stop_id", "stop_lat", "stop_lon",
+        "stop_id", *extra, "stop_lat", "stop_lon",
         F.floor(F.col("stop_lat") / F.lit(eps)).alias("cx"),
         F.floor(F.col("stop_lon") * F.lit(LON_SCALE) / F.lit(eps))
         .alias("cy"),
@@ -116,7 +117,8 @@ def stop_pairs_within(stops: DataFrame,
 
 def stops_nearby(stops: DataFrame, lat: float, lon: float,
                  radius: float = DEFAULT_EPS,
-                 limit: int | None = None) -> DataFrame:
+                 limit: int | None = None,
+                 extra_cols: tuple[str, ...] = ()) -> DataFrame:
     """Stops within ``radius`` latitude-equivalent degrees of a point,
     nearest first — the map-tap lookup behind a "stops near me" endpoint.
 
@@ -132,7 +134,7 @@ def stops_nearby(stops: DataFrame, lat: float, lon: float,
     cx0 = math.floor(lat / radius)
     cy0 = math.floor(lon * LON_SCALE / radius)
     cand = [(cx0 + dx, cy0 + dy) for dx, dy in _NEIGHBOR_OFFSETS]
-    pts = _cells(stops, radius)
+    pts = _cells(stops, radius, extra_cols)
     d2 = _dist2(F.lit(lat), F.lit(lon),
                 F.col("stop_lat"), F.col("stop_lon"))
     in_cells = None
@@ -142,7 +144,8 @@ def stops_nearby(stops: DataFrame, lat: float, lon: float,
     out = (
         pts.filter(in_cells)
         .filter(d2 <= F.lit(radius) * F.lit(radius))
-        .select("stop_id", "stop_lat", "stop_lon", d2.alias("dist2_deg"))
+        .select("stop_id", *extra_cols, "stop_lat", "stop_lon",
+                d2.alias("dist2_deg"))
         .orderBy(F.asc("dist2_deg"), F.asc("stop_id"))
     )
     return out.limit(limit) if limit is not None else out

@@ -251,3 +251,32 @@ def test_root_serves_ui_and_api_discovery(web):
     r2 = client.get("/api")
     assert r2.status_code == 200
     assert "/api/q1" in r2.get_json()["endpoints"]
+
+
+def test_stops_nearby_endpoint(web, spark):
+    client, _, denorm = web
+    # use a real stop's coordinates as the query point -> distance 0 hit
+    probe = denorm.select(
+        "stop_id",
+        denorm["location"]["coordinates"][1].alias("lat"),
+        denorm["location"]["coordinates"][0].alias("lon"),
+    ).orderBy("stop_id").first()
+    r = client.get(f"/api/stops_nearby?lat={probe['lat']}"
+                   f"&lon={probe['lon']}&radius=0.05&limit=5")
+    assert r.status_code == 200
+    stops = r.get_json()["stops"]
+    assert stops, "query at a stop's own location must hit"
+    assert stops[0]["stop_id"] == probe["stop_id"]
+    assert stops[0]["dist2_deg"] == 0.0
+    assert stops[0]["stop_name"] is not None
+    d = [s["dist2_deg"] for s in stops]
+    assert d == sorted(d) and len(stops) <= 5
+
+
+def test_stops_nearby_validation(web):
+    client, _, _ = web
+    assert client.get("/api/stops_nearby").status_code == 400
+    assert client.get(
+        "/api/stops_nearby?lat=43.5&lon=abc").status_code == 400
+    assert client.get(
+        "/api/stops_nearby?lat=43.5&lon=-79.5&radius=-1").status_code == 400

@@ -146,6 +146,31 @@ def test_bm25_ranks_multi_term_doc_first(spark):
     assert {r.doc_id for r in out} == {0, 1}
 
 
+def test_bm25_plan_shape(spark):
+    # top-k must plan as TakeOrderedAndProject (no global sort); the
+    # constant-key scalar joins must broadcast, never go cartesian
+    from public_transit_data_platform_sql_nosql_spark.plans import (
+        executed_plan,
+        plan_summary,
+    )
+
+    rows = [(0, "spark window"), (1, "merge")]
+    df = search_bm25(docs_df(spark, rows), ["spark", "window", "merge"])
+    plan = executed_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    s = plan_summary(df)
+    assert s["cartesian_products"] == 0
+
+
+def test_line_dedup_plan_no_cartesian(spark):
+    from public_transit_data_platform_sql_nosql_spark.plans import (
+        plan_summary,
+    )
+
+    df = drop_boilerplate_lines(docs_df(spark, [(0, "a\nb"), (1, "a")]))
+    assert plan_summary(df)["cartesian_products"] == 0
+
+
 def test_bm25_query_terms_lowercased_and_validated(spark):
     rows = [(0, "Spark is HERE")]
     out = search_bm25(docs_df(spark, rows), ["SPARK"]).collect()
