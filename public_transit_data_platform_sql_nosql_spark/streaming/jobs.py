@@ -259,3 +259,44 @@ def stream_upsert(updates_stream: DataFrame, sink_path: str,
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_incremental_dedup(docs_stream: DataFrame, index_path: str,
+                             sink_path: str, checkpoint_path: str,
+                             threshold: float = 0.5):
+    """foreachBatch streaming near-dup filter: each micro-batch of
+    documents is deduped against the persisted MinHash signature index
+    (pipeline/incremental.py) AND itself, survivors land in the parquet
+    sink and their signatures are appended to the index so later batches
+    see them.  This closes the streaming corpus-ingest loop: the batch
+    twin pays one corpus pass to build the index; this sink keeps it
+    current at O(batch + touched buckets) per trigger.
+
+    Replay semantics: a crash between the index append and the
+    checkpoint commit can replay a batch whose signatures are already
+    indexed — its docs then match those signatures and are dropped, so
+    the sink stays duplicate-free (the benign direction).  The sink
+    append itself happens BEFORE the index append for the same reason:
+    losing the index append only costs future dedup recall, never sink
+    rows.
+    """
+    from ..pipeline.incremental import append_signatures, incremental_dedup
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        r = incremental_dedup(batch_df.sparkSession, index_path, batch_df,
+                              threshold=threshold, append=False)
+        kept = r["kept"].persist()
+        try:
+            kept.write.mode("append").parquet(sink_path)
+            append_signatures(kept, index_path)
+        finally:
+            kept.unpersist()
+
+    return (
+        docs_stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
