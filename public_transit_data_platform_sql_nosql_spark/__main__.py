@@ -20,6 +20,9 @@ Usage (all flags optional where noted):
       --path out/denorm [--target-mb 128]
   python -m public_transit_data_platform_sql_nosql_spark upsert \
       --path out/store --updates batch/ --key k [--partition-col p]
+  python -m public_transit_data_platform_sql_nosql_spark dedup-index \
+      --path out/idx --batch docs/ [--build] [--threshold 0.5]
+      [--no-append] [--keep-out out/corpus]
   python -m public_transit_data_platform_sql_nosql_spark serve \
       --sf-dir /root/testdata/sf0.01 [--precompute-dir out/results]
       [--port 5000]
@@ -106,6 +109,28 @@ def cmd_upsert(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_dedup_index(args: argparse.Namespace) -> int:
+    """Build or apply the incremental MinHash dedup index: ``--build``
+    pays the one corpus pass; without it each run dedups ``--batch``
+    against the index (appending survivors unless ``--no-append``) and
+    optionally lands them at ``--keep-out``."""
+    spark = _spark("dedup-index")
+    from .pipeline.incremental import incremental_dedup, write_signature_index
+
+    docs = spark.read.parquet(args.batch)
+    if args.build:
+        write_signature_index(docs, args.path)
+        print(json.dumps({"built": True, "n_docs": docs.count()}))
+        return 0
+    r = incremental_dedup(spark, args.path, docs,
+                          threshold=args.threshold,
+                          append=not args.no_append)
+    if args.keep_out:
+        r["kept"].write.mode("append").parquet(args.keep_out)
+    print(json.dumps({k: v for k, v in r.items() if k != "kept"}))
+    return 0
+
+
 def build_serve_app(spark, sf_dir: str, precompute_dir: str | None,
                     denorm_path: str | None = None):
     """Wire the full serving stack (analytics + timetable endpoints) —
@@ -177,6 +202,20 @@ def main(argv: list[str] | None = None) -> int:
                     help="hive partition column for partition-scoped "
                          "rewrites")
     pu.set_defaults(fn=cmd_upsert)
+
+    px = sub.add_parser(
+        "dedup-index",
+        help="build / apply the incremental MinHash dedup index")
+    px.add_argument("--path", required=True)
+    px.add_argument("--batch", required=True,
+                    help="parquet dir of documents (doc_id, text)")
+    px.add_argument("--build", action="store_true",
+                    help="(re)build the index from --batch")
+    px.add_argument("--threshold", type=float, default=0.5)
+    px.add_argument("--no-append", action="store_true")
+    px.add_argument("--keep-out", default=None,
+                    help="append surviving docs to this parquet dir")
+    px.set_defaults(fn=cmd_dedup_index)
 
     ps = sub.add_parser("serve", help="run the HTTP API")
     ps.add_argument("--sf-dir", required=True)

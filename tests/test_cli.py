@@ -106,3 +106,30 @@ def test_cli_upsert(spark, tmp_path, capsys):
     assert json.loads(out[-1])["rows_upserted"] == 2
     got = {(r["k"], r["v"]) for r in spark.read.parquet(sink).collect()}
     assert got == {(1, "a"), (2, "B"), (3, "c")}
+
+
+def test_cli_dedup_index_build_and_apply(spark, tmp_path, capsys):
+    base = str(tmp_path / "base")
+    batch = str(tmp_path / "batch")
+    idx = str(tmp_path / "idx")
+    keep = str(tmp_path / "keep")
+    spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog tonight"),
+         (2, "spark shuffles partition data across the cluster stage")],
+        "doc_id long, text string").write.parquet(base)
+    spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog tonight extra"),
+         (11, "a wholly novel document with vocabulary of its very own")],
+        "doc_id long, text string").write.parquet(batch)
+
+    assert main(["dedup-index", "--path", idx, "--batch", base,
+                 "--build"]) == 0
+    built = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert built == {"built": True, "n_docs": 2}
+
+    assert main(["dedup-index", "--path", idx, "--batch", batch,
+                 "--keep-out", keep]) == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["n_new"] == 2 and stats["n_dup_vs_index"] == 1
+    assert stats["n_kept"] == 1
+    assert [r.doc_id for r in spark.read.parquet(keep).collect()] == [11]
