@@ -829,6 +829,12 @@ _EXTRA_QUERIES = {
     "geo_stops_nearby":
         lambda s, d: geoq.stops_nearby(
             register_gtfs_views(s, d)["stops"], 43.5, -79.5, radius=0.05),
+    # geo x transit composition: close pairs sharing NO route (walkable
+    # transfer candidates — the geo complement of Q3)
+    "geo_transfer_walk":
+        lambda s, d: (lambda v: geoq.transfer_walk_candidates(
+            v["stops"], v["stop_times"], v["trips"], eps=0.02))(
+            register_gtfs_views(s, d)),
     "pipeline_training_sequences":
         lambda s, d: pcur.pack_sequences(
             pcur.training_chunks(
@@ -926,6 +932,51 @@ WHERE CAST(l.id_a AS BIGINT) < CAST(r.stop_id AS BIGINT)
         + ((l.lon_a - r.stop_lon) * CAST(0.725 AS DOUBLE))
           * ((l.lon_a - r.stop_lon) * CAST(0.725 AS DOUBLE))
       <= CAST(0.02 AS DOUBLE) * CAST(0.02 AS DOUBLE)
+""",
+        # mirrors queries/geo.py transfer_walk_candidates(eps=0.02):
+        # close pairs minus pairs connected by a shared route
+        "geo_transfer_walk": f"""
+{c},
+pts AS (
+  SELECT stop_id, stop_lat, stop_lon,
+         CAST(floor(stop_lat / CAST(0.02 AS DOUBLE)) AS BIGINT) AS cx,
+         CAST(floor(stop_lon * CAST(0.725 AS DOUBLE)
+                    / CAST(0.02 AS DOUBLE)) AS BIGINT) AS cy
+  FROM stops
+),
+lft AS (
+  SELECT p.stop_id AS id_a, p.stop_lat AS lat_a, p.stop_lon AS lon_a,
+         p.cx + dx.d AS cx, p.cy + dy.d AS cy
+  FROM pts p,
+       (SELECT unnest([-1, 0, 1]) AS d) dx,
+       (SELECT unnest([-1, 0, 1]) AS d) dy
+),
+pairs AS (
+  SELECT l.id_a AS stop_id_a, r.stop_id AS stop_id_b,
+         (l.lat_a - r.stop_lat) * (l.lat_a - r.stop_lat)
+           + ((l.lon_a - r.stop_lon) * CAST(0.725 AS DOUBLE))
+             * ((l.lon_a - r.stop_lon) * CAST(0.725 AS DOUBLE)) AS dist2_deg
+  FROM lft l JOIN pts r ON l.cx = r.cx AND l.cy = r.cy
+  WHERE CAST(l.id_a AS BIGINT) < CAST(r.stop_id AS BIGINT)
+    AND (l.lat_a - r.stop_lat) * (l.lat_a - r.stop_lat)
+          + ((l.lon_a - r.stop_lon) * CAST(0.725 AS DOUBLE))
+            * ((l.lon_a - r.stop_lon) * CAST(0.725 AS DOUBLE))
+        <= CAST(0.02 AS DOUBLE) * CAST(0.02 AS DOUBLE)
+),
+sr AS (
+  SELECT DISTINCT st.stop_id, t.route_id
+  FROM stop_times st JOIN trips t USING (trip_id)
+),
+shared AS (
+  SELECT DISTINCT p.stop_id_a, p.stop_id_b
+  FROM pairs p
+  JOIN sr a ON p.stop_id_a = a.stop_id
+  JOIN sr b ON p.stop_id_b = b.stop_id AND a.route_id = b.route_id
+)
+SELECT p.stop_id_a, p.stop_id_b, p.dist2_deg
+FROM pairs p
+ANTI JOIN shared s
+  ON p.stop_id_a = s.stop_id_a AND p.stop_id_b = s.stop_id_b
 """,
         # mirrors queries/geo.py stops_nearby(43.5, -79.5, 0.05): the
         # Spark side's 3x3 candidate-cell prefilter is a pure

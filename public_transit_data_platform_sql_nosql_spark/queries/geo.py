@@ -115,6 +115,40 @@ def stop_pairs_within(stops: DataFrame,
     )
 
 
+def transfer_walk_candidates(stops: DataFrame, stop_times: DataFrame,
+                             trips: DataFrame,
+                             eps: float = DEFAULT_EPS) -> DataFrame:
+    """Walkable-transfer candidates: stop pairs within ``eps`` that share
+    NO route — the places where a short walk bridges two otherwise
+    unconnected lines (the geo complement of Q3's same-stop transfer
+    points).
+
+    Composition: the grid-blocked ``stop_pairs_within`` self-join, minus
+    (left_anti) the pairs connected by a common route.  The shared-route
+    check joins the (stop, route) DISTINCT set twice keyed on the pair's
+    stop ids and equates route ids — a hash-join chain on uniform keys,
+    bounded by |close pairs| x routes-per-stop, never |stops|^2.
+    """
+    pairs = stop_pairs_within(stops, eps)
+    stop_routes = (
+        stop_times.join(trips.select("trip_id", "route_id"), "trip_id")
+        .select("stop_id", "route_id")
+        .distinct()
+    )
+    ra = stop_routes.select(F.col("stop_id").alias("stop_id_a"),
+                            F.col("route_id").alias("route_a"))
+    rb = stop_routes.select(F.col("stop_id").alias("stop_id_b"),
+                            F.col("route_id").alias("route_b"))
+    j1 = pairs.join(ra, "stop_id_a")
+    shared = (
+        j1.join(rb, (j1["stop_id_b"] == rb["stop_id_b"])
+                & (j1["route_a"] == rb["route_b"]))
+        .select(j1["stop_id_a"], j1["stop_id_b"])
+        .distinct()
+    )
+    return pairs.join(shared, ["stop_id_a", "stop_id_b"], "left_anti")
+
+
 def stops_nearby(stops: DataFrame, lat: float, lon: float,
                  radius: float = DEFAULT_EPS,
                  limit: int | None = None,

@@ -95,3 +95,29 @@ def test_nearby_limit_and_validation(spark):
                         limit=2).count() == 2
     with pytest.raises(ValueError):
         stops_nearby(stops_df(ROWS), 43.1, -79.1, radius=-1.0)
+
+
+def test_transfer_walk_candidates(spark):
+    from public_transit_data_platform_sql_nosql_spark.queries.geo import (
+        transfer_walk_candidates,
+    )
+
+    # stops 1,2 close + share route R1 -> excluded; stops 1,3 close with
+    # disjoint routes -> candidate; 5 is far from everything
+    stops = stops_df(ROWS)
+    stop_times = spark.createDataFrame(
+        [("t1", "1", 1), ("t1", "2", 2),   # route R1 serves 1 and 2
+         ("t2", "3", 1),                   # route R2 serves 3
+         ("t3", "5", 1)],
+        "trip_id string, stop_id string, stop_sequence int")
+    trips = spark.createDataFrame(
+        [("t1", "R1"), ("t2", "R2"), ("t3", "R3")],
+        "trip_id string, route_id string")
+    got = {(r.stop_id_a, r.stop_id_b)
+           for r in transfer_walk_candidates(
+               stops, stop_times, trips, eps=0.02).collect()}
+    close = brute_pairs(ROWS, 0.02)
+    assert ("1", "2") in close and ("1", "2") not in got
+    assert ("1", "3") in got
+    # pairs where either stop has no routes at all are kept (no shared)
+    assert got == {p for p in close if p != ("1", "2")}
