@@ -426,6 +426,45 @@ _EVENTS_QUERIES = {
 }
 
 _EVENTS_ORACLES = {
+    # queries/events.py funnel_report("view","click","purchase", 1h):
+    # per transition, each deduped (user, ts) position LEFT-joins its
+    # bounded window of next-step events and takes the earliest (= the
+    # forward as-of match); conversion rate is integer permille (// on
+    # BIGINT) so the row hashes exactly
+    "events_funnel": """
+WITH e AS (SELECT user_id, epoch_ns(ts) AS ts, event_type FROM events),
+s0 AS (SELECT DISTINCT user_id, ts FROM e WHERE event_type = 'view'),
+n1 AS (SELECT DISTINCT user_id, ts FROM e WHERE event_type = 'click'),
+n2 AS (SELECT DISTINCT user_id, ts FROM e WHERE event_type = 'purchase'),
+m0 AS (
+  SELECT s0.user_id, s0.ts, min(n1.ts) AS mts
+  FROM s0 LEFT JOIN n1
+    ON n1.user_id = s0.user_id
+   AND n1.ts >= s0.ts AND n1.ts <= s0.ts + 3600000000000
+  GROUP BY 1, 2
+),
+s1 AS (SELECT DISTINCT user_id, mts AS ts FROM m0 WHERE mts IS NOT NULL),
+m1 AS (
+  SELECT s1.user_id, s1.ts, min(n2.ts) AS mts
+  FROM s1 LEFT JOIN n2
+    ON n2.user_id = s1.user_id
+   AND n2.ts >= s1.ts AND n2.ts <= s1.ts + 3600000000000
+  GROUP BY 1, 2
+)
+SELECT CAST(0 AS BIGINT) AS step_idx, 'view' AS step_from,
+       'click' AS step_to,
+       CAST(count(*) AS BIGINT) AS n_reached,
+       CAST(count(mts) AS BIGINT) AS n_converted,
+       CAST(count(mts) * 1000 // greatest(count(*), 1) AS BIGINT)
+         AS conversion_permille
+FROM m0
+UNION ALL
+SELECT CAST(1 AS BIGINT), 'click', 'purchase',
+       CAST(count(*) AS BIGINT),
+       CAST(count(mts) AS BIGINT),
+       CAST(count(mts) * 1000 // greatest(count(*), 1) AS BIGINT)
+FROM m1
+""",
     # queries/events.py heavy_hitter_users: approximate candidate
     # machinery, EXACT output — so the naive exact group-by is a valid
     # hash oracle
@@ -807,6 +846,10 @@ _EXTRA_QUERIES = {
         lambda s, d: pclean.scrub_pii(_pii_injected(_aug(s, d))),
     # the END-TO-END flagship: docs -> curate -> decontaminate -> chunk
     # -> boilerplate-drop -> token-budget sequence packing, ONE plan
+    # sequential conversion funnel (view -> click -> purchase within 1h)
+    # — each transition is the as-of join run forward with tolerance
+    "events_funnel":
+        lambda s, d: ev.funnel_report(_events(s, d)),
     # BM25 full-text search over the corpus (integer-micro quantized
     # per-term scores so the per-doc sum is order-independent)
     "text_search_bm25":
@@ -968,14 +1011,18 @@ sr AS (
   FROM stop_times st JOIN trips t USING (trip_id)
 ),
 shared AS (
-  SELECT DISTINCT p.stop_id_a, p.stop_id_b
+  SELECT p.stop_id_a, p.stop_id_b,
+         CAST(count(*) AS BIGINT) AS n_shared_routes
   FROM pairs p
   JOIN sr a ON p.stop_id_a = a.stop_id
   JOIN sr b ON p.stop_id_b = b.stop_id AND a.route_id = b.route_id
+  GROUP BY 1, 2
 )
-SELECT p.stop_id_a, p.stop_id_b, p.dist2_deg
+SELECT p.stop_id_a, p.stop_id_b, p.dist2_deg,
+       COALESCE(s.n_shared_routes, 0) AS n_shared_routes,
+       COALESCE(s.n_shared_routes, 0) = 0 AS is_walk_candidate
 FROM pairs p
-ANTI JOIN shared s
+LEFT JOIN shared s
   ON p.stop_id_a = s.stop_id_a AND p.stop_id_b = s.stop_id_b
 """,
         # mirrors queries/geo.py stops_nearby(43.5, -79.5, 0.05): the

@@ -167,8 +167,12 @@ def tfidf_keywords(docs: DataFrame, top_k: int = 5) -> DataFrame:
     Scale shape: explode -> map-side-combined (doc, token) TF aggregation
     -> token DF aggregation over the (already distinct-per-doc) TF table
     -> one shuffle join back on ``token`` -> per-doc top-k window.  The
-    corpus-size scalar joins into the vocab-sized DF table on a constant
-    key as a 1-row broadcast (BroadcastHashJoin, never a Cartesian).
+    corpus-size scalar attaches to the vocab-sized DF table as a 1-row
+    broadcast; Catalyst constant-folds the synthetic equi-key away and
+    plans it as a 1-row BroadcastNestedLoopJoin — Spark's own
+    scalar-subquery shape (cost: one broadcast of one row; NOT a
+    cartesian hazard, the build side is a single-row aggregate by
+    construction).
     Zipf-hot tokens skew the token join; AQE's skew-join split absorbs
     it (each TF row matches exactly one DF row, so salting is never
     semantically needed).
@@ -230,8 +234,9 @@ def search_bm25(docs: DataFrame, query_terms: list[str],
     exploded token stream (pre-shuffle), so the per-term TF table holds
     only matching docs; term df comes from that same filtered table
     (count of docs per matched term — no corpus-wide vocabulary pass);
-    the (N, avgdl) corpus scalars are ONE 1-row aggregate broadcast in
-    on a constant key; the final per-doc sum + top-k plans as a
+    the (N, avgdl) corpus scalars are ONE 1-row aggregate attached as a
+    1-row-broadcast nested-loop join (the scalar-subquery plan shape —
+    see ``tfidf_keywords``); the final per-doc sum + top-k plans as a
     map-side-combined aggregation + TakeOrderedAndProject.
     """
     if not query_terms:

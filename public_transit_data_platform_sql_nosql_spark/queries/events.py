@@ -200,3 +200,70 @@ def top_users_by_value(events: DataFrame, k: int = 3) -> DataFrame:
         .filter(F.col("rank") <= k)
         .select("event_type", "rank", "user_id", "sum_cents")
     )
+
+
+def funnel_report(events: DataFrame,
+                  steps: tuple[str, ...] = ("view", "click", "purchase"),
+                  within_ns: int = 3_600_000_000_000) -> DataFrame:
+    """Sequential conversion funnel: for each transition step[i] ->
+    step[i+1], how many positions reached step[i] and how many found a
+    step[i+1] event at-or-after them (same user) within ``within_ns``.
+
+    Returns one row per transition: (step_idx, step_from, step_to,
+    n_reached, n_converted, conversion_permille) — the rate as integer
+    permille (``n*1000 DIV reached``), so the output is hash-exact.
+
+    Each transition is the repo's own as-of join (operators/asof.py,
+    direction="forward", tolerance) — union + ONE window per step, no
+    join in the matching path, shuffled on ``user_id``.  Funnel stages
+    count DISTINCT (user, reached-ts) positions: both sides of every
+    transition are deduped, so two step-i events matching the SAME
+    step-(i+1) event advance one position, not two (and the nearest
+    match is unambiguous — the as-of contract wants a unique right side
+    per (key, ts)).  A k-step funnel is k-1 windows over the same
+    shuffle key; at 100 TB pass ``bucket_width`` through if one user
+    dominates the stream (see asof_join's hot-key hatch).
+    """
+    if len(steps) < 2:
+        raise ValueError("funnel needs at least two steps")
+    if within_ns <= 0:
+        raise ValueError(f"within_ns must be positive, got {within_ns!r}")
+    from ..operators.asof import asof_join
+
+    def positions(step: str) -> DataFrame:
+        return (
+            events.filter(F.col("event_type") == step)
+            .select("user_id", "ts").distinct()
+        )
+
+    cur = positions(steps[0])
+    rows = []
+    for i in range(len(steps) - 1):
+        nxt = positions(steps[i + 1])
+        m = asof_join(cur, nxt, on="ts", by="user_id",
+                      direction="forward", tolerance=within_ns)
+        rows.append(
+            m.agg(
+                F.count(F.lit(1)).cast("long").alias("n_reached"),
+                F.count("ts_asof").cast("long").alias("n_converted"),
+            ).select(
+                F.lit(i).cast("long").alias("step_idx"),
+                F.lit(steps[i]).alias("step_from"),
+                F.lit(steps[i + 1]).alias("step_to"),
+                "n_reached", "n_converted",
+                # integer DIV on both engines (Spark `div`, DuckDB `//`)
+                # — float division + cast would round in DuckDB but
+                # truncate in Spark
+                F.expr("n_converted * 1000 div greatest(n_reached, 1)")
+                .cast("long").alias("conversion_permille"),
+            )
+        )
+        cur = (
+            m.filter(F.col("ts_asof").isNotNull())
+            .select("user_id", F.col("ts_asof").alias("ts"))
+            .distinct()
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

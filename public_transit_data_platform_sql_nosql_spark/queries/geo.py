@@ -118,18 +118,30 @@ def stop_pairs_within(stops: DataFrame,
 def transfer_walk_candidates(stops: DataFrame, stop_times: DataFrame,
                              trips: DataFrame,
                              eps: float = DEFAULT_EPS) -> DataFrame:
-    """Walkable-transfer candidates: stop pairs within ``eps`` that share
-    NO route — the places where a short walk bridges two otherwise
+    """Connectivity grade for every stop pair within ``eps``: how many
+    routes serve BOTH stops.  ``n_shared_routes = 0`` marks a
+    walkable-transfer candidate — a short walk bridging two otherwise
     unconnected lines (the geo complement of Q3's same-stop transfer
-    points).
+    points); higher counts grade the pair as already-connected.
 
-    Composition: the grid-blocked ``stop_pairs_within`` self-join, minus
-    (left_anti) the pairs connected by a common route.  The shared-route
-    check joins the (stop, route) DISTINCT set twice keyed on the pair's
-    stop ids and equates route ids — a hash-join chain on uniform keys,
-    bounded by |close pairs| x routes-per-stop, never |stops|^2.
+    The full graded table (not just the zero rows) is returned
+    deliberately: on a dense network most close pairs share a route, and
+    a consumer tuning walk radius / connectivity thresholds needs the
+    distribution, not a possibly-empty remainder.
+
+    Composition: the grid-blocked ``stop_pairs_within`` self-join, then
+    a distinct (stop, route) double hash-join counting route matches per
+    pair, landed back on the pair table with a left join (count 0 where
+    no match).  Cost is bounded by |close pairs| x routes-per-stop,
+    never |stops|^2.
+
+    The close-pair table feeds BOTH the shared-route probe and the final
+    left join; Catalyst does not share subtrees across joins, so it is
+    persisted here (one grid join, two consumers) — the same
+    shared-intermediate pattern as curation.training_chunks.  It is
+    |close pairs|-sized (already radius-filtered), not corpus-sized.
     """
-    pairs = stop_pairs_within(stops, eps)
+    pairs = stop_pairs_within(stops, eps).persist()
     stop_routes = (
         stop_times.join(trips.select("trip_id", "route_id"), "trip_id")
         .select("stop_id", "route_id")
@@ -143,10 +155,19 @@ def transfer_walk_candidates(stops: DataFrame, stop_times: DataFrame,
     shared = (
         j1.join(rb, (j1["stop_id_b"] == rb["stop_id_b"])
                 & (j1["route_a"] == rb["route_b"]))
-        .select(j1["stop_id_a"], j1["stop_id_b"])
-        .distinct()
+        .groupBy(j1["stop_id_a"], j1["stop_id_b"])
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_routes"))
     )
-    return pairs.join(shared, ["stop_id_a", "stop_id_b"], "left_anti")
+    return (
+        pairs.join(shared, ["stop_id_a", "stop_id_b"], "left")
+        .select(
+            "stop_id_a", "stop_id_b", "dist2_deg",
+            F.coalesce(F.col("n_shared_routes"), F.lit(0).cast("long"))
+            .alias("n_shared_routes"),
+            (F.coalesce(F.col("n_shared_routes"), F.lit(0)) == 0)
+            .alias("is_walk_candidate"),
+        )
+    )
 
 
 def stops_nearby(stops: DataFrame, lat: float, lon: float,

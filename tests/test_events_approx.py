@@ -125,3 +125,52 @@ def test_q1_approx_route_counts_bounded(spark):
         assert err <= max(1, 0.1 * e["num_unique_routes"]), (
             a["stop_id"], a["num_unique_routes_approx"],
             e["num_unique_routes"])
+
+
+def test_funnel_report_fixture(spark):
+    """Hand-computed 2-transition funnel: dedup of same-instant
+    positions, tolerance cutoff, shared-downstream dedup."""
+    from public_transit_data_platform_sql_nosql_spark.queries.events import (
+        funnel_report,
+    )
+
+    rows = [
+        # user 1: view@10 -> click@20 -> purchase@25  (full conversion)
+        (1, 10, "view"), (1, 20, "click"), (1, 25, "purchase"),
+        # user 2: TWO views match the SAME click@40 -> one position
+        (2, 30, "view"), (2, 35, "view"), (2, 40, "click"),
+        # user 3: view@50, click@200 beyond tolerance(100) -> no convert
+        (3, 50, "view"), (3, 200, "click"),
+        # user 4: click with no prior view enters nothing
+        (4, 60, "click"),
+    ]
+    ev = spark.createDataFrame(
+        [(u, t, k) for u, t, k in rows],
+        "user_id long, ts long, event_type string")
+    out = {r.step_idx: r for r in
+           funnel_report(ev, ("view", "click", "purchase"),
+                         within_ns=100).collect()}
+    # positions: u1@10, u2@30, u2@35, u3@50 -> 4 reached
+    assert out[0].n_reached == 4
+    # u1 converts; u2's two views both convert (2 positions); u3 no
+    assert out[0].n_converted == 3
+    assert out[0].conversion_permille == 750
+    # step 2 enters DISTINCT reached ts: u1@20, u2@40 -> 2
+    assert out[1].n_reached == 2
+    assert out[1].n_converted == 1  # only u1 purchases
+    assert out[1].conversion_permille == 500
+
+
+def test_funnel_validation(spark):
+    from public_transit_data_platform_sql_nosql_spark.queries.events import (
+        funnel_report,
+    )
+
+    ev = spark.createDataFrame([(1, 1, "view")],
+                               "user_id long, ts long, event_type string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        funnel_report(ev, ("view",))
+    with _pytest.raises(ValueError):
+        funnel_report(ev, ("view", "click"), within_ns=0)

@@ -113,11 +113,17 @@ def test_transfer_walk_candidates(spark):
     trips = spark.createDataFrame(
         [("t1", "R1"), ("t2", "R2"), ("t3", "R3")],
         "trip_id string, route_id string")
-    got = {(r.stop_id_a, r.stop_id_b)
-           for r in transfer_walk_candidates(
-               stops, stop_times, trips, eps=0.02).collect()}
+    rows = transfer_walk_candidates(stops, stop_times, trips,
+                                    eps=0.02).collect()
+    got = {(r.stop_id_a, r.stop_id_b): r for r in rows}
     close = brute_pairs(ROWS, 0.02)
-    assert ("1", "2") in close and ("1", "2") not in got
-    assert ("1", "3") in got
-    # pairs where either stop has no routes at all are kept (no shared)
-    assert got == {p for p in close if p != ("1", "2")}
+    # every close pair appears exactly once, graded
+    assert set(got) == close
+    # 1-2 share route R1 -> connected, not a walk candidate
+    assert got[("1", "2")].n_shared_routes == 1
+    assert not got[("1", "2")].is_walk_candidate
+    # 1-3 on disjoint routes -> walk candidate with count 0
+    assert got[("1", "3")].n_shared_routes == 0
+    assert got[("1", "3")].is_walk_candidate
+    # stops with no routes at all grade as 0 (candidate)
+    assert got[("6", "7")].n_shared_routes == 0
