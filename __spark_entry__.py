@@ -426,6 +426,19 @@ _EVENTS_QUERIES = {
 }
 
 _EVENTS_ORACLES = {
+    # queries/events.py type_daily_rollup: GROUP BY ROLLUP with the
+    # standard GROUPING bitmask (first column = MSB in both engines)
+    "events_rollup": """
+SELECT event_type,
+       epoch_ns(ts) // 86400000000000 AS day_idx,
+       CAST(GROUPING(event_type, epoch_ns(ts) // 86400000000000)
+            AS BIGINT) AS grain,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         AS sum_cents
+FROM events
+GROUP BY ROLLUP (event_type, epoch_ns(ts) // 86400000000000)
+""",
     # queries/events.py funnel_report("view","click","purchase", 1h):
     # per transition, each deduped (user, ts) position LEFT-joins its
     # bounded window of next-step events and takes the earliest (= the
@@ -850,6 +863,11 @@ _EXTRA_QUERIES = {
     # — each transition is the as-of join run forward with tolerance
     "events_funnel":
         lambda s, d: ev.funnel_report(_events(s, d)),
+    # OLAP rollup: (type, day) + per-type + grand-total grains in ONE
+    # Expand+aggregate pass, GROUPING bitmask disambiguates subtotal
+    # NULLs
+    "events_rollup":
+        lambda s, d: ev.type_daily_rollup(_events(s, d)),
     # BM25 full-text search over the corpus (integer-micro quantized
     # per-term scores so the per-doc sum is order-independent)
     "text_search_bm25":

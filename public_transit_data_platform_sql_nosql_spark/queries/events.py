@@ -267,3 +267,28 @@ def funnel_report(events: DataFrame,
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+def type_daily_rollup(events: DataFrame) -> DataFrame:
+    """Multi-dimensional OLAP rollup: event counts + cent totals at
+    (event_type, day), (event_type) and grand-total grain in ONE pass —
+    Spark's ``rollup`` plans a single Expand + aggregation, not three
+    scans (the shape a reporting layer wants at 100 TB: every grain
+    map-side combined in the same shuffle).
+
+    ``grain`` is the standard SQL GROUPING bitmask (0 = leaf row,
+    1 = per-type subtotal, 3 = grand total) so consumers — and the
+    DuckDB oracle — can tell a subtotal's NULL from a genuine NULL key.
+    """
+    day = F.expr("ts div 86400000000000")
+    return (
+        events.select("event_type", day.alias("day_idx"),
+                      F.expr(_CENTS).alias("cents"))
+        .rollup("event_type", "day_idx")
+        .agg(
+            F.grouping_id().cast("long").alias("grain"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        )
+        .select("event_type", "day_idx", "grain", "n_events", "sum_cents")
+    )
