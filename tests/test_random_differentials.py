@@ -124,3 +124,96 @@ def test_upsert_matches_dict_replay(spark, tmp_path, seed):
         mirror.update(dict(batch))
     got = {r["k"]: r["v"] for r in spark.read.parquet(sink).collect()}
     assert got == mirror
+
+
+# ---------------------------------------------------------------------------
+# geo grid self-join vs quadratic brute force
+
+
+def _brute_geo(rows, eps, lon_scale):
+    out = {}
+    for i in range(len(rows)):
+        for j in range(len(rows)):
+            a, b = rows[i], rows[j]
+            if int(a[0]) >= int(b[0]):
+                continue
+            dlat = a[1] - b[1]
+            dlon = (a[2] - b[2]) * lon_scale
+            d2 = dlat * dlat + dlon * dlon
+            if d2 <= eps * eps:
+                out[(a[0], b[0])] = d2
+    return out
+
+
+@pytest.mark.parametrize("seed,eps", [(7, 0.02), (23, 0.013), (91, 0.05)])
+def test_geo_pairs_random_vs_bruteforce(spark, seed, eps):
+    """Random point clouds (clustered + uniform mix, boundary-heavy
+    because coordinates are multiples of eps/4) vs the O(n^2) mirror."""
+    from public_transit_data_platform_sql_nosql_spark.queries.geo import (
+        LON_SCALE,
+        stop_pairs_within,
+    )
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(80):
+        if i % 3 == 0:  # clustered around a hot cell
+            lat = 43.5 + float(rng.integers(-4, 5)) * (eps / 4)
+            lon = -79.5 + float(rng.integers(-4, 5)) * (eps / 4)
+        else:
+            lat = 43.0 + float(rng.random())
+            lon = -80.0 + float(rng.random())
+        rows.append((str(i), lat, lon))
+    df = spark.createDataFrame(
+        [(i, f"s{i}", la, lo) for i, la, lo in rows],
+        "stop_id string, stop_name string, stop_lat double, "
+        "stop_lon double")
+    got = {(r.stop_id_a, r.stop_id_b): r.dist2_deg
+           for r in stop_pairs_within(df, eps=eps).collect()}
+    want = _brute_geo(rows, eps, LON_SCALE)
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# funnel vs a per-user Python replay
+
+
+def _mirror_funnel(rows, steps, within):
+    by_step = {s: set() for s in steps}
+    for u, t, k in rows:
+        if k in by_step:
+            by_step[k].add((u, t))
+    cur = by_step[steps[0]]
+    out = []
+    for i in range(len(steps) - 1):
+        nxt_all = sorted(by_step[steps[i + 1]])
+        conv = {}
+        for u, t in cur:
+            cands = [(nu, nt) for nu, nt in nxt_all
+                     if nu == u and t <= nt <= t + within]
+            if cands:
+                conv[(u, t)] = min(nt for _, nt in cands)
+        out.append((i, len(cur), len(conv),
+                    len(conv) * 1000 // max(len(cur), 1)))
+        cur = {(u, mt) for (u, _), mt in conv.items()}
+    return out
+
+
+@pytest.mark.parametrize("seed,within", [(3, 40), (17, 5), (51, 1000)])
+def test_funnel_random_vs_mirror(spark, seed, within):
+    from public_transit_data_platform_sql_nosql_spark.queries.events import (
+        funnel_report,
+    )
+
+    rng = np.random.default_rng(seed)
+    kinds = ["view", "click", "purchase", "noise"]
+    rows = [(int(rng.integers(0, 8)), int(rng.integers(0, 300)),
+             kinds[rng.integers(0, len(kinds))]) for _ in range(400)]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts long, event_type string")
+    got = [(r.step_idx, r.n_reached, r.n_converted, r.conversion_permille)
+           for r in funnel_report(
+               ev, ("view", "click", "purchase"),
+               within_ns=within).orderBy("step_idx").collect()]
+    assert got == _mirror_funnel(set(rows), ("view", "click", "purchase"),
+                                 within)
