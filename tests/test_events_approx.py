@@ -174,3 +174,23 @@ def test_funnel_validation(spark):
         funnel_report(ev, ("view",))
     with _pytest.raises(ValueError):
         funnel_report(ev, ("view", "click"), within_ns=0)
+
+
+def test_funnel_plan_is_join_free(spark):
+    """The funnel's matching path is the as-of union+window — the whole
+    2-transition plan must contain ZERO join operators."""
+    from public_transit_data_platform_sql_nosql_spark.plans import (
+        executed_plan,
+    )
+    from public_transit_data_platform_sql_nosql_spark.queries.events import (
+        funnel_report,
+    )
+
+    ev = spark.createDataFrame(
+        [(1, 10, "view"), (1, 20, "click"), (1, 25, "purchase")],
+        "user_id long, ts long, event_type string")
+    p = executed_plan(funnel_report(ev))
+    for node in ("SortMergeJoin", "BroadcastHashJoin",
+                 "BroadcastNestedLoopJoin", "CartesianProduct",
+                 "ShuffledHashJoin"):
+        assert p.count(node) == 0, (node, p)
