@@ -439,6 +439,18 @@ SELECT event_type,
 FROM events
 GROUP BY ROLLUP (event_type, epoch_ns(ts) // 86400000000000)
 """,
+    # queries/events.py type_daily_cube — all four grains
+    "events_cube": """
+SELECT event_type,
+       epoch_ns(ts) // 86400000000000 AS day_idx,
+       CAST(GROUPING(event_type, epoch_ns(ts) // 86400000000000)
+            AS BIGINT) AS grain,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         AS sum_cents
+FROM events
+GROUP BY CUBE (event_type, epoch_ns(ts) // 86400000000000)
+""",
     # queries/events.py funnel_report("view","click","purchase", 1h):
     # per transition, each deduped (user, ts) position LEFT-joins its
     # bounded window of next-step events and takes the earliest (= the
@@ -868,6 +880,9 @@ _EXTRA_QUERIES = {
     # NULLs
     "events_rollup":
         lambda s, d: ev.type_daily_rollup(_events(s, d)),
+    # CUBE twin: adds the day-only grain (bitmask 2)
+    "events_cube":
+        lambda s, d: ev.type_daily_cube(_events(s, d)),
     # BM25 full-text search over the corpus (integer-micro quantized
     # per-term scores so the per-doc sum is order-independent)
     "text_search_bm25":

@@ -292,3 +292,23 @@ def type_daily_rollup(events: DataFrame) -> DataFrame:
         )
         .select("event_type", "day_idx", "grain", "n_events", "sum_cents")
     )
+
+
+def type_daily_cube(events: DataFrame) -> DataFrame:
+    """CUBE twin of ``type_daily_rollup``: all four grains — (type, day),
+    (type), (day), () — in one Expand+aggregate pass.  The extra
+    day-only grain (grain bitmask 2) is what rollup cannot produce; same
+    GROUPING/int-cents discipline.
+    """
+    day = F.expr("ts div 86400000000000")
+    return (
+        events.select("event_type", day.alias("day_idx"),
+                      F.expr(_CENTS).alias("cents"))
+        .cube("event_type", "day_idx")
+        .agg(
+            F.grouping_id().cast("long").alias("grain"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        )
+        .select("event_type", "day_idx", "grain", "n_events", "sum_cents")
+    )
