@@ -622,6 +622,30 @@ def _aug(spark, sf_dir):
     return register_pipeline_views(spark, sf_dir)["docs_aug"]
 
 
+def _corpus_diff(spark, sf_dir):
+    """pipeline/incremental.corpus_diff over a deterministic snapshot
+    pair: old = raw documents; new = docs_aug (aug rows become 'added')
+    minus every 13th doc ('removed') with every 11th text edited
+    ('changed') — all four statuses populated, mirrored by the oracle."""
+    from public_transit_data_platform_sql_nosql_spark.pipeline.incremental import (  # noqa: E501
+        corpus_diff,
+    )
+
+    register_pipeline_views(spark, sf_dir)
+    old = spark.table("documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    new = (
+        _aug(spark, sf_dir).filter(d % 13 != 0)
+        .select(
+            "doc_id",
+            F.when(d % 11 == 0,
+                   F.concat(F.col("text"), F.lit(" v2")))
+            .otherwise(F.col("text")).alias("text"),
+        )
+    )
+    return corpus_diff(old, new)
+
+
 def _emb(spark, sf_dir):
     return register_pipeline_views(spark, sf_dir)["embeddings"]
 
@@ -883,6 +907,9 @@ _EXTRA_QUERIES = {
     # CUBE twin: adds the day-only grain (bitmask 2)
     "events_cube":
         lambda s, d: ev.type_daily_cube(_events(s, d)),
+    # snapshot audit: per-doc added/removed/changed/unchanged between
+    # two corpus versions (one narrow full-outer hash join)
+    "pipeline_corpus_diff": _corpus_diff,
     # BM25 full-text search over the corpus (integer-micro quantized
     # per-term scores so the per-doc sum is order-independent)
     "text_search_bm25":

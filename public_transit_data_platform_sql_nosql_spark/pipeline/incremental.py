@@ -116,6 +116,13 @@ def incremental_dedup(spark: SparkSession, path: str, new_docs: DataFrame,
     """
     if not (0.0 < threshold <= 1.0):
         raise ValueError(f"threshold must be in (0, 1], got {threshold!r}")
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(f"{path}/sigs")
+    fs = jvm_path.getFileSystem(
+        spark.sparkContext._jsc.hadoopConfiguration())
+    if not fs.exists(jvm_path):
+        raise ValueError(
+            f"no signature index at {path!r} — run write_signature_index "
+            f"(or the CLI's dedup-index --build) first")
     new_sigs = minhash_signatures(new_docs).persist()
     new_banded = _banded(new_sigs).persist()
 
@@ -210,3 +217,37 @@ def incremental_dedup(spark: SparkSession, path: str, new_docs: DataFrame,
     return {"kept": kept, "n_new": n_new,
             "n_dup_vs_index": n_dup_vs_index,
             "n_dup_in_batch": n_dup_in_batch, "n_kept": n_kept}
+
+
+def corpus_diff(old_docs: DataFrame, new_docs: DataFrame) -> DataFrame:
+    """Snapshot audit: per doc_id, how the corpus changed between two
+    versions — ``added`` / ``removed`` / ``changed`` / ``unchanged``
+    (by md5(text)).  The routine ingest sanity check before promoting a
+    new corpus build: a diff that says 90% ``removed`` stops the deploy.
+
+    One full outer hash-join on doc_id comparing content hashes; both
+    sides reduce to (doc_id, md5) projections first, so the shuffle
+    carries two narrow columns, not document bodies.
+    """
+    o = old_docs.select("doc_id", F.md5("text").alias("_old_md5"))
+    n = new_docs.select("doc_id", F.md5("text").alias("_new_md5"))
+    status = (
+        F.when(F.col("_old_md5").isNull(), F.lit("added"))
+        .when(F.col("_new_md5").isNull(), F.lit("removed"))
+        .when(F.col("_old_md5") == F.col("_new_md5"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return (
+        o.join(n, "doc_id", "full_outer")
+        .select("doc_id", status.alias("status"))
+    )
+
+
+def corpus_diff_summary(old_docs: DataFrame,
+                        new_docs: DataFrame) -> DataFrame:
+    """One row per status with counts — the gating signal."""
+    return (
+        corpus_diff(old_docs, new_docs)
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )

@@ -1193,4 +1193,22 @@ FROM sc GROUP BY 1
 ORDER BY score_micro DESC, doc_id ASC
 LIMIT 20
 """,
+        # mirrors pipeline/incremental.py corpus_diff over the driver's
+        # deterministic snapshot pair (old = raw documents; new =
+        # docs_aug minus every 13th, every 11th text edited)
+        "pipeline_corpus_diff": f"""
+WITH {DOCS},
+old AS (SELECT doc_id, text FROM documents),
+new AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END AS text
+  FROM docs_aug WHERE doc_id % 13 != 0
+)
+SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            WHEN md5(o.text) = md5(n.text) THEN 'unchanged'
+            ELSE 'changed' END AS status
+FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+""",
     }

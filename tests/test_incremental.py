@@ -134,3 +134,25 @@ def test_stream_incremental_dedup_loop(spark, tmp_path, index):
     q.awaitTermination(120)
     kept = {r.doc_id for r in spark.read.parquet(sink).collect()}
     assert kept == {100, 201}
+
+
+def test_missing_index_raises_clear_error(spark, tmp_path):
+    with pytest.raises(ValueError, match="no signature index"):
+        incremental_dedup(spark, str(tmp_path / "nope"),
+                          docs_df(spark, [(1, "x")]))
+
+
+def test_corpus_diff_statuses(spark):
+    from public_transit_data_platform_sql_nosql_spark.pipeline.incremental import (  # noqa: E501
+        corpus_diff,
+        corpus_diff_summary,
+    )
+
+    old = docs_df(spark, [(1, "a"), (2, "b"), (3, "c")])
+    new = docs_df(spark, [(1, "a"), (2, "B2"), (4, "d")])
+    got = {r.doc_id: r.status for r in corpus_diff(old, new).collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+    summary = {r.status: r.n_docs
+               for r in corpus_diff_summary(old, new).collect()}
+    assert summary == {"unchanged": 1, "changed": 1, "removed": 1,
+                       "added": 1}
