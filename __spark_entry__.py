@@ -910,6 +910,11 @@ _EXTRA_QUERIES = {
     # snapshot audit: per-doc added/removed/changed/unchanged between
     # two corpus versions (one narrow full-outer hash join)
     "pipeline_corpus_diff": _corpus_diff,
+    # batch kNN join: every 5th vector queries the whole corpus,
+    # neither side broadcast, multi-probe (Hamming-1) LSH blocking
+    "ann_knn_join":
+        lambda s, d: psim.knn_join_lsh(
+            _emb(s, d).filter("vec_id % 5 = 0"), _emb(s, d), k=5),
     # BM25 full-text search over the corpus (integer-micro quantized
     # per-term scores so the per-doc sum is order-independent)
     "text_search_bm25":

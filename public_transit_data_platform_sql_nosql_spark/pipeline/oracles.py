@@ -1211,4 +1211,39 @@ SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
             ELSE 'changed' END AS status
 FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
 """,
+        # mirrors pipeline/similarity.py knn_join_lsh(queries = vec_id %
+        # 5 = 0, corpus = all, k=5): multi-probe (home + Hamming-1)
+        # bucket join, exact cosine re-rank, per-query top-5
+        "ann_knn_join": f"""
+WITH tagged AS (
+  SELECT vec_id, embedding,
+         {" + ".join(
+             f"(CASE WHEN {dot_sql('embedding', hyperplane_sql(j))} >= 0 "
+             f"THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+             for j in range(NUM_HYPERPLANES)
+         )} AS bucket
+  FROM embeddings
+),
+probes AS (
+  SELECT vec_id AS query_id, embedding AS qe, pb
+  FROM tagged,
+       unnest([bucket{"".join(
+           f", xor(bucket, CAST({1 << j} AS BIGINT))"
+           for j in range(NUM_HYPERPLANES))}]) AS u(pb)
+  WHERE vec_id % 5 = 0
+),
+pairs AS (
+  SELECT p.query_id, c.vec_id AS neighbor_id,
+         round({cos_sql('p.qe', 'c.embedding')}, 6) AS cos_sim
+  FROM probes p JOIN tagged c
+    ON p.pb = c.bucket AND p.query_id <> c.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
+  FROM pairs
+)
+SELECT query_id, rank, neighbor_id, cos_sim FROM ranked WHERE rank <= 5
+""",
     }

@@ -103,6 +103,59 @@ def lsh_topk(emb: DataFrame, num_queries: int = 8, k: int = 10) -> DataFrame:
     return _ranked(pairs, k)
 
 
+def knn_join_lsh(queries: DataFrame, corpus: DataFrame, k: int = 10,
+                 num_planes: int = NUM_HYPERPLANES) -> DataFrame:
+    """Corpus-scale kNN JOIN: top-k corpus neighbors for EVERY query
+    vector with NEITHER side broadcast — the shape for query sets too
+    big for ``lsh_topk``'s broadcast regime (corpus-vs-corpus linking,
+    train-vs-train near-dup mining).
+
+    Multi-probe LSH blocking: each query probes its own sign-bucket AND
+    the ``num_planes`` buckets at Hamming distance 1 (one bit flipped) —
+    the standard multi-probe recall boost, and the vector twin of the
+    geo grid's 3x3 neighborhood trick.  The query side explodes into
+    ``num_planes + 1`` probe rows; the corpus side keeps ONE row per
+    vector (its home bucket), so every (query, candidate) pair joins at
+    most once — no distinct needed.  The join is a plain shuffle
+    equi-join on the bucket key: work scales with bucket collisions,
+    never |Q| x |C|.  Exact cosine re-ranks within candidates; recall
+    misses only neighbors >= 2 sign-bits away (raise ``num_planes``
+    probes or band like dedup's LSH when that matters).
+
+    Returns (query_id, rank, neighbor_id, cos_sim); queries matching
+    nothing produce no rows (they had no bucket collisions).
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k!r}")
+    qt = with_lsh_bucket(
+        queries.select("vec_id", "embedding"), num_planes
+    ).select(F.col("vec_id").alias("query_id"),
+             F.col("embedding").alias("qe"), "bucket")
+    probes = qt.select(
+        "query_id", "qe",
+        F.explode(
+            F.array(
+                F.col("bucket"),
+                *[F.col("bucket").bitwiseXOR(F.lit(1 << j).cast("long"))
+                  for j in range(num_planes)]
+            )
+        ).alias("pb"),
+    )
+    ct = with_lsh_bucket(corpus, num_planes).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ne"),
+        F.col("bucket").alias("nb"),
+    )
+    pairs = (
+        probes.join(ct, (F.col("pb") == F.col("nb"))
+                    & (F.col("query_id") != F.col("neighbor_id")))
+        .select("query_id", "neighbor_id",
+                F.round(cosine(F.col("qe"), F.col("ne")), 6)
+                .alias("cos_sim"))
+    )
+    return _ranked(pairs, k)
+
+
 def cell_centroids(emb: DataFrame) -> DataFrame:
     """IVF coarse cells from the ``label`` column (the upstream cluster
     assignment = the coarse quantizer); centroid = ELEMENT-WISE INTEGER SUM
