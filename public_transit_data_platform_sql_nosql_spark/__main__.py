@@ -23,6 +23,8 @@ Usage (all flags optional where noted):
   python -m public_transit_data_platform_sql_nosql_spark dedup-index \
       --path out/idx --batch docs/ [--build] [--threshold 0.5]
       [--no-append] [--keep-out out/corpus]
+  python -m public_transit_data_platform_sql_nosql_spark plan \
+      --query q1_busiest_stops [--sf-dir ...] [--execute] [--full]
   python -m public_transit_data_platform_sql_nosql_spark serve \
       --sf-dir /root/testdata/sf0.01 [--precompute-dir out/results]
       [--port 5000]
@@ -131,6 +133,33 @@ def cmd_dedup_index(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_plan(args: argparse.Namespace) -> int:
+    """Print the scale screening (plan_summary) — and optionally the
+    full formatted physical plan — of any registered engine query, by
+    the same name the driver contract uses.  The pre-deploy check: run
+    it before pointing a query at the 100 TB store and read off
+    cartesian products, unpushed filters, and unpruned scans."""
+    import importlib
+
+    spark = _spark("plan")
+    entry = importlib.import_module("__spark_entry__")
+    qs = entry.queries()
+    if args.query not in qs:
+        print(json.dumps({"error": f"unknown query {args.query!r}",
+                          "available": sorted(qs)}))
+        return 2
+    from .plans import executed_plan, plan_summary
+
+    df = qs[args.query](spark, args.sf_dir)
+    if args.execute:
+        df.count()  # finalize AQE so codegen spans are real
+    out = {"query": args.query, "summary": plan_summary(df)}
+    print(json.dumps(out))
+    if args.full:
+        print(executed_plan(df), file=sys.stderr)
+    return 0
+
+
 def build_serve_app(spark, sf_dir: str, precompute_dir: str | None,
                     denorm_path: str | None = None):
     """Wire the full serving stack (analytics + timetable endpoints) —
@@ -216,6 +245,17 @@ def main(argv: list[str] | None = None) -> int:
     px.add_argument("--keep-out", default=None,
                     help="append surviving docs to this parquet dir")
     px.set_defaults(fn=cmd_dedup_index)
+
+    pl = sub.add_parser(
+        "plan", help="scale-screen a query's physical plan")
+    pl.add_argument("--query", required=True,
+                    help="driver-contract query name (e.g. q1_busiest_stops)")
+    pl.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    pl.add_argument("--execute", action="store_true",
+                    help="run the query first so AQE finalizes the plan")
+    pl.add_argument("--full", action="store_true",
+                    help="also print the formatted plan to stderr")
+    pl.set_defaults(fn=cmd_plan)
 
     ps = sub.add_parser("serve", help="run the HTTP API")
     ps.add_argument("--sf-dir", required=True)

@@ -133,3 +133,17 @@ def test_cli_dedup_index_build_and_apply(spark, tmp_path, capsys):
     assert stats["n_new"] == 2 and stats["n_dup_vs_index"] == 1
     assert stats["n_kept"] == 1
     assert [r.doc_id for r in spark.read.parquet(keep).collect()] == [11]
+
+
+def test_cli_plan(spark, capsys):
+    assert main(["plan", "--query", "q1_busiest_stops",
+                 "--sf-dir", SF_DIR, "--execute"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["query"] == "q1_busiest_stops"
+    s = out["summary"]
+    assert s["cartesian_products"] == 0
+    assert s["take_ordered_and_project"] is True
+    assert main(["plan", "--query", "no_such_query",
+                 "--sf-dir", SF_DIR]) == 2
+    err = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "available" in err
