@@ -156,3 +156,47 @@ def test_corpus_diff_statuses(spark):
                for r in corpus_diff_summary(old, new).collect()}
     assert summary == {"unchanged": 1, "changed": 1, "removed": 1,
                        "added": 1}
+
+
+def test_index_compaction_preserves_dedup(spark, tmp_path, index):
+    """The append loop accrues one file per batch per touched bucket;
+    jobs/compact must rewrite the partitioned sigs store (preserving
+    the band/bucket hive layout) without changing dedup decisions."""
+    from public_transit_data_platform_sql_nosql_spark.jobs.compact import (
+        compact_parquet_dir,
+    )
+
+    for i, txt in enumerate([
+        "first appended batch with its own fresh words",
+        "second appended batch saying different things",
+        "third appended batch about another topic entirely",
+    ]):
+        r = incremental_dedup(spark, index, docs_df(spark, [(300 + i, txt)]))
+        assert r["n_kept"] == 1
+    # _minhashes is flat: 1 build file + 3 appended -> a real rewrite
+    mstats = compact_parquet_dir(spark, f"{index}/_minhashes",
+                                 target_file_bytes=128 * 1024 * 1024)
+    assert mstats["compacted"] is True
+    assert mstats["files_after"] < mstats["files_before"]
+    # sigs is hive-partitioned; single-doc batches often land in fresh
+    # one-file dirs, so this may correctly no-op — run it either way and
+    # assert the layout + decisions survive
+    compact_parquet_dir(spark, f"{index}/sigs",
+                        target_file_bytes=128 * 1024 * 1024)
+    # layout preserved: hive dirs still prune
+    import pyspark.sql.functions as F
+
+    sigs = spark.read.parquet(f"{index}/sigs")
+    assert {"band", "bucket"} <= set(sigs.columns)
+    # dedup still works against the compacted index: repeats drop, and
+    # the appended batches are still visible
+    r = incremental_dedup(
+        spark, index,
+        docs_df(spark, [(400, "first appended batch with its own fresh "
+                              "words")]),
+        append=False)
+    assert r["n_dup_vs_index"] == 1
+    base_dup = incremental_dedup(
+        spark, index, docs_df(spark, [(401, BASE[0][1] + " marker")]),
+        append=False)
+    assert base_dup["n_dup_vs_index"] == 1
