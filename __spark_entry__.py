@@ -426,6 +426,32 @@ _EVENTS_QUERIES = {
 }
 
 _EVENTS_ORACLES = {
+    # queries/events.py interval_overlap_report via operators/asof.py
+    # interval_join: the oracle states the PURE overlap predicate — the
+    # bucket blocking + claim-once dedup must reproduce it exactly
+    "events_interval_join": """
+WITH e AS (
+  SELECT user_id, event_type,
+         epoch_ns(ts) // 1000 AS us,
+         (epoch_ns(ts) // 1000000000) // 86400 AS day
+  FROM events
+),
+u AS (
+  SELECT user_id, day, min(us) AS user_start_us,
+         max(us) + 1 AS user_end_us
+  FROM e GROUP BY 1, 2
+),
+t AS (
+  SELECT event_type, day, min(us) AS type_start_us,
+         max(us) + 1 AS type_end_us
+  FROM e GROUP BY 1, 2
+)
+SELECT u.user_id, u.day, t.event_type,
+       u.user_start_us, u.user_end_us, t.type_start_us, t.type_end_us
+FROM u JOIN t ON u.day = t.day
+ AND u.user_start_us < t.type_end_us
+ AND t.type_start_us < u.user_end_us
+""",
     # queries/events.py type_daily_rollup: GROUP BY ROLLUP with the
     # standard GROUPING bitmask (first column = MSB in both engines)
     "events_rollup": """
@@ -907,6 +933,11 @@ _EXTRA_QUERIES = {
     # CUBE twin: adds the day-only grain (bitmask 2)
     "events_cube":
         lambda s, d: ev.type_daily_cube(_events(s, d)),
+    # interval-vs-interval overlap join (user-day x type-day activity
+    # spans): day-long spans cross MANY shared buckets, so the hash also
+    # pins interval_join's claim-once ownership dedup
+    "events_interval_join":
+        lambda s, d: ev.interval_overlap_report(_events(s, d)),
     # snapshot audit: per-doc added/removed/changed/unchanged between
     # two corpus versions (one narrow full-outer hash join)
     "pipeline_corpus_diff": _corpus_diff,

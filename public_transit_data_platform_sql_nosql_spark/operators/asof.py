@@ -366,3 +366,87 @@ def range_join(
                 & (F.col(point_on) < F.col(end_col)))
         .drop("_bucket")
     )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    by: str | Sequence[str] = (),
+    bucket_width: int | None = None,
+) -> DataFrame:
+    """Inner join of interval rows to every OVERLAPPING interval row:
+    ``left_start < right_end AND right_start < left_end`` (half-open on
+    both sides), optionally also matching on ``by`` key columns (same
+    names on both sides).  Output carries all columns of both inputs
+    (disambiguate/rename upstream).  The interval-vs-interval sibling of
+    :func:`range_join` (sessions x outages, visits x campaigns, reads x
+    compactions ...).
+
+    Scale notes: the raw overlap predicate is a non-equi join (nested
+    loop under Catalyst).  Here BOTH sides explode over the fixed-width
+    time buckets they cover and equi-join on (by, bucket).  A pair
+    overlapping across several shared buckets would duplicate, so each
+    pair is claimed by exactly ONE bucket — the one containing
+    ``greatest(left_start, right_start)``: the later start lies inside
+    both intervals whenever they overlap, so that bucket is always among
+    the shared ones, and a post-join filter keeps the pair only there
+    (no distinct / dedup shuffle).  Cost is
+    sum(|side| * (len/width + 1)) exploded rows + bucket collisions —
+    never the cross product.  Degenerate (``end <= start``) rows are
+    dropped on both sides.
+
+    ``bucket_width=None`` auto-sizes to the LARGER side-median interval
+    length (one ``approx_percentile`` over each side), bounding the
+    median explosion factor near 2 on both sides.  Integer ``DIV``
+    bucketing — same non-negative-integer time domain as range_join.
+    """
+    by = _as_list(by)
+    for df, side in ((left, "left"), (right, "right")):
+        if "_bucket" in df.columns:
+            raise ValueError(f"{side} input must not carry _bucket")
+    overlap = (set(left.columns) - set(by)) & (set(right.columns) - set(by))
+    if overlap:
+        raise ValueError(
+            f"non-key columns {sorted(overlap)} exist on both sides; "
+            "rename before interval_join (output carries all columns)")
+    if bucket_width is not None and int(bucket_width) <= 0:
+        raise ValueError(
+            f"bucket_width must be a positive integer, got {bucket_width!r}")
+    l_live = left.filter(F.col(left_end) > F.col(left_start))
+    r_live = right.filter(F.col(right_end) > F.col(right_start))
+    if bucket_width is None:
+        meds = [
+            df.select(F.percentile_approx(
+                F.col(e) - F.col(s), F.lit(0.5)).alias("w")).first()["w"]
+            for df, s, e in ((l_live, left_start, left_end),
+                             (r_live, right_start, right_end))
+        ]
+        meds = [m for m in meds if m is not None]
+        wlit = max([int(m) for m in meds] + [1])
+    else:
+        wlit = int(bucket_width)
+
+    def _explode(df: DataFrame, s: str, e: str) -> DataFrame:
+        return df.withColumn(
+            "_bucket",
+            F.explode(F.sequence(
+                F.expr(f"`{s}` DIV {wlit}"),
+                F.expr(f"(`{e}` - 1) DIV {wlit}"))),
+        )
+
+    lb = _explode(l_live, left_start, left_end)
+    rb = _explode(r_live, right_start, right_end)
+    owner = F.greatest(F.col(left_start), F.col(right_start))
+    return (
+        lb.join(rb, [*by, "_bucket"])
+        .filter((F.col(left_start) < F.col(right_end))
+                & (F.col(right_start) < F.col(left_end))
+                & (F.col("_bucket") * F.lit(wlit)
+                   == owner - (owner % F.lit(wlit)))
+        )
+        .drop("_bucket")
+    )

@@ -312,3 +312,44 @@ def type_daily_cube(events: DataFrame) -> DataFrame:
         )
         .select("event_type", "day_idx", "grain", "n_events", "sum_cents")
     )
+
+
+def interval_overlap_report(events: DataFrame) -> DataFrame:
+    """Which users' daily activity window overlapped which event type's
+    daily activity window — the interval-vs-interval join shape
+    (sessions x outages, visits x campaigns) exercised end-to-end on the
+    events stream via :func:`operators.asof.interval_join`.
+
+    Both sides derive from one grouped pass over events (user x day and
+    type x day activity spans, half-open us intervals); the join itself
+    is the bucket-exploded equi-join — day-long spans cover MANY shared
+    buckets, so this entry's driver hash also pins the claim-once
+    (ownership-bucket) dedup: a duplicate pair would break rows+hash.
+
+    Scale: |user-days| + |type-days| exploded rows, never the product;
+    everything integer (us grain — the finest cross-engine-stable grain,
+    see sessionize).
+    """
+    from ..operators.asof import interval_join
+
+    us = F.expr("ts div 1000")
+    day = F.expr("(ts div 1000000000) div 86400")
+    user_iv = (
+        events.select("user_id", us.alias("us"), day.alias("day"))
+        .groupBy("user_id", "day")
+        .agg(F.min("us").alias("user_start_us"),
+             (F.max("us") + 1).alias("user_end_us"))
+    )
+    type_iv = (
+        events.select("event_type", us.alias("us"), day.alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.min("us").alias("type_start_us"),
+             (F.max("us") + 1).alias("type_end_us"))
+    )
+    return interval_join(
+        user_iv, type_iv,
+        "user_start_us", "user_end_us", "type_start_us", "type_end_us",
+        by="day",
+    ).select("user_id", "day", "event_type",
+             "user_start_us", "user_end_us",
+             "type_start_us", "type_end_us")

@@ -9,6 +9,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from public_transit_data_platform_sql_nosql_spark.operators.asof import (
+    interval_join,
     asof_join,
     range_join,
 )
@@ -244,3 +245,77 @@ def test_collision_guards(spark):
     with pytest.raises(ValueError, match="both sides"):
         range_join(pts, iv.withColumnRenamed("iid", "pid"),
                    point_on="ts", start_col="lo", end_col="hi")
+
+
+def _interval_fixtures(spark, seed=7):
+    """Seeded random intervals on both sides: mixed lengths (1..40),
+    duplicate keys, degenerate rows, multi-bucket spans."""
+    import random
+    rng = random.Random(seed)
+    lrows = [(i, f"k{rng.randrange(4)}", s := rng.randrange(200),
+              s + rng.choice([0, 1, 3, 12, 40]))
+             for i in range(80)]
+    rrows = [(j, f"k{rng.randrange(4)}", s := rng.randrange(200),
+              s + rng.choice([0, 2, 7, 25]))
+             for j in range(60)]
+    left = spark.createDataFrame(
+        lrows, "lid long, key string, ls long, le long")
+    right = spark.createDataFrame(
+        rrows, "rid long, key string, rs long, re long")
+    return left, right, lrows, rrows
+
+
+def _naive_overlaps(lrows, rrows, with_key):
+    return {
+        (lid, rid)
+        for lid, lk, ls, le in lrows if le > ls
+        for rid, rk, rs, re in rrows if re > rs
+        if (not with_key or lk == rk) and ls < re and rs < le
+    }
+
+
+@pytest.mark.parametrize("width", [None, 1, 5, 64, 1000])
+def test_interval_join_matches_naive(spark, width):
+    left, right, lrows, rrows = _interval_fixtures(spark)
+    got = {
+        (r["lid"], r["rid"])
+        for r in interval_join(
+            left, right.drop("key").withColumnRenamed("rid", "rid"),
+            "ls", "le", "rs", "re", bucket_width=width).collect()
+    }
+    assert got == _naive_overlaps(lrows, rrows, with_key=False)
+
+
+@pytest.mark.parametrize("width", [None, 3, 50])
+def test_interval_join_by_key_matches_naive(spark, width):
+    left, right, lrows, rrows = _interval_fixtures(spark)
+    got = {
+        (r["lid"], r["rid"])
+        for r in interval_join(left, right, "ls", "le", "rs", "re",
+                               by="key", bucket_width=width).collect()
+    }
+    assert got == _naive_overlaps(lrows, rrows, with_key=True)
+
+
+def test_interval_join_pair_claimed_once(spark):
+    # one long left interval overlapping one long right interval across
+    # many shared buckets -> exactly ONE output row, not one per bucket
+    left = spark.createDataFrame([(1, 0, 100)], "lid long, ls long, le long")
+    right = spark.createDataFrame([(2, 5, 95)], "rid long, rs long, re long")
+    rows = interval_join(left, right, "ls", "le", "rs", "re",
+                         bucket_width=10).collect()
+    assert len(rows) == 1
+
+
+def test_interval_join_plan_and_validation(spark):
+    left, right, _, _ = _interval_fixtures(spark)
+    df = interval_join(left, right, "ls", "le", "rs", "re", by="key")
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    with pytest.raises(ValueError, match="positive integer"):
+        interval_join(left, right, "ls", "le", "rs", "re", by="key",
+                      bucket_width=0)
+    with pytest.raises(ValueError, match="exist on both sides"):
+        interval_join(left, left.withColumnRenamed("lid", "x"),
+                      "ls", "le", "ls", "le")
