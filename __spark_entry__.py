@@ -426,6 +426,30 @@ _EVENTS_QUERIES = {
 }
 
 _EVENTS_ORACLES = {
+    # pipeline/profile.py join_key_profile on view x purchase per user:
+    # full-outer of the two count tables, pair product, total-ordered
+    # top-n (string-cast key tiebreak, '' for NULL — Spark parity)
+    "events_join_skew": """
+WITH l AS (
+  SELECT user_id, count(*) AS left_rows FROM events
+  WHERE event_type = 'view' GROUP BY 1
+),
+r AS (
+  SELECT user_id, count(*) AS right_rows FROM events
+  WHERE event_type = 'purchase' GROUP BY 1
+),
+j AS (
+  SELECT COALESCE(l.user_id, r.user_id) AS user_id,
+         COALESCE(left_rows, 0) AS left_rows,
+         COALESCE(right_rows, 0) AS right_rows,
+         COALESCE(left_rows, 0) * COALESCE(right_rows, 0) AS pair_rows
+  FROM l FULL OUTER JOIN r ON l.user_id IS NOT DISTINCT FROM r.user_id
+)
+SELECT user_id, left_rows, right_rows, pair_rows
+FROM j
+ORDER BY pair_rows DESC, COALESCE(CAST(user_id AS VARCHAR), '') ASC
+LIMIT 25
+""",
     # queries/events.py interval_overlap_report via operators/asof.py
     # interval_join: the oracle states the PURE overlap predicate — the
     # bucket blocking + claim-once dedup must reproduce it exactly
@@ -933,6 +957,14 @@ _EXTRA_QUERIES = {
     # CUBE twin: adds the day-only grain (bitmask 2)
     "events_cube":
         lambda s, d: ev.type_daily_cube(_events(s, d)),
+    # pre-flight join profile: per-user view x purchase pair counts,
+    # hottest keys first — the skew screening a 100-TB join runs before
+    # committing to a shuffle (null keys shown, not dropped)
+    "events_join_skew":
+        lambda s, d: pprof.join_key_profile(
+            _events(s, d).filter("event_type = 'view'"),
+            _events(s, d).filter("event_type = 'purchase'"),
+            "user_id", top_n=25),
     # interval-vs-interval overlap join (user-day x type-day activity
     # spans): day-long spans cross MANY shared buckets, so the hash also
     # pins interval_join's claim-once ownership dedup

@@ -64,3 +64,63 @@ def approx_profile(df: DataFrame,
     return _profile(
         df, columns,
         lambda c: F.approx_count_distinct(F.col(c), rsd).cast("long"))
+
+
+def join_key_profile(left: DataFrame, right: DataFrame,
+                     keys: list[str] | str,
+                     top_n: int = 20) -> DataFrame:
+    """Pre-flight profile of an equi-join: per-key row counts on each
+    side and the pair count that key would emit — run BEFORE a 100-TB
+    join to catch skewed keys and output explosions while they are still
+    a cheap aggregate, not a hung stage.  Returns the ``top_n`` keys by
+    ``pair_rows`` (ties broken by key ASC so the limit boundary is
+    total-ordered): the hot keys are exactly the ones to route through
+    operators/skew.salted_join or to pre-aggregate away.
+
+    Scale shape: one map-side-combinable groupBy per side — each count
+    table is |distinct keys| rows, never the data — then ONE hash
+    full-outer join of the two count tables (null-safe on the keys, so
+    null join keys profile like any other value even though an inner
+    equi-join would drop them — the profile must SHOW them) and a
+    TakeOrdered top-n.  Exact, not a sketch: the count tables are
+    already the small side of the problem.
+    """
+    if isinstance(keys, str):
+        keys = [keys]
+    lc = left.groupBy(*keys).agg(F.count(F.lit(1)).alias("left_rows"))
+    rc = right.groupBy(*keys).agg(F.count(F.lit(1)).alias("right_rows"))
+    cond = [lc[k].eqNullSafe(rc[k]) for k in keys]
+    joined = lc.join(rc, cond, "full_outer").select(
+        *[F.coalesce(lc[k], rc[k]).alias(k) for k in keys],
+        F.coalesce("left_rows", F.lit(0)).alias("left_rows"),
+        F.coalesce("right_rows", F.lit(0)).alias("right_rows"),
+    ).withColumn(
+        "pair_rows", F.col("left_rows") * F.col("right_rows"))
+    return joined.orderBy(
+        F.desc("pair_rows"),
+        *[F.asc(F.coalesce(F.col(k).cast("string"), F.lit(""))) for k in
+          keys],
+    ).limit(top_n)
+
+
+def join_key_profile_summary(left: DataFrame, right: DataFrame,
+                             keys: list[str] | str) -> DataFrame:
+    """One-row companion to :func:`join_key_profile`: the estimated
+    inner-join output size (``sum(l*r)`` — exact for an equi-join), the
+    number of matching keys, and the hottest single key's share of the
+    output in permille (integer, cross-engine exact).  A share near
+    1000 means one key dominates the join — salt it."""
+    if isinstance(keys, str):
+        keys = [keys]
+    lc = left.groupBy(*keys).agg(F.count(F.lit(1)).alias("l"))
+    rc = right.groupBy(*keys).agg(F.count(F.lit(1)).alias("r"))
+    pairs = lc.join(rc, keys).select(
+        (F.col("l") * F.col("r")).alias("p"))
+    return pairs.agg(
+        F.coalesce(F.sum("p"), F.lit(0)).cast("long")
+        .alias("est_output_rows"),
+        F.count(F.lit(1)).alias("n_matching_keys"),
+        F.coalesce(
+            F.expr("max(p) * 1000 div greatest(sum(p), 1)"), F.lit(0)
+        ).cast("long").alias("hottest_key_permille"),
+    )

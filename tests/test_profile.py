@@ -39,3 +39,50 @@ def test_profile_is_single_scan(spark):
     # per-column re-scan (file_scans == the union's own 2)
     p = plan_summary(prof.approx_profile(docs))
     assert p["file_scans"] <= 2
+
+
+def _skew_sides(spark):
+    # hot key "h" (40 x 30 pairs), modest keys, right-only and
+    # left-only keys, and NULL keys on both sides
+    lrows = ([("h",)] * 40 + [("a",)] * 5 + [("b",)] * 2
+             + [("lonly",)] * 3 + [(None,)] * 4)
+    rrows = ([("h",)] * 30 + [("a",)] * 6 + [("ronly",)] * 7
+             + [(None,)] * 2)
+    left = spark.createDataFrame(lrows, "k string")
+    right = spark.createDataFrame(rrows, "k string")
+    return left, right
+
+
+def test_join_key_profile_counts_and_order(spark):
+    left, right = _skew_sides(spark)
+    rows = prof.join_key_profile(left, right, "k", top_n=10).collect()
+    got = {r["k"]: (r["left_rows"], r["right_rows"], r["pair_rows"])
+           for r in rows}
+    assert got == {
+        "h": (40, 30, 1200),
+        "a": (5, 6, 30),
+        None: (4, 2, 8),       # null keys must be SHOWN, not dropped
+        "lonly": (3, 0, 0),
+        "ronly": (0, 7, 0),
+        "b": (2, 0, 0),
+    }
+    # ordered by pair contribution, hottest first
+    assert [r["k"] for r in rows[:3]] == ["h", "a", None]
+
+
+def test_join_key_profile_summary_is_exact(spark):
+    left, right = _skew_sides(spark)
+    s = prof.join_key_profile_summary(left, right, "k").collect()[0]
+    # est must equal the REAL inner equi-join output (nulls never match)
+    real = left.join(right, "k").count()
+    assert s["est_output_rows"] == real == 1200 + 30
+    assert s["n_matching_keys"] == 2
+    assert s["hottest_key_permille"] == 1200 * 1000 // 1230
+
+
+def test_join_key_profile_summary_empty(spark):
+    left = spark.createDataFrame([("x",)], "k string")
+    right = spark.createDataFrame([("y",)], "k string")
+    s = prof.join_key_profile_summary(left, right, "k").collect()[0]
+    assert (s["est_output_rows"], s["n_matching_keys"],
+            s["hottest_key_permille"]) == (0, 0, 0)
