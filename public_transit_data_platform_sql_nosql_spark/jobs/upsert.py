@@ -164,3 +164,138 @@ def upsert_parquet_dir(spark: SparkSession, path: str, updates: DataFrame,
     fs.delete(htmp, True)
     return {"created": not sink_exists, "rows_upserted": n_up,
             "partitions": swapped}
+
+
+def _rewrite_flat(spark, fs, jvm, path: str, survivors: DataFrame) -> None:
+    tmp = path + _TMP_SUFFIX
+    htmp = jvm.org.apache.hadoop.fs.Path(tmp)
+    if fs.exists(htmp):
+        fs.delete(htmp, True)
+    survivors.write.mode("overwrite").parquet(tmp)
+    _swap(fs, jvm, path, tmp)
+
+
+def delete_keys_parquet_dir(spark: SparkSession, path: str,
+                            keys: DataFrame, key_cols: list[str],
+                            partition_col: str | None = None) -> dict:
+    """DELETE by key list from a parquet directory — the
+    right-to-be-forgotten / retention twin of the MERGE above (at 100 TB
+    a GDPR erasure request cannot be a full rewrite any more than a feed
+    update can).  Copy-on-write with the same two-rename swap and crash
+    recovery as upsert; returns ``{"rows_deleted", "partitions"}``.
+
+    With ``partition_col`` (must be a column of ``keys`` and the sink's
+    hive partition column — same stable-partition contract as upsert),
+    the read AND rewrite are scoped to the partition values present in
+    ``keys``.  A partition whose rows are ALL deleted is removed, not
+    left stale.  Key rows outside their stated partition are NOT found
+    — that is the contract's point (the partition value bounds the
+    search), not a limitation.
+    """
+    fs, hpath, jvm = _fs(spark, path)
+    if partition_col is None:
+        _recover(fs, jvm, path)
+        if not fs.exists(hpath):
+            return {"rows_deleted": 0, "partitions": None}
+        store = spark.read.parquet(path)
+        kd = keys.select(*key_cols).distinct()
+        n = store.join(kd, key_cols, "left_semi").count()
+        if n:
+            _rewrite_flat(spark, fs, jvm, path,
+                          store.join(kd, key_cols, "left_anti"))
+        return {"rows_deleted": n, "partitions": None}
+
+    touched = sorted(
+        r[0] for r in keys.select(partition_col).distinct().collect())
+    if not touched or not fs.exists(hpath):
+        return {"rows_deleted": 0, "partitions": []}
+    for v in touched:
+        _recover(fs, jvm, f"{path}/{partition_col}={v}")
+    store = spark.read.parquet(path).filter(
+        F.col(partition_col).isin(*touched))
+    kd = keys.select(*key_cols).distinct()
+    n = store.join(kd, key_cols, "left_semi").count()
+    if not n:
+        return {"rows_deleted": 0, "partitions": []}
+    survivors = store.join(kd, key_cols, "left_anti")
+    return {"rows_deleted": n,
+            "partitions": _swap_partitions(
+                spark, fs, jvm, path, partition_col, touched, survivors)}
+
+
+def delete_where_parquet_dir(spark: SparkSession, path: str,
+                             condition: str,
+                             partition_col: str | None = None) -> dict:
+    """DELETE WHERE ``condition`` (a SQL boolean expression over the
+    sink's columns) — the retention-sweep shape (``ts < cutoff``).
+
+    Unlike the key variant, the touched-partition set is DISCOVERED from
+    the data: one partition-column-only aggregate over the matching rows
+    (a predicate on ``partition_col`` itself prunes that scan at plan
+    time — a retention sweep on a date-partitioned sink reads only the
+    expiring directories).  Only partitions containing matches are
+    rewritten; fully-expired partitions are removed.
+    """
+    fs, hpath, jvm = _fs(spark, path)
+    cond = F.expr(condition)
+    if partition_col is None:
+        _recover(fs, jvm, path)
+        if not fs.exists(hpath):
+            return {"rows_deleted": 0, "partitions": None}
+        store = spark.read.parquet(path)
+        n = store.filter(cond).count()
+        if n:
+            _rewrite_flat(spark, fs, jvm, path, store.filter(~cond))
+        return {"rows_deleted": n, "partitions": None}
+
+    if not fs.exists(hpath):
+        return {"rows_deleted": 0, "partitions": []}
+    # recover ALL stranded partition swaps BEFORE discovery — a
+    # partition left renamed-out by a crash would otherwise be invisible
+    # to the matching-rows scan below
+    for st in fs.listStatus(hpath):
+        name = st.getPath().getName()
+        if name.endswith(_OLD_SUFFIX):
+            live = f"{path}/{name[:-len(_OLD_SUFFIX)]}"
+            if not _recover(fs, jvm, live):
+                # swap completed, cleanup didn't: finish it — the stale
+                # dir would otherwise be read by the discovery scan
+                fs.delete(st.getPath(), True)
+    store_all = spark.read.parquet(path)
+    touched = sorted(
+        r[0] for r in
+        store_all.filter(cond).select(partition_col).distinct().collect())
+    if not touched:
+        return {"rows_deleted": 0, "partitions": []}
+    store = spark.read.parquet(path).filter(
+        F.col(partition_col).isin(*touched))
+    n = store.filter(cond).count()
+    survivors = store.filter(~cond)
+    return {"rows_deleted": n,
+            "partitions": _swap_partitions(
+                spark, fs, jvm, path, partition_col, touched, survivors)}
+
+
+def _swap_partitions(spark, fs, jvm, path: str, partition_col: str,
+                     touched: list, survivors: DataFrame) -> list:
+    """Write ``survivors`` partitioned under a tmp dir, then per touched
+    partition: swap in the rewritten directory, or REMOVE the live one
+    when every row of it was deleted (no survivor dir was written)."""
+    tmp = path + _TMP_SUFFIX
+    htmp = jvm.org.apache.hadoop.fs.Path(tmp)
+    if fs.exists(htmp):
+        fs.delete(htmp, True)
+    survivors.write.mode("overwrite").partitionBy(partition_col).parquet(tmp)
+    swapped = []
+    for v in touched:
+        part_dir = f"{partition_col}={v}"
+        src = jvm.org.apache.hadoop.fs.Path(f"{tmp}/{part_dir}")
+        live = jvm.org.apache.hadoop.fs.Path(f"{path}/{part_dir}")
+        if fs.exists(src):
+            _swap(fs, jvm, f"{path}/{part_dir}", f"{tmp}/{part_dir}")
+            swapped.append(v)
+        elif fs.exists(live):
+            fs.delete(live, True)  # partition fully deleted
+            swapped.append(v)
+    fs.delete(htmp, True)
+    return swapped

@@ -300,3 +300,24 @@ def stream_incremental_dedup(docs_stream: DataFrame, index_path: str,
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_bounded_dedup(events: DataFrame,
+                         watermark: str = "2 hours") -> DataFrame:
+    """At-least-once delivery dedup: drop re-deliveries of the same
+    ``event_id``, holding dedup state ONLY for the watermark horizon —
+    the unbounded-feed-safe variant stream_exact_dedup's docstring
+    points at.  ``dropDuplicatesWithinWatermark`` evicts a key's state
+    once the watermark passes its event time, so state is bounded by
+    (arrival rate x horizon) instead of growing with every key ever
+    seen; a duplicate arriving INSIDE the horizon (the at-least-once
+    redelivery case — retries land close to the original) is dropped
+    exactly like plain dropDuplicates would.
+    """
+    return (
+        events.withColumn(
+            "event_time", F.timestamp_seconds(F.expr(f"ts div {NS}")))
+        .withWatermark("event_time", watermark)
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id", "event_type", "ts")
+    )

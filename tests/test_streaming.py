@@ -226,3 +226,23 @@ def test_stream_decontaminate_matches_batch(spark, tmp_path):
     want = {r["doc_id"] for r in drop_contaminated(
         docs, decontaminate_report(docs, eval_docs)).collect()}
     assert got == want and len(got) > 0
+
+
+def test_stream_bounded_dedup_drops_redeliveries(spark):
+    """A doubled source (the same file delivered by two file-source
+    streams — the at-least-once redelivery shape) must come out with
+    each event_id exactly once, via watermark-bounded state."""
+    from public_transit_data_platform_sql_nosql_spark.streaming.jobs import (
+        read_events_stream,
+        stream_bounded_dedup,
+    )
+
+    doubled = read_events_stream(spark, SF_DIR).unionByName(
+        read_events_stream(spark, SF_DIR))
+    run_to_memory(stream_bounded_dedup(doubled), "stream_bdedup",
+                  mode="append")
+    got = spark.table("stream_bdedup").collect()
+    n_distinct = (spark.read.parquet(f"{SF_DIR}/events.parquet")
+                  .select("event_id").distinct().count())
+    assert len(got) == n_distinct
+    assert len({r["event_id"] for r in got}) == n_distinct

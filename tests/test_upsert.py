@@ -126,3 +126,99 @@ def test_stream_upsert_merges_batches(spark, tmp_path):
     assert set(rows) == {1, 2, 3}
     assert rows[1] == "a" and rows[3] == "c" and rows[2] in {"b", "B"}
     assert spark.read.parquet(sink).count() == 3
+
+
+def _mkpart(spark, triples):
+    return spark.createDataFrame(
+        [(int(k), str(v), int(p)) for k, v, p in triples],
+        "k long, v string, p long")
+
+
+def _prows(spark, path):
+    return {(r["k"], r["v"], r["p"])
+            for r in spark.read.parquet(path).collect()}
+
+
+def test_delete_keys_flat(spark, tmp_path):
+    from public_transit_data_platform_sql_nosql_spark.jobs.upsert import (
+        delete_keys_parquet_dir,
+    )
+    sink = str(tmp_path / "sink")
+    _mkdf(spark, [(1, "a"), (2, "b"), (3, "c")]).write.parquet(sink)
+    keys = spark.createDataFrame([(2,), (9,)], "k long")
+    st = delete_keys_parquet_dir(spark, sink, keys, ["k"])
+    assert st["rows_deleted"] == 1
+    assert _rows(spark, sink) == {(1, "a"), (3, "c")}
+    # no matches -> no rewrite, same contents
+    st = delete_keys_parquet_dir(spark, sink, keys, ["k"])
+    assert st["rows_deleted"] == 0
+    assert _rows(spark, sink) == {(1, "a"), (3, "c")}
+    # missing sink is a no-op
+    st = delete_keys_parquet_dir(
+        spark, str(tmp_path / "nope"), keys, ["k"])
+    assert st["rows_deleted"] == 0
+
+
+def test_delete_keys_partition_scoped(spark, tmp_path):
+    from public_transit_data_platform_sql_nosql_spark.jobs.upsert import (
+        delete_keys_parquet_dir,
+    )
+    sink = str(tmp_path / "sink")
+    _mkpart(spark, [(1, "a", 0), (2, "b", 0), (3, "c", 1), (4, "d", 2),
+                    (5, "e", 2)]).write.partitionBy("p").parquet(sink)
+    before = {f: os.path.getmtime(os.path.join(sink, "p=1", f))
+              for f in os.listdir(os.path.join(sink, "p=1"))
+              if f.endswith(".parquet")}
+    keys = spark.createDataFrame([(2, 0), (4, 2), (5, 2)], "k long, p long")
+    st = delete_keys_parquet_dir(spark, sink, keys, ["k"],
+                                 partition_col="p")
+    assert st["rows_deleted"] == 3
+    assert sorted(st["partitions"]) == [0, 2]
+    assert _prows(spark, sink) == {(1, "a", 0), (3, "c", 1)}
+    # untouched partition p=1 kept its exact files
+    after = {f: os.path.getmtime(os.path.join(sink, "p=1", f))
+             for f in os.listdir(os.path.join(sink, "p=1"))
+             if f.endswith(".parquet")}
+    assert after == before
+    # fully-deleted partition directory is gone, not stale
+    assert not os.path.exists(os.path.join(sink, "p=2"))
+
+
+def test_delete_where_retention_sweep(spark, tmp_path):
+    from public_transit_data_platform_sql_nosql_spark.jobs.upsert import (
+        delete_where_parquet_dir,
+    )
+    sink = str(tmp_path / "sink")
+    _mkpart(spark, [(1, "old", 0), (2, "old", 0), (3, "new", 1),
+                    (4, "old", 1), (5, "new", 2)]
+            ).write.partitionBy("p").parquet(sink)
+    st = delete_where_parquet_dir(spark, sink, "v = 'old'",
+                                  partition_col="p")
+    assert st["rows_deleted"] == 3
+    assert sorted(st["partitions"]) == [0, 1]
+    assert _prows(spark, sink) == {(3, "new", 1), (5, "new", 2)}
+    assert not os.path.exists(os.path.join(sink, "p=0"))
+    # flat variant
+    sink2 = str(tmp_path / "sink2")
+    _mkdf(spark, [(1, "x"), (2, "y")]).write.parquet(sink2)
+    st = delete_where_parquet_dir(spark, sink2, "v = 'x'")
+    assert st["rows_deleted"] == 1
+    assert _rows(spark, sink2) == {(2, "y")}
+
+
+def test_delete_where_recovers_stranded_partition(spark, tmp_path):
+    """A partition renamed out by a crashed swap is recovered BEFORE the
+    discovery scan, so its rows are still found and deleted."""
+    from public_transit_data_platform_sql_nosql_spark.jobs.upsert import (
+        delete_where_parquet_dir,
+    )
+    sink = str(tmp_path / "sink")
+    _mkpart(spark, [(1, "old", 0), (2, "new", 1)]
+            ).write.partitionBy("p").parquet(sink)
+    # simulate crash between the two swap renames on p=0
+    os.rename(os.path.join(sink, "p=0"),
+              os.path.join(sink, "p=0._upsert_old"))
+    st = delete_where_parquet_dir(spark, sink, "v = 'old'",
+                                  partition_col="p")
+    assert st["rows_deleted"] == 1
+    assert _prows(spark, sink) == {(2, "new", 1)}
