@@ -104,7 +104,8 @@ def _is_headline_extra(name: str) -> bool:
     return name.startswith((
         "dedup_minhash", "dedup_clusters", "ann_", "text_profile",
         "pipeline_curated_corpus", "pipeline_training_chunks",
-        "events_asof", "events_range", "semantic_dedup",
+        "events_asof", "events_range", "events_interval",
+        "semantic_dedup",
         "text_search_bm25", "geo_stop_pairs",
     ))
 

@@ -23,6 +23,11 @@ Usage (all flags optional where noted):
   python -m public_transit_data_platform_sql_nosql_spark dedup-index \
       --path out/idx --batch docs/ [--build] [--threshold 0.5]
       [--no-append] [--keep-out out/corpus]
+  python -m public_transit_data_platform_sql_nosql_spark delete \
+      --path out/store (--keys keys/ --key k | --where "ts < 123")
+      [--partition-col p]
+  python -m public_transit_data_platform_sql_nosql_spark sql \
+      "SELECT ... FROM stops ..." [--sf-dir ...] [--limit 100]
   python -m public_transit_data_platform_sql_nosql_spark plan \
       --query q1_busiest_stops [--sf-dir ...] [--execute] [--full]
   python -m public_transit_data_platform_sql_nosql_spark serve \
@@ -108,6 +113,51 @@ def cmd_upsert(args: argparse.Namespace) -> int:
         key_cols=args.key.split(","),
         partition_col=args.partition_col)
     print(json.dumps(stats))
+    return 0
+
+
+def cmd_delete(args: argparse.Namespace) -> int:
+    """DELETE from a parquet sink: ``--keys <dir>`` deletes by key list,
+    ``--where <expr>`` by predicate (exactly one required)."""
+    spark = _spark("delete")
+    from .jobs.upsert import delete_keys_parquet_dir, delete_where_parquet_dir
+
+    if (args.keys is None) == (args.where is None):
+        print("delete: exactly one of --keys / --where is required",
+              file=sys.stderr)
+        return 2
+    if args.keys is not None:
+        stats = delete_keys_parquet_dir(
+            spark, args.path, spark.read.parquet(args.keys),
+            key_cols=args.key.split(","),
+            partition_col=args.partition_col)
+    else:
+        stats = delete_where_parquet_dir(
+            spark, args.path, args.where,
+            partition_col=args.partition_col)
+    print(json.dumps(stats))
+    return 0
+
+
+def cmd_sql(args: argparse.Namespace) -> int:
+    """Ad-hoc Spark SQL over the GTFS views (plus ``documents`` /
+    ``embeddings`` / ``events`` when present) — the switching user's
+    mysql-client replacement."""
+    spark = _spark("sql")
+    for name, df in _gtfs(spark, args.sf_dir).items():
+        df.createOrReplaceTempView(name)  # bare names: stops, trips, ...
+    from .sources.tpch_adapter import register_tpch
+
+    for t in ("documents", "embeddings", "events"):
+        try:
+            register_tpch(spark, args.sf_dir, (t,))
+        except Exception:  # table absent from this dir -- fine
+            pass
+    df = spark.sql(args.sql)
+    rows = df.limit(args.limit).collect()
+    print(json.dumps({"columns": df.columns,
+                      "rows": [[str(v) if v is not None else None
+                                for v in r] for r in rows]}))
     return 0
 
 
@@ -231,6 +281,25 @@ def main(argv: list[str] | None = None) -> int:
                     help="hive partition column for partition-scoped "
                          "rewrites")
     pu.set_defaults(fn=cmd_upsert)
+
+    pdel = sub.add_parser(
+        "delete", help="DELETE rows from a parquet sink (keys or WHERE)")
+    pdel.add_argument("--path", required=True, help="sink directory")
+    pdel.add_argument("--keys", default=None,
+                      help="parquet dir holding the keys to delete")
+    pdel.add_argument("--key", default="k",
+                      help="comma-separated key column(s) for --keys")
+    pdel.add_argument("--where", default=None,
+                      help="SQL boolean predicate (retention sweep)")
+    pdel.add_argument("--partition-col", default=None)
+    pdel.set_defaults(fn=cmd_delete)
+
+    pq = sub.add_parser(
+        "sql", help="run ad-hoc Spark SQL over the registered views")
+    pq.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    pq.add_argument("--limit", type=int, default=100)
+    pq.add_argument("sql", help="the SQL text")
+    pq.set_defaults(fn=cmd_sql)
 
     px = sub.add_parser(
         "dedup-index",

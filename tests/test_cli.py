@@ -147,3 +147,35 @@ def test_cli_plan(spark, capsys):
                  "--sf-dir", SF_DIR]) == 2
     err = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert "available" in err
+
+
+def test_cli_delete_and_sql(spark, tmp_path, capsys):
+    import json
+
+    from public_transit_data_platform_sql_nosql_spark.__main__ import main
+
+    sink = str(tmp_path / "sink")
+    keys = tmp_path / "keys"
+    spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")],
+                          "k long, v string").write.parquet(sink)
+    spark.createDataFrame([(2,)], "k long").write.parquet(str(keys))
+
+    assert main(["delete", "--path", sink, "--keys", str(keys),
+                 "--key", "k"]) == 0
+    st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert st["rows_deleted"] == 1
+
+    assert main(["delete", "--path", sink, "--where", "v = 'c'"]) == 0
+    st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert st["rows_deleted"] == 1
+    got = {(r["k"], r["v"]) for r in spark.read.parquet(sink).collect()}
+    assert got == {(1, "a")}
+
+    # exactly one of --keys/--where
+    assert main(["delete", "--path", sink]) == 2
+
+    # ad-hoc SQL over the registered views
+    assert main(["sql", "--sf-dir", SF_DIR, "--limit", "3",
+                 "SELECT stop_id FROM stops ORDER BY stop_id"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["columns"] == ["stop_id"] and len(out["rows"]) == 3
