@@ -293,3 +293,60 @@ def pack_sequences(chunks: DataFrame,
             F.max("chunk_idx").alias("last_chunk_idx"),
         )
     )
+
+
+def pack_sequences_ffd(chunks: DataFrame,
+                       token_budget: int = 2048) -> DataFrame:
+    """First-fit-decreasing twin of :func:`pack_sequences`: per doc,
+    pack chunks into the FEWEST <= ``token_budget`` sequences (FFD is
+    within 11/9·OPT+1 of optimal bin packing), trading the greedy
+    packer's chunk-order contiguity for minimal padding.  A single
+    chunk larger than the budget gets its own (overflowing) sequence —
+    same never-split-a-chunk contract as greedy.  Returns one row per
+    packed sequence: ``(doc_id, seq_idx, n_chunks, seq_tokens)``;
+    ``seq_idx`` orders bins by (seq_tokens DESC, first-placed chunk_idx
+    ASC) so output is deterministic.
+
+    Implementation note (the brief's escalation ladder): bin packing is
+    inherently a sequential first-fit loop — not expressible as window/
+    groupBy compositions — so this is the repo's Arrow-batched
+    ``applyInPandas`` case: the loop runs per doc (bounded work, ~1e2
+    chunks), parallelism is per-doc across executors, and the shuffle
+    is the same single groupBy(doc_id) exchange the greedy packer pays.
+    Rule of thumb: greedy for streaming-order locality (contiguous
+    windows stay adjacent, but sequences overshoot the budget by up to
+    one chunk), FFD when the budget is a HARD cap and padding waste
+    dominates cost — FFD never exceeds it (oversize singletons aside).
+    """
+    budget = int(token_budget)
+    if budget <= 0:
+        raise ValueError(f"token_budget must be positive, got {budget}")
+    out_schema = ("doc_id long, seq_idx long, n_chunks long, "
+                  "seq_tokens long")
+
+    def _pack(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(
+            ["n_chunk_tokens", "chunk_idx"], ascending=[False, True])
+        bins: list[list[int]] = []  # [tokens, n_chunks, first_idx]
+        for idx, t in zip(pdf["chunk_idx"], pdf["n_chunk_tokens"]):
+            t = int(t)
+            for b in bins:
+                if b[0] + t <= budget:
+                    b[0] += t
+                    b[1] += 1
+                    break
+            else:
+                bins.append([t, 1, int(idx)])
+        bins.sort(key=lambda b: (-b[0], b[2]))
+        doc = int(pdf["doc_id"].iloc[0])
+        return pd.DataFrame(
+            [(doc, i, b[1], b[0]) for i, b in enumerate(bins)],
+            columns=["doc_id", "seq_idx", "n_chunks", "seq_tokens"])
+
+    return (
+        chunks.select("doc_id", "chunk_idx", "n_chunk_tokens")
+        .groupBy("doc_id")
+        .applyInPandas(_pack, out_schema)
+    )

@@ -248,3 +248,61 @@ def test_training_sequences_composition_matches_oracle(spark, ddb):
     for r in rows:
         if r["seq_idx"] != last[r["doc_id"]]:
             assert r["seq_tokens"] >= 160
+
+
+def _ffd_mirror(pairs, budget):
+    """The same deterministic FFD in plain python: pairs = [(chunk_idx,
+    tokens)]; returns [(n_chunks, seq_tokens)] ordered like the op."""
+    pairs = sorted(pairs, key=lambda p: (-p[1], p[0]))
+    bins = []
+    for idx, t in pairs:
+        for b in bins:
+            if b[0] + t <= budget:
+                b[0] += t
+                b[1] += 1
+                break
+        else:
+            bins.append([t, 1, idx])
+    bins.sort(key=lambda b: (-b[0], b[2]))
+    return [(b[1], b[0]) for b in bins]
+
+
+def test_pack_sequences_ffd_matches_python_mirror(spark, docs):
+    """Exact differential: the applyInPandas FFD equals a plain-python
+    mirror per doc (deterministic), token totals are preserved, and no
+    sequence exceeds the budget except single oversize chunks."""
+    budget = 160
+    chunks = cur.chunk_tokens(docs)
+    per_doc: dict = {}
+    for r in chunks.collect():
+        per_doc.setdefault(r["doc_id"], []).append(
+            (r["chunk_idx"], r["n_chunk_tokens"]))
+
+    rows = cur.pack_sequences_ffd(chunks, token_budget=budget).collect()
+    got: dict = {}
+    for r in rows:
+        got.setdefault(r["doc_id"], {})[r["seq_idx"]] = (
+            r["n_chunks"], r["seq_tokens"])
+        assert r["seq_tokens"] <= budget or r["n_chunks"] == 1, (
+            r["doc_id"], r["seq_idx"])
+    assert set(got) == set(per_doc)
+    for d, pairs in per_doc.items():
+        want = _ffd_mirror(pairs, budget)
+        assert [got[d][i] for i in sorted(got[d])] == want, d
+        assert sum(t for _, t in got[d].values()) == sum(
+            t for _, t in pairs)
+
+
+def test_pack_sequences_ffd_respects_cap_where_greedy_overflows(spark):
+    """[60, 60, 40, 40] @ budget 100: greedy's prefix-sum split yields
+    an overflowing 120-token sequence; FFD repacks to two EXACT-budget
+    sequences — the hard-cap contract is the operator's point."""
+    rows = [(1, 0, 60), (1, 1, 60), (1, 2, 40), (1, 3, 40)]
+    chunks = spark.createDataFrame(
+        rows, "doc_id long, chunk_idx long, n_chunk_tokens long")
+    ffd = cur.pack_sequences_ffd(chunks, token_budget=100).collect()
+    assert sorted(r["seq_tokens"] for r in ffd) == [100, 100]
+    greedy = cur.pack_sequences(chunks, token_budget=100).collect()
+    assert max(r["seq_tokens"] for r in greedy) == 120  # overshoot
+    with pytest.raises(ValueError, match="positive"):
+        cur.pack_sequences_ffd(chunks, token_budget=0)
