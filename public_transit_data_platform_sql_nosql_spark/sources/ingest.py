@@ -202,3 +202,38 @@ def data_quality_report(gtfs: dict[str, DataFrame]) -> DataFrame:
     spark = st.sparkSession
     rows = [(k, v.count()) for k, v in checks.items()]
     return spark.createDataFrame(rows, "check string, violations bigint")
+
+
+DOCS_JSONL_SCHEMA = (
+    "doc_id long, text string, lang string, source string, n_chars long"
+)
+
+
+def read_jsonl_docs(spark: SparkSession, path: str,
+                    schema: str = DOCS_JSONL_SCHEMA) -> DataFrame:
+    """Corpus ingestion from JSON-Lines — the wire format training
+    corpora actually arrive in (one JSON object per line, typically
+    .jsonl or .jsonl.gz; Spark decompresses by extension).  Returns the
+    documents-table shape so every pipeline/ operator runs unchanged on
+    a fresh crawl drop.
+
+    Scale/robustness notes: the schema is DECLARED, never inferred — on
+    100 TB of crawl output an inference pass is a full extra read, and
+    one odd record must not re-type a column.  PERMISSIVE mode with a
+    ``_corrupt_record`` column quarantines malformed lines instead of
+    failing the job or silently dropping them; callers split on
+    ``_corrupt_record IS NULL`` and route the rest to a dead-letter
+    sink.  Spark refuses plans that read ONLY ``_corrupt_record`` from
+    the raw scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — persist the read
+    (or land it to parquet) before counting/collecting the quarantine
+    split on its own.  JSONL is splittable line-by-line (uncompressed), so the read
+    parallelizes like any text source; .gz files are one split each —
+    shard uploads accordingly (or use zstd/bzip2 seekable variants).
+    """
+    return (
+        spark.read
+        .schema(schema + ", _corrupt_record string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )

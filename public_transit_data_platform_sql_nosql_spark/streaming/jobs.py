@@ -321,3 +321,27 @@ def stream_bounded_dedup(events: DataFrame,
         .dropDuplicatesWithinWatermark(["event_id"])
         .select("event_id", "user_id", "event_type", "ts")
     )
+
+
+def stream_range_enrich(events: DataFrame, intervals: DataFrame,
+                        bucket_width: int,
+                        by=()) -> DataFrame:
+    """Stream-static enrichment: tag each arriving event with every
+    STATIC interval containing it (maintenance windows, campaigns,
+    incident spans) — the streaming twin of operators/asof.range_join,
+    and it IS that operator: the bucket explode lands on the static
+    intervals side, the streaming side only gains a narrow bucket
+    column, and the (by, bucket) equi-join is a plain stream-static
+    inner join Structured Streaming supports with no watermark or state
+    (the static side is just a broadcast/hash build per micro-batch).
+
+    ``bucket_width`` is required (no auto-sizing): the auto path runs an
+    eager percentile aggregate, which is fine on the static side but
+    surprising inside a streaming query definition — callers size the
+    width once from the static table offline.
+    """
+    from ..operators.asof import range_join
+
+    return range_join(events, intervals, "ts",
+                      "start_ts", "end_ts", by=by,
+                      bucket_width=int(bucket_width))

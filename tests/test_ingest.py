@@ -182,3 +182,44 @@ def test_jdbc_round_trip_partitioned(spark, tmp_path):
     one = read_jdbc_table(spark, url, "things", driver=driver) \
         .select("name").filter(F.col("name") == "name-7")
     assert [r["name"] for r in one.collect()] == ["name-7"]
+
+
+def test_read_jsonl_docs_quarantines_corrupt_lines(spark, tmp_path):
+    """Declared-schema JSONL corpus read: good lines land typed, bad
+    lines are quarantined in _corrupt_record (not dropped, not fatal),
+    and the clean split runs a pipeline operator unchanged."""
+    import gzip
+
+    from public_transit_data_platform_sql_nosql_spark.pipeline.text import (
+        token_counts,
+    )
+    from public_transit_data_platform_sql_nosql_spark.sources.ingest import (
+        read_jsonl_docs,
+    )
+
+    lines = [
+        '{"doc_id": 1, "text": "alpha beta", "lang": "en",'
+        ' "source": "crawl", "n_chars": 10}',
+        'this is not json at all',
+        '{"doc_id": 2, "text": "gamma", "lang": "de",'
+        ' "source": "crawl", "n_chars": 5}',
+        '{"doc_id": "not-a-number", "text": "x"}',
+    ]
+    p = tmp_path / "corpus.jsonl"
+    p.write_text("\n".join(lines) + "\n")
+    # a second, gzipped shard — decompressed by extension
+    with gzip.open(tmp_path / "corpus2.jsonl.gz", "wt") as f:
+        f.write('{"doc_id": 3, "text": "delta eps", "lang": "en",'
+                ' "source": "crawl", "n_chars": 9}\n')
+
+    # Spark disallows queries touching ONLY _corrupt_record on a raw
+    # JSON scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN) -- persist first,
+    # as the operator docstring instructs
+    df = read_jsonl_docs(spark, str(tmp_path)).persist()
+    good = df.filter("_corrupt_record IS NULL").drop("_corrupt_record")
+    bad = df.filter("_corrupt_record IS NOT NULL")
+    assert {r["doc_id"] for r in good.collect()} == {1, 2, 3}
+    assert bad.count() == 2
+    got = {r["doc_id"]: r["n_tokens"]
+           for r in token_counts(good).collect()}
+    assert got[1] == 2 and got[3] == 2

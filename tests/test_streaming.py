@@ -246,3 +246,40 @@ def test_stream_bounded_dedup_drops_redeliveries(spark):
                   .select("event_id").distinct().count())
     assert len(got) == n_distinct
     assert len({r["event_id"] for r in got}) == n_distinct
+
+
+def test_stream_range_enrich_matches_batch(spark):
+    """Streaming events x static intervals == the batch range_join on
+    the same inputs (ids compared; the stream delivers the same file)."""
+    from public_transit_data_platform_sql_nosql_spark.operators.asof import (
+        range_join,
+    )
+    from public_transit_data_platform_sql_nosql_spark.sources.tpch_adapter import (  # noqa: E501
+        register_tpch,
+    )
+    from public_transit_data_platform_sql_nosql_spark.streaming.jobs import (
+        read_events_stream,
+        stream_range_enrich,
+    )
+
+    batch_events = register_tpch(spark, SF_DIR, ("events",))["events"]
+    lo, hi = batch_events.selectExpr(
+        "min(ts)", "max(ts)").first()
+    span = (hi - lo) // 20
+    intervals = spark.createDataFrame(
+        [(i, lo + i * span, lo + (i + 2) * span) for i in range(10)],
+        "window_id long, start_ts long, end_ts long",
+    )
+    width = int(span)
+
+    stream = read_events_stream(spark, SF_DIR).select("event_id", "ts")
+    run_to_memory(
+        stream_range_enrich(stream, intervals, bucket_width=width),
+        "stream_enrich", mode="append")
+    got = {(r["event_id"], r["window_id"])
+           for r in spark.table("stream_enrich").collect()}
+    want = {(r["event_id"], r["window_id"])
+            for r in range_join(
+                batch_events.select("event_id", "ts"), intervals,
+                "ts", "start_ts", "end_ts", bucket_width=width).collect()}
+    assert got == want and len(want) > 0
