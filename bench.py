@@ -74,6 +74,10 @@ def main() -> None:
         qs[name](spark, SF_DIR).count()
         samples, n = [], 0
         for _ in range(3):
+            # and between reps: each invocation of a persisting query
+            # creates a NEW cached copy (the clear above alone would let
+            # rep 3 run beside two stale ones)
+            spark.catalog.clearCache()
             t0 = time.monotonic()
             df = qs[name](spark, SF_DIR)
             n = df.count()

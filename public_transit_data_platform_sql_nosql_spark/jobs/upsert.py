@@ -29,6 +29,8 @@ paused during the swap, same as compaction.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -36,6 +38,28 @@ from .compact import _fs
 
 _OLD_SUFFIX = "._upsert_old"
 _TMP_SUFFIX = "._upsert_tmp"
+
+
+_SAFE_PART = re.compile(r"^[A-Za-z0-9._-]+$")
+
+
+def _touched_values(df: DataFrame, partition_col: str) -> list:
+    """Distinct partition values of ``df``, validated for naive
+    ``{col}={value}`` directory formatting.  NULL and hive-escaped
+    values (``=``, ``/``, ``%``, spaces ...) would make the formatted
+    name diverge from what Spark actually writes
+    (``__HIVE_DEFAULT_PARTITION__``, percent-escapes) and silently
+    strand or lose rows in the swap loop — raise eagerly instead."""
+    vals = [r[0] for r in df.select(partition_col).distinct().collect()]
+    bad = [v for v in vals
+           if v is None or not _SAFE_PART.match(str(v))]
+    if bad:
+        raise ValueError(
+            f"partition-scoped rewrite: unsupported {partition_col} "
+            f"value(s) {bad[:5]!r} — null or hive-escaped values do not "
+            f"round-trip the col=value directory naming; clean the "
+            f"partition column or use the flat (partition_col=None) path")
+    return sorted(vals, key=str)
 
 
 def _check_key_unique(updates: DataFrame, key_cols: list[str]) -> None:
@@ -123,8 +147,7 @@ def upsert_parquet_dir(spark: SparkSession, path: str, updates: DataFrame,
     # --- partition-scoped path ---------------------------------------
     # touched partition values: a bounded collect (one row per touched
     # partition, not per updated row)
-    touched = sorted(
-        r[0] for r in updates.select(partition_col).distinct().collect())
+    touched = _touched_values(updates, partition_col)
     if not touched:
         return {"created": False, "rows_upserted": 0, "partitions": []}
 
@@ -205,19 +228,23 @@ def delete_keys_parquet_dir(spark: SparkSession, path: str,
                           store.join(kd, key_cols, "left_anti"))
         return {"rows_deleted": n, "partitions": None}
 
-    touched = sorted(
-        r[0] for r in keys.select(partition_col).distinct().collect())
+    touched = _touched_values(keys, partition_col)
     if not touched or not fs.exists(hpath):
         return {"rows_deleted": 0, "partitions": []}
     for v in touched:
         _recover(fs, jvm, f"{path}/{partition_col}={v}")
     store = spark.read.parquet(path).filter(
         F.col(partition_col).isin(*touched))
-    kd = keys.select(*key_cols).distinct()
-    n = store.join(kd, key_cols, "left_semi").count()
+    # the partition column JOINS too: a key deletes only inside its
+    # stated partition (the docstring contract — without this, a key
+    # would over-delete its matches in every other touched partition)
+    join_cols = (key_cols if partition_col in key_cols
+                 else [*key_cols, partition_col])
+    kd = keys.select(*join_cols).distinct()
+    n = store.join(kd, join_cols, "left_semi").count()
     if not n:
         return {"rows_deleted": 0, "partitions": []}
-    survivors = store.join(kd, key_cols, "left_anti")
+    survivors = store.join(kd, join_cols, "left_anti")
     return {"rows_deleted": n,
             "partitions": _swap_partitions(
                 spark, fs, jvm, path, partition_col, touched, survivors)}
@@ -245,7 +272,10 @@ def delete_where_parquet_dir(spark: SparkSession, path: str,
         store = spark.read.parquet(path)
         n = store.filter(cond).count()
         if n:
-            _rewrite_flat(spark, fs, jvm, path, store.filter(~cond))
+            # NULL-predicate rows survive: ~cond is NULL for them, and a
+            # bare filter would silently drop rows the count never saw
+            _rewrite_flat(spark, fs, jvm, path,
+                          store.filter(~F.coalesce(cond, F.lit(False))))
         return {"rows_deleted": n, "partitions": None}
 
     if not fs.exists(hpath):
@@ -262,15 +292,13 @@ def delete_where_parquet_dir(spark: SparkSession, path: str,
                 # dir would otherwise be read by the discovery scan
                 fs.delete(st.getPath(), True)
     store_all = spark.read.parquet(path)
-    touched = sorted(
-        r[0] for r in
-        store_all.filter(cond).select(partition_col).distinct().collect())
+    touched = _touched_values(store_all.filter(cond), partition_col)
     if not touched:
         return {"rows_deleted": 0, "partitions": []}
     store = spark.read.parquet(path).filter(
         F.col(partition_col).isin(*touched))
     n = store.filter(cond).count()
-    survivors = store.filter(~cond)
+    survivors = store.filter(~F.coalesce(cond, F.lit(False)))
     return {"rows_deleted": n,
             "partitions": _swap_partitions(
                 spark, fs, jvm, path, partition_col, touched, survivors)}

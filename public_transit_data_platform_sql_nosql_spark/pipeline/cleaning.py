@@ -71,21 +71,27 @@ def collapse_token_runs(docs: DataFrame) -> DataFrame:
 
 def scrub_pii(docs: DataFrame) -> DataFrame:
     """One row per doc: ``(doc_id, n_emails, n_ips, n_phones,
-    clean_text)`` — counts measured on the ORIGINAL text, redaction
-    applied email -> IP -> phone (the patterns cannot overlap, so the
-    order is immaterial; it is fixed anyway for determinism)."""
+    clean_text)`` — redaction applied email -> IP -> phone, each count
+    measured on the text AS THE CHAIN SEES IT (emails on the original,
+    IPs after email redaction, phones after both).  The stages CAN
+    overlap — PHONE_RE matches the digit run inside an email local part
+    like ``user+41791234567@example.com`` — so counting every pattern on
+    the original text would report a "phone" the chain never redacts;
+    staged counts keep ``n_<kind>`` == occurrences of ``<KIND>`` token
+    in ``clean_text`` minus pre-existing literals, reconcilable."""
     t = F.col("text")
-    clean = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(t, F.lit(EMAIL_RE), F.lit(EMAIL_TOKEN)),
-            F.lit(IPV4_RE), F.lit(IPV4_TOKEN)),
-        F.lit(PHONE_RE), F.lit(PHONE_TOKEN))
+    after_email = F.regexp_replace(t, F.lit(EMAIL_RE), F.lit(EMAIL_TOKEN))
+    after_ip = F.regexp_replace(after_email, F.lit(IPV4_RE),
+                                F.lit(IPV4_TOKEN))
     return docs.select(
         "doc_id",
         F.regexp_count(t, F.lit(EMAIL_RE)).cast("long").alias("n_emails"),
-        F.regexp_count(t, F.lit(IPV4_RE)).cast("long").alias("n_ips"),
-        F.regexp_count(t, F.lit(PHONE_RE)).cast("long").alias("n_phones"),
-        clean.alias("clean_text"),
+        F.regexp_count(after_email, F.lit(IPV4_RE)).cast("long")
+        .alias("n_ips"),
+        F.regexp_count(after_ip, F.lit(PHONE_RE)).cast("long")
+        .alias("n_phones"),
+        F.regexp_replace(after_ip, F.lit(PHONE_RE), F.lit(PHONE_TOKEN))
+        .alias("clean_text"),
     )
 
 

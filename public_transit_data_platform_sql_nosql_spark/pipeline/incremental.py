@@ -32,6 +32,8 @@ through ``jobs/upsert`` when a stricter contract is needed.
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -137,12 +139,16 @@ def incremental_dedup(spark: SparkSession, path: str, new_docs: DataFrame,
         return {"kept": new_docs, "n_new": new_docs.count(),
                 "n_dup_vs_index": 0, "n_dup_in_batch": 0,
                 "n_kept": new_docs.count()}
-    bands = sorted({b for b, _ in touched})
-    buckets = sorted({k for _, k in touched})
-    stored = (
-        spark.read.parquet(f"{path}/sigs")
-        .filter(F.col("band").isin(bands) & F.col("bucket").isin(buckets))
-    )
+    # prune on the exact (band, bucket) PAIR list, not the cross product
+    # of touched bands x touched buckets — a typical batch touches all 4
+    # bands and many buckets, and the cross-product filter would quietly
+    # widen the read toward the full sig store while this OR-of-pairs
+    # keeps it at O(touched directories)
+    pair_pred = functools.reduce(
+        lambda a, b: a | b,
+        [(F.col("band") == b) & (F.col("bucket") == k)
+         for b, k in touched])
+    stored = spark.read.parquet(f"{path}/sigs").filter(pair_pred)
 
     est = (
         F.size(F.filter(F.zip_with(F.col("ma.minhashes"),
@@ -229,12 +235,18 @@ def corpus_diff(old_docs: DataFrame, new_docs: DataFrame) -> DataFrame:
     sides reduce to (doc_id, md5) projections first, so the shuffle
     carries two narrow columns, not document bodies.
     """
-    o = old_docs.select("doc_id", F.md5("text").alias("_old_md5"))
-    n = new_docs.select("doc_id", F.md5("text").alias("_new_md5"))
+    # presence markers, NOT md5 nullness: a present doc with NULL text
+    # has a NULL md5 and would misclassify as added/removed (and diverge
+    # from the oracle, which tests side.doc_id IS NULL)
+    o = old_docs.select("doc_id", F.md5("text").alias("_old_md5"),
+                        F.lit(1).alias("_in_old"))
+    n = new_docs.select("doc_id", F.md5("text").alias("_new_md5"),
+                        F.lit(1).alias("_in_new"))
     status = (
-        F.when(F.col("_old_md5").isNull(), F.lit("added"))
-        .when(F.col("_new_md5").isNull(), F.lit("removed"))
-        .when(F.col("_old_md5") == F.col("_new_md5"), F.lit("unchanged"))
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(F.col("_old_md5").eqNullSafe(F.col("_new_md5")),
+              F.lit("unchanged"))
         .otherwise(F.lit("changed"))
     )
     return (

@@ -420,23 +420,34 @@ SELECT doc_id, n_before, CAST(len(kept) AS BIGINT) AS n_after,
 FROM k
 """,
         # mirrors pipeline/cleaning.py scrub_pii over the shared
-        # injection expression; counts on the original text, then the
-        # same email -> IP -> phone replacement chain
+        # injection expression; STAGED counts — each pattern counted on
+        # the text as the email -> IP -> phone chain sees it (a phone-
+        # shaped digit run inside an email must not count: the chain
+        # never redacts it)
         "text_scrub_pii": f"""
 WITH {DOCS},
-p AS (SELECT doc_id, {_PII_TEXT} AS text FROM docs_aug)
+p AS (SELECT doc_id, {_PII_TEXT} AS text FROM docs_aug),
+st AS (
+  SELECT doc_id, text,
+         regexp_replace(text, '{EMAIL_RE}', '{EMAIL_TOKEN}', 'g')
+           AS after_email
+  FROM p
+),
+st2 AS (
+  SELECT *, regexp_replace(after_email, '{IPV4_RE}', '{IPV4_TOKEN}', 'g')
+              AS after_ip
+  FROM st
+)
 SELECT doc_id,
        CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS BIGINT)
          AS n_emails,
-       CAST(len(regexp_extract_all(text, '{IPV4_RE}')) AS BIGINT)
+       CAST(len(regexp_extract_all(after_email, '{IPV4_RE}')) AS BIGINT)
          AS n_ips,
-       CAST(len(regexp_extract_all(text, '{PHONE_RE}')) AS BIGINT)
+       CAST(len(regexp_extract_all(after_ip, '{PHONE_RE}')) AS BIGINT)
          AS n_phones,
-       regexp_replace(regexp_replace(regexp_replace(
-           text, '{EMAIL_RE}', '{EMAIL_TOKEN}', 'g'),
-           '{IPV4_RE}', '{IPV4_TOKEN}', 'g'),
-           '{PHONE_RE}', '{PHONE_TOKEN}', 'g') AS clean_text
-FROM p
+       regexp_replace(after_ip, '{PHONE_RE}', '{PHONE_TOKEN}', 'g')
+         AS clean_text
+FROM st2
 """,
         "text_profile": f"""
 WITH {DOCS},
@@ -1207,7 +1218,8 @@ new AS (
 SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
        CASE WHEN o.doc_id IS NULL THEN 'added'
             WHEN n.doc_id IS NULL THEN 'removed'
-            WHEN md5(o.text) = md5(n.text) THEN 'unchanged'
+            WHEN md5(o.text) IS NOT DISTINCT FROM md5(n.text)
+              THEN 'unchanged'
             ELSE 'changed' END AS status
 FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
 """,

@@ -272,13 +272,21 @@ def stream_incremental_dedup(docs_stream: DataFrame, index_path: str,
     twin pays one corpus pass to build the index; this sink keeps it
     current at O(batch + touched buckets) per trigger.
 
-    Replay semantics: a crash between the index append and the
-    checkpoint commit can replay a batch whose signatures are already
-    indexed — its docs then match those signatures and are dropped, so
-    the sink stays duplicate-free (the benign direction).  The sink
-    append itself happens BEFORE the index append for the same reason:
-    losing the index append only costs future dedup recall, never sink
-    rows.
+    Replay semantics — AT-LEAST-ONCE, never data loss.  Two crash
+    windows exist between the two appends and the checkpoint commit:
+
+    - crash AFTER the index append: the replayed batch matches its own
+      already-indexed signatures and is dropped — no sink effect.
+    - crash BETWEEN the sink append and the index append: the replayed
+      batch sees no matching signatures and appends to the sink AGAIN —
+      duplicate sink rows.
+
+    The sink-append-first order is deliberate: the inverted order turns
+    the second window into SILENT DATA LOSS (the replay would drop the
+    batch against its own signatures before it ever reached the sink).
+    Duplicates are recoverable — run pipeline/dedup.exact_dedup or
+    compaction downstream, or use stream_upsert (the keyed-MERGE sink)
+    where exactly-once per key is required; lost rows are not.
     """
     from ..pipeline.incremental import append_signatures, incremental_dedup
 

@@ -200,3 +200,23 @@ def test_index_compaction_preserves_dedup(spark, tmp_path, index):
         spark, index, docs_df(spark, [(401, BASE[0][1] + " marker")]),
         append=False)
     assert base_dup["n_dup_vs_index"] == 1
+
+
+def test_corpus_diff_null_text_is_presence_not_hash(spark):
+    """A doc PRESENT in both snapshots with NULL text on one side is
+    'changed' (presence decided by doc_id, not md5 nullness); NULL on
+    both sides is 'unchanged'."""
+    from public_transit_data_platform_sql_nosql_spark.pipeline.incremental import (  # noqa: E501
+        corpus_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, None), (2, None), (3, "x"), (4, "gone")],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(1, "now-set"), (2, None), (3, "x"), (5, "fresh")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["status"]
+           for r in corpus_diff(old, new).collect()}
+    assert got == {1: "changed", 2: "unchanged", 3: "unchanged",
+                   4: "removed", 5: "added"}

@@ -222,3 +222,62 @@ def test_delete_where_recovers_stranded_partition(spark, tmp_path):
                                   partition_col="p")
     assert st["rows_deleted"] == 1
     assert _prows(spark, sink) == {(2, "new", 1)}
+
+
+def test_delete_where_null_predicate_rows_survive(spark, tmp_path):
+    """Rows where the predicate is NULL are neither counted nor deleted
+    (three-valued logic: only TRUE deletes)."""
+    from public_transit_data_platform_sql_nosql_spark.jobs.upsert import (
+        delete_where_parquet_dir,
+    )
+    sink = str(tmp_path / "sink")
+    spark.createDataFrame([(1, None), (2, "old"), (3, "new")],
+                          "k long, v string").write.parquet(sink)
+    st = delete_where_parquet_dir(spark, sink, "v = 'old'")
+    assert st["rows_deleted"] == 1
+    assert _rows(spark, sink) == {(1, None), (3, "new")}
+
+
+def test_delete_keys_scoped_to_stated_partition(spark, tmp_path):
+    """A key deletes ONLY inside its stated partition — the same key's
+    rows in other touched partitions survive."""
+    from public_transit_data_platform_sql_nosql_spark.jobs.upsert import (
+        delete_keys_parquet_dir,
+    )
+    sink = str(tmp_path / "sink")
+    _mkpart(spark, [(1, "a", 0), (1, "b", 1), (2, "c", 1)]
+            ).write.partitionBy("p").parquet(sink)
+    keys = spark.createDataFrame([(1, 0), (2, 1)], "k long, p long")
+    st = delete_keys_parquet_dir(spark, sink, keys, ["k"],
+                                 partition_col="p")
+    assert st["rows_deleted"] == 2
+    # k=1 in p=1 was NOT in the key list's stated partitions -> kept
+    assert _prows(spark, sink) == {(1, "b", 1)}
+
+
+def test_partitioned_ops_reject_unsafe_partition_values(spark, tmp_path):
+    """NULL / hive-escaped partition values raise eagerly instead of
+    silently stranding rows in the swap loop."""
+    from public_transit_data_platform_sql_nosql_spark.jobs.upsert import (
+        delete_where_parquet_dir,
+        upsert_parquet_dir,
+    )
+    sink = str(tmp_path / "sink")
+    ok = spark.createDataFrame([(1, "a", "d1")], "k long, v string, p string")
+    upsert_parquet_dir(spark, sink, ok, ["k"], partition_col="p")
+
+    bad_null = spark.createDataFrame([(2, "b", None)],
+                                     "k long, v string, p string")
+    with pytest.raises(ValueError, match="unsupported p value"):
+        upsert_parquet_dir(spark, sink, bad_null, ["k"], partition_col="p")
+    bad_esc = spark.createDataFrame([(3, "c", "x=y/z")],
+                                    "k long, v string, p string")
+    with pytest.raises(ValueError, match="unsupported p value"):
+        upsert_parquet_dir(spark, sink, bad_esc, ["k"], partition_col="p")
+    # discovered values are validated too
+    spark.createDataFrame([(9, "q", "a b")], "k long, v string, p string") \
+        .write.mode("overwrite").partitionBy("p").parquet(
+            str(tmp_path / "sink2"))
+    with pytest.raises(ValueError, match="unsupported p value"):
+        delete_where_parquet_dir(spark, str(tmp_path / "sink2"),
+                                 "v = 'q'", partition_col="p")
