@@ -983,6 +983,11 @@ _EXTRA_QUERIES = {
     "text_search_bm25":
         lambda s, d: ptext.search_bm25(
             _aug(s, d), ["spark", "window", "merge"], top_k=20),
+    # hybrid retrieval: BM25 top-50 + dense-cosine top-50 fused by
+    # integer Reciprocal Rank Fusion (vec_id shares doc_id's key space)
+    "text_hybrid_search":
+        lambda s, d: ptext.hybrid_search(
+            _aug(s, d), _emb(s, d), ["spark", "window", "merge"]),
     # per-doc top-5 TF-IDF keywords (BM25-shaped idf — transcendental-free
     # so the score doubles hash-compare bit-identically)
     "text_tfidf_keywords":

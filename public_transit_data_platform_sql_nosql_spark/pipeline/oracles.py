@@ -178,6 +178,53 @@ a2 AS (
 )"""
 
 
+def bm25_ctes(terms_sql: str) -> str:
+    """The BM25 scoring CTE chain (pipeline/text.py search_bm25) up to
+    ``bm`` = (doc_id, n_terms_hit, score_micro) — shared by the
+    text_search_bm25 oracle and the hybrid-search fusion oracle so the
+    two cannot drift.  ``terms_sql`` is the SQL IN-list of query terms.
+    Expects ``docs_aug`` in scope."""
+    return f"""t AS (SELECT doc_id, {TOKS} AS toks FROM docs_aug),
+base AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM t),
+tr AS (
+  SELECT doc_id, dl, token FROM (
+    SELECT doc_id, dl, unnest(toks) AS token FROM base
+  ) WHERE token IN {terms_sql}
+),
+tf AS (SELECT doc_id, dl, token, CAST(count(*) AS BIGINT) AS tf
+       FROM tr GROUP BY 1, 2, 3),
+dfc AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CAST(len({TOKS}) AS BIGINT)) AS BIGINT) AS total_len
+  FROM docs_aug
+),
+j AS (
+  SELECT tf.doc_id, tf.dl, tf.tf, dfc.df, s.n_docs, s.total_len
+  FROM tf JOIN dfc USING (token), stats s
+),
+sc AS (
+  SELECT doc_id,
+         CAST(floor(
+           ((CAST(n_docs - df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+              / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+           * (CAST(tf AS DOUBLE) * CAST({1.2 + 1.0!r} AS DOUBLE))
+           / (CAST(tf AS DOUBLE) + CAST({1.2!r} AS DOUBLE)
+              * ((CAST(1.0 AS DOUBLE) - CAST({0.75!r} AS DOUBLE))
+                 + CAST({0.75!r} AS DOUBLE)
+                   * (CAST(dl AS DOUBLE)
+                      / (CAST(total_len AS DOUBLE)
+                         / CAST(n_docs AS DOUBLE)))))
+           * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS score_micro
+  FROM j
+),
+bm AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_hit,
+         CAST(sum(score_micro) AS BIGINT) AS score_micro
+  FROM sc GROUP BY 1
+)"""
+
+
 DOCS = f"docs_aug AS ({DOCS_AUG_SQL})"
 _IN_STOP = "(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
 
@@ -1164,44 +1211,53 @@ GROUP BY 1
         # hash compare is exact
         "text_search_bm25": f"""
 WITH {DOCS},
-t AS (SELECT doc_id, {TOKS} AS toks FROM docs_aug),
-base AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM t),
-tr AS (
-  SELECT doc_id, dl, token FROM (
-    SELECT doc_id, dl, unnest(toks) AS token FROM base
-  ) WHERE token IN ('spark', 'window', 'merge')
-),
-tf AS (SELECT doc_id, dl, token, CAST(count(*) AS BIGINT) AS tf
-       FROM tr GROUP BY 1, 2, 3),
-dfc AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
-stats AS (
-  SELECT CAST(count(*) AS BIGINT) AS n_docs,
-         CAST(sum(CAST(len({TOKS}) AS BIGINT)) AS BIGINT) AS total_len
-  FROM docs_aug
-),
-j AS (
-  SELECT tf.doc_id, tf.dl, tf.tf, dfc.df, s.n_docs, s.total_len
-  FROM tf JOIN dfc USING (token), stats s
-),
-sc AS (
-  SELECT doc_id,
-         CAST(floor(
-           ((CAST(n_docs - df AS DOUBLE) + CAST(0.5 AS DOUBLE))
-              / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
-           * (CAST(tf AS DOUBLE) * CAST({1.2 + 1.0!r} AS DOUBLE))
-           / (CAST(tf AS DOUBLE) + CAST({1.2!r} AS DOUBLE)
-              * ((CAST(1.0 AS DOUBLE) - CAST({0.75!r} AS DOUBLE))
-                 + CAST({0.75!r} AS DOUBLE)
-                   * (CAST(dl AS DOUBLE)
-                      / (CAST(total_len AS DOUBLE)
-                         / CAST(n_docs AS DOUBLE)))))
-           * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS score_micro
-  FROM j
-)
-SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_hit,
-       CAST(sum(score_micro) AS BIGINT) AS score_micro
-FROM sc GROUP BY 1
+{bm25_ctes("('spark', 'window', 'merge')")}
+SELECT doc_id, n_terms_hit, score_micro
+FROM bm
 ORDER BY score_micro DESC, doc_id ASC
+LIMIT 20
+""",
+        # pipeline/text.py hybrid_search: BM25 top-50 + dense-cosine
+        # top-50 (query = stored embedding of vec 0), fused by integer
+        # Reciprocal Rank Fusion micros
+        "text_hybrid_search": f"""
+WITH {DOCS},
+{bm25_ctes("('spark', 'window', 'merge')")},
+bmtop AS (
+  SELECT doc_id, score_micro FROM bm
+  ORDER BY score_micro DESC, doc_id ASC LIMIT 50
+),
+bmr AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id)
+              AS BIGINT) AS bm25_rank
+  FROM bmtop
+),
+qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+dsc AS (
+  SELECT e.vec_id AS doc_id,
+         round({cos_sql('e.embedding', 'q.qe')}, 6) AS cos_sim
+  FROM embeddings e, qv q
+  WHERE e.vec_id <> 0
+  ORDER BY cos_sim DESC, doc_id ASC LIMIT 50
+),
+dr AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY cos_sim DESC, doc_id)
+              AS BIGINT) AS dense_rank
+  FROM dsc
+),
+f AS (
+  SELECT COALESCE(b.doc_id, d.doc_id) AS doc_id,
+         b.bm25_rank, d.dense_rank
+  FROM bmr b FULL OUTER JOIN dr d ON b.doc_id = d.doc_id
+)
+SELECT doc_id, bm25_rank, dense_rank,
+       CAST(COALESCE(1000000 // (60 + bm25_rank), 0)
+            + COALESCE(1000000 // (60 + dense_rank), 0) AS BIGINT)
+         AS rrf_micro
+FROM f
+ORDER BY rrf_micro DESC, doc_id ASC
 LIMIT 20
 """,
         # mirrors pipeline/incremental.py corpus_diff over the driver's

@@ -9,7 +9,7 @@ UDFs — so the whole stage stays inside WholeStageCodegen/JVM.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .core import STOPWORDS, char_fold_hash, token_hashes, tokens
@@ -289,4 +289,67 @@ def search_bm25(docs: DataFrame, query_terms: list[str],
         )
         .orderBy(F.desc("score_micro"), F.asc("doc_id"))
         .limit(top_k)
+    )
+
+
+def hybrid_search(docs: DataFrame, emb: DataFrame,
+                  query_terms: list[str], query_vec_id: int = 0,
+                  k: int = 20, pool: int = 50,
+                  rrf_k: int = 60) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical ranking fused with dense-cosine
+    ranking by Reciprocal Rank Fusion — the standard two-tower serving
+    composition (keyword recall + semantic recall, neither alone
+    suffices).  ``emb.vec_id`` must share ``docs.doc_id``'s key space;
+    the dense query is the stored embedding of ``query_vec_id``.
+
+    Each ranker contributes its top-``pool`` list; a doc's fused score
+    is ``sum(1_000_000 div (rrf_k + rank))`` over the lists it appears
+    in (integer micros — exact, order-independent, so the result
+    hash-compares across engines; docs missing from a list contribute 0
+    from it).  Returns top-``k`` by (rrf_micro DESC, doc_id ASC):
+    ``(doc_id, bm25_rank, dense_rank, rrf_micro)`` with NULL ranks for
+    single-list hits.
+
+    Scale shape: each ranked pool is a TakeOrdered top-``pool`` (the
+    rank windows then run over <= pool rows — bounded, not a global
+    sort of the corpus); the fusion is one full-outer join of two
+    pool-sized lists.  The dense side here is the brute-force cosine
+    pass over ``emb`` (one narrow projection); swap in the IVF/LSH
+    variants from pipeline/similarity.py for corpus-scale serving —
+    fusion is agnostic to how each list was produced.
+    """
+    from .core import cosine
+
+    bm = search_bm25(docs, query_terms, top_k=pool)
+    wb = Window.orderBy(F.desc("score_micro"), F.asc("doc_id"))
+    bm_ranked = bm.select(
+        "doc_id", F.row_number().over(wb).cast("long").alias("bm25_rank"))
+
+    q = emb.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("qe"))
+    scored = (
+        emb.filter(F.col("vec_id") != query_vec_id)
+        .join(F.broadcast(q))
+        .select(F.col("vec_id").alias("doc_id"),
+                F.round(cosine(F.col("embedding"), F.col("qe")), 6)
+                .alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("doc_id"))
+        .limit(pool)
+    )
+    wd = Window.orderBy(F.desc("cos_sim"), F.asc("doc_id"))
+    dense_ranked = scored.select(
+        "doc_id", F.row_number().over(wd).cast("long").alias("dense_rank"))
+
+    rrf = (
+        F.coalesce(
+            F.expr(f"1000000 div ({int(rrf_k)} + bm25_rank)"), F.lit(0))
+        + F.coalesce(
+            F.expr(f"1000000 div ({int(rrf_k)} + dense_rank)"), F.lit(0))
+    ).cast("long")
+    return (
+        bm_ranked.join(dense_ranked, "doc_id", "full_outer")
+        .select("doc_id", "bm25_rank", "dense_rank",
+                rrf.alias("rrf_micro"))
+        .orderBy(F.desc("rrf_micro"), F.asc("doc_id"))
+        .limit(k)
     )

@@ -41,6 +41,9 @@ BOUNDED_BNLJ: dict[str, str] = {
     # corpus scalars (N, avgdl): 1-row aggregate broadcast — the classic
     # scalar-subquery plan shape (text.py search_bm25 docstring).
     "text_search_bm25": "broadcast side = 1-row corpus stats",
+    # hybrid fusion composes bm25 (1-row stats) + a 1-row dense query
+    # vector broadcast; both nested-loop sides are single rows
+    "text_hybrid_search": "broadcast sides = 1-row stats + 1-row query",
     "text_tfidf_keywords": "broadcast side = 1-row corpus count",
 }
 
