@@ -499,3 +499,37 @@ def ivf_index_upsert(spark, path: str, new_emb: DataFrame) -> dict:
     return upsert_parquet_dir(
         spark, path, assigned.select(*stored_cols), ["vec_id"],
         partition_col="cluster_id")
+
+
+def ann_recall(approx: DataFrame, exact: DataFrame) -> DataFrame:
+    """Index-quality monitor: per-query recall of an approximate ANN
+    result against the exact one — the metric a serving deployment
+    tracks to decide when an IVF/LSH index needs more probes or a
+    rebuild (after enough upserts drift the centroids).
+
+    Both inputs are ranked result tables ``(query_id, neighbor_id,
+    ...)`` as every topk operator here returns.  Output: one row per
+    query — ``(query_id, n_exact, n_hit, recall_permille)`` with recall
+    as integer permille (engine-exact).  Queries the approximate index
+    MISSED entirely still appear (n_hit = 0): a left join from the
+    exact side, never from the approximate side.
+
+    Scale: two distinct-pair projections and one hash join on
+    (query_id, neighbor_id) — result-table sized, independent of the
+    corpus.
+    """
+    e = exact.select("query_id", "neighbor_id").distinct()
+    a = (approx.select("query_id", "neighbor_id").distinct()
+         .withColumn("_hit", F.lit(1)))
+    return (
+        e.join(a, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_exact"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long")
+            .alias("n_hit"),
+        )
+        .withColumn(
+            "recall_permille",
+            F.expr("n_hit * 1000 div greatest(n_exact, 1)").cast("long"))
+    )

@@ -53,3 +53,40 @@ def test_plan_no_cartesian_and_validation(spark, emb_aug):
     assert plan_summary(df)["cartesian_products"] == 0
     with pytest.raises(ValueError):
         knn_join_lsh(emb_aug, emb_aug, k=0)
+
+
+def test_ann_recall_metric(spark):
+    """ann_recall vs hand-computed per-query recall on lsh vs brute
+    force; a query missing from the approx side still reports 0."""
+    from public_transit_data_platform_sql_nosql_spark.pipeline.similarity import (  # noqa: E501
+        ann_recall,
+        brute_force_topk,
+        lsh_topk,
+    )
+    from public_transit_data_platform_sql_nosql_spark.sources.tpch_adapter import (  # noqa: E501
+        register_tpch,
+    )
+    from tests.conftest import SF_DIR
+
+    emb = register_tpch(spark, SF_DIR, ("embeddings",))["embeddings"]
+    exact = brute_force_topk(emb, num_queries=8, k=10)
+    approx = lsh_topk(emb, num_queries=8, k=10)
+    got = {r["query_id"]: (r["n_exact"], r["n_hit"], r["recall_permille"])
+           for r in ann_recall(approx, exact).collect()}
+
+    ex = {}
+    for r in exact.collect():
+        ex.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    ap = {}
+    for r in approx.collect():
+        ap.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert set(got) == set(ex)
+    for q, nbrs in ex.items():
+        hit = len(nbrs & ap.get(q, set()))
+        assert got[q] == (len(nbrs), hit, hit * 1000 // len(nbrs)), q
+
+    # drop one query from the approx side entirely -> 0 recall, present
+    pruned = approx.filter("query_id != 0")
+    g0 = {r["query_id"]: r["n_hit"]
+          for r in ann_recall(pruned, exact).collect()}
+    assert g0[0] == 0
