@@ -62,6 +62,19 @@ def _touched_values(df: DataFrame, partition_col: str) -> list:
     return sorted(vals, key=str)
 
 
+def _has_data(fs, hpath) -> bool:
+    """True when the sink directory holds any data entry (a partition
+    dir or a parquet file).  A sink whose rows were ALL deleted is a
+    legitimately EMPTY directory (only markers like _SUCCESS remain) —
+    reading it as parquet raises UNABLE_TO_INFER_SCHEMA, so the
+    partition-scoped paths must treat it like a missing sink instead."""
+    for st in fs.listStatus(hpath):
+        name = st.getPath().getName()
+        if not name.startswith(("_", ".")):
+            return True
+    return False
+
+
 def _check_key_unique(updates: DataFrame, key_cols: list[str]) -> None:
     dup = (
         updates.groupBy(*key_cols)
@@ -127,7 +140,7 @@ def upsert_parquet_dir(spark: SparkSession, path: str, updates: DataFrame,
 
     if partition_col is None:
         _recover(fs, jvm, path)
-        if not fs.exists(hpath):
+        if not fs.exists(hpath) or not _has_data(fs, hpath):
             updates.write.mode("overwrite").parquet(path)
             n = updates.count()
             return {"created": True, "rows_upserted": n, "partitions": None}
@@ -151,7 +164,7 @@ def upsert_parquet_dir(spark: SparkSession, path: str, updates: DataFrame,
     if not touched:
         return {"created": False, "rows_upserted": 0, "partitions": []}
 
-    sink_exists = fs.exists(hpath)
+    sink_exists = fs.exists(hpath) and _has_data(fs, hpath)
     for v in touched:
         _recover(fs, jvm, f"{path}/{partition_col}={v}")
 
@@ -218,7 +231,7 @@ def delete_keys_parquet_dir(spark: SparkSession, path: str,
     fs, hpath, jvm = _fs(spark, path)
     if partition_col is None:
         _recover(fs, jvm, path)
-        if not fs.exists(hpath):
+        if not fs.exists(hpath) or not _has_data(fs, hpath):
             return {"rows_deleted": 0, "partitions": None}
         store = spark.read.parquet(path)
         kd = keys.select(*key_cols).distinct()
@@ -229,7 +242,8 @@ def delete_keys_parquet_dir(spark: SparkSession, path: str,
         return {"rows_deleted": n, "partitions": None}
 
     touched = _touched_values(keys, partition_col)
-    if not touched or not fs.exists(hpath):
+    if (not touched or not fs.exists(hpath)
+            or not _has_data(fs, hpath)):
         return {"rows_deleted": 0, "partitions": []}
     for v in touched:
         _recover(fs, jvm, f"{path}/{partition_col}={v}")
@@ -267,7 +281,7 @@ def delete_where_parquet_dir(spark: SparkSession, path: str,
     cond = F.expr(condition)
     if partition_col is None:
         _recover(fs, jvm, path)
-        if not fs.exists(hpath):
+        if not fs.exists(hpath) or not _has_data(fs, hpath):
             return {"rows_deleted": 0, "partitions": None}
         store = spark.read.parquet(path)
         n = store.filter(cond).count()
@@ -291,6 +305,8 @@ def delete_where_parquet_dir(spark: SparkSession, path: str,
                 # swap completed, cleanup didn't: finish it — the stale
                 # dir would otherwise be read by the discovery scan
                 fs.delete(st.getPath(), True)
+    if not _has_data(fs, hpath):
+        return {"rows_deleted": 0, "partitions": []}
     store_all = spark.read.parquet(path)
     touched = _touched_values(store_all.filter(cond), partition_col)
     if not touched:

@@ -126,6 +126,59 @@ def test_upsert_matches_dict_replay(spark, tmp_path, seed):
     assert got == mirror
 
 
+@pytest.mark.parametrize("seed", [11, 47])
+def test_mutation_loop_matches_dict_replay(spark, tmp_path, seed):
+    """Interleaved upsert / delete-by-key / delete-where mutations on a
+    partitioned sink replayed against a plain dict: the store equals the
+    model after every step, partitions included."""
+    from public_transit_data_platform_sql_nosql_spark.jobs.upsert import (
+        delete_keys_parquet_dir,
+        delete_where_parquet_dir,
+        upsert_parquet_dir,
+    )
+
+    rng = np.random.default_rng(seed)
+    sink = str(tmp_path / "sink")
+    # model: key -> (value, partition); partition = key % 3 (stable)
+    mirror: dict[int, tuple[str, int]] = {}
+
+    def _df(rows):
+        return spark.createDataFrame(
+            [(k, v, p) for k, (v, p) in rows.items()],
+            "k long, v string, p long")
+
+    for step in range(6):
+        op = rng.integers(0, 3)
+        ks = [int(k) for k in rng.choice(24, size=6, replace=False)]
+        if op == 0 or not mirror:
+            batch = {k: (f"s{step}v{k}", k % 3) for k in ks}
+            upsert_parquet_dir(spark, sink, _df(batch), ["k"],
+                               partition_col="p")
+            mirror.update(batch)
+        elif op == 1:
+            victims = {k: mirror[k] for k in ks if k in mirror}
+            if victims:
+                keys_df = spark.createDataFrame(
+                    [(k, p) for k, (_, p) in victims.items()],
+                    "k long, p long")
+                st = delete_keys_parquet_dir(spark, sink, keys_df, ["k"],
+                                             partition_col="p")
+                assert st["rows_deleted"] == len(victims)
+                for k in victims:
+                    del mirror[k]
+        else:
+            cutoff = int(rng.integers(0, 24))
+            st = delete_where_parquet_dir(spark, sink, f"k < {cutoff}",
+                                          partition_col="p")
+            doomed = [k for k in mirror if k < cutoff]
+            assert st["rows_deleted"] == len(doomed)
+            for k in doomed:
+                del mirror[k]
+        got = {r["k"]: (r["v"], r["p"])
+               for r in spark.read.parquet(sink).collect()}             if mirror else {}
+        assert got == mirror, f"step {step} (op {op})"
+
+
 # ---------------------------------------------------------------------------
 # geo grid self-join vs quadratic brute force
 

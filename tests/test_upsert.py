@@ -281,3 +281,21 @@ def test_partitioned_ops_reject_unsafe_partition_values(spark, tmp_path):
     with pytest.raises(ValueError, match="unsupported p value"):
         delete_where_parquet_dir(spark, str(tmp_path / "sink2"),
                                  "v = 'q'", partition_col="p")
+
+
+def test_flat_sink_survives_full_deletion(spark, tmp_path):
+    """Deleting EVERY row leaves a sink that later upserts and deletes
+    still accept (the empty directory must read as a missing sink, not
+    crash with UNABLE_TO_INFER_SCHEMA)."""
+    from public_transit_data_platform_sql_nosql_spark.jobs.upsert import (
+        delete_where_parquet_dir,
+    )
+    sink = str(tmp_path / "sink")
+    _mkdf(spark, [(1, "a"), (2, "b")]).write.parquet(sink)
+    st = delete_where_parquet_dir(spark, sink, "k >= 0")
+    assert st["rows_deleted"] == 2
+    # further mutations on the emptied sink work
+    st = delete_where_parquet_dir(spark, sink, "k >= 0")
+    assert st["rows_deleted"] == 0
+    upsert_parquet_dir(spark, sink, _mkdf(spark, [(3, "c")]), ["k"])
+    assert _rows(spark, sink) == {(3, "c")}
