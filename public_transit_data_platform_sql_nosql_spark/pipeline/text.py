@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .core import STOPWORDS, char_fold_hash, token_hashes, tokens
+from .core import STOPWORDS, char_fold_hash, cosine, token_hashes, tokens
 
 # BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation —
 # the shape of a byte-level BPE split (without the merges table).
@@ -177,8 +177,6 @@ def tfidf_keywords(docs: DataFrame, top_k: int = 5) -> DataFrame:
     it (each TF row matches exactly one DF row, so salting is never
     semantically needed).
     """
-    from pyspark.sql import Window
-
     tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
     tf = (
         tok.groupBy("doc_id", "token")
@@ -318,8 +316,6 @@ def hybrid_search(docs: DataFrame, emb: DataFrame,
     variants from pipeline/similarity.py for corpus-scale serving —
     fusion is agnostic to how each list was produced.
     """
-    from .core import cosine
-
     bm = search_bm25(docs, query_terms, top_k=pool)
     wb = Window.orderBy(F.desc("score_micro"), F.asc("doc_id"))
     bm_ranked = bm.select(
@@ -327,6 +323,10 @@ def hybrid_search(docs: DataFrame, emb: DataFrame,
 
     q = emb.filter(F.col("vec_id") == query_vec_id).select(
         F.col("embedding").alias("qe"))
+    if not q.head(1):
+        raise ValueError(
+            f"hybrid_search: query_vec_id {query_vec_id!r} not in emb — "
+            f"a silent BM25-only result would masquerade as hybrid")
     scored = (
         emb.filter(F.col("vec_id") != query_vec_id)
         .join(F.broadcast(q))

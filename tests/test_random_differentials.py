@@ -6,6 +6,8 @@ with wide structural variety, not thousands of tiny ones)."""
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pytest
 

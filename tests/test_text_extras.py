@@ -177,3 +177,15 @@ def test_bm25_query_terms_lowercased_and_validated(spark):
     assert len(out) == 1 and out[0].n_terms_hit == 1
     with pytest.raises(ValueError):
         search_bm25(docs_df(spark, rows), [])
+
+
+def test_hybrid_search_rejects_missing_query_vector(spark):
+    import __spark_entry__ as E
+    from public_transit_data_platform_sql_nosql_spark.pipeline.text import (
+        hybrid_search,
+    )
+    from tests.conftest import SF_DIR
+
+    with pytest.raises(ValueError, match="not in emb"):
+        hybrid_search(E._aug(spark, SF_DIR), E._emb(spark, SF_DIR),
+                      ["spark"], query_vec_id=10**9)
