@@ -339,12 +339,13 @@ def _get_timetable_flat(spark, sf_dir):
 
 
 _PARITY_QUERIES = {
-    "precompute_q1_table": _precompute_q1,
-    "precompute_q2_table": _precompute_q2,
-    "precompute_q3_table": _precompute_q3,
-    "precompute_q4_table": _precompute_q4,
+    # r7 rotation: the four precompute_q*_table rows (shape-duplicates of
+    # q1-q4 beside them) and timetable_arrivals_flat (repeats
+    # arrivals_grouped's machinery) moved past the driver's 50-entry
+    # window so the flagship extras (_FLAGSHIP_QUERIES below) get the
+    # hard sf0.01 hash gate instead; the rotated-out rows stay
+    # oracle-checked in _EXTRA_QUERIES + tests/test_driver_parity.py
     "q2_service_breakdown_top5": _q2_breakdown_top5,
-    "timetable_arrivals_flat": _arrivals_flat,
     "timetable_get_timetable": _get_timetable_flat,
 }
 
@@ -945,10 +946,6 @@ _EXTRA_QUERIES = {
         lambda s, d: pclean.scrub_pii(_pii_injected(_aug(s, d))),
     # the END-TO-END flagship: docs -> curate -> decontaminate -> chunk
     # -> boilerplate-drop -> token-budget sequence packing, ONE plan
-    # sequential conversion funnel (view -> click -> purchase within 1h)
-    # — each transition is the as-of join run forward with tolerance
-    "events_funnel":
-        lambda s, d: ev.funnel_report(_events(s, d)),
     # OLAP rollup: (type, day) + per-type + grand-total grains in ONE
     # Expand+aggregate pass, GROUPING bitmask disambiguates subtotal
     # NULLs
@@ -973,21 +970,11 @@ _EXTRA_QUERIES = {
     # snapshot audit: per-doc added/removed/changed/unchanged between
     # two corpus versions (one narrow full-outer hash join)
     "pipeline_corpus_diff": _corpus_diff,
-    # batch kNN join: every 5th vector queries the whole corpus,
-    # neither side broadcast, multi-probe (Hamming-1) LSH blocking
-    "ann_knn_join":
-        lambda s, d: psim.knn_join_lsh(
-            _emb(s, d).filter("vec_id % 5 = 0"), _emb(s, d), k=5),
     # BM25 full-text search over the corpus (integer-micro quantized
     # per-term scores so the per-doc sum is order-independent)
     "text_search_bm25":
         lambda s, d: ptext.search_bm25(
             _aug(s, d), ["spark", "window", "merge"], top_k=20),
-    # hybrid retrieval: BM25 top-50 + dense-cosine top-50 fused by
-    # integer Reciprocal Rank Fusion (vec_id shares doc_id's key space)
-    "text_hybrid_search":
-        lambda s, d: ptext.hybrid_search(
-            _aug(s, d), _emb(s, d), ["spark", "window", "merge"]),
     # per-doc top-5 TF-IDF keywords (BM25-shaped idf — transcendental-free
     # so the score doubles hash-compare bit-identically)
     "text_tfidf_keywords":
@@ -1005,12 +992,26 @@ _EXTRA_QUERIES = {
     "geo_stops_nearby":
         lambda s, d: geoq.stops_nearby(
             register_gtfs_views(s, d)["stops"], 43.5, -79.5, radius=0.05),
-    # geo x transit composition: close pairs sharing NO route (walkable
-    # transfer candidates — the geo complement of Q3)
-    "geo_transfer_walk":
-        lambda s, d: (lambda v: geoq.transfer_walk_candidates(
-            v["stops"], v["stop_times"], v["trips"], eps=0.02))(
-            register_gtfs_views(s, d)),
+    # r7 rotation: the rows below left the 50-entry driver window to make
+    # room for _FLAGSHIP_QUERIES; each is a shape-duplicate of an
+    # in-window row (precompute_q* of q1-q4; arrivals_flat of
+    # arrivals_grouped) and stays fully oracle-checked here
+    "precompute_q1_table": _precompute_q1,
+    "precompute_q2_table": _precompute_q2,
+    "precompute_q3_table": _precompute_q3,
+    "precompute_q4_table": _precompute_q4,
+    "timetable_arrivals_flat": _arrivals_flat,
+}
+
+
+# Driver-VISIBLE flagship extras (rotated into the 50-entry window in r7,
+# displacing the _EXTRA_QUERIES shape-duplicates above): the end-to-end
+# training-sequences composition, hybrid retrieval, batch kNN join, the
+# funnel, and the geo x transit composition — the rows whose hash signal
+# says the most about the whole engine.
+_FLAGSHIP_QUERIES = {
+    # the END-TO-END flagship: docs -> curate -> decontaminate -> chunk
+    # -> boilerplate-drop -> token-budget sequence packing, ONE plan
     "pipeline_training_sequences":
         lambda s, d: pcur.pack_sequences(
             pcur.training_chunks(
@@ -1021,6 +1022,26 @@ _EXTRA_QUERIES = {
                     _aug(s, d).filter("doc_id % 11 != 0"),
                     _aug(s, d).filter("doc_id % 11 = 0"))),
             token_budget=160),
+    # hybrid retrieval: BM25 top-50 + dense-cosine top-50 fused by
+    # integer Reciprocal Rank Fusion (vec_id shares doc_id's key space)
+    "text_hybrid_search":
+        lambda s, d: ptext.hybrid_search(
+            _aug(s, d), _emb(s, d), ["spark", "window", "merge"]),
+    # batch kNN join: every 5th vector queries the whole corpus,
+    # neither side broadcast, multi-probe (Hamming-1) LSH blocking
+    "ann_knn_join":
+        lambda s, d: psim.knn_join_lsh(
+            _emb(s, d).filter("vec_id % 5 = 0"), _emb(s, d), k=5),
+    # sequential conversion funnel (view -> click -> purchase within 1h)
+    # — each transition is the as-of join run forward with tolerance
+    "events_funnel":
+        lambda s, d: ev.funnel_report(_events(s, d)),
+    # geo x transit composition: close pairs sharing NO route (walkable
+    # transfer candidates — the geo complement of Q3)
+    "geo_transfer_walk":
+        lambda s, d: (lambda v: geoq.transfer_walk_candidates(
+            v["stops"], v["stop_times"], v["trips"], eps=0.02))(
+            register_gtfs_views(s, d)),
 }
 
 
@@ -1054,6 +1075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "timetable_routes_for_stop": _routes_for_stop,
         "timetable_arrivals_grouped": _arrivals_grouped,
         **_PARITY_QUERIES,
+        **_FLAGSHIP_QUERIES,
         **_EVENTS_QUERIES,
         **_PIPELINE_QUERIES,
         # keep last: beyond the harness's 50-entry window by design

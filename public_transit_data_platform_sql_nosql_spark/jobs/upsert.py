@@ -59,6 +59,18 @@ def _touched_values(df: DataFrame, partition_col: str) -> list:
             f"value(s) {bad[:5]!r} — null or hive-escaped values do not "
             f"round-trip the col=value directory naming; clean the "
             f"partition column or use the flat (partition_col=None) path")
+    # the swap suffixes are RESERVED: a live partition named
+    # 'p=x._upsert_old' would be indistinguishable from a stranded swap
+    # of 'p=x' and deleted by the recovery sweep — silent data loss —
+    # so no managed sink may ever contain such a value
+    reserved = [v for v in vals
+                if str(v).endswith((_OLD_SUFFIX, _TMP_SUFFIX))]
+    if reserved:
+        raise ValueError(
+            f"partition-scoped rewrite: {partition_col} value(s) "
+            f"{reserved[:5]!r} end with a reserved swap suffix "
+            f"({_OLD_SUFFIX!r}/{_TMP_SUFFIX!r}); such directories would "
+            f"collide with crash-recovery markers")
     return sorted(vals, key=str)
 
 
@@ -99,6 +111,28 @@ def _recover(fs, jvm, path: str) -> bool:
             raise IOError(f"upsert: recovery rename {old} -> {path} failed")
         return True
     return False
+
+
+def _recover_all_strands(fs, jvm, path: str) -> None:
+    """Recover EVERY stranded ``._upsert_old`` partition swap under
+    ``path``, not just the touched ones: a strand in an UNTOUCHED
+    partition still participates in ``spark.read.parquet`` partition
+    discovery — widening the partition column to string and leaving the
+    renamed-out rows invisible — so every partition-scoped read sweeps
+    the whole sink first.  (A live partition cannot legitimately carry
+    the suffix: ``_touched_values`` rejects reserved-suffix values, so
+    a suffixed directory here is always a crash artifact.)"""
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    if not fs.exists(hpath):
+        return
+    for st in fs.listStatus(hpath):
+        name = st.getPath().getName()
+        if name.endswith(_OLD_SUFFIX):
+            live = f"{path}/{name[:-len(_OLD_SUFFIX)]}"
+            if not _recover(fs, jvm, live):
+                # swap completed, cleanup didn't: finish it — the stale
+                # dir would otherwise be read by partition discovery
+                fs.delete(st.getPath(), True)
 
 
 def _swap(fs, jvm, target: str, tmp: str) -> None:
@@ -164,9 +198,8 @@ def upsert_parquet_dir(spark: SparkSession, path: str, updates: DataFrame,
     if not touched:
         return {"created": False, "rows_upserted": 0, "partitions": []}
 
+    _recover_all_strands(fs, jvm, path)
     sink_exists = fs.exists(hpath) and _has_data(fs, hpath)
-    for v in touched:
-        _recover(fs, jvm, f"{path}/{partition_col}={v}")
 
     tmp = path + _TMP_SUFFIX
     htmp = jvm.org.apache.hadoop.fs.Path(tmp)
@@ -242,11 +275,10 @@ def delete_keys_parquet_dir(spark: SparkSession, path: str,
         return {"rows_deleted": n, "partitions": None}
 
     touched = _touched_values(keys, partition_col)
+    _recover_all_strands(fs, jvm, path)
     if (not touched or not fs.exists(hpath)
             or not _has_data(fs, hpath)):
         return {"rows_deleted": 0, "partitions": []}
-    for v in touched:
-        _recover(fs, jvm, f"{path}/{partition_col}={v}")
     store = spark.read.parquet(path).filter(
         F.col(partition_col).isin(*touched))
     # the partition column JOINS too: a key deletes only inside its
@@ -297,14 +329,7 @@ def delete_where_parquet_dir(spark: SparkSession, path: str,
     # recover ALL stranded partition swaps BEFORE discovery — a
     # partition left renamed-out by a crash would otherwise be invisible
     # to the matching-rows scan below
-    for st in fs.listStatus(hpath):
-        name = st.getPath().getName()
-        if name.endswith(_OLD_SUFFIX):
-            live = f"{path}/{name[:-len(_OLD_SUFFIX)]}"
-            if not _recover(fs, jvm, live):
-                # swap completed, cleanup didn't: finish it — the stale
-                # dir would otherwise be read by the discovery scan
-                fs.delete(st.getPath(), True)
+    _recover_all_strands(fs, jvm, path)
     if not _has_data(fs, hpath):
         return {"rows_deleted": 0, "partitions": []}
     store_all = spark.read.parquet(path)

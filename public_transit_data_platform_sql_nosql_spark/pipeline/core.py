@@ -80,6 +80,34 @@ def md5_hash64(s: Column) -> Column:
     )
 
 
+def bounded_rank(df, order_cols: list[Column], rank_col: str,
+                 start: int = 1):
+    """Row-number a provably BOUNDED DataFrame (a TakeOrdered top-k
+    pool, a k-row seed list) by ``order_cols`` ascending — without a
+    partition-less ``Window``, whose single-partition WindowExec WARN
+    would fire on every run and bury real plan regressions.
+
+    Shape: ONE global aggregate collects the input into a sorted array
+    (legal only because the caller's input is bounded by construction —
+    never use on an unbounded table), then ``posexplode`` hands back
+    every original column plus ``rank_col`` = position + ``start``.
+    Ties on ``order_cols`` fall through to the remaining columns via
+    struct comparison; pass a unique key as the last order column to
+    make the rank total.  DESC orderings: negate the column (use an
+    exact integer key — see hybrid_search's micro-quantized cosine).
+    """
+    ordered = F.struct(
+        *[c.alias(f"_o{i}") for i, c in enumerate(order_cols)],
+        F.struct(*[F.col(c) for c in df.columns]).alias("_row"))
+    return (
+        df.agg(F.array_sort(F.collect_list(ordered)).alias("_a"))
+        .select(F.posexplode("_a").alias("_pos", "_s"))
+        .select((F.col("_pos") + F.lit(int(start))).cast("long")
+                .alias(rank_col),
+                F.col("_s._row.*"))
+    )
+
+
 def dot(a: Column, b: Column) -> Column:
     """Left-fold double dot product — the fold order matches DuckDB's
     ``list_reduce`` so cross-engine sums are bit-identical."""

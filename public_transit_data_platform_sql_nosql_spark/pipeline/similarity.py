@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .core import cosine, dot
+from .core import bounded_rank, cosine, dot
 
 NUM_HYPERPLANES = 8
 
@@ -307,11 +307,11 @@ def embedding_kmeans(emb: DataFrame, k: int = KMEANS_K,
         .orderBy("h", "vec_id")
         .limit(k)
     )
-    ws = Window.orderBy("h", "vec_id")
+    # number the k seed rows via bounded_rank (sorted-array posexplode),
+    # not a partition-less Window — same order, no WindowExec WARN
     cents = (
-        seeds.select(
-            (F.row_number().over(ws) - 1).cast("long").alias("cid"),
-            F.col("embedding").alias("centroid"))
+        bounded_rank(seeds, [F.col("h"), F.col("vec_id")], "cid", start=0)
+        .select("cid", F.col("embedding").alias("centroid"))
     )
     assigned = _assign(emb, cents)
     for _ in range(n_iter - 1):
@@ -455,10 +455,10 @@ def embedding_kmeans_iterate(emb: DataFrame, k: int = KMEANS_K,
         .orderBy("h", "vec_id")
         .limit(k)
     )
-    ws = Window.orderBy("h", "vec_id")
-    cents = seeds.select(
-        (F.row_number().over(ws) - 1).cast("long").alias("cid"),
-        F.col("embedding").alias("centroid"))
+    cents = (
+        bounded_rank(seeds, [F.col("h"), F.col("vec_id")], "cid", start=0)
+        .select("cid", F.col("embedding").alias("centroid"))
+    )
     assigned = _assign(emb, cents).localCheckpoint(eager=True)
     for _ in range(n_iter - 1):
         cents = _quantized_centroids(assigned)

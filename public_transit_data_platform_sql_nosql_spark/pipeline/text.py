@@ -12,7 +12,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .core import STOPWORDS, char_fold_hash, cosine, token_hashes, tokens
+from .core import (
+    STOPWORDS, bounded_rank, char_fold_hash, cosine, token_hashes, tokens,
+)
 
 # BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation —
 # the shape of a byte-level BPE split (without the merges table).
@@ -317,9 +319,12 @@ def hybrid_search(docs: DataFrame, emb: DataFrame,
     fusion is agnostic to how each list was produced.
     """
     bm = search_bm25(docs, query_terms, top_k=pool)
-    wb = Window.orderBy(F.desc("score_micro"), F.asc("doc_id"))
-    bm_ranked = bm.select(
-        "doc_id", F.row_number().over(wb).cast("long").alias("bm25_rank"))
+    # rank the <=pool-row list via bounded_rank (sorted-array posexplode)
+    # instead of a partition-less Window — same total order, no
+    # single-partition WindowExec WARN in every run's output
+    bm_ranked = bounded_rank(
+        bm, [-F.col("score_micro"), F.col("doc_id")], "bm25_rank"
+    ).select("doc_id", "bm25_rank")
 
     q = emb.filter(F.col("vec_id") == query_vec_id).select(
         F.col("embedding").alias("qe"))
@@ -336,9 +341,15 @@ def hybrid_search(docs: DataFrame, emb: DataFrame,
         .orderBy(F.desc("cos_sim"), F.asc("doc_id"))
         .limit(pool)
     )
-    wd = Window.orderBy(F.desc("cos_sim"), F.asc("doc_id"))
-    dense_ranked = scored.select(
-        "doc_id", F.row_number().over(wd).cast("long").alias("dense_rank"))
+    # cos_sim is 6dp-quantized, so -round(cos_sim*1e6) is an EXACT
+    # integer key reproducing (cos_sim DESC) with no double-negation
+    # edge cases; doc_id totalizes the order
+    dense_ranked = bounded_rank(
+        scored,
+        [(-F.round(F.col("cos_sim") * F.lit(1000000.0), 0)).cast("long"),
+         F.col("doc_id")],
+        "dense_rank",
+    ).select("doc_id", "dense_rank")
 
     rrf = (
         F.coalesce(

@@ -176,8 +176,17 @@ def test_mutation_loop_matches_dict_replay(spark, tmp_path, seed):
             assert st["rows_deleted"] == len(doomed)
             for k in doomed:
                 del mirror[k]
-        got = {r["k"]: (r["v"], r["p"])
-               for r in spark.read.parquet(sink).collect()}             if mirror else {}
+        if mirror:
+            got = {r["k"]: (r["v"], r["p"])
+                   for r in spark.read.parquet(sink).collect()}
+        else:
+            # fully-emptied sink: parquet can't infer a schema from zero
+            # data files, so read with the declared schema and assert the
+            # store is ACTUALLY empty (a delete that reported the right
+            # count but left rows behind must fail here, not be skipped)
+            got = {r["k"]: (r["v"], r["p"])
+                   for r in spark.read.schema("k long, v string, p long")
+                   .parquet(sink).collect()}
         assert got == mirror, f"step {step} (op {op})"
 
 

@@ -283,6 +283,70 @@ def test_partitioned_ops_reject_unsafe_partition_values(spark, tmp_path):
                                  "v = 'q'", partition_col="p")
 
 
+def test_partitioned_ops_reject_reserved_suffix_values(spark, tmp_path):
+    """Partition values ending in the reserved swap suffixes raise: a
+    live 'p=x._upsert_old' directory would be indistinguishable from a
+    stranded swap of 'p=x' and deleted by the recovery sweep."""
+    from public_transit_data_platform_sql_nosql_spark.jobs.upsert import (
+        upsert_parquet_dir,
+    )
+    sink = str(tmp_path / "sink")
+    bad = spark.createDataFrame([(1, "a", "x._upsert_old")],
+                                "k long, v string, p string")
+    with pytest.raises(ValueError, match="reserved swap suffix"):
+        upsert_parquet_dir(spark, sink, bad, ["k"], partition_col="p")
+    bad2 = spark.createDataFrame([(1, "a", "x._upsert_tmp")],
+                                 "k long, v string, p string")
+    with pytest.raises(ValueError, match="reserved swap suffix"):
+        upsert_parquet_dir(spark, sink, bad2, ["k"], partition_col="p")
+
+
+def test_untouched_partition_strand_recovered_by_keyed_ops(spark, tmp_path):
+    """A stranded swap in an UNTOUCHED partition is recovered by
+    delete_keys / upsert before their partition-scoped read: without the
+    global sweep the strand widens the partition column to string during
+    discovery and hides its rows until that partition is next touched."""
+    from public_transit_data_platform_sql_nosql_spark.jobs.upsert import (
+        delete_keys_parquet_dir,
+        upsert_parquet_dir,
+    )
+    sink = str(tmp_path / "sink")
+    _mkpart(spark, [(1, "a", 0), (2, "b", 1), (3, "c", 2)]
+            ).write.partitionBy("p").parquet(sink)
+    # crash artifact on p=2; the op below only touches p=0
+    os.rename(os.path.join(sink, "p=2"),
+              os.path.join(sink, "p=2._upsert_old"))
+    keys = spark.createDataFrame([(1, 0)], "k long, p long")
+    st = delete_keys_parquet_dir(spark, sink, keys, ["k"],
+                                 partition_col="p")
+    assert st["rows_deleted"] == 1
+    # p=2 recovered: its rows visible again, partition col still long
+    assert _prows(spark, sink) == {(2, "b", 1), (3, "c", 2)}
+    assert not os.path.exists(os.path.join(sink, "p=2._upsert_old"))
+
+    # same for upsert: strand p=1, touch p=2
+    os.rename(os.path.join(sink, "p=1"),
+              os.path.join(sink, "p=1._upsert_old"))
+    upsert_parquet_dir(spark, sink, _mkpart(spark, [(3, "C", 2)]),
+                       ["k"], partition_col="p")
+    assert _prows(spark, sink) == {(2, "b", 1), (3, "C", 2)}
+    assert not os.path.exists(os.path.join(sink, "p=1._upsert_old"))
+
+    # completed-swap-but-unfinished-cleanup artifact (live dir AND .old
+    # both present) in an untouched partition: the sweep finishes the
+    # cleanup instead of resurrecting the stale copy
+    _mkpart(spark, [(9, "stale", 1)]).write.partitionBy("p").parquet(
+        str(tmp_path / "stale"))
+    os.rename(os.path.join(str(tmp_path / "stale"), "p=1"),
+              os.path.join(sink, "p=1._upsert_old"))
+    st = delete_keys_parquet_dir(
+        spark, sink, spark.createDataFrame([(3, 2)], "k long, p long"),
+        ["k"], partition_col="p")
+    assert st["rows_deleted"] == 1
+    assert _prows(spark, sink) == {(2, "b", 1)}
+    assert not os.path.exists(os.path.join(sink, "p=1._upsert_old"))
+
+
 def test_flat_sink_survives_full_deletion(spark, tmp_path):
     """Deleting EVERY row leaves a sink that later upserts and deletes
     still accept (the empty directory must read as a missing sink, not
