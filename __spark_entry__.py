@@ -992,6 +992,14 @@ _EXTRA_QUERIES = {
     "geo_stops_nearby":
         lambda s, d: geoq.stops_nearby(
             register_gtfs_views(s, d)["stops"], 43.5, -79.5, radius=0.05),
+    # arbitrary-span repeated-substring exact dedup (suffix-array-style,
+    # Lee et al. 2022 re-shaped as hash-mark + run-merge): maximal >= 8-
+    # token spans whose every 8-gram repeats corpus-wide, and the corpus
+    # rewritten with those spans cut
+    "dedup_repeated_spans":
+        lambda s, d: pdedup.repeated_spans(_aug(s, d)),
+    "dedup_drop_repeated_spans":
+        lambda s, d: pdedup.drop_repeated_spans(_aug(s, d)),
     # r7 rotation: the rows below left the 50-entry driver window to make
     # room for _FLAGSHIP_QUERIES; each is a shape-duplicate of an
     # in-window row (precompute_q* of q1-q4; arrivals_flat of

@@ -639,3 +639,142 @@ def keep_canonical(docs: DataFrame, labels: DataFrame) -> DataFrame:
     drop = labels.filter(
         F.col("canonical_id") != F.col("doc_id")).select("doc_id")
     return docs.select("doc_id").join(drop, "doc_id", "left_anti")
+
+
+# --- repeated-substring (suffix-array-style) exact dedup -------------------
+
+REPEAT_SPAN_K = 8  # minimum repeated-span length, in tokens
+
+
+def positional_shingles(docs: DataFrame, k: int = REPEAT_SPAN_K) -> DataFrame:
+    """``(doc_id, pos, h)`` for every token position: ``h`` hashes the
+    ``k``-token window starting at 1-based ``pos``.  Unlike
+    ``shingle_table`` this keeps POSITIONS and duplicates (occurrence
+    semantics, not set semantics) — the input to span assembly.  Docs
+    shorter than ``k`` tokens contribute nothing (no >= k-token span can
+    start in them)."""
+    return (
+        docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+        .select(
+            "doc_id", "toks",
+            F.explode(
+                F.when(
+                    F.size("toks") >= k,
+                    F.sequence(F.lit(1), F.size("toks") - (k - 1)),
+                ).otherwise(F.array().cast("array<int>"))
+            ).alias("pos"),
+        )
+        .select(
+            "doc_id",
+            F.col("pos").cast("long").alias("pos"),
+            md5_hash64(
+                F.concat_ws(" ", F.slice(F.col("toks"), F.col("pos"), k))
+            ).alias("h"),
+        )
+    )
+
+
+def repeated_spans(docs: DataFrame, k: int = REPEAT_SPAN_K) -> DataFrame:
+    """Maximal repeated token spans — the arbitrary-span exact-dedup pass
+    corpus builds run after fixed-window ``chunk_dedup`` and line-level
+    ``drop_boilerplate_lines`` (the suffix-array dedup of Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better", re-shaped
+    for a distributed engine).  A position is MARKED when its ``k``-token
+    window occurs >= 2 times corpus-wide (other docs or elsewhere in the
+    same doc); maximal runs of consecutive marked positions become spans
+    ``[span_start, span_end]`` (1-based token indexes, inclusive) — every
+    ``k``-window inside a span is repeated somewhere, so the span is safe
+    to cut.  Returns ``(doc_id, span_start, span_end, span_len)``.
+
+    Scale shape: instead of a global suffix array (a monolithic sort the
+    original formulation needs), this is one map-side-combinable
+    groupBy(h) occurrence count, one equi-join back on the uniform hash
+    key, and per-doc windows partitioned by doc_id — sort + neighborhood
+    scan, never pairwise docs.  Collisions of the mod-P hash can
+    over-mark a position (~df²/2P expected) — acceptable for a dedup
+    pass and engine-identical since the oracle mirrors the same hash; at
+    100 TB swap md5_hash64 for full-width xxhash64 (core.py note).
+    """
+    from pyspark.sql import Window
+
+    sh = positional_shingles(docs, k)
+    occ = (
+        sh.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .filter(F.col("n_occ") >= 2)
+        .select("h")
+    )
+    marked = sh.join(occ, "h").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = (
+        marked
+        .withColumn(
+            "new_run",
+            F.when(F.col("pos") - F.lag("pos", 1).over(w) == 1, F.lit(0))
+            .otherwise(F.lit(1)),
+        )
+        .withColumn(
+            "run_id",
+            F.sum("new_run").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    return (
+        runs.groupBy("doc_id", "run_id")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(k - 1)).alias("span_end"),
+        )
+        .select(
+            "doc_id",
+            F.col("span_start").cast("long").alias("span_start"),
+            F.col("span_end").cast("long").alias("span_end"),
+            (F.col("span_end") - F.col("span_start") + 1)
+            .cast("long").alias("span_len"),
+        )
+    )
+
+
+def drop_repeated_spans(docs: DataFrame,
+                        k: int = REPEAT_SPAN_K) -> DataFrame:
+    """The corpus after cutting every repeated span: tokens covered by a
+    ``repeated_spans`` interval are removed, survivors re-joined with
+    single spaces.  Returns ``(doc_id, n_tokens_before, n_tokens_after,
+    clean_text)`` for every input doc (docs without repeats pass through
+    with equal counts).
+
+    Scale: one groupBy(doc_id) folds a doc's spans into one array (span
+    count per doc is bounded by doc length / k), one left join back to
+    the corpus, then a per-row higher-order filter — no second shuffle,
+    no UDF."""
+    spans = repeated_spans(docs, k)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("spans"))
+    base = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    joined = base.join(per_doc, "doc_id", "left").select(
+        "doc_id", "toks",
+        F.coalesce(
+            F.col("spans"),
+            F.array().cast(
+                "array<struct<span_start:bigint,span_end:bigint>>"),
+        ).alias("spans"),
+    )
+    indexed = F.transform(
+        F.col("toks"),
+        lambda t, i: F.struct(t.alias("t"), (i + 1).cast("long").alias("i")),
+    )
+    kept = F.filter(
+        indexed,
+        lambda s: ~F.exists(
+            F.col("spans"),
+            lambda sp: (s["i"] >= sp["span_start"])
+            & (s["i"] <= sp["span_end"]),
+        ),
+    )
+    return joined.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens_before"),
+        F.size(kept).cast("long").alias("n_tokens_after"),
+        F.concat_ws(
+            " ", F.transform(kept, lambda s: s["t"])).alias("clean_text"),
+    )

@@ -81,6 +81,32 @@ BAND_SIGS = f"""list_transform(range(0, 4),
          (acc, m) -> (acc * 31 + m) % {P})))"""
 
 
+# positional 8-gram shingles -> corpus occurrence marking -> per-doc
+# consecutive-run grouping (repeated_spans k=8; REPEAT_SPAN_K in dedup.py)
+_REPEAT_RUNS_CTE = f"""t AS (SELECT doc_id, {TOKS} AS toks FROM docs_aug),
+sh AS (
+  SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+         {md5h("array_to_string(toks[u.i:u.i+7], ' ')")} AS h
+  FROM t, unnest(CASE WHEN len(toks) >= 8
+                      THEN range(1, len(toks) - 6)
+                      ELSE CAST([] AS BIGINT[]) END) AS u(i)
+),
+occ AS (SELECT h FROM sh GROUP BY h HAVING count(*) >= 2),
+m AS (SELECT doc_id, pos FROM sh JOIN occ USING (h)),
+r AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                = 1 THEN 0 ELSE 1 END AS new_run
+  FROM m
+),
+g AS (
+  SELECT doc_id, pos,
+         sum(new_run) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM r
+)"""
+
+
 def dot_sql(a: str, b: str, dim: int = 64) -> str:
     return (
         f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
@@ -543,6 +569,49 @@ g AS (SELECT text_md5, min(doc_id) AS canonical_doc_id,
 SELECT h.doc_id, h.text_md5, g.canonical_doc_id, g.dup_group_size,
        h.doc_id <> g.canonical_doc_id AS is_duplicate
 FROM h JOIN g USING (text_md5)
+""",
+        # mirrors pipeline/dedup.py repeated_spans (k=8): positional
+        # 8-gram occurrence marking + consecutive-run merge via windows
+        # (lag/sum over doc_id partitions — the same two-window shape)
+        "dedup_repeated_spans": f"""
+WITH {DOCS},
+{_REPEAT_RUNS_CTE}
+SELECT doc_id,
+       CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + 7 AS BIGINT) AS span_end,
+       CAST(max(pos) + 7 - min(pos) + 1 AS BIGINT) AS span_len
+FROM g GROUP BY doc_id, run_id
+""",
+        # mirrors pipeline/dedup.py drop_repeated_spans: cut every span,
+        # re-join survivors with single spaces (1-based list_filter index
+        # twin of the Spark transform/filter chain)
+        "dedup_drop_repeated_spans": f"""
+WITH {DOCS},
+{_REPEAT_RUNS_CTE},
+spans AS (
+  SELECT doc_id, CAST(min(pos) AS BIGINT) AS s,
+         CAST(max(pos) + 7 AS BIGINT) AS e
+  FROM g GROUP BY doc_id, run_id
+),
+per_doc AS (
+  SELECT doc_id, list(struct_pack(s := s, e := e)) AS sp
+  FROM spans GROUP BY doc_id
+),
+joined AS (
+  SELECT t.doc_id, t.toks,
+         coalesce(p.sp, CAST([] AS STRUCT(s BIGINT, e BIGINT)[])) AS sp
+  FROM t LEFT JOIN per_doc p USING (doc_id)
+),
+kf AS (
+  SELECT doc_id, toks,
+         list_filter(toks, (tok, i) ->
+           len(list_filter(sp, q -> i >= q.s AND i <= q.e)) = 0) AS kept
+  FROM joined
+)
+SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens_before,
+       CAST(len(kept) AS BIGINT) AS n_tokens_after,
+       coalesce(array_to_string(kept, ' '), '') AS clean_text
+FROM kf
 """,
         # mirrors pipeline/dedup.py decontaminate_report: train docs
         # sharing >= 3 distinct shingles with the eval corpus' shingle set
