@@ -53,6 +53,23 @@ def tokens(text: Column) -> Column:
     )
 
 
+def tokens_for(text: Column, tokenizer: str = "whitespace") -> Column:
+    """Pluggable tokenizer selector for the operators whose budgets are
+    measured in tokens (chunk_tokens, pack budgets via its counts,
+    vocabulary): ``whitespace`` is the oracle-parity default (DuckDB
+    mirrors it 1:1); ``bpe`` switches to the deterministic subword
+    tokenizer (pipeline/bpe.py) so budgets mean MODEL tokens — verified
+    by a Python-mirror differential instead of a SQL oracle."""
+    if tokenizer == "whitespace":
+        return tokens(text)
+    if tokenizer == "bpe":
+        from .bpe import bpe_tokens
+
+        return bpe_tokens(text)
+    raise ValueError(
+        f"unknown tokenizer {tokenizer!r} (expected 'whitespace' or 'bpe')")
+
+
 def char_fold_hash(s: Column) -> Column:
     """Polynomial rolling hash of a string: fold (acc*31 + code) % P."""
     return F.aggregate(

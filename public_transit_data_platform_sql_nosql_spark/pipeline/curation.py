@@ -171,15 +171,24 @@ def curated_corpus(docs: DataFrame, labels: DataFrame,
 
 
 def chunk_tokens(docs: DataFrame, chunk_size: int = CHUNK_SIZE,
-                 overlap: int = CHUNK_OVERLAP) -> DataFrame:
+                 overlap: int = CHUNK_OVERLAP,
+                 tokenizer: str = "whitespace") -> DataFrame:
     """Context-window chunking: overlapping token windows of
     ``chunk_size`` every ``chunk_size - overlap`` tokens — the pass that
     turns documents into training sequences.  Chunk k covers tokens
     [k*step, k*step + chunk_size); chunks are generated while the start
     is inside the doc, so the tail may be short.  Each chunk carries a
-    content hash for downstream chunk-level dedup."""
+    content hash for downstream chunk-level dedup.
+
+    ``tokenizer="bpe"`` switches the unit to subword tokens
+    (core.tokens_for), so ``chunk_size``/``overlap`` — and every
+    downstream budget measured on ``n_chunk_tokens``, pack_sequences
+    included — mean MODEL tokens; whitespace stays the oracle-parity
+    default."""
+    from .core import tokens_for
+
     step = chunk_size - overlap
-    toks = tokens(F.col("text"))
+    toks = tokens_for(F.col("text"), tokenizer)
     # ceil(n/step) in pure integer arithmetic — same DIV discipline as
     # stratified_cap (see the round-on-cast note there); mirrored in the
     # DuckDB oracle

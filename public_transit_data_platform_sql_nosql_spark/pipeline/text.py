@@ -129,7 +129,8 @@ def text_profile(docs: DataFrame) -> DataFrame:
 
 
 def vocabulary(docs: DataFrame, top_k: int | None = None,
-               min_count: int = 1) -> DataFrame:
+               min_count: int = 1,
+               tokenizer: str = "whitespace") -> DataFrame:
     """Corpus token-frequency table — the input a tokenizer-training or
     stopword-induction step consumes.
 
@@ -141,8 +142,11 @@ def vocabulary(docs: DataFrame, top_k: int | None = None,
     partial aggregation — the hot key reaches the shuffle once per
     partition.
     """
+    from .core import tokens_for
+
     vocab = (
-        docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+        docs.select(
+            F.explode(tokens_for(F.col("text"), tokenizer)).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
         .filter(F.col("n_occurrences") >= min_count)
