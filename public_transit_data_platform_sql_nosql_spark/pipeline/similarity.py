@@ -533,3 +533,113 @@ def ann_recall(approx: DataFrame, exact: DataFrame) -> DataFrame:
             "recall_permille",
             F.expr("n_hit * 1000 div greatest(n_exact, 1)").cast("long"))
     )
+
+
+def _exact_index_topk(spark, path: str, query_vec, k: int) -> DataFrame:
+    """Ground truth for the recall monitor: brute-force cosine top-k
+    over the WHOLE stored index (no partition pruning)."""
+    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        spark.read.parquet(path)
+        .select("vec_id",
+                F.round(cosine(F.col("embedding"), qcol), 6)
+                .alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def _sampled_recall(spark, path: str, queries: list, k: int,
+                    nprobe: int) -> int:
+    """MIN per-query recall (integer permille) of the nprobe-pruned
+    serving path against brute force, over the sampled query vectors.
+    Min, not mean: one drifted region is exactly what the monitor must
+    not average away."""
+    approx = None
+    exact = None
+    for qid, qv in queries:
+        a = ivf_index_topk(spark, path, qv, k=k, nprobe=nprobe).select(
+            F.lit(qid).cast("long").alias("query_id"),
+            F.col("vec_id").alias("neighbor_id"))
+        e = _exact_index_topk(spark, path, qv, k).select(
+            F.lit(qid).cast("long").alias("query_id"),
+            F.col("vec_id").alias("neighbor_id"))
+        approx = a if approx is None else approx.unionByName(a)
+        exact = e if exact is None else exact.unionByName(e)
+    row = (ann_recall(approx, exact)
+           .agg(F.min("recall_permille").alias("r")).collect()[0])
+    return int(row["r"])
+
+
+def maintain_ivf_index(spark, path: str, new_emb: DataFrame, *,
+                       k: int = 10, nprobe: int = 2,
+                       recall_floor_permille: int = 900,
+                       max_nprobe: int | None = None,
+                       sample_queries: int = 8,
+                       rebuild: bool = True) -> dict:
+    """The closed IVF maintenance loop: merge a vector batch
+    (``ivf_index_upsert``), measure serving recall on a deterministic
+    sample of the batch (``ann_recall`` of the nprobe-pruned path vs
+    brute force), and return the operational decision AS DATA:
+
+    - ``"ok"``           — min sampled recall >= the floor; no action.
+    - ``"bump_nprobe"``  — recall recovered by probing more clusters
+                           (doubled, capped at ``max_nprobe`` / the
+                           cluster count); ``nprobe`` in the result is
+                           the new setting to serve with.
+    - ``"rebuild"``      — recall stays under the floor even at the
+                           probe cap: the batch drifted past what the
+                           stored centroids partition well (vectors
+                           straddling stale cluster boundaries).  With
+                           ``rebuild=True`` the index is re-clustered
+                           in place from its own stored vectors
+                           (eagerly materialized first — a lazy
+                           read-then-overwrite of the same path would
+                           corrupt it) and recall is re-measured.
+
+    Scale: the upsert touches only receiving cluster directories; the
+    recall probe is ``sample_queries`` bounded top-k jobs (each reads
+    nprobe directories + one full scan for ground truth — the monitor's
+    honest cost, run on a SAMPLE precisely so it stays O(sample), and
+    amortized per maintenance batch, not per query).
+    """
+    st = ivf_index_upsert(spark, path, new_emb)
+    queries = [
+        (int(r["vec_id"]), list(r["embedding"]))
+        for r in new_emb.select("vec_id", "embedding")
+        .orderBy("vec_id").limit(sample_queries).collect()
+    ]
+    n_clusters = spark.read.parquet(f"{path}/_centroids").count()
+    cap = min(max_nprobe or n_clusters, n_clusters)
+    out = {"rows_upserted": st.get("rows_upserted"),
+           "n_queries": len(queries), "nprobe": nprobe,
+           "recall_floor_permille": recall_floor_permille}
+    if not queries:
+        out.update(decision="ok", recall_permille=None)
+        return out
+
+    r0 = _sampled_recall(spark, path, queries, k, nprobe)
+    out["recall_permille"] = r0
+    if r0 >= recall_floor_permille:
+        out["decision"] = "ok"
+        return out
+
+    bumped = min(max(nprobe * 2, nprobe + 1), cap)
+    if bumped > nprobe:
+        r1 = _sampled_recall(spark, path, queries, k, bumped)
+        out["recall_after_bump_permille"] = r1
+        if r1 >= recall_floor_permille:
+            out.update(decision="bump_nprobe", nprobe=bumped)
+            return out
+
+    out["decision"] = "rebuild"
+    if rebuild:
+        stored = (
+            spark.read.parquet(path)
+            .select("vec_id", "embedding")
+            .localCheckpoint(eager=True)
+        )
+        write_ivf_index(stored, path, k=n_clusters)
+        out["recall_after_rebuild_permille"] = _sampled_recall(
+            spark, path, queries, k, nprobe)
+    return out

@@ -204,3 +204,73 @@ def stops_nearby(stops: DataFrame, lat: float, lon: float,
         .orderBy(F.asc("dist2_deg"), F.asc("stop_id"))
     )
     return out.limit(limit) if limit is not None else out
+
+
+def write_stops_cell_layout(stops: DataFrame, path: str,
+                            eps: float = DEFAULT_EPS) -> None:
+    """Persist stops hive-partitioned by grid cell — the serving layout
+    ``stops_nearby`` was designed against (its docstring promises the
+    integer-cell filter is "partition-prunable under a cell-partitioned
+    layout"; this is the writer that makes that true — the geo twin of
+    ``write_ivf_index``, pipeline/similarity.py).
+
+    Layout: ``cx=NN/cy=MM/`` directories keyed by the same floor-divide
+    cell ids the query side computes, plus a one-row ``_meta`` table
+    (cell width + lon scale) so readers reconstruct the exact geometry
+    instead of trusting a caller-supplied eps.  At scale a nearby
+    lookup then reads a handful of directories, not the stop table.
+    """
+    if eps <= 0:
+        raise ValueError(f"eps must be positive, got {eps!r}")
+    out = (
+        stops
+        .withColumn("cx", F.floor(F.col("stop_lat") / F.lit(eps)))
+        .withColumn(
+            "cy",
+            F.floor(F.col("stop_lon") * F.lit(LON_SCALE) / F.lit(eps)))
+    )
+    (
+        out.repartition("cx", "cy")
+        .write.mode("overwrite").partitionBy("cx", "cy").parquet(path)
+    )
+    spark = stops.sparkSession
+    (
+        spark.createDataFrame([(float(eps), float(LON_SCALE))],
+                              "eps double, lon_scale double")
+        .coalesce(1).write.mode("overwrite").parquet(f"{path}/_meta")
+    )
+
+
+def stops_nearby_indexed(spark, path: str, lat: float, lon: float,
+                         radius: float = DEFAULT_EPS,
+                         limit: int | None = None) -> DataFrame:
+    """``stops_nearby`` over a ``write_stops_cell_layout`` directory:
+    the candidate cell RANGE covering the query disk is computed
+    driver-side in the LAYOUT's cell width (read from ``_meta``) and
+    pushed as IN filters on the partition columns — PartitionFilters
+    prune to the covering rectangle before any distance math runs
+    (plan-asserted in tests/test_geo.py).  Any query radius works
+    against any layout width: a radius of r covers ceil(2r/eps)+1 cells
+    per axis.  Returns the same rows, columns, and order as the
+    in-memory ``stops_nearby`` at equal parameters."""
+    if radius <= 0:
+        raise ValueError(f"radius must be positive, got {radius!r}")
+    import math
+
+    meta = spark.read.parquet(f"{path}/_meta").collect()[0]
+    eps = meta["eps"]
+    slon = lon * LON_SCALE
+    cxs = list(range(math.floor((lat - radius) / eps),
+                     math.floor((lat + radius) / eps) + 1))
+    cys = list(range(math.floor((slon - radius) / eps),
+                     math.floor((slon + radius) / eps) + 1))
+    d2 = _dist2(F.lit(lat), F.lit(lon),
+                F.col("stop_lat"), F.col("stop_lon"))
+    out = (
+        spark.read.parquet(path)
+        .filter(F.col("cx").isin(cxs) & F.col("cy").isin(cys))
+        .filter(d2 <= F.lit(radius) * F.lit(radius))
+        .select("stop_id", "stop_lat", "stop_lon", d2.alias("dist2_deg"))
+        .orderBy(F.asc("dist2_deg"), F.asc("stop_id"))
+    )
+    return out.limit(limit) if limit is not None else out

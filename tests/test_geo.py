@@ -127,3 +127,64 @@ def test_transfer_walk_candidates(spark):
     assert got[("1", "3")].is_walk_candidate
     # stops with no routes at all grade as 0 (candidate)
     assert got[("6", "7")].n_shared_routes == 0
+
+
+# --- cell-partitioned serving layout --------------------------------------
+
+
+def test_cell_layout_roundtrip_parity(spark, tmp_path):
+    """stops_nearby_indexed over the written layout returns the same
+    rows, columns and order as the in-memory stops_nearby at equal
+    parameters — for the layout-native radius AND a different one."""
+    from public_transit_data_platform_sql_nosql_spark.queries.geo import (
+        stops_nearby,
+        stops_nearby_indexed,
+        write_stops_cell_layout,
+    )
+
+    stops = stops_df(ROWS)
+    path = str(tmp_path / "stops_cells")
+    write_stops_cell_layout(stops, path, eps=0.02)
+    for lat, lon, radius in [(43.1, -79.1, 0.02), (43.1, -79.1, 0.05),
+                             (43.5, -79.5, 0.011), (10.0, 10.0, 0.02)]:
+        want = [
+            (r["stop_id"], r["stop_lat"], r["stop_lon"], r["dist2_deg"])
+            for r in stops_nearby(stops, lat, lon, radius).collect()]
+        got = [
+            (r["stop_id"], r["stop_lat"], r["stop_lon"], r["dist2_deg"])
+            for r in stops_nearby_indexed(
+                spark, path, lat, lon, radius).collect()]
+        assert got == want, (lat, lon, radius)
+
+
+def test_cell_layout_plan_prunes_partitions(spark, tmp_path):
+    """The indexed lookup's scan carries PartitionFilters on the cell
+    columns — the layout prunes BEFORE any distance math (the same
+    assert test_kmeans makes for the IVF layout)."""
+    from public_transit_data_platform_sql_nosql_spark.plans import (
+        executed_plan,
+    )
+    from public_transit_data_platform_sql_nosql_spark.queries.geo import (
+        stops_nearby_indexed,
+        write_stops_cell_layout,
+    )
+
+    write_stops_cell_layout(stops_df(ROWS), str(tmp_path / "sc"), eps=0.02)
+    df = stops_nearby_indexed(spark, str(tmp_path / "sc"), 43.1, -79.1)
+    plan = executed_plan(df)
+    assert "PartitionFilters" in plan, plan
+    assert "cx" in plan.split("PartitionFilters")[1][:300], plan
+
+
+def test_cell_layout_rejects_bad_eps(spark, tmp_path):
+    from public_transit_data_platform_sql_nosql_spark.queries.geo import (
+        stops_nearby_indexed,
+        write_stops_cell_layout,
+    )
+
+    with pytest.raises(ValueError, match="eps must be positive"):
+        write_stops_cell_layout(stops_df(ROWS), str(tmp_path / "x"), eps=0)
+    write_stops_cell_layout(stops_df(ROWS), str(tmp_path / "y"), eps=0.02)
+    with pytest.raises(ValueError, match="radius must be positive"):
+        stops_nearby_indexed(spark, str(tmp_path / "y"), 43.0, -79.0,
+                             radius=-1)

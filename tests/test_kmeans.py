@@ -222,3 +222,95 @@ def test_ivf_index_upsert_touches_only_receiving_partitions(spark,
                              k=2, nprobe=2).collect()
     assert {r["vec_id"] for r in top} == {0, 999999}
     assert all(r["cos_sim"] == 1.0 for r in top)
+
+
+# --- maintenance loop (upsert -> recall monitor -> decision) --------------
+
+
+def _mk_emb(spark, rows):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<double>")
+
+
+def _two_group_base(spark):
+    """Two tight groups: A along axis 0, B along axis 1 (8-dim)."""
+    rows = []
+    for i in range(20):
+        a = [1.0, 0.001 * i] + [0.0] * 6
+        b = [0.001 * i, 1.0] + [0.0] * 6
+        rows.append((i, a))
+        rows.append((100 + i, b))
+    return _mk_emb(spark, rows)
+
+
+def _straddle_batch(spark, n=16):
+    """Drift batch: vectors near the A/B boundary, alternately tilted so
+    the stored centroids split them across BOTH clusters — their mutual
+    nearest neighbors then straddle a stale cluster boundary, which is
+    exactly the drift pattern that breaks nprobe=1 serving."""
+    rows = []
+    for i in range(n):
+        v = [1.0, 1.0] + [0.001 * i] * 6
+        v[i % 2] += 0.05
+        rows.append((1000 + i, v))
+    return _mk_emb(spark, rows)
+
+
+def test_maintain_ok_when_batch_matches_geometry(spark, tmp_path):
+    """A batch from the SAME distribution as a stored cluster keeps
+    recall at the floor -> decision 'ok', index untouched."""
+    path = str(tmp_path / "ivf_ok")
+    sim.write_ivf_index(_two_group_base(spark), path, k=2)
+    batch = _mk_emb(spark, [
+        (2000 + i, [1.0, 0.002 * i + 0.0005] + [0.0] * 6)
+        for i in range(6)
+    ])
+    st = sim.maintain_ivf_index(spark, path, batch, k=5, nprobe=1,
+                                sample_queries=4)
+    assert st["decision"] == "ok"
+    assert st["recall_permille"] >= 900
+    assert st["nprobe"] == 1
+
+
+def test_maintain_planted_drift_flips_to_bump(spark, tmp_path):
+    """Boundary-straddling drift tanks nprobe=1 recall; doubling the
+    probes recovers it -> decision 'bump_nprobe' with the new setting."""
+    path = str(tmp_path / "ivf_bump")
+    sim.write_ivf_index(_two_group_base(spark), path, k=2)
+    st = sim.maintain_ivf_index(spark, path, _straddle_batch(spark),
+                                k=10, nprobe=1, sample_queries=4)
+    assert st["recall_permille"] < 900
+    assert st["decision"] == "bump_nprobe"
+    assert st["nprobe"] == 2
+    assert st["recall_after_bump_permille"] >= 900
+
+
+def test_maintain_planted_drift_rebuilds_at_probe_cap(spark, tmp_path):
+    """Same drift but the probe budget is capped at 1: the only move
+    left is re-clustering -> decision 'rebuild', executed in place, and
+    the re-measured recall improves (the drift group now has its own
+    centroid geometry)."""
+    path = str(tmp_path / "ivf_rebuild")
+    sim.write_ivf_index(_two_group_base(spark), path, k=2)
+    st = sim.maintain_ivf_index(spark, path, _straddle_batch(spark),
+                                k=10, nprobe=1, max_nprobe=1,
+                                sample_queries=4)
+    assert st["decision"] == "rebuild"
+    assert "recall_after_bump_permille" not in st
+    assert st["recall_after_rebuild_permille"] > st["recall_permille"]
+    # the index still serves and holds base + batch
+    assert spark.read.parquet(path).count() == 40 + 16
+    q = sim.ivf_index_topk(
+        spark, path, [1.05, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0],
+        k=3, nprobe=2)
+    assert len(q.collect()) == 3
+
+
+def test_maintain_empty_batch_is_ok(spark, tmp_path):
+    path = str(tmp_path / "ivf_empty")
+    sim.write_ivf_index(_two_group_base(spark), path, k=2)
+    empty = _mk_emb(spark, [])
+    st = sim.maintain_ivf_index(spark, path, empty, k=5, nprobe=1)
+    assert st["decision"] == "ok"
+    assert st["recall_permille"] is None
