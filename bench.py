@@ -13,6 +13,17 @@ NOTE round-over-round totals: r4 ADDED three heavyweights to the headline
 set (dedup_clusters — the full connected-components fixpoint,
 pipeline_curated_corpus, text_profile replacing the narrower
 text_quality), so compare BENCH_r4+ totals per-query, not by the sum.
+
+NOTE r5->r6 drift triage (r7): the queries that moved 28-58% between r5
+and r6 with zero code change (dedup_minhash_lsh, text_profile, q3,
+pipeline_curated_corpus) were re-measured in r7 with a 6-rep
+interleaved A/B in one solo session — every one reproduced its R6
+number (e.g. text_profile med 0.58 vs r6 0.56; q3 2.73 vs 2.56), not
+its r5 number, so the shift is BOX-level (r5 ran on a faster box
+state), not a plan regression.  One structural finding: the huge
+codegen'd minhash expression takes ~5 executions to reach C2 steady
+state (solo ramp 3.24 -> 2.27 s), so a single untimed warmup left the
+timed median mid-ramp — hence the SECOND warmup below.
 """
 
 from __future__ import annotations
@@ -67,11 +78,16 @@ def main() -> None:
         # so repeated reps would otherwise accumulate stale cached blocks
         # and measure GC pressure instead of the plan
         spark.catalog.clearCache()
-        # one untimed warmup per query: first execution of a novel plan
-        # pays JIT/codegen compilation that a steady-state cluster
+        # TWO untimed warmups per query: the first execution of a novel
+        # plan pays JIT/codegen compilation that a steady-state cluster
         # amortizes away (r6 measured dedup_clusters first-touch at 34 s
-        # vs 4 s steady); the timed medians measure the plan
-        qs[name](spark, SF_DIR).count()
+        # vs 4 s steady), and the largest codegen'd expressions keep
+        # improving for several executions (r7 measured minhash's C2
+        # ramp at 3.24 -> 2.27 s over ~5 reps) — one warmup left the
+        # timed median mid-ramp and round-over-round comparisons noisy
+        for _ in range(2):
+            spark.catalog.clearCache()
+            qs[name](spark, SF_DIR).count()
         samples, n = [], 0
         for _ in range(3):
             # and between reps: each invocation of a persisting query
@@ -111,6 +127,7 @@ def _is_headline_extra(name: str) -> bool:
         "events_asof", "events_range", "events_interval",
         "semantic_dedup",
         "text_search_bm25", "geo_stop_pairs",
+        "dedup_repeated_spans",  # r7: the suffix-array-style exact dedup
     ))
 
 

@@ -694,6 +694,14 @@ def repeated_spans(docs: DataFrame, k: int = REPEAT_SPAN_K) -> DataFrame:
     over-mark a position (~df²/2P expected) — acceptable for a dedup
     pass and engine-identical since the oracle mirrors the same hash; at
     100 TB swap md5_hash64 for full-width xxhash64 (core.py note).
+
+    The shingle table feeds BOTH the count and the mark join, so the
+    corpus is scanned (and tokenized) twice — deliberate: the
+    (doc, pos, h) table is LARGER than the corpus, so caching it buys
+    one scan at token-table memory cost.  If scans dominate at your
+    scale, persist ``positional_shingles(...)`` with
+    ``StorageLevel.DISK_ONLY`` and pass it through; the plan shape is
+    otherwise unchanged.
     """
     from pyspark.sql import Window
 
