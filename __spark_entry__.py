@@ -45,6 +45,7 @@ from public_transit_data_platform_sql_nosql_spark.queries import geo as geoq
 from public_transit_data_platform_sql_nosql_spark.pipeline import (
     curation as pcur,
 )
+from public_transit_data_platform_sql_nosql_spark.pipeline import bpe as pbpe
 from public_transit_data_platform_sql_nosql_spark.pipeline import dedup as pdedup
 from public_transit_data_platform_sql_nosql_spark.pipeline import (
     multimodal as pmm,
@@ -992,6 +993,17 @@ _EXTRA_QUERIES = {
     "geo_stops_nearby":
         lambda s, d: geoq.stops_nearby(
             register_gtfs_views(s, d)["stops"], 43.5, -79.5, radius=0.05),
+    # self-supervised bigram-LM fluency scoring (integer micro transition
+    # mass, add-V smoothing — the log-free perplexity-style quality
+    # signal beside the heuristic quality_scores)
+    "text_lm_score":
+        lambda s, d: ptext.lm_transition_scores(_aug(s, d)),
+    # BPE merge-table training ON the corpus (one corpus pass to the
+    # piece-frequency table, then vocabulary-sized rounds); inherently
+    # iterative with per-round argmax — Python-mirror differential in
+    # tests/test_bpe.py instead of a SQL oracle (rows-only driver check)
+    "text_learn_merges":
+        lambda s, d: pbpe.learn_merges(_aug(s, d), n_merges=16),
     # arbitrary-span repeated-substring exact dedup (suffix-array-style,
     # Lee et al. 2022 re-shaped as hash-mark + run-merge): maximal >= 8-
     # token spans whose every 8-gram repeats corpus-wide, and the corpus

@@ -183,6 +183,28 @@ def cmd_dedup_index(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_tokenizer_train(args: argparse.Namespace) -> int:
+    """Learn a BPE merge table from a documents parquet and write it as
+    JSON — the ``merges.txt`` artifact of a tokenizer-training run
+    (feed it back via pipeline/bpe.bpe_tokens(merges=...))."""
+    spark = _spark("tokenizer-train")
+    from .pipeline.bpe import learn_merges
+
+    docs = spark.read.parquet(args.docs)
+    rows = learn_merges(docs, n_merges=args.n_merges).orderBy("rank").collect()
+    payload = {
+        "n_merges": len(rows),
+        "merges": [[r["left"], r["right"]] for r in rows],
+        "pair_counts": [int(r["pair_count"]) for r in rows],
+    }
+    if args.out:
+        with open(args.out, "w", encoding="utf-8") as f:
+            json.dump(payload, f)
+    print(json.dumps({"n_merges": payload["n_merges"],
+                      "out": args.out or None}))
+    return 0
+
+
 def cmd_plan(args: argparse.Namespace) -> int:
     """Print the scale screening (plan_summary) — and optionally the
     full formatted physical plan — of any registered engine query, by
@@ -314,6 +336,16 @@ def main(argv: list[str] | None = None) -> int:
     px.add_argument("--keep-out", default=None,
                     help="append surviving docs to this parquet dir")
     px.set_defaults(fn=cmd_dedup_index)
+
+    pt = sub.add_parser(
+        "tokenizer-train",
+        help="learn a BPE merge table from a documents parquet")
+    pt.add_argument("--docs", required=True,
+                    help="parquet dir of documents (doc_id, text)")
+    pt.add_argument("--n-merges", type=int, default=64)
+    pt.add_argument("--out", default=None,
+                    help="write the merge table as JSON here")
+    pt.set_defaults(fn=cmd_tokenizer_train)
 
     pl = sub.add_parser(
         "plan", help="scale-screen a query's physical plan")

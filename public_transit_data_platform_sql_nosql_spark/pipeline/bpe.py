@@ -82,21 +82,21 @@ def _validate_merges() -> None:
 _validate_merges()
 
 
-def _merge_table() -> Column:
+def _merge_table(merges) -> Column:
     return F.array(*[
         F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"),
                  F.lit(a + b).alias("ab"))
-        for a, b in MERGES
+        for a, b in merges
     ])
 
 
-def _apply_merges(symbols: Column) -> Column:
+def _apply_merges(symbols: Column, merges) -> Column:
     """Fold the merge table over a symbol array: outer aggregate walks
-    MERGES in order, inner aggregate is the greedy left-to-right pass
-    for one merge.  Both engines of the differential (this and
+    the merges in order, inner aggregate is the greedy left-to-right
+    pass for one merge.  Both engines of the differential (this and
     bpe_encode) implement this exact fold."""
     return F.aggregate(
-        _merge_table(),
+        _merge_table(merges),
         symbols,
         lambda acc, m: F.aggregate(
             acc,
@@ -111,23 +111,28 @@ def _apply_merges(symbols: Column) -> Column:
     )
 
 
-def bpe_tokens(text: Column) -> Column:
+def bpe_tokens(text: Column, merges=None) -> Column:
     """array<string> of BPE subword tokens for ``text`` — pure Column
     expression; empty/blank text yields an empty array (regexp on the
-    empty string extracts nothing)."""
+    empty string extracts nothing).  ``merges`` defaults to the shipped
+    table; pass a learned one (``learn_merges`` collected to tuples) to
+    tokenize with it."""
     pieces = F.regexp_extract_all(F.lower(text), F.lit(BPE_REGEX), 0)
     return F.flatten(
-        F.transform(pieces, lambda p: _apply_merges(F.split(p, ""))))
+        F.transform(
+            pieces,
+            lambda p: _apply_merges(F.split(p, ""),
+                                    MERGES if merges is None else merges)))
 
 
-def bpe_encode(text: str) -> list[str]:
+def bpe_encode(text: str, merges=None) -> list[str]:
     """Python mirror of ``bpe_tokens`` (same pre-split, same fold)."""
     import re
 
     out: list[str] = []
     for piece in re.findall(BPE_REGEX, text.lower()):
         syms = list(piece)
-        for a, b in MERGES:
+        for a, b in (MERGES if merges is None else merges):
             merged: list[str] = []
             for x in syms:
                 if merged and merged[-1] == a and x == b:
@@ -136,4 +141,118 @@ def bpe_encode(text: str) -> list[str]:
                     merged.append(x)
             syms = merged
         out.extend(syms)
+    return out
+
+
+def learn_merges(docs, n_merges: int = 16):
+    """Learn a BPE merge table FROM the corpus — the tokenizer-training
+    step upstream of everything ``tokenizer="bpe"`` consumes.  Returns a
+    DataFrame ``(rank, left, right, merged, pair_count)`` with one row
+    per learned merge in priority order; feed
+    ``[(r.left, r.right) ...]`` to ``bpe_tokens``/``bpe_encode``.
+
+    Algorithm (classic BPE training, re-shaped for the engine): ONE
+    corpus pass builds the piece-frequency table (regexp pre-split +
+    map-side-combined groupBy — the same trick real trainers use:
+    iterate over the WORD-FREQUENCY dict, never the corpus), then each
+    round counts adjacent symbol pairs weighted by piece frequency,
+    collects the single argmax row (count DESC, pair ASC — total order,
+    so the learned table is engine-deterministic), and rewrites the
+    symbol arrays with that one merge.
+
+    Scale: per-round cost is |distinct pieces| (vocabulary-sized, NOT
+    corpus-sized); the corpus is scanned exactly once.  Each round is
+    one shuffle + a ONE-ROW collect (the argmax is the round's output —
+    inherently a driver decision, same bounded-collect class as the
+    k-row centroid reads).  ``localCheckpoint`` truncates the
+    per-round expression growth exactly as ``embedding_kmeans_iterate``
+    does.  Real 50k-merge trainings run this on a corpus SAMPLE —
+    sample upstream (curation.split) rather than scaling rounds here.
+    """
+    spark = docs.sparkSession
+    pieces = (
+        docs.select(
+            F.explode(
+                F.regexp_extract_all(
+                    F.lower(F.col("text")), F.lit(BPE_REGEX), 0)
+            ).alias("piece"))
+        .groupBy("piece")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(F.split("piece", "").alias("syms"), "n")
+        .localCheckpoint(eager=True)
+    )
+    learned: list[tuple] = []
+    for rank in range(n_merges):
+        pair_counts = (
+            pieces.select(
+                F.explode(
+                    F.when(
+                        F.size("syms") >= 2,
+                        F.transform(
+                            F.sequence(F.lit(1), F.size("syms") - 1),
+                            lambda i: F.struct(
+                                F.element_at(F.col("syms"), i).alias("a"),
+                                F.element_at(F.col("syms"), i + 1)
+                                .alias("b")),
+                        ),
+                    ).otherwise(
+                        F.array().cast(
+                            "array<struct<a:string,b:string>>"))
+                ).alias("p"),
+                "n",
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("n").cast("long").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not pair_counts:
+            break
+        best = pair_counts[0]
+        a, b, cnt = best["a"], best["b"], int(best["cnt"])
+        learned.append((rank, a, b, a + b, cnt))
+        nxt = pieces.select(
+            _apply_merges(F.col("syms"), [(a, b)]).alias("syms"), "n"
+        ).localCheckpoint(eager=True)
+        pieces.unpersist()
+        pieces = nxt
+    pieces.unpersist()
+    return spark.createDataFrame(
+        learned,
+        "rank long, left string, right string, merged string, "
+        "pair_count long")
+
+
+def learn_merges_py(texts: list[str], n_merges: int = 16) -> list[tuple]:
+    """Python mirror of ``learn_merges`` (same pre-split, weighting,
+    tiebreak, and single-merge rewrite) for the differential tests."""
+    import re
+    from collections import Counter
+
+    vocab: Counter = Counter()
+    for t in texts:
+        for piece in re.findall(BPE_REGEX, t.lower()):
+            vocab[piece] += 1
+    syms = {p: list(p) for p in vocab}
+    out: list[tuple] = []
+    for rank in range(n_merges):
+        pc: Counter = Counter()
+        for p, n in vocab.items():
+            s = syms[p]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += n
+        if not pc:
+            break
+        (a, b), cnt = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        out.append((rank, a, b, a + b, cnt))
+        for p in syms:
+            merged: list[str] = []
+            for x in syms[p]:
+                if merged and merged[-1] == a and x == b:
+                    merged[-1] = a + b
+                else:
+                    merged.append(x)
+            syms[p] = merged
     return out

@@ -570,6 +570,46 @@ SELECT h.doc_id, h.text_md5, g.canonical_doc_id, g.dup_group_size,
        h.doc_id <> g.canonical_doc_id AS is_duplicate
 FROM h JOIN g USING (text_md5)
 """,
+        # mirrors pipeline/text.py lm_transition_scores: self-supervised
+        # bigram LM fluency — integer micro transition mass, add-V
+        # smoothing, per-doc integer mean; under-2-token docs keep a
+        # NULL score (0 transitions)
+        "text_lm_score": f"""
+WITH {DOCS},
+t AS (SELECT doc_id, {TOKS} AS toks FROM docs_aug),
+tr AS (
+  SELECT doc_id, toks[u.i] AS w1, toks[u.i + 1] AS w2
+  FROM t, unnest(CASE WHEN len(toks) >= 2
+                      THEN range(1, len(toks))
+                      ELSE CAST([] AS BIGINT[]) END) AS u(i)
+),
+uni AS (
+  SELECT w1, CAST(count(*) AS BIGINT) AS c1
+  FROM (SELECT unnest(toks) AS w1 FROM t) GROUP BY w1
+),
+big AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS cbig
+  FROM tr GROUP BY w1, w2
+),
+v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni),
+sc AS (
+  SELECT tr.doc_id,
+         CAST((big.cbig * 1000000) // (uni.c1 + v.v) AS BIGINT) AS micro
+  FROM tr
+  JOIN big USING (w1, w2)
+  JOIN uni USING (w1)
+  CROSS JOIN v
+),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_transitions,
+         CAST(sum(micro) // count(*) AS BIGINT) AS lm_score_micro
+  FROM sc GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(coalesce(agg.n_transitions, 0) AS BIGINT) AS n_transitions,
+       agg.lm_score_micro
+FROM t LEFT JOIN agg USING (doc_id)
+""",
         # mirrors pipeline/dedup.py repeated_spans (k=8): positional
         # 8-gram occurrence marking + consecutive-run merge via windows
         # (lag/sum over doc_id partitions — the same two-window shape)

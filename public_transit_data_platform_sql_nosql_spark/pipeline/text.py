@@ -368,3 +368,87 @@ def hybrid_search(docs: DataFrame, emb: DataFrame,
         .orderBy(F.desc("rrf_micro"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def lm_transition_scores(docs: DataFrame) -> DataFrame:
+    """Bigram language-model fluency scoring — the perplexity-style
+    quality signal corpus filters run beside the heuristic
+    ``quality_scores`` (fluent prose has typical word-to-word
+    transitions; keyboard mash, shuffled text, and tag soup do not).
+
+    Self-supervised on the corpus itself: unigram and bigram counts
+    come from ONE pass over the documents, then every adjacent pair
+    (w1, w2) in a doc scores the integer micro transition mass
+
+        micro = (count(w1,w2) * 1_000_000) DIV (count(w1) + V)
+
+    (add-V smoothing denominator, V = distinct unigrams) and a doc's
+    score is the integer mean over its transitions.  Deliberately
+    log-free: transcendentals are not bit-identical across engines, and
+    the DIV chain hash-compares exactly (same discipline as the BM25
+    idf).  Returns ``(doc_id, n_transitions, lm_score_micro)`` for
+    EVERY doc — under-2-token docs carry 0 transitions and a NULL score
+    (no evidence), never a fake 0.
+
+    Scale shape: transitions are a per-doc projection behind one
+    Generate; the count tables are map-side-combined aggregates; the
+    scoring joins are hash equi-joins on (w1, w2)/(w1) against
+    distinct-key-sized tables, plus a one-row broadcast for V (the
+    bounded-broadcast BNLJ class the plan lint whitelists).  Hot
+    bigrams skew the probe side only as much as they skew the corpus —
+    AQE's skew split applies.
+    """
+    base = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    trans = (
+        base.select(
+            "doc_id",
+            F.explode(
+                F.when(
+                    F.size("toks") >= 2,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("toks") - 1),
+                        lambda i: F.struct(
+                            F.element_at(F.col("toks"), i).alias("w1"),
+                            F.element_at(F.col("toks"), i + 1)
+                            .alias("w2")),
+                    ),
+                ).otherwise(
+                    F.array().cast("array<struct<w1:string,w2:string>>"))
+            ).alias("t"),
+        )
+        .select("doc_id", "t.w1", "t.w2")
+    )
+    uni = (
+        base.select(F.explode("toks").alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).cast("long").alias("c1"))
+    )
+    big = (
+        trans.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("cbig"))
+    )
+    vocab_n = uni.agg(F.count(F.lit(1)).cast("long").alias("v"))
+    scored = (
+        trans.join(big, ["w1", "w2"])
+        .join(uni, "w1")
+        .join(F.broadcast(vocab_n))
+        .select(
+            "doc_id",
+            F.expr("cbig * 1000000 DIV (c1 + v)").cast("long")
+            .alias("micro"))
+    )
+    agg = (
+        scored.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_transitions"),
+             F.expr("sum(micro) DIV count(1)").cast("long")
+             .alias("lm_score_micro"))
+    )
+    return (
+        base.select("doc_id").join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_transitions"), F.lit(0)).cast("long")
+            .alias("n_transitions"),
+            F.col("lm_score_micro"),
+        )
+    )

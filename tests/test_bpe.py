@@ -174,3 +174,46 @@ def test_unknown_tokenizer_rejected(spark):
 
     with pytest.raises(ValueError, match="unknown tokenizer"):
         tokens_for(F.col("text"), "wordpiece")
+
+
+# --- merge-table learning -------------------------------------------------
+
+
+def test_learn_merges_matches_python_mirror_corpus(spark):
+    """Spark merge training on the sf0.001 corpus == the literal Python
+    mirror: same pairs, same order, same counts."""
+    from public_transit_data_platform_sql_nosql_spark.pipeline.bpe import (
+        learn_merges,
+        learn_merges_py,
+    )
+
+    docs = E._aug(spark, SF_DIR).limit(80)
+    texts = [r["text"] for r in docs.select("text").collect()]
+    got = [
+        (r["rank"], r["left"], r["right"], r["merged"], r["pair_count"])
+        for r in learn_merges(docs, n_merges=12).orderBy("rank").collect()]
+    assert got == learn_merges_py(texts, 12)
+    assert len(got) == 12
+
+
+def test_learn_merges_early_stop_and_roundtrip(spark):
+    """Training stops when no pair remains; the learned table round-trips
+    into bpe_tokens/bpe_encode and compresses the training corpus."""
+    from public_transit_data_platform_sql_nosql_spark.pipeline.bpe import (
+        bpe_encode,
+        bpe_tokens,
+        learn_merges,
+    )
+
+    texts = ["ab ab ab", "ab cd", "cd cd"]
+    df = _docs(spark, texts)
+    rows = learn_merges(df, n_merges=10).orderBy("rank").collect()
+    # only 2 possible merges exist ((a,b) and (c,d)); training stops
+    assert [(r["left"], r["right"]) for r in rows] == [("a", "b"),
+                                                       ("c", "d")]
+    merges = [(r["left"], r["right"]) for r in rows]
+    assert bpe_encode("ab cd", merges) == ["ab", "cd"]
+    got = df.select(
+        bpe_tokens(F.col("text"), merges).alias("bt")).collect()
+    for r, t in zip(got, texts):
+        assert r["bt"] == bpe_encode(t, merges)

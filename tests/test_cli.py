@@ -179,3 +179,30 @@ def test_cli_delete_and_sql(spark, tmp_path, capsys):
                  "SELECT stop_id FROM stops ORDER BY stop_id"]) == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["columns"] == ["stop_id"] and len(out["rows"]) == 3
+
+
+def test_cli_tokenizer_train(spark, tmp_path, capsys):
+    """tokenizer-train learns merges from a documents parquet, writes
+    the JSON artifact, and the table round-trips into bpe_encode
+    matching the Python trainer on the same corpus."""
+    from public_transit_data_platform_sql_nosql_spark.pipeline.bpe import (
+        bpe_encode,
+        learn_merges_py,
+    )
+
+    texts = ["the thing sings", "a singing thing", "rings and things"]
+    docs_dir = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)],
+        "doc_id long, text string").write.parquet(docs_dir)
+    out = str(tmp_path / "merges.json")
+    assert main(["tokenizer-train", "--docs", docs_dir,
+                 "--n-merges", "6", "--out", out]) == 0
+    st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert st["n_merges"] == 6
+    payload = json.loads(open(out).read())
+    want = learn_merges_py(texts, 6)
+    assert payload["merges"] == [[a, b] for _, a, b, _, _ in want]
+    merges = [tuple(m) for m in payload["merges"]]
+    assert bpe_encode("the singing thing", merges) == bpe_encode(
+        "the singing thing", [(a, b) for _, a, b, _, _ in want])

@@ -45,6 +45,9 @@ BOUNDED_BNLJ: dict[str, str] = {
     # vector broadcast; both nested-loop sides are single rows
     "text_hybrid_search": "broadcast sides = 1-row stats + 1-row query",
     "text_tfidf_keywords": "broadcast side = 1-row corpus count",
+    # vocabulary-size scalar (V in the add-V smoothing denominator):
+    # 1-row aggregate broadcast (text.py lm_transition_scores docstring)
+    "text_lm_score": "broadcast side = 1-row vocab count",
 }
 
 

@@ -189,3 +189,79 @@ def test_hybrid_search_rejects_missing_query_vector(spark):
     with pytest.raises(ValueError, match="not in emb"):
         hybrid_search(E._aug(spark, SF_DIR), E._emb(spark, SF_DIR),
                       ["spark"], query_vec_id=10**9)
+
+
+# --- bigram LM fluency scoring --------------------------------------------
+
+
+def _lm_mirror(texts):
+    """Literal Python recomputation of lm_transition_scores."""
+    from collections import Counter
+
+    toks = {i: t.lower().split() for i, t in enumerate(texts)}
+    uni = Counter(w for tt in toks.values() for w in tt)
+    big = Counter(
+        (tt[i], tt[i + 1])
+        for tt in toks.values() for i in range(len(tt) - 1))
+    v = len(uni)
+    out = {}
+    for doc_id, tt in toks.items():
+        micros = [
+            big[(tt[i], tt[i + 1])] * 1_000_000 // (uni[tt[i]] + v)
+            for i in range(len(tt) - 1)
+        ]
+        out[doc_id] = (len(micros),
+                       sum(micros) // len(micros) if micros else None)
+    return out
+
+
+def test_lm_score_matches_python_mirror(spark):
+    """Randomized small-vocab corpus against the literal mirror."""
+    import numpy as np
+
+    from public_transit_data_platform_sql_nosql_spark.pipeline.text import (
+        lm_transition_scores,
+    )
+
+    rng = np.random.default_rng(41)
+    vocab = [f"w{i}" for i in range(9)]
+    texts = [" ".join(rng.choice(vocab, size=int(rng.integers(0, 25))))
+             for _ in range(40)] + ["solo", ""]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_transitions"], r["lm_score_micro"])
+           for r in lm_transition_scores(docs).collect()}
+    assert got == _lm_mirror(texts)
+
+
+def test_lm_score_ranks_fluent_above_shuffled(spark):
+    """The signal does its job: text made of the corpus's common
+    transitions outscores the same words in a never-seen order."""
+    from public_transit_data_platform_sql_nosql_spark.pipeline.text import (
+        lm_transition_scores,
+    )
+
+    base = ["the cat sat on the mat"] * 10
+    fluent = "the cat sat on the mat"
+    shuffled = "mat the on cat the sat"
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(base + [fluent, shuffled])],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["lm_score_micro"]
+           for r in lm_transition_scores(docs).collect()}
+    assert got[10] > got[11]
+
+
+def test_lm_score_no_evidence_is_null(spark):
+    from public_transit_data_platform_sql_nosql_spark.pipeline.text import (
+        lm_transition_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "word"), (1, ""), (2, "two words")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_transitions"], r["lm_score_micro"])
+          for r in lm_transition_scores(docs).collect()}
+    assert got[0] == (0, None)
+    assert got[1] == (0, None)
+    assert got[2][0] == 1 and got[2][1] is not None
