@@ -42,6 +42,7 @@ from public_transit_data_platform_sql_nosql_spark.queries.q4_hourly_frequency im
 )
 from public_transit_data_platform_sql_nosql_spark.queries import events as ev
 from public_transit_data_platform_sql_nosql_spark.queries import geo as geoq
+from public_transit_data_platform_sql_nosql_spark.queries import graph as graphq
 from public_transit_data_platform_sql_nosql_spark.pipeline import (
     curation as pcur,
 )
@@ -993,6 +994,13 @@ _EXTRA_QUERIES = {
     "geo_stops_nearby":
         lambda s, d: geoq.stops_nearby(
             register_gtfs_views(s, d)["stops"], 43.5, -79.5, radius=0.05),
+    # min-ride BFS over the stop-route bipartite graph (journey-planner
+    # reachability: which stops within 2 transfers of stop '1', and in
+    # how few rides) — per-level hash joins, frontier anti-join prune
+    "transit_reachable_stops":
+        lambda s, d: (lambda v: graphq.reachable_stops(
+            v["stop_times"], v["trips"], "1", max_transfers=2))(
+            register_gtfs_views(s, d)),
     # self-supervised bigram-LM fluency scoring (integer micro transition
     # mass, add-V smoothing — the log-free perplexity-style quality
     # signal beside the heuristic quality_scores)
@@ -1220,6 +1228,31 @@ WHERE (CAST(43.5 AS DOUBLE) - stop_lat)
           * ((CAST(-79.5 AS DOUBLE) - stop_lon) * CAST(0.725 AS DOUBLE))
       <= CAST(0.05 AS DOUBLE) * CAST(0.05 AS DOUBLE)
 ORDER BY dist2_deg, stop_id
+""",
+        # mirrors queries/graph.py reachable_stops('1', max_transfers=2):
+        # unrolled min-ride BFS — the Spark side's frontier anti-join
+        # prune is a performance device (min() makes it semantically
+        # inert), so the oracle states the plain level unroll + min
+        "transit_reachable_stops": f"""
+{c},
+sr AS (
+  SELECT DISTINCT st.stop_id, t.route_id
+  FROM stop_times st JOIN trips t USING (trip_id)
+),
+r1 AS (SELECT DISTINCT route_id FROM sr WHERE stop_id = '1'),
+s1 AS (SELECT DISTINCT sr.stop_id FROM sr JOIN r1 USING (route_id)),
+r2 AS (SELECT DISTINCT sr.route_id FROM sr JOIN s1 USING (stop_id)),
+s2 AS (SELECT DISTINCT sr.stop_id FROM sr JOIN r2 USING (route_id)),
+r3 AS (SELECT DISTINCT sr.route_id FROM sr JOIN s2 USING (stop_id)),
+s3 AS (SELECT DISTINCT sr.stop_id FROM sr JOIN r3 USING (route_id)),
+u AS (
+  SELECT '1' AS stop_id, 0 AS n
+  UNION ALL SELECT stop_id, 1 FROM s1
+  UNION ALL SELECT stop_id, 2 FROM s2
+  UNION ALL SELECT stop_id, 3 FROM s3
+)
+SELECT stop_id, CAST(min(n) AS BIGINT) AS n_rides
+FROM u GROUP BY stop_id
 """,
         "q2_longest_trip_path": f"""
 {c},

@@ -1,0 +1,82 @@
+"""Transit-graph reachability (extension surface).
+
+The reference renders stops and routes but never answers "what can I
+reach from here?" — the first question of a journey planner.  This
+module adds minimum-ride BFS over the stop-route bipartite graph
+(`/root/reference/SQL/transit schema.sql:62-76` defines the underlying
+stops/trips/stop_times relations), built the way a distributed engine
+does graph expansion: per-level hash equi-joins over the edge table,
+never an adjacency broadcast or a driver-side frontier.
+
+Semantics: a RIDE boards one route; ``n_rides(stop)`` is the minimum
+number of rides to reach ``stop`` (0 for the origin, 1 for every stop
+sharing a route with it, ...).  Transfers = rides - 1.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def stop_route_edges(stop_times: DataFrame, trips: DataFrame) -> DataFrame:
+    """Distinct (stop_id, route_id) bipartite edge table — the transit
+    graph every expansion below walks.  Dimension-sized (stops x
+    routes-per-stop), not fact-sized."""
+    return (
+        stop_times.join(trips.select("trip_id", "route_id"), "trip_id")
+        .select("stop_id", "route_id")
+        .distinct()
+    )
+
+
+def reachable_stops(stop_times: DataFrame, trips: DataFrame,
+                    origin_stop_id: str,
+                    max_transfers: int = 2) -> DataFrame:
+    """All stops reachable from ``origin_stop_id`` within
+    ``max_transfers`` transfers, with the minimum ride count:
+    ``(stop_id, n_rides)``, ``n_rides = 0`` for the origin itself.
+
+    Each BFS level is two hash equi-joins against the persisted edge
+    table (stops -> routes they serve -> stops on those routes), with a
+    left-anti prune against everything already reached so the frontier
+    only carries NEW stops — the same frontier discipline as
+    ``dedup_clusters``'s label propagation.  ``max_transfers`` is a
+    compile-time constant (levels unroll into ONE static plan — no
+    driver round-trips); for deep-k graph walks, re-persist the frontier
+    per round instead (the dedup_clusters/localCheckpoint pattern).
+
+    The edge table feeds every level (2 joins per level), so it is
+    persisted here — it is dimension-sized by construction, and without
+    the persist each level re-runs the stop_times x trips join.
+    An origin serving no route yields just the origin row.
+    """
+    if max_transfers < 0:
+        raise ValueError(
+            f"max_transfers must be >= 0, got {max_transfers!r}")
+    spark = stop_times.sparkSession
+    sr = stop_route_edges(stop_times, trips).persist()
+    origin = spark.createDataFrame(
+        [(str(origin_stop_id), 0)], "stop_id string, n_rides int")
+    levels = [origin]
+    reached = origin.select("stop_id")
+    frontier = reached
+    for k in range(1, max_transfers + 2):  # rides = transfers + 1
+        routes_k = (
+            sr.join(frontier, "stop_id").select("route_id").distinct())
+        stops_k = (
+            sr.join(routes_k, "route_id").select("stop_id").distinct()
+            .join(reached, "stop_id", "left_anti")
+        )
+        levels.append(stops_k.withColumn("n_rides", F.lit(k)))
+        reached = reached.unionByName(stops_k)
+        frontier = stops_k
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    # the anti-join prune already guarantees one row per stop; the min
+    # aggregate keeps the operator's contract independent of pruning
+    return (
+        out.groupBy("stop_id")
+        .agg(F.min("n_rides").cast("long").alias("n_rides"))
+    )
