@@ -1001,6 +1001,12 @@ _EXTRA_QUERIES = {
         lambda s, d: (lambda v: graphq.reachable_stops(
             v["stop_times"], v["trips"], "1", max_transfers=2))(
             register_gtfs_views(s, d)),
+    # the multimodal twin: one <= 2.2 km walk hop allowed before /
+    # between / after rides (geo walk edges composed into the BFS)
+    "transit_reachable_multimodal":
+        lambda s, d: (lambda v: graphq.reachable_stops_multimodal(
+            v["stop_times"], v["trips"], v["stops"], "1",
+            max_transfers=2))(register_gtfs_views(s, d)),
     # self-supervised bigram-LM fluency scoring (integer micro transition
     # mass, add-V smoothing — the log-free perplexity-style quality
     # signal beside the heuristic quality_scores)
@@ -1250,6 +1256,70 @@ u AS (
   UNION ALL SELECT stop_id, 1 FROM s1
   UNION ALL SELECT stop_id, 2 FROM s2
   UNION ALL SELECT stop_id, 3 FROM s3
+)
+SELECT stop_id, CAST(min(n) AS BIGINT) AS n_rides
+FROM u GROUP BY stop_id
+""",
+        # mirrors queries/graph.py reachable_stops_multimodal('1', 2,
+        # eps=0.02): the ride unroll above + one walk hop per level via
+        # the SAME grid-blocked pair CTE the geo family uses (symmetric
+        # closure of the a<b pair table)
+        "transit_reachable_multimodal": f"""
+{c},
+sr AS (
+  SELECT DISTINCT st.stop_id, t.route_id
+  FROM stop_times st JOIN trips t USING (trip_id)
+),
+pts AS (
+  SELECT stop_id, stop_lat, stop_lon,
+         CAST(floor(stop_lat / CAST(0.02 AS DOUBLE)) AS BIGINT) AS cx,
+         CAST(floor(stop_lon * CAST(0.725 AS DOUBLE)
+                    / CAST(0.02 AS DOUBLE)) AS BIGINT) AS cy
+  FROM stops
+),
+lft AS (
+  SELECT p.stop_id AS id_a, p.stop_lat AS lat_a, p.stop_lon AS lon_a,
+         p.cx + dx.d AS cx, p.cy + dy.d AS cy
+  FROM pts p,
+       (SELECT unnest([-1, 0, 1]) AS d) dx,
+       (SELECT unnest([-1, 0, 1]) AS d) dy
+),
+wp AS (
+  SELECT l.id_a AS stop_id_a, r.stop_id AS stop_id_b
+  FROM lft l JOIN pts r ON l.cx = r.cx AND l.cy = r.cy
+  WHERE CAST(l.id_a AS BIGINT) < CAST(r.stop_id AS BIGINT)
+    AND (l.lat_a - r.stop_lat) * (l.lat_a - r.stop_lat)
+          + ((l.lon_a - r.stop_lon) * CAST(0.725 AS DOUBLE))
+            * ((l.lon_a - r.stop_lon) * CAST(0.725 AS DOUBLE))
+        <= CAST(0.02 AS DOUBLE) * CAST(0.02 AS DOUBLE)
+),
+walk AS (
+  SELECT stop_id_a AS stop_id, stop_id_b AS walk_id FROM wp
+  UNION ALL
+  SELECT stop_id_b AS stop_id, stop_id_a AS walk_id FROM wp
+),
+a0 AS (
+  SELECT '1' AS stop_id
+  UNION
+  SELECT walk_id FROM walk WHERE stop_id = '1'
+),
+r1 AS (SELECT DISTINCT route_id FROM sr JOIN a0 USING (stop_id)),
+s1 AS (SELECT DISTINCT sr.stop_id FROM sr JOIN r1 USING (route_id)),
+a1 AS (SELECT stop_id FROM s1
+       UNION SELECT walk.walk_id FROM walk JOIN s1 USING (stop_id)),
+r2 AS (SELECT DISTINCT sr.route_id FROM sr JOIN a1 USING (stop_id)),
+s2 AS (SELECT DISTINCT sr.stop_id FROM sr JOIN r2 USING (route_id)),
+a2 AS (SELECT stop_id FROM s2
+       UNION SELECT walk.walk_id FROM walk JOIN s2 USING (stop_id)),
+r3 AS (SELECT DISTINCT sr.route_id FROM sr JOIN a2 USING (stop_id)),
+s3 AS (SELECT DISTINCT sr.stop_id FROM sr JOIN r3 USING (route_id)),
+a3 AS (SELECT stop_id FROM s3
+       UNION SELECT walk.walk_id FROM walk JOIN s3 USING (stop_id)),
+u AS (
+  SELECT stop_id, 0 AS n FROM a0
+  UNION ALL SELECT stop_id, 1 FROM a1
+  UNION ALL SELECT stop_id, 2 FROM a2
+  UNION ALL SELECT stop_id, 3 FROM a3
 )
 SELECT stop_id, CAST(min(n) AS BIGINT) AS n_rides
 FROM u GROUP BY stop_id

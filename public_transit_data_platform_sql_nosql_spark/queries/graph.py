@@ -80,3 +80,68 @@ def reachable_stops(stop_times: DataFrame, trips: DataFrame,
         out.groupBy("stop_id")
         .agg(F.min("n_rides").cast("long").alias("n_rides"))
     )
+
+
+def walk_edges(stops: DataFrame, eps: float = 0.02) -> DataFrame:
+    """Symmetric walkable edges from the grid-blocked radius self-join
+    (queries/geo.py stop_pairs_within): ``(stop_id, walk_id)`` in BOTH
+    directions — the pedestrian layer of a multimodal graph."""
+    from .geo import stop_pairs_within
+
+    pairs = stop_pairs_within(stops, eps)
+    fwd = pairs.select(F.col("stop_id_a").alias("stop_id"),
+                       F.col("stop_id_b").alias("walk_id"))
+    rev = pairs.select(F.col("stop_id_b").alias("stop_id"),
+                       F.col("stop_id_a").alias("walk_id"))
+    return fwd.unionByName(rev)
+
+
+def reachable_stops_multimodal(stop_times: DataFrame, trips: DataFrame,
+                               stops: DataFrame, origin_stop_id: str,
+                               max_transfers: int = 2,
+                               eps: float = 0.02) -> DataFrame:
+    """Walk-aware reachability: like :func:`reachable_stops`, but with
+    at most ONE walk hop (<= ``eps`` latitude-equivalent degrees,
+    queries/geo.py metric) allowed before the first ride, between
+    consecutive rides, and after the last — the standard multimodal
+    ride/walk alternation, bounded so the walk layer cannot chain into
+    unbounded pedestrian closure.  ``n_rides`` still counts rides only;
+    walking is free.
+
+    Each level is the ride expansion of :func:`reachable_stops` plus
+    one hash join against the symmetric walk-edge table (persisted —
+    it feeds every level); the frontier anti-join prune and the final
+    ``min`` keep the same contract.  The oracle mirrors the unrolled
+    levels with the same grid-blocked walk CTE the geo family uses.
+    """
+    if max_transfers < 0:
+        raise ValueError(
+            f"max_transfers must be >= 0, got {max_transfers!r}")
+    spark = stop_times.sparkSession
+    sr = stop_route_edges(stop_times, trips).persist()
+    walk = walk_edges(stops, eps).persist()
+
+    def _walk_expand(s: DataFrame) -> DataFrame:
+        stepped = s.join(walk, "stop_id").select(
+            F.col("walk_id").alias("stop_id"))
+        return s.unionByName(stepped).distinct()
+
+    origin = spark.createDataFrame(
+        [(str(origin_stop_id),)], "stop_id string")
+    at = _walk_expand(origin)  # where you can BE with 0 rides
+    levels = [at.withColumn("n_rides", F.lit(0))]
+    reached = at
+    for k in range(1, max_transfers + 2):
+        routes_k = sr.join(at, "stop_id").select("route_id").distinct()
+        rode = sr.join(routes_k, "route_id").select("stop_id").distinct()
+        at = _walk_expand(rode)
+        fresh = at.join(reached, "stop_id", "left_anti")
+        levels.append(fresh.withColumn("n_rides", F.lit(k)))
+        reached = reached.unionByName(fresh)
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return (
+        out.groupBy("stop_id")
+        .agg(F.min("n_rides").cast("long").alias("n_rides"))
+    )

@@ -12,12 +12,16 @@ from public_transit_data_platform_sql_nosql_spark.queries.graph import (
 
 
 def _net(spark):
-    """R1:{A,B}  R2:{B,C}  R3:{C,D}  R4:{E,F} (disconnected island)."""
+    """R1:{1,2}  R2:{2,3}  R3:{3,4}  R4:{5,6} (disconnected island).
+
+    Numeric stop ids: the geo layer (stop_pairs_within) orders pairs by
+    CAST(stop_id AS BIGINT), the documented contract of the stops table.
+    """
     st = spark.createDataFrame(
-        [("t1", "A", 1), ("t1", "B", 2),
-         ("t2", "B", 1), ("t2", "C", 2),
-         ("t3", "C", 1), ("t3", "D", 2),
-         ("t4", "E", 1), ("t4", "F", 2)],
+        [("t1", "1", 1), ("t1", "2", 2),
+         ("t2", "2", 1), ("t2", "3", 2),
+         ("t3", "3", 1), ("t3", "4", 2),
+         ("t4", "5", 1), ("t4", "6", 2)],
         "trip_id string, stop_id string, stop_sequence int")
     tr = spark.createDataFrame(
         [("t1", "R1"), ("t2", "R2"), ("t3", "R3"), ("t4", "R4")],
@@ -35,32 +39,32 @@ def _reach(spark, origin, max_transfers):
 
 
 def test_chain_levels_and_min_rides(spark):
-    got = _reach(spark, "A", 2)
-    # D needs 3 rides (2 transfers); the island never appears
-    assert got == {"A": 0, "B": 1, "C": 2, "D": 3}
+    got = _reach(spark, "1", 2)
+    # stop 4 needs 3 rides (2 transfers); the island never appears
+    assert got == {"1": 0, "2": 1, "3": 2, "4": 3}
 
 
 def test_transfer_budget_cuts_the_chain(spark):
-    assert _reach(spark, "A", 1) == {"A": 0, "B": 1, "C": 2}
-    assert _reach(spark, "A", 0) == {"A": 0, "B": 1}
+    assert _reach(spark, "1", 1) == {"1": 0, "2": 1, "3": 2}
+    assert _reach(spark, "1", 0) == {"1": 0, "2": 1}
 
 
 def test_min_over_multiple_paths(spark):
-    """B reaches A (1 ride via R1) and C (1 ride via R2): both level-1
-    even though C is also reachable in 3 rides the long way."""
-    assert _reach(spark, "B", 2) == {"A": 1, "B": 0, "C": 1, "D": 2}
+    """Stop 2 reaches 1 (one ride via R1) and 3 (one ride via R2): both
+    level-1 even though 3 is also reachable the long way."""
+    assert _reach(spark, "2", 2) == {"1": 1, "2": 0, "3": 1, "4": 2}
 
 
 def test_island_origin_and_unserved_origin(spark):
-    assert _reach(spark, "E", 2) == {"E": 0, "F": 1}
+    assert _reach(spark, "5", 2) == {"5": 0, "6": 1}
     # an origin serving no route yields only itself
-    assert _reach(spark, "Z", 2) == {"Z": 0}
+    assert _reach(spark, "9", 2) == {"9": 0}
 
 
 def test_rejects_negative_budget(spark):
     st, tr = _net(spark)
     with pytest.raises(ValueError, match="max_transfers"):
-        reachable_stops(st, tr, "A", max_transfers=-1)
+        reachable_stops(st, tr, "1", max_transfers=-1)
 
 
 def test_edge_table_is_distinct(spark):
@@ -76,6 +80,75 @@ def test_plan_no_cartesian(spark):
     )
 
     st, tr = _net(spark)
-    s = plan_summary(reachable_stops(st, tr, "A"))
+    s = plan_summary(reachable_stops(st, tr, "1"))
     assert s["cartesian_products"] == 0
     assert s["broadcast_nested_loop_joins"] == 0
+
+
+# --- walk-aware (multimodal) ----------------------------------------------
+
+
+def _stops(spark):
+    """Stops 4 and 5 sit ~0.01 deg apart (walkable at eps=0.02) — the only
+    bridge between the R1-R2-R3 chain and the R4 island.  Everything
+    else is far apart."""
+    return spark.createDataFrame(
+        [("1", "1", 43.10, -79.10), ("2", "2", 43.50, -79.50),
+         ("3", "3", 43.90, -79.90), ("4", "4", 44.30, -78.70),
+         ("5", "5", 44.31, -78.70), ("6", "6", 44.70, -78.30)],
+        "stop_id string, stop_name string, stop_lat double, "
+        "stop_lon double")
+
+
+def _mm_reach(spark, origin, max_transfers):
+    from public_transit_data_platform_sql_nosql_spark.queries.graph import (
+        reachable_stops_multimodal,
+    )
+
+    st, tr = _net(spark)
+    return {
+        r["stop_id"]: r["n_rides"]
+        for r in reachable_stops_multimodal(
+            st, tr, _stops(spark), origin,
+            max_transfers=max_transfers).collect()
+    }
+
+
+def test_walk_bridge_connects_the_island(spark):
+    """Pure-ride BFS never reaches the island from stop 1; one walk
+    hop 4->5 does:
+    ride to stop 4 (3 rides), walk to 5 free, so 6 needs a 4th ride — out of
+    budget at max_transfers=2, in at 3."""
+    assert _reach(spark, "1", 2) == {"1": 0, "2": 1, "3": 2, "4": 3}
+    got = _mm_reach(spark, "1", 2)
+    assert got == {"1": 0, "2": 1, "3": 2, "4": 3, "5": 3}
+    got3 = _mm_reach(spark, "1", 3)
+    assert got3 == {"1": 0, "2": 1, "3": 2, "4": 3, "5": 3, "6": 4}
+
+
+def test_walk_before_first_ride(spark):
+    """Starting at island stop 5: walk to 4 first (0 rides), then ride
+    the chain backwards."""
+    got = _mm_reach(spark, "5", 2)
+    assert got == {"5": 0, "6": 1, "4": 0, "3": 1, "2": 2, "1": 3}
+
+
+def test_single_walk_hop_does_not_chain(spark):
+    """A lone origin with a walkable neighbor but no routes: exactly
+    one hop, not pedestrian closure."""
+    from public_transit_data_platform_sql_nosql_spark.queries.graph import (
+        reachable_stops_multimodal,
+    )
+
+    st, tr = _net(spark)
+    stops = spark.createDataFrame(
+        [("7", "7", 10.0, 10.0), ("8", "8", 10.01, 10.0),
+         ("9", "9", 10.025, 10.0)],
+        "stop_id string, stop_name string, stop_lat double, "
+        "stop_lon double")
+    got = {r["stop_id"]: r["n_rides"]
+           for r in reachable_stops_multimodal(
+               st, tr, stops, "7", max_transfers=2).collect()}
+    # 7-8 walkable, 8-9* walkable, 7-9* not: one hop reaches 8 only,
+    # and with no routes there the BFS never rides further
+    assert got == {"7": 0, "8": 0}
