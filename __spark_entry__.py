@@ -364,6 +364,17 @@ def _events(spark, sf_dir):
     return register_tpch(spark, sf_dir, ("events",))["events"]
 
 
+def _lineitem(spark, sf_dir):
+    from public_transit_data_platform_sql_nosql_spark.sources.tpch_adapter import (
+        register_tpch,
+    )
+
+    return register_tpch(spark, sf_dir, ("lineitem",))["lineitem"]
+
+
+_QUANTILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
 def _events_asof_join(spark, sf_dir):
     """As-of join (operators/asof.py): every click gains the same user's
     most recent purchase at-or-before it.  The right side is
@@ -1007,6 +1018,16 @@ _EXTRA_QUERIES = {
         lambda s, d: (lambda v: graphq.reachable_stops_multimodal(
             v["stop_times"], v["trips"], v["stops"], "1",
             max_transfers=2))(register_gtfs_views(s, d)),
+    # exact column quantiles over the fact table (distribution half of
+    # profiling); percentile vs quantile_cont measured bit-identical —
+    # approx_column_quantiles is the pytest-error-bounded scale path
+    "profile_quantiles":
+        lambda s, d: pprof.column_quantiles(
+            _lineitem(s, d), _QUANTILE_COLS),
+    # per-(source, lang) curation dashboard: doc counts, emptiness,
+    # exact-dup pressure, token/char volume, integer-mean quality
+    "pipeline_corpus_report":
+        lambda s, d: pprof.corpus_report(_aug(s, d)),
     # self-supervised bigram-LM fluency scoring (integer micro transition
     # mass, add-V smoothing — the log-free perplexity-style quality
     # signal beside the heuristic quality_scores)

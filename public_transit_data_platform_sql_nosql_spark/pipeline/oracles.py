@@ -570,6 +570,62 @@ SELECT h.doc_id, h.text_md5, g.canonical_doc_id, g.dup_group_size,
        h.doc_id <> g.canonical_doc_id AS is_duplicate
 FROM h JOIN g USING (text_md5)
 """,
+        # mirrors pipeline/profile.py column_quantiles over lineitem:
+        # quantile_cont's (n-1)*p interpolation is bit-identical to
+        # Spark's exact percentile (measured; both the standard rule)
+        "profile_quantiles": "\nUNION ALL\n".join(
+            f'SELECT \'{c}\' AS "column", CAST({p} AS DOUBLE) AS p, '
+            f"CAST(quantile_cont({c}, {p}) AS DOUBLE) AS value "
+            f"FROM lineitem"
+            for c in ("l_quantity", "l_extendedprice",
+                      "l_discount", "l_tax")
+            for p in (0.01, 0.25, 0.5, 0.75, 0.9, 0.99)
+        ),
+        # mirrors pipeline/profile.py corpus_report: per-(source, lang)
+        # curation dashboard — integer micro quality quantized BEFORE the
+        # group sum, so means are order-independent DIV arithmetic
+        "pipeline_corpus_report": f"""
+WITH {DOCS},
+cq AS (
+  SELECT source, lang,
+         CAST(len({TOKS}) AS BIGINT) AS n_tok,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(len(list_filter({TOKS}, t -> t IN {_IN_STOP})) AS BIGINT)
+           AS n_stop,
+         CAST(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g'))
+              AS BIGINT) AS n_punct,
+         CASE WHEN trim(text) = '' THEN 1 ELSE 0 END AS is_empty,
+         md5(text) AS text_md5
+  FROM docs_aug
+),
+cr AS (
+  SELECT source, lang, n_tok, n_chars, is_empty, text_md5,
+         n_stop / CAST(greatest(n_tok, 1) AS DOUBLE) AS stop_ratio,
+         n_punct / CAST(greatest(n_chars, 1) AS DOUBLE) AS punct_ratio,
+         n_chars / CAST(greatest(n_tok, 1) AS DOUBLE) AS mean_word_len
+  FROM cq
+),
+cs AS (
+  SELECT source, lang, n_tok, n_chars, is_empty, text_md5,
+         CAST(round(round(
+           least(n_tok / 100.0, 1.0) * 0.3
+           + (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.3
+           + (CASE WHEN stop_ratio >= 0.03 AND stop_ratio <= 0.6
+                   THEN 1.0 ELSE 0.5 END) * 0.2
+           + least(mean_word_len / 8.0, 1.0) * 0.2, 6)
+           * 1000000.0, 0) AS BIGINT) AS q_micro
+  FROM cr
+)
+SELECT source, lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(is_empty) AS BIGINT) AS n_empty,
+       CAST(count(*) - count(DISTINCT text_md5) AS BIGINT) AS n_dup_texts,
+       CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+       CAST(sum(n_tok) // count(*) AS BIGINT) AS mean_tokens,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(sum(q_micro) // count(*) AS BIGINT) AS mean_quality_micro
+FROM cs GROUP BY source, lang
+""",
         # mirrors pipeline/text.py lm_transition_scores: self-supervised
         # bigram LM fluency — integer micro transition mass, add-V
         # smoothing, per-doc integer mean; under-2-token docs keep a

@@ -124,3 +124,120 @@ def join_key_profile_summary(left: DataFrame, right: DataFrame,
             F.expr("max(p) * 1000 div greatest(sum(p), 1)"), F.lit(0)
         ).cast("long").alias("hottest_key_permille"),
     )
+
+
+def corpus_report(docs: DataFrame) -> DataFrame:
+    """Per-(source, lang) curation dashboard — the rollup a corpus build
+    publishes after every refresh: document/emptiness counts, exact-dup
+    pressure, token and char volume, and mean heuristic quality per
+    slice.  ``(source, lang, n_docs, n_empty, n_dup_texts, sum_tokens,
+    mean_tokens, sum_chars, mean_quality_micro)``.
+
+    Engine-exact by construction: per-doc quality (already a 6dp-rounded
+    double that hash-compares across engines — text_profile's gate)
+    is micro-quantized to an integer BEFORE summation, so group means
+    are order-independent DIV arithmetic, never a float sum.
+
+    Scale: one narrow projection, ONE map-side-combined groupBy on the
+    (source, lang) key; the exact-dup signal is count(DISTINCT md5) —
+    per-group distinct over a uniform hash, the same shuffle class as
+    exact_dedup."""
+    from .core import STOPWORDS, tokens
+
+    toks = tokens(F.col("text"))
+    n_tok = F.size(toks).cast("long")
+    n_chars = F.length("text").cast("long")
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    base = docs.select(
+        "source", "lang",
+        n_tok.alias("n_tok"),
+        n_chars.alias("n_chars"),
+        F.when(F.trim(F.col("text")) == "", F.lit(1))
+        .otherwise(F.lit(0)).cast("long").alias("is_empty"),
+        F.md5("text").alias("text_md5"),
+        F.round(_quality_expr(toks, n_tok, n_chars, n_stop)
+                * F.lit(1000000.0), 0).cast("long").alias("q_micro"),
+    )
+    return (
+        base.groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("is_empty").cast("long").alias("n_empty"),
+            (F.count(F.lit(1)) - F.countDistinct("text_md5"))
+            .cast("long").alias("n_dup_texts"),
+            F.sum("n_tok").cast("long").alias("sum_tokens"),
+            F.expr("sum(n_tok) DIV count(1)").cast("long")
+            .alias("mean_tokens"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.expr("sum(q_micro) DIV count(1)").cast("long")
+            .alias("mean_quality_micro"),
+        )
+    )
+
+
+def _quality_expr(toks, n_tok, n_chars, n_stop):
+    """The SAME quality blend as text.quality_scores (6dp-rounded),
+    restated here over pre-built sub-expressions so corpus_report's
+    projection stays one pass; the oracle mirrors text_profile's."""
+    punct = F.length(
+        F.regexp_replace(F.lower(F.col("text")), r"[a-z0-9\s]", ""))
+    stop_ratio = n_stop / F.greatest(n_tok, F.lit(1)).cast("double")
+    punct_ratio = punct / F.greatest(n_chars, F.lit(1)).cast("double")
+    mean_word_len = n_chars / F.greatest(n_tok, F.lit(1)).cast("double")
+    score = (
+        F.least(n_tok / F.lit(100.0), F.lit(1.0)) * 0.3
+        + (F.lit(1.0) - F.least(punct_ratio * 5.0, F.lit(1.0))) * 0.3
+        + F.when((stop_ratio >= 0.03) & (stop_ratio <= 0.6),
+                 F.lit(1.0)).otherwise(F.lit(0.5)) * 0.2
+        + F.least(mean_word_len / F.lit(8.0), F.lit(1.0)) * 0.2
+    )
+    return F.round(score, 6)
+
+
+DEFAULT_QUANTILES = (0.01, 0.25, 0.5, 0.75, 0.9, 0.99)
+
+
+def _quantiles(df: DataFrame, columns: list[str], ps, expr_for):
+    aggs = [
+        expr_for(c, p).cast("double").alias(f"{c}__{i}")
+        for c in columns for i, p in enumerate(ps)
+    ]
+    one = df.agg(*aggs)
+    parts = ", ".join(
+        f"'{c}', CAST({p} AS DOUBLE), `{c}__{i}`"
+        for c in columns for i, p in enumerate(ps))
+    n = len(columns) * len(ps)
+    return one.selectExpr(
+        f"stack({n}, {parts}) AS (column, p, value)")
+
+
+def column_quantiles(df: DataFrame, columns: list[str],
+                     ps=DEFAULT_QUANTILES) -> DataFrame:
+    """Exact quantiles for numeric columns — the distribution half of
+    the profiling pass (partition sizing, skew screening, outlier
+    cutoffs all read quantiles, not min/max).  One aggregation over one
+    scan computes every (column, p) cell; output is the long-form
+    ``(column, p, value)``.
+
+    Uses the exact ``percentile`` aggregate, whose linear interpolation
+    is the standard (n-1)*p rule — measured bit-identical to DuckDB's
+    ``quantile_cont`` on this data (the oracle hash-compares doubles).
+    Exactness costs memory proportional to DISTINCT values per column;
+    at scale use :func:`approx_column_quantiles` (fixed-memory KLL-style
+    sketch, rank-error bounded)."""
+    return _quantiles(
+        df, columns, ps,
+        lambda c, p: F.expr(f"percentile(`{c}`, {p})"))
+
+
+def approx_column_quantiles(df: DataFrame, columns: list[str],
+                            ps=DEFAULT_QUANTILES,
+                            accuracy: int = 10000) -> DataFrame:
+    """Sketch twin of :func:`column_quantiles`: ``percentile_approx``
+    (Greenwald-Khanna style, fixed memory, map-side-combinable single
+    pass) — rank error <= 1/accuracy; the 100-TB path.  Error-bounded
+    against the exact variant in tests, not oracle-hash-compared
+    (the sketch is algorithm-specific by design)."""
+    return _quantiles(
+        df, columns, ps,
+        lambda c, p: F.expr(f"percentile_approx(`{c}`, {p}, {accuracy})"))

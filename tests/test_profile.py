@@ -86,3 +86,81 @@ def test_join_key_profile_summary_empty(spark):
     s = prof.join_key_profile_summary(left, right, "k").collect()[0]
     assert (s["est_output_rows"], s["n_matching_keys"],
             s["hottest_key_permille"]) == (0, 0, 0)
+
+
+def test_corpus_report_semantics(spark):
+    """Constructed slices: dup pressure, emptiness, and integer means
+    verified against hand-computed values."""
+    from public_transit_data_platform_sql_nosql_spark.pipeline.profile import (
+        corpus_report,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "the cat sat", "en", "s1"),
+         (1, "the cat sat", "en", "s1"),      # exact dup of 0
+         (2, "", "en", "s1"),                 # empty
+         (3, "unique words here", "fr", "s1"),
+         (4, "autre texte ici la", "fr", "s2")],
+        "doc_id long, text string, lang string, source string")
+    got = {(r["source"], r["lang"]): r for r in corpus_report(docs).collect()}
+    en = got[("s1", "en")]
+    assert en["n_docs"] == 3 and en["n_empty"] == 1
+    assert en["n_dup_texts"] == 1            # two identical texts -> 1 dup
+    assert en["sum_tokens"] == 6 and en["mean_tokens"] == 2
+    fr1 = got[("s1", "fr")]
+    assert fr1["n_docs"] == 1 and fr1["n_dup_texts"] == 0
+    assert fr1["sum_tokens"] == 3
+    assert got[("s2", "fr")]["sum_tokens"] == 4
+    # quality micro is the 6dp-rounded doc score scaled by 1e6
+    from public_transit_data_platform_sql_nosql_spark.pipeline.text import (
+        quality_scores,
+    )
+    q3 = [r["quality_score"] for r in quality_scores(
+        docs.filter("doc_id = 3")).collect()][0]
+    assert fr1["mean_quality_micro"] == round(q3 * 1_000_000)
+
+
+def test_approx_quantiles_error_bounded(spark):
+    """The sketch path stays within rank-error of the exact variant:
+    with accuracy=10000 on sf0.001 lineitem the approx value must sit
+    between the exact values at p +/- 1/accuracy-ish rank error (here:
+    simply within the exact [p-0.01, p+0.01] envelope)."""
+    import __spark_entry__ as E
+    from public_transit_data_platform_sql_nosql_spark.pipeline.profile import (
+        approx_column_quantiles,
+        column_quantiles,
+    )
+    from tests.conftest import SF_DIR
+
+    li = E._lineitem(spark, SF_DIR)
+    cols = ["l_quantity", "l_extendedprice"]
+    ps = (0.25, 0.5, 0.75)
+    lo_ps = tuple(p - 0.01 for p in ps)
+    hi_ps = tuple(p + 0.01 for p in ps)
+    exact_lo = {(r["column"], round(r["p"] + 0.01, 2)): r["value"]
+                for r in column_quantiles(li, cols, lo_ps).collect()}
+    exact_hi = {(r["column"], round(r["p"] - 0.01, 2)): r["value"]
+                for r in column_quantiles(li, cols, hi_ps).collect()}
+    approx = {(r["column"], r["p"]): r["value"]
+              for r in approx_column_quantiles(li, cols, ps).collect()}
+    for k, v in approx.items():
+        kk = (k[0], round(k[1], 2))
+        assert exact_lo[kk] <= v <= exact_hi[kk], (k, v)
+
+
+def test_quantiles_monotone_and_shape(spark):
+    from public_transit_data_platform_sql_nosql_spark.pipeline.profile import (
+        DEFAULT_QUANTILES,
+        column_quantiles,
+    )
+
+    df = spark.range(1000).selectExpr("id AS a", "id * id AS b")
+    rows = column_quantiles(df, ["a", "b"]).collect()
+    assert len(rows) == 2 * len(DEFAULT_QUANTILES)
+    for c in ("a", "b"):
+        vals = [r["value"] for r in sorted(
+            (x for x in rows if x["column"] == c), key=lambda r: r["p"])]
+        assert vals == sorted(vals)
+    med_a = [r["value"] for r in rows
+             if r["column"] == "a" and r["p"] == 0.5][0]
+    assert med_a == 499.5
