@@ -183,6 +183,36 @@ def cmd_dedup_index(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_snapshot(args: argparse.Namespace) -> int:
+    """Versioned-store operations (jobs/versioned.py): commit a parquet
+    dir as the next snapshot, read/count a version, vacuum history, or
+    (default) list versions."""
+    spark = _spark("snapshot")
+    from .jobs.versioned import (
+        commit_version,
+        list_versions,
+        read_version,
+        vacuum,
+    )
+
+    if args.commit:
+        st = commit_version(
+            spark.read.parquet(args.commit), args.path,
+            mode="append" if args.append else "overwrite")
+        print(json.dumps(st))
+    elif args.vacuum_keep is not None:
+        print(json.dumps(vacuum(spark, args.path,
+                                keep_last=args.vacuum_keep)))
+    elif args.read is not None:
+        v = None if args.read < 0 else args.read
+        df = read_version(spark, args.path, v)
+        print(json.dumps({"version": v, "rows": df.count(),
+                          "columns": df.columns}))
+    else:
+        print(json.dumps({"versions": list_versions(spark, args.path)}))
+    return 0
+
+
 def cmd_tokenizer_train(args: argparse.Namespace) -> int:
     """Learn a BPE merge table from a documents parquet and write it as
     JSON — the ``merges.txt`` artifact of a tokenizer-training run
@@ -336,6 +366,21 @@ def main(argv: list[str] | None = None) -> int:
     px.add_argument("--keep-out", default=None,
                     help="append surviving docs to this parquet dir")
     px.set_defaults(fn=cmd_dedup_index)
+
+    psn = sub.add_parser(
+        "snapshot",
+        help="versioned store: commit / read / vacuum / list snapshots")
+    psn.add_argument("--path", required=True)
+    psn.add_argument("--commit", default=None,
+                     help="parquet dir to commit as the next version")
+    psn.add_argument("--append", action="store_true",
+                     help="append to the previous snapshot instead of "
+                          "replacing it")
+    psn.add_argument("--read", type=int, default=None,
+                     help="print row count of a version (-1 = latest)")
+    psn.add_argument("--vacuum-keep", type=int, default=None,
+                     help="vacuum, keeping this many latest versions")
+    psn.set_defaults(fn=cmd_snapshot)
 
     pt = sub.add_parser(
         "tokenizer-train",

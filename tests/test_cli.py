@@ -206,3 +206,36 @@ def test_cli_tokenizer_train(spark, tmp_path, capsys):
     merges = [tuple(m) for m in payload["merges"]]
     assert bpe_encode("the singing thing", merges) == bpe_encode(
         "the singing thing", [(a, b) for _, a, b, _, _ in want])
+
+
+def test_cli_snapshot(spark, tmp_path, capsys):
+    """snapshot subcommand: commit twice (second append), list, read a
+    pinned version, vacuum to 1."""
+    store = str(tmp_path / "store")
+    d1 = str(tmp_path / "d1")
+    d2 = str(tmp_path / "d2")
+    spark.createDataFrame([(1, "a")], "k long, v string").write.parquet(d1)
+    spark.createDataFrame([(2, "b")], "k long, v string").write.parquet(d2)
+
+    assert main(["snapshot", "--path", store, "--commit", d1]) == 0
+    st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert st["version"] == 0
+    assert main(["snapshot", "--path", store, "--commit", d2,
+                 "--append"]) == 0
+    st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert st["mode"] == "append"
+
+    assert main(["snapshot", "--path", store]) == 0
+    st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert st["versions"] == [0, 1]
+
+    assert main(["snapshot", "--path", store, "--read", "0"]) == 0
+    st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert st["rows"] == 1
+    assert main(["snapshot", "--path", store, "--read", "-1"]) == 0
+    st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert st["rows"] == 2
+
+    assert main(["snapshot", "--path", store, "--vacuum-keep", "1"]) == 0
+    st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert st["kept_versions"] == [1]
