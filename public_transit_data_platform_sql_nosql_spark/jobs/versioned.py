@@ -157,3 +157,21 @@ def vacuum(spark: SparkSession, path: str, keep_last: int = 2) -> dict:
                 jvm.org.apache.hadoop.fs.Path(_manifest_path(path, v)),
                 True)
     return {"kept_versions": keep, "deleted_dirs": sorted(deleted)}
+
+
+def snapshot_diff(spark: SparkSession, path: str,
+                  old_version: int, new_version: int | None = None,
+                  summary: bool = False) -> DataFrame:
+    """Audit two snapshots of a versioned DOCUMENT store against each
+    other: ``pipeline/incremental.corpus_diff`` (added / removed /
+    changed / unchanged by content hash) over ``read_version`` of each —
+    the promotion gate a corpus build runs before vacuuming the old
+    snapshot away.  ``summary=True`` returns the one-row-per-status
+    counts instead of per-doc rows.  Requires ``doc_id``/``text``
+    columns (the documents contract)."""
+    from ..pipeline.incremental import corpus_diff, corpus_diff_summary
+
+    old = read_version(spark, path, old_version)
+    new = read_version(spark, path, new_version)
+    fn = corpus_diff_summary if summary else corpus_diff
+    return fn(old.select("doc_id", "text"), new.select("doc_id", "text"))

@@ -241,3 +241,38 @@ def approx_column_quantiles(df: DataFrame, columns: list[str],
     return _quantiles(
         df, columns, ps,
         lambda c, p: F.expr(f"percentile_approx(`{c}`, {p}, {accuracy})"))
+
+
+def corpus_report_partials(docs: DataFrame) -> DataFrame:
+    """The ADDITIVE half of :func:`corpus_report`: per-(source, lang)
+    sums that merge across batches by plain addition — ``(source, lang,
+    n_docs, n_empty, sum_tokens, sum_chars, sum_q_micro)``.  The one
+    non-additive signal (``n_dup_texts``) needs distinct-hash state and
+    is maintained by the streaming job (streaming/jobs.py
+    stream_corpus_report); the derived means divide out at publish, so
+    ``partials -> report`` reproduces the batch operator exactly."""
+    from .core import STOPWORDS, tokens
+
+    toks = tokens(F.col("text"))
+    n_tok = F.size(toks).cast("long")
+    n_chars = F.length("text").cast("long")
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    base = docs.select(
+        "source", "lang",
+        n_tok.alias("n_tok"),
+        n_chars.alias("n_chars"),
+        F.when(F.trim(F.col("text")) == "", F.lit(1))
+        .otherwise(F.lit(0)).cast("long").alias("is_empty"),
+        F.round(_quality_expr(toks, n_tok, n_chars, n_stop)
+                * F.lit(1000000.0), 0).cast("long").alias("q_micro"),
+    )
+    return (
+        base.groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("is_empty").cast("long").alias("n_empty"),
+            F.sum("n_tok").cast("long").alias("sum_tokens"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.sum("q_micro").cast("long").alias("sum_q_micro"),
+        )
+    )

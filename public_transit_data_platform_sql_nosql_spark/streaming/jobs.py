@@ -353,3 +353,96 @@ def stream_range_enrich(events: DataFrame, intervals: DataFrame,
     return range_join(events, intervals, "ts",
                       "start_ts", "end_ts", by=by,
                       bucket_width=int(bucket_width))
+
+
+def stream_corpus_report(docs_stream: DataFrame, report_path: str,
+                         checkpoint: str):
+    """foreachBatch live corpus dashboard: maintain the per-(source,
+    lang) ``pipeline/profile.corpus_report`` over everything seen so
+    far, ADDITIVELY — each micro-batch costs O(batch + groups + its own
+    hash lookups), never a corpus rescan, and the published report is
+    bit-identical to running the batch operator over the union of all
+    batches (differentially asserted in tests).
+
+    State, all under ``report_path``:
+
+    - ``_state/hashes`` — append-only (source, lang, text_md5) pairs,
+      first arrival only: the distinct-hash state behind the one
+      non-additive signal.  A batch's dup count is its row count minus
+      its NEW pairs (so intra-batch repeats count too), which telescopes
+      to the batch operator's ``n_docs - count(DISTINCT md5)`` per
+      group.  At 100 TB, hive-bucket this store by hash prefix so each
+      batch prunes to its own buckets (the incremental MinHash index's
+      layout, pipeline/incremental.py).
+    - ``_state/partials`` — a versioned store of the running additive
+      sums (jobs/versioned.py): read latest, merge the batch's partials
+      by union + group-sum, commit next version — crash-safe without
+      read-then-overwrite hazards.
+    - the report itself — a versioned store at ``report_path``: readers
+      never observe a half-written dashboard, and every past report
+      stays auditable (vacuum retires old ones).
+    """
+    from ..jobs.versioned import commit_version, list_versions, read_version
+    from ..pipeline.profile import corpus_report_partials
+
+    group_sums = ["n_docs", "n_empty", "n_dup_texts",
+                  "sum_tokens", "sum_chars", "sum_q_micro"]
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        hashes_dir = f"{report_path}/_state/hashes"
+        partials_store = f"{report_path}/_state/partials"
+
+        bh = batch_df.select(
+            "source", "lang", F.md5("text").alias("text_md5"))
+        try:
+            seen = spark.read.parquet(hashes_dir)
+        except Exception:  # first batch: no state yet
+            seen = None
+        new_pairs = bh.distinct()
+        if seen is not None:
+            new_pairs = new_pairs.join(
+                seen, ["source", "lang", "text_md5"], "left_anti")
+        new_pairs = new_pairs.localCheckpoint(eager=True)
+        new_pairs.write.mode("append").parquet(hashes_dir)
+
+        bp = corpus_report_partials(batch_df)
+        batch_rows = batch_df.groupBy("source", "lang").agg(
+            F.count(F.lit(1)).cast("long").alias("_rows"))
+        new_counts = new_pairs.groupBy("source", "lang").agg(
+            F.count(F.lit(1)).cast("long").alias("_new"))
+        dups = (
+            batch_rows.join(new_counts, ["source", "lang"], "left")
+            .select("source", "lang",
+                    (F.col("_rows") - F.coalesce(F.col("_new"), F.lit(0)))
+                    .cast("long").alias("n_dup_texts"))
+        )
+        bp = bp.join(dups, ["source", "lang"])
+
+        if list_versions(spark, partials_store):
+            stored = read_version(spark, partials_store)
+            bp = stored.unionByName(bp)
+        merged = (
+            bp.groupBy("source", "lang")
+            .agg(*[F.sum(c).cast("long").alias(c) for c in group_sums])
+            .localCheckpoint(eager=True)
+        )
+        commit_version(merged, partials_store)
+        commit_version(
+            merged.select(
+                "source", "lang", "n_docs", "n_empty", "n_dup_texts",
+                "sum_tokens",
+                F.expr("sum_tokens DIV n_docs").cast("long")
+                .alias("mean_tokens"),
+                "sum_chars",
+                F.expr("sum_q_micro DIV n_docs").cast("long")
+                .alias("mean_quality_micro"),
+            ),
+            report_path)
+
+    return (
+        docs_stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", f"{checkpoint}/ck")
+        .trigger(availableNow=True)
+        .start()
+    )

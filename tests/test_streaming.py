@@ -283,3 +283,62 @@ def test_stream_range_enrich_matches_batch(spark):
                 batch_events.select("event_id", "ts"), intervals,
                 "ts", "start_ts", "end_ts", bucket_width=width).collect()}
     assert got == want and len(want) > 0
+
+
+def test_stream_corpus_report_matches_batch(spark, tmp_path):
+    """The additively maintained live dashboard equals the batch
+    corpus_report over the union of all micro-batches — including dup
+    accounting across AND within batches — and every intermediate
+    report stays readable via the versioned store."""
+    from public_transit_data_platform_sql_nosql_spark.jobs.versioned import (
+        list_versions,
+        read_version,
+    )
+    from public_transit_data_platform_sql_nosql_spark.pipeline.profile import (
+        corpus_report,
+    )
+    from public_transit_data_platform_sql_nosql_spark.streaming.jobs import (
+        stream_corpus_report,
+    )
+
+    src = str(tmp_path / "src")
+    batches = [
+        # batch 0: an intra-batch dup (docs 0/1 same text, same slice)
+        [(0, "the cat sat", "en", "s1"), (1, "the cat sat", "en", "s1"),
+         (2, "", "en", "s1"), (3, "bonjour le monde", "fr", "s2")],
+        # batch 1: a cross-batch dup (doc 4 repeats batch 0's text) and
+        # the same text in a DIFFERENT slice (doc 5 -> not a dup there)
+        [(4, "the cat sat", "en", "s1"), (5, "the cat sat", "en", "s2"),
+         (6, "mehr deutscher text", "de", "s1")],
+        # batch 2: fresh rows only
+        [(7, "short", "fr", "s2"), (8, "the cat sat again", "en", "s1")],
+    ]
+    schema = "doc_id long, text string, lang string, source string"
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            f"{src}/b{i}.parquet")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/*.parquet")
+    )
+    report = str(tmp_path / "report")
+    q = stream_corpus_report(stream, report,
+                             str(tmp_path / "chk"))
+    q.awaitTermination()
+
+    all_docs = spark.createDataFrame(
+        [r for b in batches for r in b], schema)
+    want = {
+        (r["source"], r["lang"]): tuple(r)[2:]
+        for r in corpus_report(all_docs).collect()}
+    final = {
+        (r["source"], r["lang"]): tuple(r)[2:]
+        for r in read_version(spark, report).collect()}
+    assert final == want
+    # one committed report per micro-batch, all still readable
+    versions = list_versions(spark, report)
+    assert len(versions) == 3
+    v0 = {(r["source"], r["lang"]): r["n_dup_texts"]
+          for r in read_version(spark, report, versions[0]).collect()}
+    assert v0[("s1", "en")] == 1  # the intra-batch dup, seen live

@@ -94,3 +94,27 @@ def test_snapshot_survives_source_mutation(spark, tmp_path):
     commit_version(spark.read.parquet(src), store)
     _df(spark, [(8, "x")]).write.mode("overwrite").parquet(src)
     assert _rows(read_version(spark, store, 0)) == {(1, "a")}
+
+
+def test_snapshot_diff_between_versions(spark, tmp_path):
+    """corpus_diff over two committed snapshots: the promotion-gate
+    composition (versioned store x incremental audit)."""
+    from public_transit_data_platform_sql_nosql_spark.jobs.versioned import (
+        snapshot_diff,
+    )
+
+    store = str(tmp_path / "docs")
+    docs = spark.createDataFrame(
+        [(0, "alpha"), (1, "bravo"), (2, "charlie")],
+        "doc_id long, text string")
+    commit_version(docs, store)
+    docs2 = spark.createDataFrame(
+        [(0, "alpha"), (1, "bravo EDITED"), (3, "delta")],
+        "doc_id long, text string")
+    commit_version(docs2, store)
+    got = {r["doc_id"]: r["status"]
+           for r in snapshot_diff(spark, store, 0, 1).collect()}
+    assert got == {0: "unchanged", 1: "changed", 2: "removed", 3: "added"}
+    summ = {r["status"]: r["n_docs"]
+            for r in snapshot_diff(spark, store, 0, summary=True).collect()}
+    assert summ == {"unchanged": 1, "changed": 1, "removed": 1, "added": 1}
