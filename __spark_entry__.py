@@ -564,6 +564,35 @@ GROUP BY user_id
 HAVING COUNT(*) >= (SELECT CAST(CEIL(COUNT(*) * 0.001) AS BIGINT)
                     FROM events)
 """,
+    # queries/events.py user_activity_stats: lag/lead gaps, running and
+    # trailing-3 integer means, rank-in-day — all operands nonnegative so
+    # DuckDB // and Spark div agree
+    "events_user_activity": """
+WITH e AS (
+  SELECT event_id, user_id, epoch_ns(ts) AS tns,
+         (epoch_ns(ts) // 1000000000) // 86400 AS day,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+staged AS (
+  SELECT event_id, user_id, day, cents,
+         (tns - lag(tns) OVER w) // 1000000000 AS prev_gap_sec,
+         (lead(tns) OVER w - tns) // 1000000000 AS next_gap_sec,
+         CAST(sum(cents) OVER (w ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS running_cents,
+         CAST(sum(cents) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS msum,
+         CAST(count(*) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS mcnt,
+         CAST(row_number() OVER (PARTITION BY user_id, day
+              ORDER BY cents DESC, event_id) AS BIGINT) AS day_rank
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY tns, event_id)
+)
+SELECT event_id, user_id, day, cents, prev_gap_sec, next_gap_sec,
+       running_cents, msum // mcnt AS mov3_cents, day_rank
+FROM staged
+""",
     "events_windowed_counts": """
 WITH e AS (
   SELECT event_type, user_id,
@@ -684,6 +713,40 @@ GROUP BY 1, 2
 
 def _aug(spark, sf_dir):
     return register_pipeline_views(spark, sf_dir)["docs_aug"]
+
+
+def _quality_classifier(spark, sf_dir):
+    """pipeline/classifier.py trained on docs_aug's hash-split train
+    docs with label = (lang == 'en'), scoring the WHOLE corpus (val
+    holdout included) — lang/split joined back so the output reads as an
+    eval table.  Mirrored end-to-end by the DuckDB oracle.  The testdata
+    corpus's text is synthetic (independent of its lang column), so this
+    entry pins cross-engine EXACTNESS of train+score; the
+    learns-separable-classes property is pinned by
+    tests/test_classifier.py on a separable fixture."""
+    from public_transit_data_platform_sql_nosql_spark.pipeline.classifier import (  # noqa: E501
+        classifier_scores,
+    )
+    from public_transit_data_platform_sql_nosql_spark.pipeline.curation import (  # noqa: E501
+        split_assign,
+    )
+
+    docs = _aug(spark, sf_dir)
+    split = split_assign(docs).select("doc_id", "split")
+    labeled = (
+        docs.join(split, "doc_id")
+        .filter(F.col("split") == "train")
+        .select("doc_id", "text",
+                F.when(F.col("lang") == "en", 1).otherwise(0)
+                .alias("label"))
+    )
+    return (
+        classifier_scores(docs, labeled)
+        .join(split, "doc_id")
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .select("doc_id", "lang", "split", "n_tokens", "n_vocab_hits",
+                "clf_score_micro", "predicted")
+    )
 
 
 def _corpus_diff(spark, sf_dir):
@@ -1047,6 +1110,16 @@ _EXTRA_QUERIES = {
         lambda s, d: pdedup.repeated_spans(_aug(s, d)),
     "dedup_drop_repeated_spans":
         lambda s, d: pdedup.drop_repeated_spans(_aug(s, d)),
+    # the lag/lead/rolling/rank window-function family (§2.5 breadth —
+    # the reference has no window functions): one user_id exchange
+    # serves every frame, integer ns/cents arithmetic throughout
+    "events_user_activity":
+        lambda s, d: ev.user_activity_stats(_events(s, d)),
+    # fastText-style learned quality/domain filter: log-free NB linear
+    # classifier trained on the hash-split train docs (label lang='en'),
+    # scoring EVERY doc incl. val holdout — integer-micro weights so the
+    # oracle hash-compares exactly
+    "pipeline_quality_classifier": _quality_classifier,
     # r7 rotation: the rows below left the 50-entry driver window to make
     # room for _FLAGSHIP_QUERIES; each is a shape-duplicate of an
     # in-window row (precompute_q* of q1-q4; arrivals_flat of

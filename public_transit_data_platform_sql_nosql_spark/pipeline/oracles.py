@@ -630,6 +630,64 @@ FROM cs GROUP BY source, lang
         # bigram LM fluency — integer micro transition mass, add-V
         # smoothing, per-doc integer mean; under-2-token docs keep a
         # NULL score (0 transitions)
+        # mirrors pipeline/classifier.py classifier_scores trained on the
+        # hash-split train docs labeled lang='en': add-one NB likelihoods
+        # quantized to integer micros before subtraction/summation (the
+        # log-free discipline), integer-mean doc score, NULL for empty
+        # docs; // and DIV agree (both truncate toward zero)
+        "pipeline_quality_classifier": f"""
+WITH {DOCS},
+lab AS (
+  SELECT doc_id, text, lang,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label,
+         CASE WHEN {md5h(f"'{SPLIT_SALT}' || CAST(doc_id AS VARCHAR)")}
+                   % {SPLIT_BUCKETS} < {VAL_PERMILLE}
+              THEN 'val' ELSE 'train' END AS split
+  FROM docs_aug
+),
+ttok AS (
+  SELECT label, unnest({TOKS}) AS token FROM lab WHERE split = 'train'
+),
+counts AS (
+  SELECT token,
+         CAST(sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS c_pos,
+         CAST(sum(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS c_neg
+  FROM ttok GROUP BY token
+),
+tot AS (
+  SELECT CAST(sum(c_pos) AS BIGINT) AS t_pos,
+         CAST(sum(c_neg) AS BIGINT) AS t_neg,
+         CAST(count(*) AS BIGINT) AS v
+  FROM counts
+),
+w AS (
+  SELECT token,
+         CAST((c_pos + 1) * 1000000 // (t_pos + v)
+              - (c_neg + 1) * 1000000 // (t_neg + v) AS BIGINT)
+           AS weight_micro
+  FROM counts CROSS JOIN tot
+),
+dtok AS (SELECT doc_id, unnest({TOKS}) AS token FROM docs_aug),
+agg AS (
+  SELECT d.doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(count(w.weight_micro) AS BIGINT) AS n_vocab_hits,
+         CAST(CAST(sum(coalesce(w.weight_micro, 0)) AS BIGINT)
+              // count(*) AS BIGINT) AS clf_score_micro
+  FROM dtok d LEFT JOIN w USING (token)
+  GROUP BY d.doc_id
+)
+SELECT lab.doc_id, lab.lang, lab.split,
+       CAST(coalesce(agg.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(agg.n_vocab_hits, 0) AS BIGINT) AS n_vocab_hits,
+       agg.clf_score_micro,
+       CASE WHEN agg.clf_score_micro > 0 THEN CAST(1 AS BIGINT)
+            WHEN agg.clf_score_micro IS NOT NULL THEN CAST(0 AS BIGINT)
+            END AS predicted
+FROM lab LEFT JOIN agg USING (doc_id)
+""",
         "text_lm_score": f"""
 WITH {DOCS},
 t AS (SELECT doc_id, {TOKS} AS toks FROM docs_aug),

@@ -353,3 +353,55 @@ def interval_overlap_report(events: DataFrame) -> DataFrame:
     ).select("user_id", "day", "event_type",
              "user_start_us", "user_end_us",
              "type_start_us", "type_end_us")
+
+
+def user_activity_stats(events: DataFrame) -> DataFrame:
+    """Per-event window-function analytics over the user's own timeline —
+    the lag/lead/rolling family (reference has no window functions at
+    all, SURVEY.md §2.5; this is the idiomatic-Spark breadth row):
+
+    - ``prev_gap_sec`` / ``next_gap_sec``: whole seconds since/until the
+      user's adjacent event (``lag``/``lead``; NULL at the edges),
+    - ``running_cents``: the user's lifetime running spend,
+    - ``mov3_cents``: integer mean over the trailing 3-row frame
+      (``sum DIV count`` so partial frames at the start stay exact),
+    - ``day_rank``: the event's rank within (user, epoch-day) by cents
+      descending, event_id as the total tiebreak.
+
+    Scale shape: every frame partitions by ``user_id`` — ONE hash
+    exchange on user_id serves all four user-timeline windows, and the
+    (user_id, day) rank window reuses it (HashPartitioning(user_id)
+    satisfies ClusteredDistribution(user_id, day); only a sort is
+    added).  No global window exists anywhere.  All arithmetic is
+    integer nanoseconds / cents, so rows hash-compare exactly against
+    the DuckDB oracle.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wmov = w.rowsBetween(-2, Window.currentRow)
+    wday = Window.partitionBy("user_id", "day").orderBy(
+        F.desc("cents"), F.asc("event_id"))
+    base = events.select(
+        "event_id", "user_id", "ts",
+        F.expr("(ts div 1000000000) div 86400").alias("day"),
+        F.expr(_CENTS).alias("cents"),
+    )
+    staged = base.select(
+        "event_id", "user_id", "day", "cents",
+        F.expr("(ts - lag(ts) OVER (PARTITION BY user_id "
+               "ORDER BY ts, event_id)) div 1000000000")
+        .cast("long").alias("prev_gap_sec"),
+        F.expr("(lead(ts) OVER (PARTITION BY user_id "
+               "ORDER BY ts, event_id) - ts) div 1000000000")
+        .cast("long").alias("next_gap_sec"),
+        F.sum("cents").over(wcum).cast("long").alias("running_cents"),
+        F.sum("cents").over(wmov).alias("msum"),
+        F.count(F.lit(1)).over(wmov).alias("mcnt"),
+        F.row_number().over(wday).cast("long").alias("day_rank"),
+    )
+    return staged.select(
+        "event_id", "user_id", "day", "cents", "prev_gap_sec",
+        "next_gap_sec", "running_cents",
+        F.expr("msum div mcnt").cast("long").alias("mov3_cents"),
+        "day_rank",
+    )

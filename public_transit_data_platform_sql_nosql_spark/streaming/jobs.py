@@ -446,3 +446,62 @@ def stream_corpus_report(docs_stream: DataFrame, report_path: str,
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_stream_attribution(views: DataFrame, purchases: DataFrame,
+                              max_delay_secs: int = 3600,
+                              watermark: str = "2 hours") -> DataFrame:
+    """STREAM-STREAM inner join — the ad-attribution shape (every
+    purchase matched to each same-user view it followed within
+    ``max_delay_secs``): the one streaming join class the surface was
+    still missing next to the stream-static enrich.
+
+    Both inputs are event streams (pass the same source filtered by
+    type, or two different feeds).  Each side gets an event-time
+    watermark, and the join condition is equi(user_id) + a bounded
+    time range, which is exactly what lets Structured Streaming's
+    symmetric hash join EVICT state: a buffered view can only ever
+    match purchases in ``[view_time, view_time + max_delay]``, so once
+    the purchase-side watermark passes that horizon the row is dropped
+    from the join state.  (Spark ACCEPTS an inner stream-stream join
+    with no watermark/bound too — it just buffers both streams forever;
+    the bound here is what makes the operator deployable, not what
+    makes it start.)
+
+    Scale shape: state per executor ≈ arrival rate x (watermark +
+    max_delay) on each side, independent of stream lifetime; the join
+    itself is hash-partitioned on user_id like any shuffled equi-join.
+    """
+    v = (
+        views.select(
+            F.col("user_id").alias("v_user_id"),
+            F.col("event_id").alias("view_event_id"),
+            F.timestamp_seconds(F.expr(f"ts div {NS}"))
+            .alias("view_time"),
+        )
+        .withWatermark("view_time", watermark)
+    )
+    p = (
+        purchases.select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_event_id"),
+            F.expr("cast(round(value * 100) AS bigint)").alias("cents"),
+            F.timestamp_seconds(F.expr(f"ts div {NS}"))
+            .alias("purchase_time"),
+        )
+        .withWatermark("purchase_time", watermark)
+    )
+    joined = v.join(
+        p,
+        F.expr(
+            f"""v_user_id = p_user_id
+            AND purchase_time >= view_time
+            AND purchase_time <= view_time + INTERVAL {int(max_delay_secs)} SECONDS"""
+        ),
+    )
+    return joined.select(
+        F.col("v_user_id").alias("user_id"),
+        "view_event_id", "purchase_event_id", "cents",
+        (F.unix_timestamp("purchase_time") - F.unix_timestamp("view_time"))
+        .cast("long").alias("delay_sec"),
+    )

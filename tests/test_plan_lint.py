@@ -48,6 +48,9 @@ BOUNDED_BNLJ: dict[str, str] = {
     # vocabulary-size scalar (V in the add-V smoothing denominator):
     # 1-row aggregate broadcast (text.py lm_transition_scores docstring)
     "text_lm_score": "broadcast side = 1-row vocab count",
+    # class totals (T_pos, T_neg, V): 1-row aggregate broadcast attached
+    # to the vocab-sized weight table (classifier.py docstring)
+    "pipeline_quality_classifier": "broadcast side = 1-row class totals",
 }
 
 

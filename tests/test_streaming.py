@@ -342,3 +342,47 @@ def test_stream_corpus_report_matches_batch(spark, tmp_path):
     v0 = {(r["source"], r["lang"]): r["n_dup_texts"]
           for r in read_version(spark, report, versions[0]).collect()}
     assert v0[("s1", "en")] == 1  # the intra-batch dup, seen live
+
+
+def test_stream_stream_attribution_matches_batch(spark):
+    """Watermarked STREAM-STREAM join == the same join run as batch on
+    the same file: every (view, purchase) pair per user within the
+    delay horizon, exactly once.  Single-file source => one micro-batch
+    per side, so no pair straddles a watermark cutoff and set equality
+    must be exact."""
+    from public_transit_data_platform_sql_nosql_spark.sources.tpch_adapter import (  # noqa: E501
+        register_tpch,
+    )
+    from public_transit_data_platform_sql_nosql_spark.streaming.jobs import (
+        NS,
+        read_events_stream,
+        run_to_memory,
+        stream_stream_attribution,
+    )
+
+    delay = 3600
+    views_s = read_events_stream(spark, SF_DIR).filter(
+        F.col("event_type") == "view")
+    purch_s = read_events_stream(spark, SF_DIR).filter(
+        F.col("event_type") == "purchase")
+    run_to_memory(
+        stream_stream_attribution(views_s, purch_s,
+                                  max_delay_secs=delay),
+        "stream_attr", mode="append")
+    got = {(r["user_id"], r["view_event_id"], r["purchase_event_id"],
+            r["cents"], r["delay_sec"])
+           for r in spark.table("stream_attr").collect()}
+
+    ev = register_tpch(spark, SF_DIR, ("events",))["events"]
+    v = ev.filter(F.col("event_type") == "view").selectExpr(
+        "user_id AS vu", "event_id AS ve", "ts div 1000000000 AS vs")
+    p = ev.filter(F.col("event_type") == "purchase").selectExpr(
+        "user_id AS pu", "event_id AS pe",
+        "cast(round(value * 100) AS bigint) AS cents",
+        "ts div 1000000000 AS ps")
+    want = {(r["vu"], r["ve"], r["pe"], r["cents"], r["ps"] - r["vs"])
+            for r in v.join(
+                p, (F.col("vu") == F.col("pu"))
+                & (F.col("ps") >= F.col("vs"))
+                & (F.col("ps") <= F.col("vs") + delay)).collect()}
+    assert got == want and len(want) > 0
