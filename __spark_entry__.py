@@ -1120,6 +1120,13 @@ _EXTRA_QUERIES = {
     # scoring EVERY doc incl. val holdout — integer-micro weights so the
     # oracle hash-compares exactly
     "pipeline_quality_classifier": _quality_classifier,
+    # PageRank-style hub scoring run ON the bipartite stop-route graph
+    # (work ∝ |edges| per iteration, never a stop-stop projection);
+    # integer micro masses so the unrolled oracle hash-compares
+    "transit_stop_rank":
+        lambda s, d: (lambda v: graphq.stop_pagerank(
+            v["stop_times"], v["trips"], n_iter=3))(
+            register_gtfs_views(s, d)),
     # r7 rotation: the rows below left the 50-entry driver window to make
     # room for _FLAGSHIP_QUERIES; each is a shape-duplicate of an
     # in-window row (precompute_q* of q1-q4; arrivals_flat of
@@ -1225,8 +1232,54 @@ def _r2(expr: str) -> str:
     return f"CAST(ROUND(CAST({expr} AS DECIMAL(28,8)), 2) AS DOUBLE)"
 
 
+def _pagerank_sql(c: str, n_iter: int = 3) -> str:
+    """Unrolled mirror of queries/graph.py stop_pagerank: the same
+    integer-micro mass chain per iteration (// and DIV both truncate
+    toward zero, so every row hash-compares)."""
+    ctes = [f"""sr AS (
+  SELECT DISTINCT st.stop_id, t.route_id
+  FROM stop_times st JOIN trips t USING (trip_id)
+),
+sdeg AS (SELECT stop_id, CAST(count(*) AS BIGINT) AS s_deg
+         FROM sr GROUP BY 1),
+rdeg AS (SELECT route_id, CAST(count(*) AS BIGINT) AS r_deg
+         FROM sr GROUP BY 1),
+s0 AS (SELECT stop_id, CAST(1000000 AS BIGINT) AS s_rank FROM sdeg)"""]
+    for i in range(1, n_iter + 1):
+        ctes.append(f"""ri{i} AS (
+  SELECT sr.route_id,
+         CAST(sum(s{i - 1}.s_rank // sdeg.s_deg) AS BIGINT) AS r_in
+  FROM sr JOIN s{i - 1} USING (stop_id) JOIN sdeg USING (stop_id)
+  GROUP BY 1
+),
+rr{i} AS (
+  SELECT rdeg.route_id,
+         CAST(150000 + (85 * coalesce(r_in, 0)) // 100 AS BIGINT)
+           AS r_rank
+  FROM rdeg LEFT JOIN ri{i} USING (route_id)
+),
+si{i} AS (
+  SELECT sr.stop_id,
+         CAST(sum(rr{i}.r_rank // rdeg.r_deg) AS BIGINT) AS s_in
+  FROM sr JOIN rr{i} USING (route_id) JOIN rdeg USING (route_id)
+  GROUP BY 1
+),
+s{i} AS (
+  SELECT sdeg.stop_id,
+         CAST(150000 + (85 * coalesce(s_in, 0)) // 100 AS BIGINT)
+           AS s_rank
+  FROM sdeg LEFT JOIN si{i} USING (stop_id)
+)""")
+        # noqa: the chain is pure integer; see stop_pagerank docstring
+    return (f"{c},\n" + ",\n".join(ctes)
+            + f"\nSELECT stop_id, s_rank AS rank_micro FROM s{n_iter}")
+
+
 def _gtfs_oracles(c: str) -> dict[str, str]:
     return {
+        # mirrors queries/graph.py stop_pagerank (3 iterations): the
+        # generated unrolled integer-mass chain
+        "transit_stop_rank": _pagerank_sql(c, 3),
         # mirrors queries/geo.py stop_pairs_within (eps=0.02): grid cells
         # + 3x3 neighborhood equi-join; every arithmetic step (floor-div
         # cell ids, squared-degree distance) is the same IEEE op sequence

@@ -139,6 +139,25 @@ def cmd_delete(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_stats(args: argparse.Namespace) -> int:
+    """Build or probe the file-level min/max skipping manifest
+    (jobs/stats_index.py): ``--build col,col`` profiles the sink;
+    ``--probe col:lo:hi[,col:lo:hi]`` prints the skip decision."""
+    from .jobs.stats_index import skipping_plan, write_file_stats
+
+    spark = _spark("stats")
+    if args.build:
+        n = write_file_stats(spark, args.path, args.build.split(","))
+        print(json.dumps({"files_profiled": n}))
+        return 0
+    bounds = {}
+    for part in args.probe.split(","):
+        c, lo, hi = part.split(":")
+        bounds[c] = (float(lo), float(hi))
+    print(json.dumps(skipping_plan(spark, args.path, bounds)))
+    return 0
+
+
 def cmd_sql(args: argparse.Namespace) -> int:
     """Ad-hoc Spark SQL over the GTFS views (plus ``documents`` /
     ``embeddings`` / ``events`` when present) — the switching user's
@@ -345,6 +364,14 @@ def main(argv: list[str] | None = None) -> int:
                       help="SQL boolean predicate (retention sweep)")
     pdel.add_argument("--partition-col", default=None)
     pdel.set_defaults(fn=cmd_delete)
+
+    pst = sub.add_parser(
+        "stats", help="file-level min/max skipping manifest")
+    pst.add_argument("--path", required=True)
+    g = pst.add_mutually_exclusive_group(required=True)
+    g.add_argument("--build", help="comma-separated columns to profile")
+    g.add_argument("--probe", help="col:lo:hi[,col:lo:hi] skip probe")
+    pst.set_defaults(fn=cmd_stats)
 
     pq = sub.add_parser(
         "sql", help="run ad-hoc Spark SQL over the registered views")

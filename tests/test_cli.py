@@ -239,3 +239,18 @@ def test_cli_snapshot(spark, tmp_path, capsys):
     assert main(["snapshot", "--path", store, "--vacuum-keep", "1"]) == 0
     st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert st["kept_versions"] == [1]
+
+
+def test_cli_stats_build_and_probe(spark, tmp_path, capsys):
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "facts")
+    (spark.range(1000).select(F.col("id").alias("k"))
+     .repartitionByRange(8, "k").write.parquet(path))
+    assert main(["stats", "--path", path, "--build", "k"]) == 0
+    built = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert built["files_profiled"] == 8
+    assert main(["stats", "--path", path, "--probe", "k:0:10"]) == 0
+    plan = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert plan["total"] == 8 and plan["skipped"] >= 7
+    assert plan["stale"] is False

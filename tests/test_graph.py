@@ -152,3 +152,50 @@ def test_single_walk_hop_does_not_chain(spark):
     # 7-8 walkable, 8-9* walkable, 7-9* not: one hop reaches 8 only,
     # and with no routes there the BFS never rides further
     assert got == {"7": 0, "8": 0}
+
+
+def test_pagerank_hand_checked_one_iteration(spark):
+    """One iteration on the chain net, computed by hand: degrees
+    s1=1 s2=2 s3=2 s4=1 s5=1 s6=1; R1=R2=R3=R4 deg 2.  Every stop
+    starts at 1_000_000 micro.
+
+    route in-mass: R1 = m(s1)+m(s2) = 1_000_000 + 500_000; R2 =
+    m(s2)+m(s3) = 1_000_000; R3 = 1_500_000; R4 = 2_000_000.
+    r_rank = 150_000 + 85*r_in DIV 100.
+    stop in-mass = sum over its routes of r_rank DIV 2.
+    """
+    from public_transit_data_platform_sql_nosql_spark.queries.graph import (
+        stop_pagerank,
+    )
+
+    st, tr = _net(spark)
+    got = {r["stop_id"]: r["rank_micro"]
+           for r in stop_pagerank(st, tr, n_iter=1).collect()}
+    rr = {R: 150_000 + 85 * m // 100
+          for R, m in {"R1": 1_500_000, "R2": 1_000_000,
+                       "R3": 1_500_000, "R4": 2_000_000}.items()}
+    want = {
+        "1": 150_000 + 85 * (rr["R1"] // 2) // 100,
+        "2": 150_000 + 85 * (rr["R1"] // 2 + rr["R2"] // 2) // 100,
+        "3": 150_000 + 85 * (rr["R2"] // 2 + rr["R3"] // 2) // 100,
+        "4": 150_000 + 85 * (rr["R3"] // 2) // 100,
+        "5": 150_000 + 85 * (rr["R4"] // 2) // 100,
+        "6": 150_000 + 85 * (rr["R4"] // 2) // 100,
+    }
+    assert got == want
+    # the hub property: the two-route stops outrank the one-route stops
+    assert min(got["2"], got["3"]) > max(got["1"], got["4"])
+
+
+def test_pagerank_plan_is_join_only(spark):
+    from public_transit_data_platform_sql_nosql_spark.plans import (
+        executed_plan,
+    )
+    from public_transit_data_platform_sql_nosql_spark.queries.graph import (
+        stop_pagerank,
+    )
+
+    st, tr = _net(spark)
+    plan = executed_plan(stop_pagerank(st, tr, n_iter=3))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
