@@ -1120,6 +1120,11 @@ _EXTRA_QUERIES = {
     # scoring EVERY doc incl. val holdout — integer-micro weights so the
     # oracle hash-compares exactly
     "pipeline_quality_classifier": _quality_classifier,
+    # with-replacement source balancing: every source upsampled toward
+    # the largest (stable-hash fractional copies, integer permille,
+    # capped 4 epochs) — the up-sampling twin of curation_split's mix
+    "pipeline_epoch_balance":
+        lambda s, d: pmix.epoch_balance(_aug(s, d)),
     # PageRank-style hub scoring run ON the bipartite stop-route graph
     # (work ∝ |edges| per iteration, never a stop-stop projection);
     # integer micro masses so the unrolled oracle hash-compares

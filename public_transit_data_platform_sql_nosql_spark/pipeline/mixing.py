@@ -213,3 +213,72 @@ def write_training_shards(docs: DataFrame, path: str,
         .partitionBy("shard_idx")
         .parquet(path)
     )
+
+
+EPOCH_SALT = "epoch-v1"     # version the fractional-copy membership
+EPOCH_CAP_PM = 4000         # ceiling: never repeat a source > 4 epochs
+
+
+def epoch_repeat(docs: DataFrame, epochs: DataFrame,
+                 group_col: str = "source",
+                 salt: str = EPOCH_SALT) -> DataFrame:
+    """UP-sampling mixing: emit each doc ``epochs_pm/1000`` times —
+    the with-replacement counterpart of :func:`source_mix` (which can
+    only down-sample).  Pretraining mixes express "2.5 epochs of wiki"
+    exactly this way; fractional epochs pick the extra copy per doc by
+    the same stable-hash discipline as every membership here:
+
+        n_copies = epochs_pm DIV 1000
+                 + (1 if md5(salt||doc_id) % 1000 < epochs_pm % 1000)
+
+    so a doc's copy count is a pure function of (doc_id, its source's
+    rate) — re-runs reproduce it, and adding other docs never flips it.
+    ``epochs`` is a tiny ``(group_col, epochs_pm)`` permille table
+    (broadcast); docs from sources absent in it are dropped (rate 0).
+
+    Output adds ``copy_idx`` (0-based) so downstream shard interleaving
+    can spread copies across the training order.  Scale: one broadcast
+    join + a per-row ``sequence`` explode — fan-out exactly equals the
+    intended post-mix row count, no shuffle at all.
+    """
+    h = md5_hash64(
+        F.concat(F.lit(salt), F.col("doc_id").cast("string"))) % 1000
+    n = F.expr("epochs_pm DIV 1000").cast("long") + F.when(
+        h < F.expr("epochs_pm % 1000"), 1).otherwise(0)
+    return (
+        docs.join(F.broadcast(epochs), group_col)
+        .select(
+            "doc_id", group_col, F.col("epochs_pm").cast("long")
+            .alias("epochs_pm"), n.alias("n_copies"))
+        .select(
+            "doc_id", group_col, "epochs_pm",
+            F.explode(
+                F.when(F.col("n_copies") > 0,
+                       F.sequence(F.lit(0).cast("long"),
+                                  F.col("n_copies") - 1))
+                .otherwise(F.array().cast("array<long>"))
+            ).alias("copy_idx"),
+        )
+    )
+
+
+def epoch_balance(docs: DataFrame, group_col: str = "source",
+                  cap_pm: int = EPOCH_CAP_PM,
+                  salt: str = EPOCH_SALT) -> DataFrame:
+    """Uniform source balancing by repetition: upsample every source
+    toward the LARGEST one (epochs_pm = n_max*1000 DIV n_src, capped at
+    ``cap_pm`` — repeating tiny sources more than ~4 epochs hurts more
+    than the imbalance does, per the standard data-repetition findings).
+    The rate table is the dimension-sized count aggregate + a 1-row max
+    broadcast; everything else is :func:`epoch_repeat`.
+    """
+    counts = docs.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_src"))
+    nmax = counts.agg(F.max("n_src").cast("long").alias("n_max"))
+    epochs = (
+        counts.join(F.broadcast(nmax))
+        .select(group_col,
+                F.least(F.expr("n_max * 1000 DIV n_src"),
+                        F.lit(cap_pm)).cast("long").alias("epochs_pm"))
+    )
+    return epoch_repeat(docs, epochs, group_col=group_col, salt=salt)

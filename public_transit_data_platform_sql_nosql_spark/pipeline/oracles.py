@@ -630,6 +630,33 @@ FROM cs GROUP BY source, lang
         # bigram LM fluency — integer micro transition mass, add-V
         # smoothing, per-doc integer mean; under-2-token docs keep a
         # NULL score (0 transitions)
+        # mirrors pipeline/mixing.py epoch_balance (cap 4000 pm): uniform
+        # source balancing by repetition — count/max rate table, stable
+        # md5 fractional-copy test, range() fan-out (empty when 0)
+        "pipeline_epoch_balance": f"""
+WITH {DOCS},
+c AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_src
+  FROM docs_aug GROUP BY source
+),
+m AS (SELECT CAST(max(n_src) AS BIGINT) AS n_max FROM c),
+e AS (
+  SELECT source,
+         least(n_max * 1000 // n_src, 4000) AS epochs_pm
+  FROM c CROSS JOIN m
+),
+d AS (
+  SELECT doc_id, docs_aug.source, epochs_pm,
+         epochs_pm // 1000
+         + CASE WHEN {md5h("'epoch-v1' || CAST(doc_id AS VARCHAR)")}
+                     % 1000 < epochs_pm % 1000
+                THEN 1 ELSE 0 END AS n_copies
+  FROM docs_aug JOIN e USING (source)
+)
+SELECT doc_id, source, CAST(epochs_pm AS BIGINT) AS epochs_pm,
+       CAST(u.i AS BIGINT) AS copy_idx
+FROM d, unnest(range(0, n_copies)) AS u(i)
+""",
         # mirrors pipeline/classifier.py classifier_scores trained on the
         # hash-split train docs labeled lang='en': add-one NB likelihoods
         # quantized to integer micros before subtraction/summation (the

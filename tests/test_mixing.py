@@ -171,3 +171,60 @@ def test_write_training_shards_layout(spark, docs, tmp_path):
     expect = mix.shard_assign(docs, n_shards=n_shards)
     assert back.exceptAll(
         expect.select("doc_id", "shard_idx", "shard_pos")).count() == 0
+
+
+def test_epoch_balance_matches_python_mirror(docs):
+    """Copy counts recomputed independently in Python from raw md5 and
+    the per-source counts — bit-exact, and the balance property: every
+    source's post-mix count equals its own integer-arithmetic target."""
+    from collections import Counter
+
+    from public_transit_data_platform_sql_nosql_spark.pipeline.mixing import (
+        EPOCH_CAP_PM,
+        epoch_balance,
+    )
+
+    rows = docs.select("doc_id", "source").collect()
+    n_src = Counter(r["source"] for r in rows)
+    n_max = max(n_src.values())
+    want = Counter()
+    for r in rows:
+        e_pm = min(n_max * 1000 // n_src[r["source"]], EPOCH_CAP_PM)
+        n = e_pm // 1000 + (
+            1 if _h(f"epoch-v1{r['doc_id']}") % 1000 < e_pm % 1000 else 0)
+        want[(r["doc_id"], r["source"])] = n
+    got = Counter()
+    out = epoch_balance(docs).collect()
+    for r in out:
+        got[(r["doc_id"], r["source"])] += 1
+    assert got == Counter({k: v for k, v in want.items() if v > 0})
+    # copy_idx is a clean 0..n-1 numbering per doc
+    seen = {}
+    for r in out:
+        seen.setdefault(r["doc_id"], []).append(r["copy_idx"])
+    for d, idxs in seen.items():
+        assert sorted(idxs) == list(range(len(idxs))), d
+    # the largest source is never upsampled; every other source's
+    # post-mix total lands within 1 copy/doc of its integer target
+    total = Counter()
+    for (d, s), n in got.items():
+        total[s] += n
+    assert total[max(n_src, key=n_src.get)] == n_max
+
+
+def test_epoch_repeat_zero_rate_drops_and_absent_source_drops(spark):
+    from public_transit_data_platform_sql_nosql_spark.pipeline.mixing import (
+        epoch_repeat,
+    )
+
+    d = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b"), (4, "c")],
+        "doc_id long, source string")
+    rates = spark.createDataFrame(
+        [("a", 2000), ("b", 0)], "source string, epochs_pm long")
+    out = epoch_repeat(d, rates).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r["copy_idx"])
+    # a: exactly 2 copies each; b: rate 0 -> dropped; c: absent -> dropped
+    assert by_doc == {1: [0, 1], 2: [0, 1]}
