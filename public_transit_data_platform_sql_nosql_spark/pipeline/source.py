@@ -45,6 +45,34 @@ SELECT vec_id + 1000000 AS vec_id,
 FROM embeddings WHERE vec_id % 5 = 0
 """
 
+# deterministic per-doc URL: the raw corpus has no provenance column, so
+# the web-curation family (pipeline/web.py) derives one the same way
+# docs_aug derives its dup pairs — a dialect-free expression BOTH engines
+# evaluate, with the skew/collision structure the operators exist for:
+#   - 40% of docs on ONE hot host (domain_cap / domain_stats skew case),
+#   - 30% across 3 hosts under a shared registrable domain
+#     (suffix-blocklist case),
+#   - 30% across a 211-host long tail,
+#   - paths collide on doc_id % 400 (aug copies land in their source's
+#     class: 1e6 % 400 = 0) and ~40% of urls carry a query string, utm
+#     tracking or a real id param (url-canonicalization dedup case).
+DOCS_WEB_SQL = """
+SELECT doc_id, text, lang, source, n_chars,
+       'https://'
+       || CASE WHEN doc_id % 10 < 4 THEN 'big.example.com'
+               WHEN doc_id % 10 < 7 THEN
+                 'm' || CAST(doc_id % 3 AS STRING) || '.mid.example.org'
+               ELSE 'site-' || CAST(doc_id % 211 AS STRING)
+                    || '.example.net'
+          END
+       || '/' || source || '/doc/' || CAST(doc_id % 400 AS STRING)
+       || CASE WHEN doc_id % 5 = 0 THEN '?utm_source=feed&utm_medium=rss'
+               WHEN doc_id % 5 = 1 THEN
+                 '?id=' || CAST(doc_id % 97 AS STRING)
+               ELSE '' END AS url
+FROM docs_aug
+"""
+
 # Spark brackets are 0-based (GetArrayItem) while DuckDB's are 1-based,
 # so the element access is dialect-substituted alongside the range.
 _EMB_AUG_SPARK = EMB_AUG_SQL.format(transform="transform",
@@ -61,6 +89,7 @@ def register_pipeline_views(spark: SparkSession,
     ``docs_aug``/``emb_aug``; returns all four DataFrames."""
     out = register_tpch(spark, sf_dir, ("documents", "embeddings"))
     for name, sql in (("docs_aug", DOCS_AUG_SQL),
+                      ("docs_web", DOCS_WEB_SQL),
                       ("emb_aug", _EMB_AUG_SPARK)):
         df = spark.sql(sql)
         df.createOrReplaceTempView(name)
@@ -69,6 +98,7 @@ def register_pipeline_views(spark: SparkSession,
 
 
 EMB_AUG_DUCK_CTE = f"emb_aug AS ({_EMB_AUG_DUCK})"
+DOCS_WEB_CTE = f"docs_web AS ({DOCS_WEB_SQL})"
 
 
 def duckdb_docs_cte() -> str:
