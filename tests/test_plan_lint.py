@@ -51,6 +51,10 @@ BOUNDED_BNLJ: dict[str, str] = {
     # class totals (T_pos, T_neg, V): 1-row aggregate broadcast attached
     # to the vocab-sized weight table (classifier.py docstring)
     "pipeline_quality_classifier": "broadcast side = 1-row class totals",
+    # epoch balancing: rate table = per-source counts x broadcast(1-row
+    # max-source-count aggregate) (mixing.py epoch_balance `nmax`) — the
+    # same scalar-subquery shape as text_lm_score's vocab count.
+    "pipeline_epoch_balance": "broadcast side = 1-row max-source-count",
 }
 
 
