@@ -85,6 +85,46 @@ def test_out_of_range_bounds_prune_everything(spark, tmp_path):
     assert set(df.columns) == {"k", "v", "maybe"}  # schema survives
 
 
+def test_hive_partitioned_sink_skips_and_matches(spark, tmp_path):
+    """The regression the advice flagged: a partitionBy() sink used to
+    list zero top-level files -> 'stale' with files=[] -> limit(0)
+    dropped EVERY row. Relative-path keying + recursive listing must
+    (a) never drop rows, (b) actually skip files, (c) keep the
+    partition column readable on the pruned scan."""
+    path = str(tmp_path / "p")
+    df = spark.range(4000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).cast("string").alias("svc"),
+    )
+    (df.repartitionByRange(8, "k").sortWithinPartitions("k")
+     .write.mode("overwrite").partitionBy("svc").parquet(path))
+    n_files = write_file_stats(spark, path, ["k"])
+    assert n_files >= 8
+    bounds = {"k": (100, 180)}
+    plan = skipping_plan(spark, path, bounds)
+    assert not plan["stale"] and plan["skipped"] > 0
+    # manifest keys are partition-relative paths, not colliding basenames
+    assert all("svc=" in f and "/" in f for f in plan["files"])
+    got = sorted((r["k"], r["svc"]) for r in
+                 skipping_scan(spark, path, bounds).collect())
+    want = sorted((r["k"], r["svc"]) for r in
+                  spark.read.parquet(path)
+                  .filter(F.col("k").between(100, 180)).collect())
+    assert got == want and len(want) == 81
+
+
+def test_hive_partitioned_empty_result_keeps_schema(spark, tmp_path):
+    path = str(tmp_path / "p")
+    spark.range(100).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 2).cast("string").alias("svc"),
+    ).write.mode("overwrite").partitionBy("svc").parquet(path)
+    write_file_stats(spark, path, ["k"])
+    df = skipping_scan(spark, path, {"k": (5_000, 6_000)})
+    assert df.count() == 0
+    assert set(df.columns) == {"k", "svc"}
+
+
 def test_stale_manifest_disables_skipping_never_drops_rows(spark,
                                                            tmp_path):
     path = str(tmp_path / "t")
