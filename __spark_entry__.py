@@ -348,7 +348,6 @@ _PARITY_QUERIES = {
     # hard sf0.01 hash gate instead; the rotated-out rows stay
     # oracle-checked in _EXTRA_QUERIES + tests/test_driver_parity.py
     "q2_service_breakdown_top5": _q2_breakdown_top5,
-    "timetable_get_timetable": _get_timetable_flat,
 }
 
 
@@ -427,8 +426,6 @@ def _events_range_join(spark, sf_dir):
 
 
 _EVENTS_QUERIES = {
-    "events_windowed_counts":
-        lambda s, d: ev.windowed_counts(_events(s, d)),
     "events_sessionize":
         lambda s, d: ev.sessionize(_events(s, d)),
     "events_json_kv_stats":
@@ -973,6 +970,15 @@ _PIPELINE_QUERIES = {
 # lives in q1 and events_windowed_counts) keep callable, oracle-checked
 # entries here for tests and users.
 _EXTRA_QUERIES = {
+    # r8 rotation: five shape-duplicates displaced by _FLAGSHIP_R8 (see
+    # that dict's comment for the per-row justification); all stay
+    # oracle-checked here + in tests/test_driver_parity.py
+    "q1_busiest_stops_weekday": _q1_weekday,
+    "q2_overall_weekday": _q2_overall_weekday,
+    "q4_whole_week_hourly": _q4_whole_week_hourly,
+    "timetable_get_timetable": _get_timetable_flat,
+    "events_windowed_counts":
+        lambda s, d: ev.windowed_counts(_events(s, d)),
     "events_daily_active_users":
         lambda s, d: ev.daily_active_users(_events(s, d)),
     # keep-canonical's left-anti-vs-drop-set signal is carried in-cap by
@@ -1102,35 +1108,21 @@ _EXTRA_QUERIES = {
     # tests/test_bpe.py instead of a SQL oracle (rows-only driver check)
     "text_learn_merges":
         lambda s, d: pbpe.learn_merges(_aug(s, d), n_merges=16),
-    # arbitrary-span repeated-substring exact dedup (suffix-array-style,
-    # Lee et al. 2022 re-shaped as hash-mark + run-merge): maximal >= 8-
-    # token spans whose every 8-gram repeats corpus-wide, and the corpus
-    # rewritten with those spans cut
-    "dedup_repeated_spans":
-        lambda s, d: pdedup.repeated_spans(_aug(s, d)),
+    # the drop twin of the rotated-in dedup_repeated_spans flagship
+    # (_FLAGSHIP_R8): the corpus rewritten with every repeated span cut
     "dedup_drop_repeated_spans":
         lambda s, d: pdedup.drop_repeated_spans(_aug(s, d)),
-    # the lag/lead/rolling/rank window-function family (§2.5 breadth —
-    # the reference has no window functions): one user_id exchange
-    # serves every frame, integer ns/cents arithmetic throughout
-    "events_user_activity":
-        lambda s, d: ev.user_activity_stats(_events(s, d)),
-    # fastText-style learned quality/domain filter: log-free NB linear
-    # classifier trained on the hash-split train docs (label lang='en'),
-    # scoring EVERY doc incl. val holdout — integer-micro weights so the
-    # oracle hash-compares exactly
-    "pipeline_quality_classifier": _quality_classifier,
-    # with-replacement source balancing: every source upsampled toward
-    # the largest (stable-hash fractional copies, integer permille,
-    # capped 4 epochs) — the up-sampling twin of curation_split's mix
-    "pipeline_epoch_balance":
-        lambda s, d: pmix.epoch_balance(_aug(s, d)),
-    # PageRank-style hub scoring run ON the bipartite stop-route graph
-    # (work ∝ |edges| per iteration, never a stop-stop projection);
-    # integer micro masses so the unrolled oracle hash-compares
-    "transit_stop_rank":
-        lambda s, d: (lambda v: graphq.stop_pagerank(
-            v["stop_times"], v["trips"], n_iter=3))(
+    # r8: deep-k twins of the unrolled graph walks — driver loop with
+    # per-level eager localCheckpoint (O(1) plan per level at any
+    # budget) instead of one static unrolled plan; oracles are the
+    # SAME generated level-unroll SQL at the deeper constants
+    "transit_reachable_deep":
+        lambda s, d: (lambda v: graphq.reachable_stops_deep(
+            v["stop_times"], v["trips"], "1", max_transfers=6))(
+            register_gtfs_views(s, d)),
+    "transit_stop_rank_deep":
+        lambda s, d: (lambda v: graphq.stop_pagerank_deep(
+            v["stop_times"], v["trips"], n_iter=6))(
             register_gtfs_views(s, d)),
     # r7 rotation: the rows below left the 50-entry driver window to make
     # room for _FLAGSHIP_QUERIES; each is a shape-duplicate of an
@@ -1184,6 +1176,42 @@ _FLAGSHIP_QUERIES = {
             register_gtfs_views(s, d)),
 }
 
+# r8 rotation: the round-7 flagships take the hard sf0.01 hash gate,
+# displacing five shape-duplicates (q1_busiest_stops_weekday — P2's
+# optional-filter signal is already pinned by q1 + q4_hourly_profile;
+# q2_overall_weekday; q4_whole_week_hourly; timetable_get_timetable;
+# events_windowed_counts) which keep callable, oracle-checked entries
+# in _EXTRA_QUERIES + the pytest parity sweep.
+_FLAGSHIP_R8 = {
+    # arbitrary-span repeated-substring exact dedup (suffix-array-style,
+    # Lee et al. 2022 re-shaped as hash-mark + run-merge): maximal >= 8-
+    # token spans whose every 8-gram repeats corpus-wide
+    "dedup_repeated_spans":
+        lambda s, d: pdedup.repeated_spans(_aug(s, d)),
+    # the lag/lead/rolling/rank window-function family (§2.5 breadth —
+    # the reference has no window functions): one user_id exchange
+    # serves every frame, integer ns/cents arithmetic throughout
+    "events_user_activity":
+        lambda s, d: ev.user_activity_stats(_events(s, d)),
+    # fastText-style learned quality/domain filter: log-free NB linear
+    # classifier trained on the hash-split train docs (label lang='en'),
+    # scoring EVERY doc incl. val holdout — integer-micro weights so the
+    # oracle hash-compares exactly
+    "pipeline_quality_classifier": _quality_classifier,
+    # with-replacement source balancing: every source upsampled toward
+    # the largest (stable-hash fractional copies, integer permille,
+    # capped 4 epochs) — the up-sampling twin of curation_split's mix
+    "pipeline_epoch_balance":
+        lambda s, d: pmix.epoch_balance(_aug(s, d)),
+    # PageRank-style hub scoring run ON the bipartite stop-route graph
+    # (work ∝ |edges| per iteration, never a stop-stop projection);
+    # integer micro masses so the unrolled oracle hash-compares
+    "transit_stop_rank":
+        lambda s, d: (lambda v: graphq.stop_pagerank(
+            v["stop_times"], v["trips"], n_iter=3))(
+            register_gtfs_views(s, d)),
+}
+
 
 # ---------------------------------------------------------------------------
 # driver contract
@@ -1197,15 +1225,12 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_busiest_stops": _q1,
-        "q1_busiest_stops_weekday": _q1_weekday,
         "q3_transfer_points": _q3,
         "q2_route_stats_weekday": _q2_weekday,
         "q2_route_stats_whole_week": _q2_whole_week,
-        "q2_overall_weekday": _q2_overall_weekday,
         "q4_hourly_frequency_view": _q4_hourly_view,
         "q4_top_routes_daily": _q4_top_routes,
         "q4_detail_rows": _q4_detail_rows,
-        "q4_whole_week_hourly": _q4_whole_week_hourly,
         "q4_totals_by_service": _q4_totals_by_service,
         "q2_longest_trip_path": _q2_longest_trip_path,
         "q4_hourly_profile": _q4_hourly_profile,
@@ -1216,6 +1241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "timetable_arrivals_grouped": _arrivals_grouped,
         **_PARITY_QUERIES,
         **_FLAGSHIP_QUERIES,
+        **_FLAGSHIP_R8,
         **_EVENTS_QUERIES,
         **_PIPELINE_QUERIES,
         # keep last: beyond the harness's 50-entry window by design
@@ -1280,11 +1306,46 @@ s{i} AS (
             + f"\nSELECT stop_id, s_rank AS rank_micro FROM s{n_iter}")
 
 
+def _reachable_sql(c: str, origin: str, max_transfers: int) -> str:
+    """Generated level-unroll mirror of queries/graph.py min-ride BFS
+    at ANY transfer budget (the hand-written transit_reachable_stops
+    oracle is this at max_transfers=2): the Spark side's frontier
+    anti-join prune is a performance device — min() makes it
+    semantically inert — so the oracle states the plain unroll + min.
+    Also the oracle for reachable_stops_deep: its short-circuit on an
+    exhausted frontier only skips provably-empty levels."""
+    rides = max_transfers + 1
+    ctes = ["""sr AS (
+  SELECT DISTINCT st.stop_id, t.route_id
+  FROM stop_times st JOIN trips t USING (trip_id)
+)""",
+            f"r1 AS (SELECT DISTINCT route_id FROM sr "
+            f"WHERE stop_id = '{origin}')",
+            "s1 AS (SELECT DISTINCT sr.stop_id FROM sr "
+            "JOIN r1 USING (route_id))"]
+    for i in range(2, rides + 1):
+        ctes.append(f"r{i} AS (SELECT DISTINCT sr.route_id FROM sr "
+                    f"JOIN s{i - 1} USING (stop_id))")
+        ctes.append(f"s{i} AS (SELECT DISTINCT sr.stop_id FROM sr "
+                    f"JOIN r{i} USING (route_id))")
+    unions = [f"SELECT '{origin}' AS stop_id, 0 AS n"] + [
+        f"UNION ALL SELECT stop_id, {i} FROM s{i}"
+        for i in range(1, rides + 1)]
+    ctes.append("u AS (\n  " + "\n  ".join(unions) + "\n)")
+    return (f"{c},\n" + ",\n".join(ctes)
+            + "\nSELECT stop_id, CAST(min(n) AS BIGINT) AS n_rides"
+              "\nFROM u GROUP BY stop_id")
+
+
 def _gtfs_oracles(c: str) -> dict[str, str]:
     return {
         # mirrors queries/graph.py stop_pagerank (3 iterations): the
         # generated unrolled integer-mass chain
         "transit_stop_rank": _pagerank_sql(c, 3),
+        # the deep-k driver-loop twins compute the IDENTICAL chains at
+        # deeper constants; same generated unrolled oracles
+        "transit_stop_rank_deep": _pagerank_sql(c, 6),
+        "transit_reachable_deep": _reachable_sql(c, "1", 6),
         # mirrors queries/geo.py stop_pairs_within (eps=0.02): grid cells
         # + 3x3 neighborhood equi-join; every arithmetic step (floor-div
         # cell ids, squared-degree distance) is the same IEEE op sequence

@@ -75,12 +75,18 @@ def test_edge_table_is_distinct(spark):
 
 
 def test_plan_no_cartesian(spark):
+    """Join-shape guard on the LAZY builder (the public function
+    materializes its result, so its returned plan is an RDD scan)."""
     from public_transit_data_platform_sql_nosql_spark.plans import (
         plan_summary,
     )
+    from public_transit_data_platform_sql_nosql_spark.queries.graph import (
+        _reachable_plan,
+    )
 
     st, tr = _net(spark)
-    s = plan_summary(reachable_stops(st, tr, "1"))
+    sr = stop_route_edges(st, tr)
+    s = plan_summary(_reachable_plan(spark, sr, "1", 2))
     assert s["cartesian_products"] == 0
     assert s["broadcast_nested_loop_joins"] == 0
 
@@ -188,14 +194,104 @@ def test_pagerank_hand_checked_one_iteration(spark):
 
 
 def test_pagerank_plan_is_join_only(spark):
+    """Join-shape guard on the LAZY builder (the public function
+    materializes its result, so its returned plan is an RDD scan)."""
     from public_transit_data_platform_sql_nosql_spark.plans import (
         executed_plan,
     )
     from public_transit_data_platform_sql_nosql_spark.queries.graph import (
-        stop_pagerank,
+        _pagerank_plan,
     )
 
     st, tr = _net(spark)
-    plan = executed_plan(stop_pagerank(st, tr, n_iter=3))
+    plan = executed_plan(_pagerank_plan(stop_route_edges(st, tr), 3))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# --- cache lifecycle & deep-k variants -------------------------------------
+
+
+def _cache_manager_empty(spark) -> bool:
+    return bool(
+        spark._jsparkSession.sharedState().cacheManager().isEmpty())
+
+
+def test_operators_release_their_caches(spark):
+    """Every graph operator persists its edge table internally; none of
+    those persists may outlive the call (the r7 leak): after each
+    operator returns, the session cache manager is empty again (the
+    materialized result lives in checkpoint storage, not the cache
+    manager), and the result is still collectable."""
+    from public_transit_data_platform_sql_nosql_spark.queries.graph import (
+        reachable_stops_deep,
+        reachable_stops_multimodal,
+        stop_pagerank,
+        stop_pagerank_deep,
+    )
+
+    st, tr = _net(spark)
+    spark.catalog.clearCache()
+    assert _cache_manager_empty(spark)
+    for res in (
+        reachable_stops(st, tr, "1"),
+        reachable_stops_multimodal(st, tr, _stops(spark), "1"),
+        stop_pagerank(st, tr, n_iter=2),
+        reachable_stops_deep(st, tr, "1", max_transfers=3),
+        stop_pagerank_deep(st, tr, n_iter=2),
+    ):
+        assert _cache_manager_empty(spark)
+        assert res.count() > 0
+
+
+def test_deep_reachable_matches_unrolled(spark):
+    from public_transit_data_platform_sql_nosql_spark.queries.graph import (
+        reachable_stops_deep,
+    )
+
+    st, tr = _net(spark)
+    for origin, k in (("1", 0), ("1", 1), ("1", 2), ("2", 3), ("9", 2)):
+        deep = {r["stop_id"]: r["n_rides"]
+                for r in reachable_stops_deep(
+                    st, tr, origin, max_transfers=k).collect()}
+        assert deep == _reach(spark, origin, k), (origin, k)
+
+
+def test_deep_pagerank_bit_identical_to_unrolled(spark):
+    from public_transit_data_platform_sql_nosql_spark.queries.graph import (
+        stop_pagerank,
+        stop_pagerank_deep,
+    )
+
+    st, tr = _net(spark)
+    for n in (1, 3):
+        deep = {r["stop_id"]: r["rank_micro"]
+                for r in stop_pagerank_deep(st, tr, n_iter=n).collect()}
+        unrolled = {r["stop_id"]: r["rank_micro"]
+                    for r in stop_pagerank(st, tr, n_iter=n).collect()}
+        assert deep == unrolled, n
+
+
+def test_deep_walk_plan_depth_is_bounded(spark):
+    """A max_transfers=8 deep walk must complete AND return a plan
+    whose size is independent of the budget: per-level checkpointing
+    leaves no join chain in the final plan (the unrolled form would
+    carry ~2 joins per level), and saturation short-circuits the empty
+    tail levels."""
+    from public_transit_data_platform_sql_nosql_spark.plans import (
+        executed_plan,
+    )
+    from public_transit_data_platform_sql_nosql_spark.queries.graph import (
+        reachable_stops_deep,
+        stop_pagerank_deep,
+    )
+
+    st, tr = _net(spark)
+    deep = reachable_stops_deep(st, tr, "1", max_transfers=8)
+    assert {r["stop_id"]: r["n_rides"] for r in deep.collect()} == {
+        "1": 0, "2": 1, "3": 2, "4": 3}
+    plan = executed_plan(deep)
+    assert "Join" not in plan and "ExistingRDD" in plan
+    pr = stop_pagerank_deep(st, tr, n_iter=8)
+    assert pr.count() == 6
+    assert "Join" not in executed_plan(pr)
