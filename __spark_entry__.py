@@ -1103,9 +1103,9 @@ _EXTRA_QUERIES = {
     "text_lm_score":
         lambda s, d: ptext.lm_transition_scores(_aug(s, d)),
     # BPE merge-table training ON the corpus (one corpus pass to the
-    # piece-frequency table, then vocabulary-sized rounds); inherently
-    # iterative with per-round argmax — Python-mirror differential in
-    # tests/test_bpe.py instead of a SQL oracle (rows-only driver check)
+    # piece-frequency table, then vocabulary-sized rounds); per-round
+    # argmax-and-rewrite, hash-checked against the generated DuckDB
+    # unroll (oracles._learn_merges_sql) + Python-mirror differential
     "text_learn_merges":
         lambda s, d: pbpe.learn_merges(_aug(s, d), n_merges=16),
     # the drop twin of the rotated-in dedup_repeated_spans flagship

@@ -12,6 +12,11 @@ applies it two ways that agree exactly:
   inside whole-stage codegen and scales like any other projection.
 - ``bpe_encode``  — the literal Python mirror, used by the pytest
   differential and for driver-side inspection.
+- ``bpe_tokens_scaled`` — the Arrow ``mapInPandas`` path for LARGE
+  learned tables (the expression literal stops being viable around a
+  few hundred merges): the table travels as data, each batch memoizes
+  unique pieces, and a table-validity check picks the fast min-rank
+  encoder only when it provably equals the in-order fold.
 
 Semantics (deterministic, engine-independent, documented here as THE
 contract): lowercase the text, pre-tokenize with ``text.BPE_REGEX``
@@ -125,6 +130,119 @@ def bpe_tokens(text: Column, merges=None) -> Column:
                                     MERGES if merges is None else merges)))
 
 
+def _table_is_sequential_safe(merges) -> bool:
+    """True when min-rank-first application provably equals the in-order
+    one-pass-per-merge fold for this table: a pass over merge r can only
+    become incomplete if occurrences of its pair appear AFTER round r,
+    which requires one of its sides to be (re)formed by a LATER merge
+    (two merge paths producing the same token string).  Learned and
+    hand-curated tables never do this; the check makes the fast path's
+    use of the equivalence explicit instead of assumed."""
+    last_form: dict[str, int] = {}
+    for i, (a, b) in enumerate(merges):
+        last_form[a + b] = i
+    for i, (a, b) in enumerate(merges):
+        for side in (a, b):
+            if len(side) > 1 and last_form.get(side, -1) > i:
+                return False
+    return True
+
+
+def bpe_tokens_scaled(df, merges, text_col: str = "text",
+                      out_col: str = "bpe_toks"):
+    """``bpe_tokens`` for LARGE merge tables: appends ``out_col``
+    (array<string> of subword tokens) to ``df`` via one Arrow-batched
+    ``mapInPandas`` projection.
+
+    ``bpe_tokens`` inlines the merge table into the Column expression —
+    ideal up to a few hundred merges (JVM-side, whole-stage codegen),
+    but a 50k-merge production table would explode the generated code.
+    Here the table travels AS DATA in the task closure (one copy per
+    executor, the broadcast-variable cost class), and each Arrow batch
+    is encoded in Python with two exactness-preserving speedups:
+
+    - per-batch memoization of unique pieces (Zipf: a handful of
+      frequent words dominate every batch);
+    - min-rank-first merging per piece (the standard encoder loop:
+      O(active pairs) per piece instead of O(|table|) passes), which
+      equals the documented in-order fold whenever
+      ``_table_is_sequential_safe`` — checked at call time, with the
+      literal fold as the fallback so semantics NEVER drift from
+      ``bpe_encode`` (the pytest differential pins both paths).
+
+    NULL text yields NULL (matching ``bpe_tokens``, where the regexp on
+    a NULL column propagates); blank text yields an empty array.
+    """
+    import re
+
+    from pyspark.sql.types import (
+        ArrayType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    merges = tuple((str(a), str(b)) for a, b in merges)
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    fast = _table_is_sequential_safe(merges)
+    # a fresh StructType: StructType.add MUTATES the instance, and
+    # df.schema hands back the live object — appending to it makes the
+    # DataFrame's own column list lie about its plan
+    schema = StructType(
+        list(df.schema.fields)
+        + [StructField(out_col, ArrayType(StringType()))])
+
+    def _encode_batches(batches):
+        pat = re.compile(BPE_REGEX)
+        cache: dict[str, list[str]] = {}
+
+        def one_pass(syms: list[str], a: str, b: str,
+                     ab: str) -> list[str]:
+            merged: list[str] = []
+            for x in syms:
+                if merged and merged[-1] == a and x == b:
+                    merged[-1] = ab
+                else:
+                    merged.append(x)
+            return merged
+
+        def enc_piece(piece: str) -> list[str]:
+            got = cache.get(piece)
+            if got is not None:
+                return got
+            syms = list(piece)
+            if fast:
+                while len(syms) > 1:
+                    r = min((ranks.get(p, len(merges))
+                             for p in zip(syms, syms[1:])),
+                            default=len(merges))
+                    if r >= len(merges):
+                        break
+                    a, b = merges[r]
+                    syms = one_pass(syms, a, b, a + b)
+            else:
+                for a, b in merges:
+                    if len(syms) < 2:
+                        break
+                    syms = one_pass(syms, a, b, a + b)
+            cache[piece] = syms
+            return syms
+
+        def enc_text(t):
+            if t is None:
+                return None
+            out: list[str] = []
+            for piece in pat.findall(str(t).lower()):
+                out.extend(enc_piece(piece))
+            return out
+
+        for pdf in batches:
+            pdf[out_col] = [enc_text(t) for t in pdf[text_col]]
+            yield pdf
+
+    return df.mapInPandas(_encode_batches, schema)
+
+
 def bpe_encode(text: str, merges=None) -> list[str]:
     """Python mirror of ``bpe_tokens`` (same pre-split, same fold)."""
     import re
@@ -144,7 +262,30 @@ def bpe_encode(text: str, merges=None) -> list[str]:
     return out
 
 
-def learn_merges(docs, n_merges: int = 16):
+def _greedy_batch(rows, batch: int):
+    """Greedy compatible-merge selection from a round's top-K candidate
+    pairs (already in (cnt DESC, a, b) total order): take up to
+    ``batch`` pairs whose symbols {a, b, ab} are pairwise DISJOINT from
+    every symbol of the already-taken set.  Disjointness makes the
+    taken merges non-interacting — applying one cannot create or
+    destroy occurrences of another — so their round counts stay exact
+    and the application order inside the batch is irrelevant.  Shared
+    by the Spark trainer and the Python mirror so the differential
+    pins the same selection."""
+    taken: list[tuple] = []
+    used: set[str] = set()
+    for a, b, cnt in rows:
+        if len(taken) >= batch:
+            break
+        if {a, b, a + b} & used:
+            continue
+        taken.append((a, b, int(cnt)))
+        used |= {a, b, a + b}
+    return taken
+
+
+def learn_merges(docs, n_merges: int = 16, batch: int = 1,
+                 stats: dict | None = None):
     """Learn a BPE merge table FROM the corpus — the tokenizer-training
     step upstream of everything ``tokenizer="bpe"`` consumes.  Returns a
     DataFrame ``(rank, left, right, merged, pair_count)`` with one row
@@ -162,13 +303,34 @@ def learn_merges(docs, n_merges: int = 16):
 
     Scale: per-round cost is |distinct pieces| (vocabulary-sized, NOT
     corpus-sized); the corpus is scanned exactly once.  Each round is
-    one shuffle + a ONE-ROW collect (the argmax is the round's output —
+    one shuffle + a bounded collect (the argmax is the round's output —
     inherently a driver decision, same bounded-collect class as the
     k-row centroid reads).  ``localCheckpoint`` truncates the
     per-round expression growth exactly as ``embedding_kmeans_iterate``
-    does.  Real 50k-merge trainings run this on a corpus SAMPLE —
-    sample upstream (curation.split) rather than scaling rounds here.
+    does.
+
+    ``batch > 1`` cuts the driver-round count ~batch-fold for large
+    targets: each round collects the top ``4 * batch`` candidate pairs
+    and greedily keeps up to ``batch`` mutually symbol-disjoint ones
+    (see ``_greedy_batch`` — disjointness keeps their counts exact and
+    their application order immaterial), then rewrites the vocabulary
+    with the whole batch in ONE job.  This is a DOCUMENTED variant of
+    classic BPE, not an implementation detail: the classic trainer
+    would re-rank after every single merge (e.g. prefer the fresh
+    (th, e) over an untouched (h, e)), while the batched one commits
+    ``batch`` decisions per ranking — the standard throughput trade of
+    parallel BPE trainers.  ``batch=1`` is bit-identical to the classic
+    sequential trainer (and is what the driver oracle mirrors);
+    ``learn_merges_py`` mirrors every batch size for the differential.
+    Real 50k-merge trainings also sample the corpus upstream
+    (curation.split) rather than scaling rounds here.
+
+    ``stats``, if given, is filled with ``{"rounds": n}`` — the number
+    of driver round-trips actually executed (tests assert the ~N-fold
+    cut).
     """
+    if batch < 1:
+        raise ValueError(f"batch must be >= 1, got {batch!r}")
     spark = docs.sparkSession
     pieces = (
         docs.select(
@@ -182,7 +344,9 @@ def learn_merges(docs, n_merges: int = 16):
         .localCheckpoint(eager=True)
     )
     learned: list[tuple] = []
-    for rank in range(n_merges):
+    rounds = 0
+    while len(learned) < n_merges:
+        rounds += 1
         pair_counts = (
             pieces.select(
                 F.explode(
@@ -204,29 +368,37 @@ def learn_merges(docs, n_merges: int = 16):
             .groupBy("p.a", "p.b")
             .agg(F.sum("n").cast("long").alias("cnt"))
             .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
-            .limit(1)
+            .limit(4 * batch)
             .collect()
         )
         if not pair_counts:
             break
-        best = pair_counts[0]
-        a, b, cnt = best["a"], best["b"], int(best["cnt"])
-        learned.append((rank, a, b, a + b, cnt))
+        taken = _greedy_batch(
+            [(r["a"], r["b"], r["cnt"]) for r in pair_counts],
+            min(batch, n_merges - len(learned)))
+        for a, b, cnt in taken:
+            learned.append((len(learned), a, b, a + b, cnt))
         nxt = pieces.select(
-            _apply_merges(F.col("syms"), [(a, b)]).alias("syms"), "n"
+            _apply_merges(F.col("syms"),
+                          [(a, b) for a, b, _ in taken]).alias("syms"),
+            "n",
         ).localCheckpoint(eager=True)
         pieces.unpersist()
         pieces = nxt
     pieces.unpersist()
+    if stats is not None:
+        stats["rounds"] = rounds
     return spark.createDataFrame(
         learned,
         "rank long, left string, right string, merged string, "
         "pair_count long")
 
 
-def learn_merges_py(texts: list[str], n_merges: int = 16) -> list[tuple]:
+def learn_merges_py(texts: list[str], n_merges: int = 16,
+                    batch: int = 1) -> list[tuple]:
     """Python mirror of ``learn_merges`` (same pre-split, weighting,
-    tiebreak, and single-merge rewrite) for the differential tests."""
+    tiebreak, top-``4*batch`` candidate window, greedy disjoint batch
+    selection, and in-order batch rewrite) for the differential tests."""
     import re
     from collections import Counter
 
@@ -236,7 +408,7 @@ def learn_merges_py(texts: list[str], n_merges: int = 16) -> list[tuple]:
             vocab[piece] += 1
     syms = {p: list(p) for p in vocab}
     out: list[tuple] = []
-    for rank in range(n_merges):
+    while len(out) < n_merges:
         pc: Counter = Counter()
         for p, n in vocab.items():
             s = syms[p]
@@ -244,15 +416,22 @@ def learn_merges_py(texts: list[str], n_merges: int = 16) -> list[tuple]:
                 pc[(s[i], s[i + 1])] += n
         if not pc:
             break
-        (a, b), cnt = min(
+        ranked = sorted(
             pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
-        out.append((rank, a, b, a + b, cnt))
+        taken = _greedy_batch(
+            [(a, b, cnt) for (a, b), cnt in ranked[:4 * batch]],
+            min(batch, n_merges - len(out)))
+        for a, b, cnt in taken:
+            out.append((len(out), a, b, a + b, cnt))
         for p in syms:
-            merged: list[str] = []
-            for x in syms[p]:
-                if merged and merged[-1] == a and x == b:
-                    merged[-1] = a + b
-                else:
-                    merged.append(x)
-            syms[p] = merged
+            s = syms[p]
+            for a, b, _ in taken:
+                merged: list[str] = []
+                for x in s:
+                    if merged and merged[-1] == a and x == b:
+                        merged[-1] = a + b
+                    else:
+                        merged.append(x)
+                s = merged
+            syms[p] = s
     return out

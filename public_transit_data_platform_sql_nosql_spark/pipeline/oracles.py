@@ -444,6 +444,76 @@ _PII_TEXT = (
 )
 
 
+# separator for the BPE-trainer oracle's string-encoded symbol arrays:
+# a control char the BPE pre-tokenizer can only emit if it appears in the
+# raw text (the synthetic corpus is printable ASCII; see _learn_merges_sql)
+_BPE_SEP = chr(31)
+
+
+def _learn_merges_sql(n_merges: int) -> str:
+    """Generated per-round unroll of pipeline/bpe.py learn_merges — the
+    stop_pagerank oracle technique applied to the BPE trainer, closing
+    the driver's last rows-only gap.
+
+    The trick that makes the symbol-array rewrite SQL-expressible: each
+    piece's symbols are kept as ONE string with every token wrapped in a
+    separator (``<sep>t1<sep><sep>t2<sep>...``), so applying merge
+    (a, b) is a plain ``replace(s, <sep>a<sep><sep>b<sep>,
+    <sep>ab<sep>)`` — SQL replace scans left-to-right and never rematches
+    inside a replacement, which is EXACTLY the one-greedy-pass fold
+    `_apply_merges` implements (the per-token wrapping keeps boundary
+    tokens from sharing a separator, so back-to-back occurrences all
+    merge, and a pattern can never match a token's substring).  Every
+    round is: split the strings back to arrays, count adjacent pairs
+    weighted by piece frequency, take the (cnt DESC, a, b) argmax, and
+    replace.  CTEs are MATERIALIZED — p{{i}} is referenced twice per
+    round, and DuckDB's default inlining re-expands the whole chain
+    exponentially (measured: 16 inlined rounds never finished; 16
+    materialized rounds run in under a second).
+
+    Caveat (documented contract, asserted by the pytest differential):
+    the separator is U+001F, which the ``[^a-z0-9\\s]`` pre-token class
+    would match if present in the raw text — the synthetic corpus is
+    printable ASCII, so it cannot appear.  The unroll also assumes every
+    round finds at least one pair (true for any non-trivial corpus);
+    the Spark trainer's early-exit only fires when NO pair exists.
+    """
+    sep = _BPE_SEP
+    ctes = [f"""p0 AS MATERIALIZED (
+  SELECT '{sep}' || array_to_string(regexp_extract_all(piece, '.'),
+                                    '{sep}{sep}') || '{sep}' AS s,
+         CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT unnest(regexp_extract_all(lower(text), '{BPE_REGEX}'))
+          AS piece FROM docs_aug)
+  GROUP BY 1
+)"""]
+    sels = []
+    for i in range(1, n_merges + 1):
+        ctes.append(f"""pairs{i} AS MATERIALIZED (
+  SELECT u.p['a'] AS a, u.p['b'] AS b, CAST(sum(n) AS BIGINT) AS cnt
+  FROM (SELECT string_split(trim(s, '{sep}'), '{sep}{sep}') AS y, n
+        FROM p{i - 1}) sy,
+       UNNEST(list_transform(range(1, len(y)),
+                             j -> struct_pack(a := y[j], b := y[j + 1])))
+         AS u(p)
+  GROUP BY 1, 2
+),
+best{i} AS MATERIALIZED (
+  SELECT a, b, cnt FROM pairs{i} ORDER BY cnt DESC, a ASC, b ASC LIMIT 1
+),
+p{i} AS MATERIALIZED (
+  SELECT replace(p.s, '{sep}' || b.a || '{sep}{sep}' || b.b || '{sep}',
+                      '{sep}' || b.a || b.b || '{sep}') AS s, p.n
+  FROM p{i - 1} p CROSS JOIN best{i} b
+)""")
+        sels.append(
+            f'SELECT CAST({i - 1} AS BIGINT) AS rank, a AS "left", '
+            f'b AS "right", a || b AS merged, cnt AS pair_count '
+            f'FROM best{i}')
+    return (f"WITH {DOCS},\n" + ",\n".join(ctes) + "\n"
+            + "\nUNION ALL\n".join(sels))
+
+
 # --- per-operator oracles -------------------------------------------------
 
 def pipeline_oracles() -> dict[str, str]:
@@ -456,6 +526,10 @@ def pipeline_oracles() -> dict[str, str]:
     )
 
     return {
+        # mirrors pipeline/bpe.py learn_merges (n_merges=16, batch=1):
+        # the generated per-round argmax-and-rewrite unroll — see
+        # _learn_merges_sql for the string-encoded greedy-pass trick
+        "text_learn_merges": _learn_merges_sql(16),
         # ONE oracle for the whole text family (token counts, quality,
         # language ID, fingerprints) — the Spark side computes them in a
         # single narrow pass (pipeline/text.py text_profile), the oracle

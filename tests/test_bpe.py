@@ -217,3 +217,112 @@ def test_learn_merges_early_stop_and_roundtrip(spark):
         bpe_tokens(F.col("text"), merges).alias("bt")).collect()
     for r, t in zip(got, texts):
         assert r["bt"] == bpe_encode(t, merges)
+
+
+# --- r8: batched trainer + scaled apply path --------------------------------
+
+
+def test_batched_trainer_matches_mirror_and_cuts_rounds(spark):
+    """batch=8 training equals the Python mirror at every rank AND cuts
+    the driver round count well below one-round-per-merge; batch=1
+    stays the classic sequential trainer (one round per merge)."""
+    from public_transit_data_platform_sql_nosql_spark.pipeline.bpe import (
+        learn_merges,
+        learn_merges_py,
+    )
+
+    docs = E._aug(spark, SF_DIR).limit(80)
+    texts = [r["text"] for r in docs.select("text").collect()]
+
+    s1: dict = {}
+    got1 = [
+        (r["rank"], r["left"], r["right"], r["merged"], r["pair_count"])
+        for r in learn_merges(docs, n_merges=12, stats=s1)
+        .orderBy("rank").collect()]
+    assert got1 == learn_merges_py(texts, 12)
+    assert s1["rounds"] == 12
+
+    s8: dict = {}
+    got8 = [
+        (r["rank"], r["left"], r["right"], r["merged"], r["pair_count"])
+        for r in learn_merges(docs, n_merges=24, batch=8, stats=s8)
+        .orderBy("rank").collect()]
+    assert got8 == learn_merges_py(texts, 24, batch=8)
+    assert len(got8) == 24
+    # each round takes at least one merge, usually near `batch`; the
+    # point of the feature is the ~N-fold cut vs 24 sequential rounds
+    assert s8["rounds"] <= 12
+
+    with pytest.raises(ValueError, match="batch"):
+        learn_merges(docs, n_merges=4, batch=0)
+
+
+def _rich_corpus(n_texts=300, words_per_text=30, n_words=1500, seed=7):
+    """Synthetic corpus with a vocabulary rich enough to learn >= 1k
+    merges (random 6-14 char words, Zipf-ish reuse)."""
+    rng = np.random.default_rng(seed)
+    alphabet = np.array(list("abcdefghijklmnopqrstuvwxyz"))
+    words = ["".join(rng.choice(alphabet,
+                                size=int(rng.integers(6, 15))))
+             for _ in range(n_words)]
+    return [
+        " ".join(words[int(i)] for i in
+                 rng.zipf(1.3, size=words_per_text) % n_words)
+        for _ in range(n_texts)
+    ]
+
+
+def test_scaled_apply_matches_encode_at_1k_merges(spark):
+    """The mapInPandas apply path (merge table as DATA, min-rank fast
+    encoder) is row-identical to the literal bpe_encode fold on a
+    >= 1000-merge LEARNED table — the scale regime where the inlined
+    Column-expression path (bpe_tokens) stops being viable."""
+    from public_transit_data_platform_sql_nosql_spark.pipeline.bpe import (
+        _table_is_sequential_safe,
+        bpe_tokens_scaled,
+        learn_merges_py,
+    )
+
+    corpus = _rich_corpus()
+    learned = learn_merges_py(corpus, n_merges=1100, batch=16)
+    merges = [(a, b) for _, a, b, _, _ in learned]
+    assert len(merges) >= 1000
+    assert _table_is_sequential_safe(merges)
+
+    texts = corpus[:40] + ["", "   ", None, "the spark window query",
+                           "zzz 00100 ?!"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)],
+        "doc_id long, text string")
+    rows = bpe_tokens_scaled(df, merges).orderBy("doc_id").collect()
+    assert len(rows) == len(texts)
+    for r, t in zip(rows, texts):
+        if t is None:
+            assert r["bpe_toks"] is None
+        else:
+            assert r["bpe_toks"] == bpe_encode(t, merges), repr(t)
+    # the learned table actually compresses: fewer subwords than chars
+    sample = corpus[0]
+    assert len(bpe_encode(sample, merges)) < len(
+        sample.replace(" ", ""))
+
+
+def test_scaled_apply_fallback_for_unsafe_tables(spark):
+    """A table that RE-forms a token string after a pair already used it
+    (valid per _validate_merges, but min-rank-first could fire the
+    earlier pair on late-formed occurrences) must take the literal
+    sequential-fold fallback and still match bpe_encode exactly."""
+    from public_transit_data_platform_sql_nosql_spark.pipeline.bpe import (
+        _table_is_sequential_safe,
+        bpe_tokens_scaled,
+    )
+
+    unsafe = [("a", "b"), ("x", "ab"), ("a", "b")]
+    assert not _table_is_sequential_safe(unsafe)
+    texts = ["xab aabb abxab", "xaabb", "ab x ab"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)],
+        "doc_id long, text string")
+    rows = bpe_tokens_scaled(df, unsafe).orderBy("doc_id").collect()
+    for r, t in zip(rows, texts):
+        assert r["bpe_toks"] == bpe_encode(t, unsafe), repr(t)
