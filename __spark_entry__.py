@@ -58,6 +58,7 @@ from public_transit_data_platform_sql_nosql_spark.pipeline import (
     cleaning as pclean,
 )
 from public_transit_data_platform_sql_nosql_spark.pipeline import mixing as pmix
+from public_transit_data_platform_sql_nosql_spark.pipeline import web as pweb
 from public_transit_data_platform_sql_nosql_spark.pipeline import (
     profile as pprof,
 )
@@ -712,6 +713,10 @@ def _aug(spark, sf_dir):
     return register_pipeline_views(spark, sf_dir)["docs_aug"]
 
 
+def _web(spark, sf_dir):
+    return register_pipeline_views(spark, sf_dir)["docs_web"]
+
+
 def _quality_classifier(spark, sf_dir):
     """pipeline/classifier.py trained on docs_aug's hash-split train
     docs with label = (lang == 'en'), scoring the WHOLE corpus (val
@@ -1093,6 +1098,12 @@ _EXTRA_QUERIES = {
     "profile_quantiles":
         lambda s, d: pprof.column_quantiles(
             _lineitem(s, d), _QUANTILE_COLS),
+    # r8: engine-deterministic cardinality sketch (KMV on the md5 hash)
+    # — the hash-checkable complement of approx_profile's HLL; the
+    # estimate is a pure integer function of the k smallest hashes
+    "profile_distinct_kmv":
+        lambda s, d: pprof.kmv_distinct(
+            _aug(s, d), ["doc_id", "text", "lang", "source", "n_chars"]),
     # per-(source, lang) curation dashboard: doc counts, emptiness,
     # exact-dup pressure, token/char volume, integer-mean quality
     "pipeline_corpus_report":
@@ -1112,6 +1123,23 @@ _EXTRA_QUERIES = {
     # (_FLAGSHIP_R8): the corpus rewritten with every repeated span cut
     "dedup_drop_repeated_spans":
         lambda s, d: pdedup.drop_repeated_spans(_aug(s, d)),
+    # r8: scalar-quantization ANN — the compression scale path (scan
+    # 1-byte codes, exact-rerank only the shortlist) beside brute/LSH/
+    # IVF; quantizer trained in-pass from a 1-row min/max broadcast
+    "ann_sq8_topk":
+        lambda s, d: psim.sq8_topk(_emb(s, d)),
+    # r8: web-provenance curation over the docs_web view (deterministic
+    # per-doc URLs with planted skew/collision structure) — the
+    # RefinedWeb/C4-class URL stages: canonicalization keep-one,
+    # per-domain skew screen, hot-domain cap, domain blocklist
+    "web_url_dedup":
+        lambda s, d: pweb.url_dedup(_web(s, d)),
+    "web_domain_stats":
+        lambda s, d: pweb.domain_stats(_web(s, d)),
+    "web_domain_cap":
+        lambda s, d: pweb.domain_cap(_web(s, d)),
+    "web_blocklist":
+        lambda s, d: pweb.blocklist_filter(_web(s, d)),
     # r8: deep-k twins of the unrolled graph walks — driver loop with
     # per-level eager localCheckpoint (O(1) plan per level at any
     # budget) instead of one static unrolled plan; oracles are the

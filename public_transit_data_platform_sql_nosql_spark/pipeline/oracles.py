@@ -33,7 +33,9 @@ from .curation import (
 from .mixing import DEFAULT_N_SHARDS, MIX_RES, MIX_SALT, SHARD_SALT
 from .multimodal import FRAME_LEN, FRAME_STRIDE, RESIZE_OUT_LEN
 from .similarity import NUM_HYPERPLANES
-from .source import DOCS_AUG_SQL, EMB_AUG_DUCK_CTE
+from .profile import KMV_K, KMV_SPACE
+from .source import DOCS_AUG_SQL, DOCS_WEB_CTE, EMB_AUG_DUCK_CTE
+from .web import BLOCKED_DOMAINS, WEB_CAP
 from .text import BPE_REGEX, LANG_MARKERS, STOPWORDS
 
 # --- shared fragments -----------------------------------------------------
@@ -444,6 +446,20 @@ _PII_TEXT = (
 )
 
 
+# --- web-curation fragments (pipeline/web.py twins) -------------------------
+# the same three anchored regexes the Spark columns evaluate
+_WEB_HOST = "regexp_extract(url, '^https?://([^/?#]+)', 1)"
+_WEB_DOMAIN = f"regexp_extract({_WEB_HOST}, '([^.]+\\.[^.]+)$', 1)"
+_WEB_CANON = """CASE WHEN len(list_filter(
+         string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
+         p -> p <> '' AND NOT starts_with(p, 'utm_'))) > 0
+    THEN regexp_extract(url, '^([^?#]*)', 1) || '?' ||
+         array_to_string(list_filter(
+           string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
+           p -> p <> '' AND NOT starts_with(p, 'utm_')), '&')
+    ELSE regexp_extract(url, '^([^?#]*)', 1) END"""
+
+
 # separator for the BPE-trainer oracle's string-encoded symbol arrays:
 # a control char the BPE pre-tokenizer can only emit if it appears in the
 # raw text (the synthetic corpus is printable ASCII; see _learn_merges_sql)
@@ -526,6 +542,101 @@ def pipeline_oracles() -> dict[str, str]:
     )
 
     return {
+        # mirrors pipeline/profile.py kmv_distinct over docs_aug: the
+        # same md5-hash k-minimum-values arithmetic per column
+        "profile_distinct_kmv": f"WITH {DOCS}\n" + "\nUNION ALL\n".join(
+            f"""SELECT '{c}' AS "column", CAST(count(*) AS BIGINT) AS n_sketch,
+       CAST(max(h) AS BIGINT) AS kth_hash,
+       CAST(CASE WHEN count(*) < {KMV_K} THEN count(*)
+            ELSE {(KMV_K - 1) * KMV_SPACE} // greatest(max(h), 1)
+            END AS BIGINT) AS est_distinct
+FROM (SELECT h FROM (
+        SELECT DISTINCT {md5h(f"CAST({c} AS VARCHAR)")} AS h
+        FROM docs_aug WHERE {c} IS NOT NULL)
+      ORDER BY h LIMIT {KMV_K})"""
+            for c in ("doc_id", "text", "lang", "source", "n_chars")),
+        # mirrors pipeline/web.py url_dedup: keep-one per canonical URL
+        # (tracking params stripped, identifying params kept)
+        "web_url_dedup": f"""
+WITH {DOCS},
+{DOCS_WEB_CTE},
+c AS (SELECT doc_id, {_WEB_CANON} AS canonical_url FROM docs_web)
+SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, canonical_url,
+       CAST(count(*) AS BIGINT) AS n_copies
+FROM c GROUP BY canonical_url
+""",
+        # mirrors pipeline/web.py domain_stats: per-registrable-domain
+        # doc/host/url counts + integer-permille corpus share
+        "web_domain_stats": f"""
+WITH {DOCS},
+{DOCS_WEB_CTE},
+t AS (
+  SELECT {_WEB_DOMAIN} AS domain, {_WEB_HOST} AS host,
+         {_WEB_CANON} AS canon
+  FROM docs_web
+),
+d AS (
+  SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+         CAST(count(DISTINCT canon) AS BIGINT) AS n_urls
+  FROM t GROUP BY 1
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM t)
+SELECT domain, n_docs, n_hosts, n_urls,
+       CAST(n_docs * 1000 // n_total AS BIGINT) AS share_pm
+FROM d CROSS JOIN tot
+""",
+        # mirrors pipeline/web.py domain_cap (= curation.stratified_cap
+        # with the registrable domain as the stratum, cap WEB_CAP)
+        "web_domain_cap": f"""
+WITH {DOCS},
+{DOCS_WEB_CTE},
+t AS (
+  SELECT doc_id, {_WEB_DOMAIN} AS grp,
+         {md5h("CAST(doc_id AS VARCHAR)")} % {CAP_POSITIONS} AS pos
+  FROM docs_web
+),
+c AS (SELECT grp, count(*) AS cnt FROM t GROUP BY 1),
+th AS (
+  SELECT grp,
+         CASE WHEN cnt <= {WEB_CAP} THEN {CAP_POSITIONS}
+              ELSE least({CAP_POSITIONS},
+                   {CAP_POSITIONS
+                    * (WEB_CAP * CAP_MARGIN_PCT + CAP_MARGIN_ABS * 100)}
+                     // (cnt * 100))
+         END AS thresh
+  FROM c
+),
+s AS (SELECT t.* FROM t JOIN th USING (grp) WHERE pos < thresh),
+r AS (
+  SELECT doc_id, grp AS domain, pos,
+         CAST(row_number() OVER (PARTITION BY grp ORDER BY pos, doc_id)
+              AS BIGINT) AS sample_rank
+  FROM s
+)
+SELECT doc_id, domain, pos, sample_rank
+FROM r WHERE sample_rank <= {WEB_CAP}
+""",
+        # mirrors pipeline/web.py blocklist_filter: dot-suffix blocking
+        # via per-host suffix explosion (host labels sliced i..n) joined
+        # against the blocked set; anti-join survivors
+        "web_blocklist": f"""
+WITH {DOCS},
+{DOCS_WEB_CTE},
+t AS (SELECT doc_id, url, {_WEB_HOST} AS host FROM docs_web),
+m AS (
+  SELECT DISTINCT doc_id
+  FROM t, UNNEST(list_transform(
+         range(1, len(string_split(host, '.')) + 1),
+         i -> array_to_string(
+                list_slice(string_split(host, '.'), i,
+                           len(string_split(host, '.'))), '.')))
+         AS u(sfx)
+  WHERE sfx IN ({", ".join(f"'{d}'" for d in BLOCKED_DOMAINS)})
+)
+SELECT doc_id, url, host FROM t
+WHERE doc_id NOT IN (SELECT doc_id FROM m)
+""",
         # mirrors pipeline/bpe.py learn_merges (n_merges=16, batch=1):
         # the generated per-round argmax-and-rewrite unroll — see
         # _learn_merges_sql for the string-encoded greedy-pass trick
@@ -1043,6 +1154,56 @@ pairs AS (
   WHERE round({cos_sql('a.embedding', 'b.embedding')}, 6) >= 0.98
 )
 SELECT vec_a, vec_b, label, cos_sim FROM pairs
+""",
+        # mirrors pipeline/similarity.py sq8_topk: corpus-trained scalar
+        # quantization (per-dim min/max), reconstruction-scored
+        # shortlist of k*rerank_mult, exact cosine re-rank — every
+        # stage the same double op sequence as the Spark columns
+        "ann_sq8_topk": f"""
+WITH s AS (
+  SELECT u.d AS d, min(CAST(embedding[u.d] AS DOUBLE)) AS mn,
+         max(CAST(embedding[u.d] AS DOUBLE)) AS mx
+  FROM embeddings, UNNEST(range(1, 65)) AS u(d)
+  GROUP BY 1
+),
+e AS (
+  SELECT vec_id, u.d AS d, CAST(embedding[u.d] AS DOUBLE) AS x
+  FROM embeddings, UNNEST(range(1, 65)) AS u(d)
+),
+hat AS (
+  SELECT vec_id,
+         list(mn + (coalesce(least(255, greatest(0,
+                floor((x - mn) * 255.0 / nullif(mx - mn, 0.0)))), 0)
+              + 0.5) * (mx - mn) / 256.0 ORDER BY d) AS hat
+  FROM e JOIN s USING (d) GROUP BY vec_id
+),
+ap AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {cos_sql("q.hat", "c.hat")} AS approx_sim
+  FROM hat q JOIN hat c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id < 8
+),
+sl AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY approx_sim DESC, neighbor_id) AS rn
+    FROM ap)
+  WHERE rn <= 40
+),
+px AS (
+  SELECT sl.query_id, sl.neighbor_id,
+         round({cos_sql("q.embedding", "c.embedding")}, 6) AS cos_sim
+  FROM sl JOIN embeddings q ON q.vec_id = sl.query_id
+          JOIN embeddings c ON c.vec_id = sl.neighbor_id
+),
+r AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
+  FROM px
+)
+SELECT query_id, rank, neighbor_id, cos_sim FROM r WHERE rank <= 10
 """,
         "ann_bruteforce_topk": f"""
 WITH pairs AS (

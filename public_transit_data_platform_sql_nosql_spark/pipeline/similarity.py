@@ -60,6 +60,103 @@ def brute_force_topk(emb: DataFrame, num_queries: int = 8,
     return _ranked(pairs, k)
 
 
+SQ_LEVELS = 255       # codes 0..255: one byte per dimension
+SQ_RERANK_MULT = 4    # shortlist size = k * this, exact-reranked
+
+
+def _sq8_dequantized(embedding: F.Column, mns: F.Column,
+                     mxs: F.Column, dim: int) -> F.Column:
+    """Quantize-then-dequantize each component against the corpus-wide
+    per-dim [min, max]: code = clamp(floor((x-mn)*255/(mx-mn)), 0, 255)
+    and x_hat = mn + (code+0.5)*(mx-mn)/256 — the reconstruction SQ8
+    scoring actually sees.  Pure double arithmetic in a fixed op order,
+    so the DuckDB oracle reproduces every bit (a constant dim collapses
+    to mn via the NULL guard)."""
+    def _hat(d):
+        # explicit double casts: the parquet column is float32, and the
+        # two engines promote float arithmetic differently — anchoring
+        # every operand to double keeps the op sequence identical
+        x = F.element_at(embedding, d).cast("double")
+        mn = F.element_at(mns, d)
+        mx = F.element_at(mxs, d)
+        code = F.coalesce(
+            F.least(F.lit(SQ_LEVELS), F.greatest(F.lit(0), F.floor(
+                (x - mn) * F.lit(float(SQ_LEVELS))
+                / F.nullif(mx - mn, F.lit(0.0))))),
+            F.lit(0),
+        )
+        return mn + (code + F.lit(0.5)) * (mx - mn) / F.lit(256.0)
+
+    return F.transform(F.sequence(F.lit(1), F.lit(dim)), _hat)
+
+
+def sq8_topk(emb: DataFrame, num_queries: int = 8, k: int = 10,
+             dim: int = 64,
+             rerank_mult: int = SQ_RERANK_MULT) -> DataFrame:
+    """ANN top-k over SCALAR-QUANTIZED vectors with exact re-rank — the
+    compression scale path beside the LSH/IVF pruning paths: at 100 TB
+    the candidate scan reads 1-byte codes instead of 8-byte doubles
+    (8x less IO; store the code column with jobs/layout.py and this is
+    the column the scan touches), ranks every candidate by the
+    quantizer's reconstruction, and pays full-precision reads ONLY for
+    the per-query shortlist of ``k * rerank_mult`` rows re-ranked with
+    exact cosine.
+
+    The quantizer is corpus-trained in the same pass: per-dim [min,
+    max] is ONE 1-row aggregate broadcast to the scan (the whitelisted
+    bounded nested-loop shape).  Everything is deterministic double
+    arithmetic — the DuckDB oracle mirrors training, encoding,
+    reconstruction, shortlist, and re-rank bit-for-bit.  Output
+    contract matches the other ANN paths; pytest pins shortlist recall
+    against ``brute_force_topk``.
+    """
+    stats = emb.agg(
+        *[f(F.element_at("embedding", d).cast("double"))
+          .alias(f"{n}{d}")
+          for d in range(1, dim + 1)
+          for n, f in (("mn", F.min), ("mx", F.max))]
+    ).select(
+        F.array(*[F.col(f"mn{d}") for d in range(1, dim + 1)])
+        .alias("mns"),
+        F.array(*[F.col(f"mx{d}") for d in range(1, dim + 1)])
+        .alias("mxs"),
+    )
+    hat = emb.join(F.broadcast(stats)).select(
+        "vec_id",
+        _sq8_dequantized(F.col("embedding"), F.col("mns"),
+                         F.col("mxs"), dim).alias("hat"),
+    )
+    q = (hat.filter(F.col("vec_id") < num_queries)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("hat").alias("qhat")))
+    approx = (
+        hat.select(F.col("vec_id").alias("neighbor_id"),
+                   F.col("hat").alias("nhat"))
+        .join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id",
+                cosine(F.col("qhat"), F.col("nhat")).alias("approx_sim"))
+    )
+    w = (Window.partitionBy("query_id")
+         .orderBy(F.desc("approx_sim"), F.asc("neighbor_id")))
+    shortlist = (
+        approx.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k * rerank_mult)
+        .select("query_id", "neighbor_id")
+    )
+    qe = (emb.filter(F.col("vec_id") < num_queries)
+          .select(F.col("vec_id").alias("query_id"),
+                  F.col("embedding").alias("qe")))
+    ne = emb.select(F.col("vec_id").alias("neighbor_id"),
+                    F.col("embedding").alias("ne"))
+    pairs = (
+        shortlist.join(F.broadcast(qe), "query_id").join(ne, "neighbor_id")
+        .select("query_id", "neighbor_id",
+                F.round(cosine(F.col("qe"), F.col("ne")), 6)
+                .alias("cos_sim"))
+    )
+    return _ranked(pairs, k)
+
+
 def hyperplane(j: int, dim: int = 64) -> F.Column:
     """Deterministic pseudo-random hyperplane j: component d is
     ((j*37 + d*61) % 17) - 8, d = 0..dim-1 (zero-mean ints)."""

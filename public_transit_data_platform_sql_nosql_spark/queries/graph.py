@@ -275,12 +275,18 @@ def _pagerank_round(edges: DataFrame, sdeg: DataFrame, rdeg: DataFrame,
         .cast("long").alias("s_rank"))
 
 
-def _pagerank_plan(edges: DataFrame, n_iter: int) -> DataFrame:
-    """Lazy unrolled mass iteration over a caller-persisted edge table."""
-    sdeg = edges.groupBy("stop_id").agg(
-        F.count(F.lit(1)).cast("long").alias("s_deg"))
-    rdeg = edges.groupBy("route_id").agg(
-        F.count(F.lit(1)).cast("long").alias("r_deg"))
+def _pagerank_plan(edges: DataFrame, n_iter: int,
+                   sdeg: DataFrame | None = None,
+                   rdeg: DataFrame | None = None) -> DataFrame:
+    """Lazy unrolled mass iteration over a caller-persisted edge table
+    (callers that loop pass pre-persisted degree tables — each
+    iteration reads both twice)."""
+    if sdeg is None:
+        sdeg = edges.groupBy("stop_id").agg(
+            F.count(F.lit(1)).cast("long").alias("s_deg"))
+    if rdeg is None:
+        rdeg = edges.groupBy("route_id").agg(
+            F.count(F.lit(1)).cast("long").alias("r_deg"))
     s_rank = sdeg.select(
         "stop_id", F.lit(1_000_000).cast("long").alias("s_rank"))
     for _ in range(n_iter):
@@ -317,17 +323,13 @@ def stop_pagerank(stop_times: DataFrame, trips: DataFrame,
     edges = stop_route_edges(stop_times, trips).persist()
     # the degree tables feed every unrolled iteration twice (the mass
     # join and the rank rebuild); leaving them lazy re-shuffles the edge
-    # table ~4x per iteration (measured 24 s -> ~8 s at sf0.1)
+    # table ~4x per iteration (measured 24 s -> 4.7 s at sf0.1)
     sdeg = edges.groupBy("stop_id").agg(
         F.count(F.lit(1)).cast("long").alias("s_deg")).persist()
     rdeg = edges.groupBy("route_id").agg(
         F.count(F.lit(1)).cast("long").alias("r_deg")).persist()
-    s_rank = sdeg.select(
-        "stop_id", F.lit(1_000_000).cast("long").alias("s_rank"))
-    for _ in range(n_iter):
-        s_rank = _pagerank_round(edges, sdeg, rdeg, s_rank)
-    out = s_rank.select("stop_id", F.col("s_rank").alias("rank_micro"))
-    return _finalize(out, edges, sdeg, rdeg)
+    return _finalize(
+        _pagerank_plan(edges, n_iter, sdeg, rdeg), edges, sdeg, rdeg)
 
 
 def stop_pagerank_deep(stop_times: DataFrame, trips: DataFrame,

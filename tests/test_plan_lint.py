@@ -32,6 +32,9 @@ BOUNDED_BNLJ: dict[str, str] = {
     # is the bounded query set (similarity.py brute_force_topk docstring);
     # the scale path is ann_lsh/ivf/knn_join, all BNLJ-free.
     "ann_bruteforce_topk": "broadcast side = bounded query set",
+    # SQ8: 1-row quantizer-stats broadcast to the scan + the same
+    # bounded query-set broadcast as the brute-force baseline
+    "ann_sq8_topk": "broadcast sides = 1-row stats + bounded query set",
     # nearest-centroid assignment: vectors x broadcast(k centroids),
     # k is a compile-time constant (64) — the loop degenerates to a
     # k-wide constant attach per vector.
@@ -51,6 +54,9 @@ BOUNDED_BNLJ: dict[str, str] = {
     # class totals (T_pos, T_neg, V): 1-row aggregate broadcast attached
     # to the vocab-sized weight table (classifier.py docstring)
     "pipeline_quality_classifier": "broadcast side = 1-row class totals",
+    # per-domain share-of-corpus: 1-row total-count broadcast attached
+    # to the domain-sized stats table (web.py domain_stats docstring)
+    "web_domain_stats": "broadcast side = 1-row corpus total",
     # epoch balancing: rate table = per-source counts x broadcast(1-row
     # max-source-count aggregate) (mixing.py epoch_balance `nmax`) — the
     # same scalar-subquery shape as text_lm_score's vocab count.
