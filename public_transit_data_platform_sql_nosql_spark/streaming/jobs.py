@@ -505,3 +505,85 @@ def stream_stream_attribution(views: DataFrame, purchases: DataFrame,
         (F.unix_timestamp("purchase_time") - F.unix_timestamp("view_time"))
         .cast("long").alias("delay_sec"),
     )
+
+
+def stream_kmv_cardinality(docs_stream: DataFrame, sketch_path: str,
+                           checkpoint: str,
+                           columns: tuple = ("doc_id", "text", "lang",
+                                             "source", "n_chars"),
+                           k: int | None = None):
+    """foreachBatch live cardinality tracking: maintain the per-column
+    KMV sketch (pipeline/profile.kmv_distinct) over everything seen so
+    far.  KMV merges EXACTLY — kmin(A ∪ B) = kmin(kmin(A) ∪ kmin(B)) —
+    so each micro-batch costs O(batch + k·columns): sketch the batch,
+    union with the stored k-minima, keep the k smallest distinct hashes
+    per column, and the published estimates are bit-identical to running
+    the batch operator over the union of all batches (differentially
+    asserted in tests).  This is the streaming shape HLL powers on real
+    feeds, with the oracle-able sketch instead.
+
+    State under ``sketch_path``: ``_state/sketch`` — a versioned store
+    (jobs/versioned.py) of the (column, h) k-minima, crash-safe across
+    batches; the report itself — a versioned store of ``(column,
+    n_sketch, kth_hash, est_distinct)``, same schema and arithmetic as
+    the batch operator, every past version auditable.
+    """
+    from ..jobs.versioned import commit_version, list_versions, read_version
+    from ..pipeline.core import md5_hash64
+    from ..pipeline.profile import KMV_K, KMV_SPACE
+
+    kk = KMV_K if k is None else k
+
+    def _batch_sketch(df: DataFrame) -> DataFrame:
+        outs = []
+        for c in columns:
+            outs.append(
+                df.where(F.col(c).isNotNull())
+                .select(F.lit(c).alias("column"),
+                        md5_hash64(F.col(c).cast("string")).alias("h"))
+                .groupBy("column", "h").agg(F.lit(1))
+                .orderBy("h").limit(kk)
+                .select("column", "h")
+            )
+        out = outs[0]
+        for o in outs[1:]:
+            out = out.unionByName(o)
+        return out
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        state_store = f"{sketch_path}/_state/sketch"
+        sk = _batch_sketch(batch_df)
+        if list_versions(spark, state_store):
+            sk = read_version(spark, state_store).unionByName(sk)
+        from pyspark.sql import Window
+        w = Window.partitionBy("column").orderBy("h")
+        merged = (
+            sk.distinct()
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= kk)
+            .select("column", "h")
+            .localCheckpoint(eager=True)
+        )
+        commit_version(merged, state_store)
+        report = (
+            merged.groupBy("column")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_sketch"),
+                 F.max("h").cast("long").alias("kth_hash"))
+            .select(
+                "column", "n_sketch", "kth_hash",
+                F.when(F.col("n_sketch") < kk, F.col("n_sketch"))
+                .otherwise(
+                    F.expr(f"{(kk - 1) * KMV_SPACE} DIV "
+                           f"greatest(kth_hash, 1)"))
+                .cast("long").alias("est_distinct"),
+            )
+        )
+        commit_version(report, sketch_path)
+
+    return (
+        docs_stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", f"{checkpoint}/ck")
+        .trigger(availableNow=True)
+        .start()
+    )

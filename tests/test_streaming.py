@@ -386,3 +386,55 @@ def test_stream_stream_attribution_matches_batch(spark):
                 & (F.col("ps") >= F.col("vs"))
                 & (F.col("ps") <= F.col("vs") + delay)).collect()}
     assert got == want and len(want) > 0
+
+
+def test_stream_kmv_matches_batch_sketch(spark, tmp_path):
+    """The incrementally merged KMV sketch equals kmv_distinct over the
+    union of all micro-batches — exact-merge property, cross-batch
+    duplicates collapsing into one hash — and intermediate versions
+    stay auditable."""
+    from public_transit_data_platform_sql_nosql_spark.jobs.versioned import (
+        list_versions,
+        read_version,
+    )
+    from public_transit_data_platform_sql_nosql_spark.pipeline.profile import (
+        kmv_distinct,
+    )
+    from public_transit_data_platform_sql_nosql_spark.streaming.jobs import (
+        stream_kmv_cardinality,
+    )
+
+    src = str(tmp_path / "src")
+    schema = "doc_id long, text string, lang string, source string"
+    batches = [
+        [(i, f"text {i % 40}", "en", f"s{i % 3}") for i in range(60)],
+        # cross-batch dup texts + fresh ids
+        [(100 + i, f"text {i % 40}", "fr", "s0") for i in range(50)],
+        [(200 + i, f"other {i}", "de", "s1") for i in range(30)],
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            f"{src}/b{i}.parquet")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/*.parquet")
+    )
+    sketch = str(tmp_path / "sketch")
+    cols = ("doc_id", "text", "lang", "source")
+    q = stream_kmv_cardinality(stream, sketch, str(tmp_path / "chk"),
+                               columns=cols, k=16)
+    q.awaitTermination()
+
+    assert len(list_versions(spark, sketch)) == len(batches)
+    got = sorted(
+        map(tuple, read_version(spark, sketch).collect()))
+    whole = spark.createDataFrame(
+        [r for rows in batches for r in rows], schema)
+    want = sorted(
+        map(tuple, kmv_distinct(whole, list(cols), k=16).collect()))
+    assert got == want
+    # under-k columns are exact: 3 langs, 3 sources
+    by_col = {r[0]: r[3] for r in got}
+    assert by_col["lang"] == 3
+    assert by_col["source"] == 3
