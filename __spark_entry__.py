@@ -431,8 +431,6 @@ _EVENTS_QUERIES = {
         lambda s, d: ev.sessionize(_events(s, d)),
     "events_json_kv_stats":
         lambda s, d: ev.json_kv_stats(_events(s, d)),
-    "events_top_users_by_value":
-        lambda s, d: ev.top_users_by_value(_events(s, d)),
     "events_asof_join": _events_asof_join,
     "events_range_join": _events_range_join,
 }
@@ -930,8 +928,6 @@ _PIPELINE_QUERIES = {
             _aug(s, d).filter("doc_id % 11 = 0")),
     "ann_bruteforce_topk":
         lambda s, d: psim.brute_force_topk(_emb(s, d)),
-    "ann_lsh_topk":
-        lambda s, d: psim.lsh_topk(_emb(s, d)),
     "ann_ivf_topk":
         lambda s, d: psim.ivf_topk(_emb(s, d)),
     "pipeline_curated_corpus":
@@ -946,15 +942,6 @@ _PIPELINE_QUERIES = {
     # in pipeline/curation.py + pipeline/mixing.py and pytest-covered
     "curation_split":
         lambda s, d: pmix.curation_assignments(_aug(s, d)),
-    "curation_stratified_cap":
-        lambda s, d: pcur.stratified_cap(_aug(s, d)),
-    # chunking AND chunk-level dedup in one driver row (the 50-entry cap
-    # escape valve): every chunk row carries the corpus-wide duplication
-    # verdict for its hash — nulls for unique chunks, the full
-    # (occurrences, docs, canonical owner) aggregate for repeated ones.
-    # chunk_tokens and chunk_dedup stay individually exposed below and
-    # in pytest.
-    "text_chunks": _text_chunks_with_dups,
     # token-budget sequence packing over the chunk table (budget 160 so
     # sf docs span several sequences); oracle mirrors the exclusive
     # prefix-sum DIV bucketing in DuckDB window SQL
@@ -962,11 +949,6 @@ _PIPELINE_QUERIES = {
         lambda s, d: pcur.pack_sequences(pcur.chunk_tokens(_aug(s, d)),
                                          token_budget=160),
     "multimodal_features": _multimodal_features,
-    # resize + frame-sampling fused into one driver row (same cap
-    # escape valve): each media's resize summary (len/checksum/head
-    # bytes) joined to its sampled frames, left so a frameless payload
-    # still pins its resize columns
-    "multimodal_transforms": _multimodal_transforms,
 }
 
 # Driver-INVISIBLE entries (the harness checks the first 50 only): the
@@ -975,9 +957,22 @@ _PIPELINE_QUERIES = {
 # lives in q1 and events_windowed_counts) keep callable, oracle-checked
 # entries here for tests and users.
 _EXTRA_QUERIES = {
-    # r8 rotation: five shape-duplicates displaced by _FLAGSHIP_R8 (see
-    # that dict's comment for the per-row justification); all stay
+    # r8 rotations: shape-duplicates displaced by _FLAGSHIP_R8 (see
+    # that dict's comments for the per-row justification); all stay
     # oracle-checked here + in tests/test_driver_parity.py
+    "ann_lsh_topk":
+        lambda s, d: psim.lsh_topk(_emb(s, d)),
+    "curation_stratified_cap":
+        lambda s, d: pcur.stratified_cap(_aug(s, d)),
+    # chunking AND chunk-level dedup in one row: every chunk row carries
+    # the corpus-wide duplication verdict for its hash
+    "text_chunks": _text_chunks_with_dups,
+    # resize + frame-sampling fused into one row: each media's resize
+    # summary joined to its sampled frames (left — a frameless payload
+    # still pins its resize columns)
+    "multimodal_transforms": _multimodal_transforms,
+    "events_top_users_by_value":
+        lambda s, d: ev.top_users_by_value(_events(s, d)),
     "q1_busiest_stops_weekday": _q1_weekday,
     "q2_overall_weekday": _q2_overall_weekday,
     "q4_whole_week_hourly": _q4_whole_week_hourly,
@@ -1098,12 +1093,6 @@ _EXTRA_QUERIES = {
     "profile_quantiles":
         lambda s, d: pprof.column_quantiles(
             _lineitem(s, d), _QUANTILE_COLS),
-    # r8: engine-deterministic cardinality sketch (KMV on the md5 hash)
-    # — the hash-checkable complement of approx_profile's HLL; the
-    # estimate is a pure integer function of the k smallest hashes
-    "profile_distinct_kmv":
-        lambda s, d: pprof.kmv_distinct(
-            _aug(s, d), ["doc_id", "text", "lang", "source", "n_chars"]),
     # per-(source, lang) curation dashboard: doc counts, emptiness,
     # exact-dup pressure, token/char volume, integer-mean quality
     "pipeline_corpus_report":
@@ -1123,31 +1112,14 @@ _EXTRA_QUERIES = {
     # (_FLAGSHIP_R8): the corpus rewritten with every repeated span cut
     "dedup_drop_repeated_spans":
         lambda s, d: pdedup.drop_repeated_spans(_aug(s, d)),
-    # r8: scalar-quantization ANN — the compression scale path (scan
-    # 1-byte codes, exact-rerank only the shortlist) beside brute/LSH/
-    # IVF; quantizer trained in-pass from a 1-row min/max broadcast
-    "ann_sq8_topk":
-        lambda s, d: psim.sq8_topk(_emb(s, d)),
-    # r8: web-provenance curation over the docs_web view (deterministic
-    # per-doc URLs with planted skew/collision structure) — the
-    # RefinedWeb/C4-class URL stages: canonicalization keep-one,
-    # per-domain skew screen, hot-domain cap, domain blocklist
-    "web_url_dedup":
-        lambda s, d: pweb.url_dedup(_web(s, d)),
+    # r8: the remaining web-curation rows (url_dedup and domain_cap
+    # rotated into the hash window via _FLAGSHIP_R8)
     "web_domain_stats":
         lambda s, d: pweb.domain_stats(_web(s, d)),
-    "web_domain_cap":
-        lambda s, d: pweb.domain_cap(_web(s, d)),
     "web_blocklist":
         lambda s, d: pweb.blocklist_filter(_web(s, d)),
-    # r8: deep-k twins of the unrolled graph walks — driver loop with
-    # per-level eager localCheckpoint (O(1) plan per level at any
-    # budget) instead of one static unrolled plan; oracles are the
-    # SAME generated level-unroll SQL at the deeper constants
-    "transit_reachable_deep":
-        lambda s, d: (lambda v: graphq.reachable_stops_deep(
-            v["stop_times"], v["trips"], "1", max_transfers=6))(
-            register_gtfs_views(s, d)),
+    # r8: deep-k pagerank twin (reachable twin rotated into the window):
+    # per-round eager localCheckpoint, oracle = the generated unroll
     "transit_stop_rank_deep":
         lambda s, d: (lambda v: graphq.stop_pagerank_deep(
             v["stop_times"], v["trips"], n_iter=6))(
@@ -1237,6 +1209,43 @@ _FLAGSHIP_R8 = {
     "transit_stop_rank":
         lambda s, d: (lambda v: graphq.stop_pagerank(
             v["stop_times"], v["trips"], n_iter=3))(
+            register_gtfs_views(s, d)),
+    # second r8 rotation: the round's own flagships take hash-gate
+    # slots as they land, displacing five more shape-duplicates
+    # (ann_lsh_topk — bucket-LSH signal pinned by ann_knn_join's
+    # multi-probe LSH + ann_ivf_topk; curation_stratified_cap — its
+    # exact machinery is in-window via web_domain_cap's delegation;
+    # text_chunks — chunking pinned by pipeline_training_chunks +
+    # pipeline_pack_sequences; multimodal_transforms — Arrow plumbing
+    # pinned by multimodal_features; events_top_users_by_value —
+    # groupby-sum ranking pinned by q4_top_routes_daily).  All five
+    # stay oracle-checked in _EXTRA_QUERIES + the pytest sweep.
+    # scalar-quantization ANN: the compression scale path (scan 1-byte
+    # codes, exact-rerank only the shortlist) beside brute/LSH/IVF;
+    # quantizer trained in-pass from a 1-row min/max broadcast
+    "ann_sq8_topk":
+        lambda s, d: psim.sq8_topk(_emb(s, d)),
+    # web-provenance curation over the docs_web view (deterministic
+    # per-doc URLs with planted skew/collision structure): URL
+    # canonicalization keep-one and the hot-domain cap — the two
+    # RefinedWeb/C4-class stages with the richest hash signal; the
+    # skew screen and suffix blocklist stay oracle-checked below
+    "web_url_dedup":
+        lambda s, d: pweb.url_dedup(_web(s, d)),
+    "web_domain_cap":
+        lambda s, d: pweb.domain_cap(_web(s, d)),
+    # engine-deterministic cardinality sketch (KMV on the md5 hash) —
+    # the hash-checkable complement of approx_profile's HLL; the
+    # estimate is a pure integer function of the k smallest hashes
+    "profile_distinct_kmv":
+        lambda s, d: pprof.kmv_distinct(
+            _aug(s, d), ["doc_id", "text", "lang", "source", "n_chars"]),
+    # deep-k BFS twin: driver loop with per-level eager localCheckpoint
+    # (O(1) plan per level at any budget); oracle = the SAME generated
+    # level-unroll SQL at the deeper constant
+    "transit_reachable_deep":
+        lambda s, d: (lambda v: graphq.reachable_stops_deep(
+            v["stop_times"], v["trips"], "1", max_transfers=6))(
             register_gtfs_views(s, d)),
 }
 
