@@ -254,6 +254,46 @@ def cmd_tokenizer_train(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_web_curate(args: argparse.Namespace) -> int:
+    """End-to-end URL curation over a docs parquet with a ``url``
+    column: suffix-blocklist filter -> canonical-URL keep-one ->
+    per-domain cap, writing the surviving docs (pipeline/web.py).  One
+    JSON status line reports the funnel counts."""
+    spark = _spark("web-curate")
+    from pyspark.sql import functions as F
+
+    from .pipeline.web import (
+        WEB_CAP,
+        blocklist_filter,
+        domain_cap,
+        url_dedup,
+    )
+
+    docs = spark.read.parquet(args.docs)
+    n_in = docs.count()
+    blocked = tuple(args.block or ())
+    kept = blocklist_filter(docs, blocked=blocked).select("doc_id")
+    docs = docs.join(kept, "doc_id", "left_semi")
+    n_blocked = n_in - docs.count()
+    docs = docs.join(
+        url_dedup(docs).select("doc_id"), "doc_id", "left_semi")
+    n_after_dedup = docs.count()
+    cap = args.cap if args.cap is not None else WEB_CAP
+    docs = docs.join(
+        domain_cap(docs, cap=cap).select("doc_id"),
+        "doc_id", "left_semi")
+    out = docs.orderBy(F.col("doc_id"))
+    n_out = out.count()
+    out.write.mode("overwrite").parquet(args.out)
+    print(json.dumps({
+        "n_in": n_in, "n_blocked": n_blocked,
+        "n_url_dups_dropped": (n_in - n_blocked) - n_after_dedup,
+        "n_domain_capped": n_after_dedup - n_out,
+        "n_out": n_out, "cap": cap, "out": args.out,
+    }))
+    return 0
+
+
 def cmd_plan(args: argparse.Namespace) -> int:
     """Print the scale screening (plan_summary) — and optionally the
     full formatted physical plan — of any registered engine query, by
@@ -418,6 +458,19 @@ def main(argv: list[str] | None = None) -> int:
     pt.add_argument("--out", default=None,
                     help="write the merge table as JSON here")
     pt.set_defaults(fn=cmd_tokenizer_train)
+
+    pw = sub.add_parser(
+        "web-curate",
+        help="blocklist -> URL keep-one -> domain cap over a docs "
+             "parquet with a url column")
+    pw.add_argument("--docs", required=True,
+                    help="parquet dir of documents (doc_id, url, ...)")
+    pw.add_argument("--out", required=True)
+    pw.add_argument("--block", action="append", default=None,
+                    help="blocked domain (dot-suffix match); repeatable")
+    pw.add_argument("--cap", type=int, default=None,
+                    help="max docs per registrable domain")
+    pw.set_defaults(fn=cmd_web_curate)
 
     pl = sub.add_parser(
         "plan", help="scale-screen a query's physical plan")

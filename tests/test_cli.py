@@ -254,3 +254,32 @@ def test_cli_stats_build_and_probe(spark, tmp_path, capsys):
     plan = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert plan["total"] == 8 and plan["skipped"] >= 7
     assert plan["stale"] is False
+
+
+def test_cli_web_curate(spark, tmp_path, capsys):
+    """web-curate runs the URL funnel end to end: blocklist drops the
+    blocked subtree, canonicalization keeps one copy per canonical URL,
+    the domain cap bites the hot domain, and the funnel counts add up."""
+    rows = (
+        # hot domain: 20 docs, 10 canonical urls (utm twins), cap 5
+        [(i, f"https://hot.example.com/p/{i % 10}"
+          + ("?utm_source=x" if i >= 10 else "")) for i in range(20)]
+        # blocked subtree
+        + [(100 + i, f"https://m{i}.bad.org/x") for i in range(3)]
+        # clean tail
+        + [(200 + i, f"https://t{i}.net/y") for i in range(4)]
+    )
+    docs_dir = str(tmp_path / "docs")
+    spark.createDataFrame(rows, "doc_id long, url string") \
+        .write.parquet(docs_dir)
+    out = str(tmp_path / "curated")
+    assert main(["web-curate", "--docs", docs_dir, "--out", out,
+                 "--block", "bad.org", "--cap", "5"]) == 0
+    st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert st["n_in"] == 27 and st["n_blocked"] == 3
+    assert st["n_url_dups_dropped"] == 10      # 20 hot docs -> 10 canon
+    assert st["n_domain_capped"] == 5          # 10 -> cap 5
+    assert st["n_out"] == 9                    # 5 hot + 4 tail
+    kept = spark.read.parquet(out)
+    assert kept.count() == 9
+    assert kept.filter("url LIKE '%bad.org%'").count() == 0
