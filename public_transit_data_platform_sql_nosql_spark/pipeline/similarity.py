@@ -110,17 +110,7 @@ def sq8_topk(emb: DataFrame, num_queries: int = 8, k: int = 10,
     contract matches the other ANN paths; pytest pins shortlist recall
     against ``brute_force_topk``.
     """
-    stats = emb.agg(
-        *[f(F.element_at("embedding", d).cast("double"))
-          .alias(f"{n}{d}")
-          for d in range(1, dim + 1)
-          for n, f in (("mn", F.min), ("mx", F.max))]
-    ).select(
-        F.array(*[F.col(f"mn{d}") for d in range(1, dim + 1)])
-        .alias("mns"),
-        F.array(*[F.col(f"mx{d}") for d in range(1, dim + 1)])
-        .alias("mxs"),
-    )
+    stats = _sq8_stats(emb, dim)
     hat = emb.join(F.broadcast(stats)).select(
         "vec_id",
         _sq8_dequantized(F.col("embedding"), F.col("mns"),
@@ -155,6 +145,106 @@ def sq8_topk(emb: DataFrame, num_queries: int = 8, k: int = 10,
                 .alias("cos_sim"))
     )
     return _ranked(pairs, k)
+
+
+def _sq8_stats(emb: DataFrame, dim: int) -> DataFrame:
+    """1-row quantizer: per-dim [min, max] arrays over the corpus."""
+    return emb.agg(
+        *[f(F.element_at("embedding", d).cast("double"))
+          .alias(f"{n}{d}")
+          for d in range(1, dim + 1)
+          for n, f in (("mn", F.min), ("mx", F.max))]
+    ).select(
+        F.array(*[F.col(f"mn{d}") for d in range(1, dim + 1)])
+        .alias("mns"),
+        F.array(*[F.col(f"mx{d}") for d in range(1, dim + 1)])
+        .alias("mxs"),
+    )
+
+
+def _sq8_codes(embedding: F.Column, mns: F.Column, mxs: F.Column,
+               dim: int) -> F.Column:
+    """array<smallint> of 0..255 codes (the stored form; a production
+    writer would pack them into one binary blob per row — the parquet
+    int16 column already cuts the scan 4x vs float64)."""
+    def _code(d):
+        x = F.element_at(embedding, d).cast("double")
+        mn = F.element_at(mns, d)
+        mx = F.element_at(mxs, d)
+        return F.coalesce(
+            F.least(F.lit(SQ_LEVELS), F.greatest(F.lit(0), F.floor(
+                (x - mn) * F.lit(float(SQ_LEVELS))
+                / F.nullif(mx - mn, F.lit(0.0))))),
+            F.lit(0),
+        ).cast("smallint")
+
+    return F.transform(F.sequence(F.lit(1), F.lit(dim)), _code)
+
+
+def write_sq8_index(emb: DataFrame, path: str, dim: int = 64) -> None:
+    """Persist the COMPRESSED vector serving layout: ``(vec_id,
+    codes)`` with 1-byte-resolution scalar codes plus the 1-row
+    quantizer at ``<path>/_quantizer`` — the on-disk twin of
+    ``sq8_topk``'s in-flight quantization and the IO claim behind it:
+    the ANN candidate scan reads this small codes table; full-precision
+    vectors are touched only for the re-rank shortlist (they stay in
+    the caller's primary store).  Compose with ``write_ivf_index``'s
+    cluster partitioning for pruning + compression together at 100 TB.
+    """
+    stats = _sq8_stats(emb, dim)
+    (
+        emb.join(F.broadcast(stats))
+        .select("vec_id",
+                _sq8_codes(F.col("embedding"), F.col("mns"),
+                           F.col("mxs"), dim).alias("codes"))
+        .write.mode("overwrite").parquet(path)
+    )
+    stats.coalesce(1).write.mode("overwrite").parquet(
+        f"{path}/_quantizer")
+
+
+def sq8_index_topk(spark, path: str, query_vec: list[float],
+                   vectors: DataFrame, k: int = 10,
+                   rerank_mult: int = SQ_RERANK_MULT,
+                   dim: int = 64) -> DataFrame:
+    """Serve top-k from a ``write_sq8_index`` layout: scan ONLY the
+    codes table, score each candidate's reconstruction against the
+    full-precision query (asymmetric-distance scoring), TakeOrdered the
+    ``k * rerank_mult`` shortlist, then join ``vectors`` (the primary
+    store) for exact cosine on just those rows.  Returns
+    ``(rank, neighbor_id, cos_sim)``."""
+    stats = spark.read.parquet(f"{path}/_quantizer")
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    hat = F.transform(
+        F.sequence(F.lit(1), F.lit(dim)),
+        lambda d: F.element_at("mns", d)
+        + (F.element_at("codes", d).cast("double") + F.lit(0.5))
+        * (F.element_at("mxs", d) - F.element_at("mns", d))
+        / F.lit(256.0),
+    )
+    shortlist = (
+        spark.read.parquet(path)
+        .join(F.broadcast(stats))
+        .select(F.col("vec_id").alias("neighbor_id"),
+                cosine(q, hat).alias("approx_sim"))
+        .orderBy(F.desc("approx_sim"), F.asc("neighbor_id"))
+        .limit(k * rerank_mult)
+        .select("neighbor_id")
+    )
+    pairs = (
+        shortlist.join(
+            vectors.select(F.col("vec_id").alias("neighbor_id"),
+                           F.col("embedding").alias("ne")),
+            "neighbor_id")
+        .select("neighbor_id",
+                F.round(cosine(q, F.col("ne")), 6).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+        .limit(k)
+    )
+    return bounded_rank(
+        pairs, [-F.col("cos_sim"), F.col("neighbor_id")], "rank",
+        start=1,
+    ).select("rank", "neighbor_id", "cos_sim")
 
 
 def hyperplane(j: int, dim: int = 64) -> F.Column:

@@ -73,3 +73,65 @@ def test_partitioning_invariance(spark, emb):
     b = sorted(map(tuple, sq8_topk(emb.repartition(7),
                                    num_queries=2, k=5).collect()))
     assert a == b
+
+
+def test_index_roundtrip_and_compression(spark, emb, tmp_path):
+    """write_sq8_index -> sq8_index_topk serves the same neighbors the
+    in-flight operator finds for the same query, the codes table on
+    disk is materially smaller than the vectors it stands in for, and
+    the served ranks are exact-cosine ordered."""
+    import os
+
+    from public_transit_data_platform_sql_nosql_spark.pipeline.similarity import (  # noqa: E501
+        sq8_index_topk,
+        write_sq8_index,
+    )
+
+    path = str(tmp_path / "sq8")
+    write_sq8_index(emb, path)
+
+    qvec = [float(x) for x in
+            emb.filter("vec_id = 0").head()["embedding"]]
+    got = sq8_index_topk(spark, path, qvec, emb, k=5).collect()
+    assert [r["rank"] for r in sorted(got, key=lambda r: r["rank"])] \
+        == [1, 2, 3, 4, 5]
+    sims = [r["cos_sim"] for r in sorted(got, key=lambda r: r["rank"])]
+    assert sims == sorted(sims, reverse=True)
+    # the query vector itself lives in the corpus: it must be rank 1
+    assert sorted(got, key=lambda r: r["rank"])[0]["neighbor_id"] == 0
+
+    def _dirsize(d, skip=None):
+        total = 0
+        for root, _, files in os.walk(d):
+            if skip and skip in root:
+                continue
+            total += sum(os.path.getsize(os.path.join(root, f))
+                         for f in files if f.endswith(".parquet"))
+        return total
+
+    vec_path = str(tmp_path / "vecs")
+    emb.select("vec_id", "embedding").write.parquet(vec_path)
+    codes_size = _dirsize(path, skip="_quantizer")
+    assert codes_size < 0.6 * _dirsize(vec_path)
+
+
+def test_index_agrees_with_inflight_operator(spark, emb, tmp_path):
+    """Same quantizer, same reconstruction: the served top-k for query
+    vec 3 equals the in-flight sq8_topk row set for that query (modulo
+    the self-exclusion the in-flight operator applies)."""
+    from public_transit_data_platform_sql_nosql_spark.pipeline.similarity import (  # noqa: E501
+        sq8_index_topk,
+        write_sq8_index,
+    )
+
+    path = str(tmp_path / "sq8")
+    write_sq8_index(emb, path)
+    qvec = [float(x) for x in
+            emb.filter("vec_id = 3").head()["embedding"]]
+    served = {r["neighbor_id"]
+              for r in sq8_index_topk(spark, path, qvec, emb,
+                                      k=6).collect()}
+    inflight = {r.neighbor_id for r in sq8_topk(
+        emb, num_queries=4, k=5).collect() if r.query_id == 3}
+    # served includes the self row; drop it before comparing
+    assert inflight <= served or inflight == (served - {3})
