@@ -619,6 +619,98 @@ def ivf_index_topk(spark, path: str, query_vec: list[float], k: int = 10,
     )
 
 
+def write_ivf_sq8_index(emb: DataFrame, path: str, k: int = KMEANS_K,
+                        n_iter: int = KMEANS_ITERS,
+                        dim: int = 64) -> None:
+    """Pruning AND compression in one layout — the full 100-TB vector
+    serving stack: SQ8 codes hive-partitioned by k-means cluster
+    (``cluster_id=NN/`` directories), with the centroid table at
+    ``<path>/_centroids`` and the quantizer at ``<path>/_quantizer``.
+    A query scans the ``nprobe`` probed directories OF CODES — cost
+    ~ (nprobe/k) x (1/4 bytes) of a full-precision full scan, the
+    multiplicative composition of :func:`write_ivf_index`'s partition
+    pruning and :func:`write_sq8_index`'s byte codes."""
+    assigned = emb.join(
+        embedding_kmeans(emb, k, n_iter).select("vec_id", "cluster_id"),
+        "vec_id")
+    stats = _sq8_stats(emb, dim)
+    (
+        assigned.join(F.broadcast(stats))
+        .select("vec_id", "cluster_id",
+                _sq8_codes(F.col("embedding"), F.col("mns"),
+                           F.col("mxs"), dim).alias("codes"))
+        .repartition("cluster_id")
+        .write.mode("overwrite").partitionBy("cluster_id").parquet(path)
+    )
+    cents = _quantized_centroids(
+        assigned.withColumnRenamed("cluster_id", "cid"))
+    cents.select(F.col("cid").alias("cluster_id"), "centroid") \
+        .coalesce(1).write.mode("overwrite").parquet(f"{path}/_centroids")
+    stats.coalesce(1).write.mode("overwrite").parquet(
+        f"{path}/_quantizer")
+
+
+def ivf_sq8_index_topk(spark, path: str, query_vec: list[float],
+                       vectors: DataFrame, k: int = 10,
+                       nprobe: int = 2,
+                       rerank_mult: int = SQ_RERANK_MULT,
+                       dim: int = 64) -> DataFrame:
+    """Serve top-k from a ``write_ivf_sq8_index`` layout: rank the
+    k-row centroid table driver-side, partition-prune to the ``nprobe``
+    best cluster directories, score ONLY those clusters' codes against
+    the full-precision query (asymmetric reconstruction scoring), then
+    exact-cosine re-rank the ``k * rerank_mult`` shortlist against the
+    primary store.  Returns ``(rank, neighbor_id, cos_sim)``."""
+    import math
+
+    cents = spark.read.parquet(f"{path}/_centroids").collect()
+    qn = math.sqrt(sum(x * x for x in query_vec))
+
+    def cos(c):
+        d = sum(a * b for a, b in zip(query_vec, c))
+        n = math.sqrt(sum(x * x for x in c))
+        return d / n / qn if n else -1.0
+
+    ranked = sorted(
+        ((round(cos(r["centroid"]), 6), r["cluster_id"]) for r in cents),
+        key=lambda t: (-t[0], t[1]))
+    probe = [cid for _, cid in ranked[:nprobe]]
+
+    stats = spark.read.parquet(f"{path}/_quantizer")
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    hat = F.transform(
+        F.sequence(F.lit(1), F.lit(dim)),
+        lambda d: F.element_at("mns", d)
+        + (F.element_at("codes", d).cast("double") + F.lit(0.5))
+        * (F.element_at("mxs", d) - F.element_at("mns", d))
+        / F.lit(256.0),
+    )
+    shortlist = (
+        spark.read.parquet(path)
+        .filter(F.col("cluster_id").isin(probe))
+        .join(F.broadcast(stats))
+        .select(F.col("vec_id").alias("neighbor_id"),
+                cosine(q, hat).alias("approx_sim"))
+        .orderBy(F.desc("approx_sim"), F.asc("neighbor_id"))
+        .limit(k * rerank_mult)
+        .select("neighbor_id")
+    )
+    pairs = (
+        shortlist.join(
+            vectors.select(F.col("vec_id").alias("neighbor_id"),
+                           F.col("embedding").alias("ne")),
+            "neighbor_id")
+        .select("neighbor_id",
+                F.round(cosine(q, F.col("ne")), 6).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+        .limit(k)
+    )
+    return bounded_rank(
+        pairs, [-F.col("cos_sim"), F.col("neighbor_id")], "rank",
+        start=1,
+    ).select("rank", "neighbor_id", "cos_sim")
+
+
 def embedding_kmeans_iterate(emb: DataFrame, k: int = KMEANS_K,
                              n_iter: int = 10) -> DataFrame:
     """The many-iterations k-means: same per-step math as

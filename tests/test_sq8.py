@@ -135,3 +135,46 @@ def test_index_agrees_with_inflight_operator(spark, emb, tmp_path):
         emb, num_queries=4, k=5).collect() if r.query_id == 3}
     # served includes the self row; drop it before comparing
     assert inflight <= served or inflight == (served - {3})
+
+
+def test_ivf_sq8_composed_layout(spark, emb, tmp_path):
+    """Pruning x compression: the composed index partition-prunes to
+    the probed cluster directories (PartitionFilters in the plan),
+    serves exact-cosine-ordered ranks, and at full probe (nprobe = k)
+    agrees with the flat SQ8 index for the same query."""
+    from public_transit_data_platform_sql_nosql_spark.pipeline.similarity import (  # noqa: E501
+        KMEANS_K,
+        ivf_sq8_index_topk,
+        sq8_index_topk,
+        write_ivf_sq8_index,
+        write_sq8_index,
+    )
+    from public_transit_data_platform_sql_nosql_spark.plans import (
+        executed_plan,
+    )
+
+    path = str(tmp_path / "ivfsq8")
+    write_ivf_sq8_index(emb, path)
+    qvec = [float(x) for x in
+            emb.filter("vec_id = 0").head()["embedding"]]
+
+    got = ivf_sq8_index_topk(spark, path, qvec, emb, k=5, nprobe=2)
+    rows = sorted(got.collect(), key=lambda r: r["rank"])
+    assert [r["rank"] for r in rows] == [1, 2, 3, 4, 5]
+    assert rows[0]["neighbor_id"] == 0  # the query's own vector
+    sims = [r["cos_sim"] for r in rows]
+    assert sims == sorted(sims, reverse=True)
+
+    # partition pruning is visible in the scan, not a post-filter
+    probe_plan = executed_plan(
+        ivf_sq8_index_topk(spark, path, qvec, emb, k=5, nprobe=1))
+    assert "PartitionFilters" in probe_plan
+
+    # full probe == flat SQ8 index (same quantizer, same arithmetic)
+    flat = str(tmp_path / "flat")
+    write_sq8_index(emb, flat)
+    a = sorted(map(tuple, ivf_sq8_index_topk(
+        spark, path, qvec, emb, k=5, nprobe=KMEANS_K).collect()))
+    b = sorted(map(tuple, sq8_index_topk(
+        spark, flat, qvec, emb, k=5).collect()))
+    assert a == b
