@@ -619,6 +619,62 @@ def ivf_index_topk(spark, path: str, query_vec: list[float], k: int = 10,
     )
 
 
+SQ_DRIFT_TOL = 0.05   # tolerated out-of-range drift, fraction of range
+
+
+def sq8_index_upsert(spark, path: str, new_emb: DataFrame,
+                     dim: int = 64,
+                     tol: float = SQ_DRIFT_TOL) -> dict:
+    """Maintain a ``write_sq8_index`` layout under appends, returning
+    the operational decision AS DATA (the ``maintain_ivf_index``
+    pattern): a scalar quantizer is trained on the corpus min/max, so
+    a batch whose values drift OUTSIDE the stored range would be
+    silently clamped to the edge codes — fine at the margin, recall
+    poison if the distribution moved.
+
+    One aggregate over the batch computes its per-dim min/max; dims
+    whose values exceed the stored range by more than ``tol`` x range
+    are counted.  Zero such dims: the batch is encoded with the
+    EXISTING quantizer (edge clamping only) and appended — codes stay
+    mutually comparable, ``{"decision": "appended"}``.  Any such dim:
+    NOTHING is written (the index stays consistent) and
+    ``{"decision": "rebuild", "drifted_dims": [...]}`` tells the
+    caller to re-run ``write_sq8_index`` over the unioned corpus —
+    re-encoding everything, the honest cost of moving the quantizer.
+    """
+    stats = spark.read.parquet(f"{path}/_quantizer")
+    bstats = _sq8_stats(new_emb, dim)
+    both = bstats.join(F.broadcast(stats.select(
+        F.col("mns").alias("omns"), F.col("mxs").alias("omxs"))))
+    drifted = both.select(
+        F.filter(
+            F.sequence(F.lit(1), F.lit(dim)),
+            lambda d: (
+                (F.element_at("mns", d)
+                 < F.element_at("omns", d)
+                 - F.lit(tol) * (F.element_at("omxs", d)
+                                 - F.element_at("omns", d)))
+                | (F.element_at("mxs", d)
+                   > F.element_at("omxs", d)
+                   + F.lit(tol) * (F.element_at("omxs", d)
+                                   - F.element_at("omns", d)))
+            ),
+        ).alias("dd")
+    ).head()["dd"]
+    n_new = new_emb.count()
+    if drifted:
+        return {"decision": "rebuild", "n_new": n_new,
+                "drifted_dims": [int(d) for d in drifted]}
+    (
+        new_emb.join(F.broadcast(stats))
+        .select("vec_id",
+                _sq8_codes(F.col("embedding"), F.col("mns"),
+                           F.col("mxs"), dim).alias("codes"))
+        .write.mode("append").parquet(path)
+    )
+    return {"decision": "appended", "n_new": n_new, "drifted_dims": []}
+
+
 def write_ivf_sq8_index(emb: DataFrame, path: str, k: int = KMEANS_K,
                         n_iter: int = KMEANS_ITERS,
                         dim: int = 64) -> None:

@@ -178,3 +178,52 @@ def test_ivf_sq8_composed_layout(spark, emb, tmp_path):
     b = sorted(map(tuple, sq8_index_topk(
         spark, flat, qvec, emb, k=5).collect()))
     assert a == b
+
+
+def test_index_upsert_decision_loop(spark, emb, tmp_path):
+    """In-range batches append and become servable; a batch whose
+    values drift outside the trained quantizer range refuses to write
+    and returns the rebuild decision with the offending dims."""
+    from pyspark.sql import functions as F
+
+    from public_transit_data_platform_sql_nosql_spark.pipeline.similarity import (  # noqa: E501
+        sq8_index_topk,
+        sq8_index_upsert,
+        write_sq8_index,
+    )
+
+    base = emb.filter("vec_id >= 10")
+    path = str(tmp_path / "sq8")
+    write_sq8_index(base, path)
+    n0 = spark.read.parquet(path).count()
+
+    # copies of base vectors under new ids are in-range by
+    # construction: appended (truly held-out vectors CAN drift — the
+    # rebuild branch below — which is exactly why the guard exists)
+    batch = emb.filter("vec_id >= 10 AND vec_id < 20").select(
+        (F.col("vec_id") + 50_000).alias("vec_id"), "embedding",
+        "label")
+    st = sq8_index_upsert(spark, path, batch)
+    assert st == {"decision": "appended", "n_new": 10,
+                  "drifted_dims": []}
+    assert spark.read.parquet(path).count() == n0 + 10
+    # the appended copy is servable: identical vector, cos_sim 1.0
+    qvec = [float(x) for x in
+            emb.filter("vec_id = 10").head()["embedding"]]
+    served = sq8_index_topk(
+        spark, path, qvec,
+        base.unionByName(batch), k=3).collect()
+    by_rank = sorted(served, key=lambda r: r["rank"])
+    assert {by_rank[0]["neighbor_id"], by_rank[1]["neighbor_id"]} \
+        == {10, 50_010}
+    assert by_rank[0]["cos_sim"] == by_rank[1]["cos_sim"] == 1.0
+
+    # a 100x-scaled batch is far out of range: rebuild, nothing written
+    wild = emb.filter("vec_id < 3").select(
+        (F.col("vec_id") + 90000).alias("vec_id"),
+        F.transform("embedding",
+                    lambda x: x * F.lit(100.0)).alias("embedding"))
+    n1 = spark.read.parquet(path).count()
+    st2 = sq8_index_upsert(spark, path, wild)
+    assert st2["decision"] == "rebuild" and st2["drifted_dims"]
+    assert spark.read.parquet(path).count() == n1
