@@ -269,22 +269,29 @@ def cmd_web_curate(args: argparse.Namespace) -> int:
         url_dedup,
     )
 
-    docs = spark.read.parquet(args.docs)
+    # each stage's survivor set is persisted before its count so the
+    # parquet read, blocklist suffix-explosion join, and url_dedup
+    # groupBy each execute ONCE — the funnel counts and the final write
+    # reuse the materialized stage instead of re-running the lineage
+    docs = spark.read.parquet(args.docs).persist()
     n_in = docs.count()
     blocked = tuple(args.block or ())
     kept = blocklist_filter(docs, blocked=blocked).select("doc_id")
-    docs = docs.join(kept, "doc_id", "left_semi")
-    n_blocked = n_in - docs.count()
-    docs = docs.join(
-        url_dedup(docs).select("doc_id"), "doc_id", "left_semi")
-    n_after_dedup = docs.count()
+    s1 = docs.join(kept, "doc_id", "left_semi").persist()
+    n_blocked = n_in - s1.count()
+    s2 = s1.join(
+        url_dedup(s1).select("doc_id"), "doc_id", "left_semi").persist()
+    n_after_dedup = s2.count()
     cap = args.cap if args.cap is not None else WEB_CAP
-    docs = docs.join(
-        domain_cap(docs, cap=cap).select("doc_id"),
-        "doc_id", "left_semi")
-    out = docs.orderBy(F.col("doc_id"))
+    out = (
+        s2.join(domain_cap(s2, cap=cap).select("doc_id"),
+                "doc_id", "left_semi")
+        .orderBy(F.col("doc_id")).persist()
+    )
     n_out = out.count()
     out.write.mode("overwrite").parquet(args.out)
+    for df in (out, s2, s1, docs):
+        df.unpersist()
     print(json.dumps({
         "n_in": n_in, "n_blocked": n_blocked,
         "n_url_dups_dropped": (n_in - n_blocked) - n_after_dedup,

@@ -448,7 +448,7 @@ _PII_TEXT = (
 
 # --- web-curation fragments (pipeline/web.py twins) -------------------------
 # the same three anchored regexes the Spark columns evaluate
-_WEB_HOST = "regexp_extract(url, '^https?://([^/?#]+)', 1)"
+_WEB_HOST = "regexp_extract(url, '^https?://([^/?#:]+)', 1)"
 _WEB_DOMAIN = f"regexp_extract({_WEB_HOST}, '([^.]+\\.[^.]+)$', 1)"
 _WEB_CANON = """CASE WHEN len(list_filter(
          string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),

@@ -33,9 +33,14 @@ from pyspark.sql import functions as F
 
 from .curation import stratified_cap
 
-# authority (host[:port]) of an http(s) URL; anchored so a '//' later in
-# the path can't re-match
-HOST_RE = r"^https?://([^/?#]+)"
+# host of an http(s) URL: the authority minus any explicit ':port'
+# (the capture stops at ':' so 'big.example.com:8080' and
+# 'big.example.com' collapse to one host — and so one domain under
+# domain_cap/domain_stats); anchored so a '//' later in the path can't
+# re-match.  Userinfo ('user@host') is not handled — it does not occur
+# in crawl-frontier URLs and a PSL-backed production parser (below)
+# would own it.
+HOST_RE = r"^https?://([^/?#:]+)"
 # registrable domain = last two dot labels (the synthetic corpus uses
 # example.{com,org,net}; a production build would swap in a public-
 # suffix-list lookup here, same column contract)

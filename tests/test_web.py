@@ -66,6 +66,19 @@ def test_host_and_registrable_domain(spark):
                         "example.org", "org"]
 
 
+def test_explicit_port_stripped_from_host_and_domain(spark):
+    # 'big.example.com:8080' and 'big.example.com' must be ONE host (and
+    # one domain under domain_cap/domain_stats) — the port is transport
+    # addressing, not identity
+    rows = _df(spark, [
+        (1, "https://big.example.com:8080/p/doc/1"),
+        (2, "https://big.example.com/p/doc/2"),
+    ]).select(url_host(F.col("url")).alias("h"),
+              registrable_domain(F.col("url")).alias("d")).collect()
+    assert {r["h"] for r in rows} == {"big.example.com"}
+    assert {r["d"] for r in rows} == {"example.com"}
+
+
 def test_domain_stats_shares_and_counts(spark):
     docs = _df(spark, [
         (1, "https://a.hot.com/1"), (2, "https://b.hot.com/2"),

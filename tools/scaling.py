@@ -4,6 +4,13 @@ and fit the wall-time scaling exponent (slope of log t vs log sf).
 Usage:  python tools/scaling.py [name ...]     (default: the r7/r8
 heavyweights the review asked evidence for)
 
+Environment knobs (defaults match the build container):
+  SPARK_GRAFT_TESTDATA  root holding sf{0.001,0.01,0.1}/ fixture dirs
+                        (default /root/testdata)
+  SPARK_GRAFT_CPUS      local[N] core count (default 32)
+  SPARK_GRAFT_SFS       comma-separated scale factors (default
+                        0.001,0.01,0.1 — each must exist under the root)
+
 At these sizes wall time = fixed Spark job-launch overhead + data term,
 so a perfectly linear operator shows an exponent well BELOW 1 (the
 fixed term flattens the left end); an exponent near or above 1 at THIS
@@ -13,6 +20,7 @@ least linearly).  Results go in the README scaling table.
 from __future__ import annotations
 
 import math
+import os
 import statistics
 import sys
 import time
@@ -29,13 +37,16 @@ DEFAULT = [
     "transit_reachable_deep",
     "transit_stop_rank_deep",
 ]
-SFS = [0.001, 0.01, 0.1]
+TESTDATA = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+SFS = [float(x) for x in
+       os.environ.get("SPARK_GRAFT_SFS", "0.001,0.01,0.1").split(",")]
 
 
 def main() -> int:
     names = sys.argv[1:] or DEFAULT
-    spark = get_spark(app_name="scaling", master="local[32]",
-                      shuffle_partitions=32)
+    spark = get_spark(app_name="scaling", master=f"local[{CPUS}]",
+                      shuffle_partitions=CPUS)
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
     print(f"{'query':34s} " + " ".join(f"sf{sf:<6}" for sf in SFS)
@@ -44,7 +55,7 @@ def main() -> int:
         fn = qs[name]
         med = []
         for sf in SFS:
-            d = f"/root/testdata/sf{sf}"
+            d = f"{TESTDATA}/sf{sf}"
             spark.catalog.clearCache()
             fn(spark, d).count()          # warm (JIT/codegen/footers)
             samples = []
