@@ -164,9 +164,8 @@ def _sq8_stats(emb: DataFrame, dim: int) -> DataFrame:
 
 def _sq8_codes(embedding: F.Column, mns: F.Column, mxs: F.Column,
                dim: int) -> F.Column:
-    """array<smallint> of 0..255 codes (the stored form; a production
-    writer would pack them into one binary blob per row — the parquet
-    int16 column already cuts the scan 4x vs float64)."""
+    """array of 0..255 integer codes, one per dimension (the logical
+    form; ``_sq8_pack`` turns it into the stored one-blob-per-row)."""
     def _code(d):
         x = F.element_at(embedding, d).cast("double")
         mn = F.element_at(mns, d)
@@ -181,52 +180,168 @@ def _sq8_codes(embedding: F.Column, mns: F.Column, mxs: F.Column,
     return F.transform(F.sequence(F.lit(1), F.lit(dim)), _code)
 
 
+def _sq8_pack(codes: F.Column) -> F.Column:
+    """ONE binary blob per row from the array of 0..255 codes: each
+    code becomes a zero-padded hex pair, concatenated and unhex'd —
+    all JVM-side string expressions, no UDF.  dim bytes/row on disk
+    (vs 4*dim for the float32 vectors and 2*dim for the earlier
+    array<smallint> draft): parquet stores it as a single BYTE_ARRAY
+    value, so the codes scan carries no per-element repetition
+    levels."""
+    return F.unhex(F.concat_ws("", F.transform(
+        codes, lambda c: F.lpad(F.hex(c), 2, "0"))))
+
+
+def _sq8_unpack(blob: F.Column, dim: int) -> F.Column:
+    """array<int> of 0..255 codes back out of a ``_sq8_pack`` blob:
+    hex, split into 2-char chunks, base-16 conv — exact inverse for
+    every byte value (pytest round-trips all 256).  The split's
+    trailing empty chunk is never indexed (element_at stops at dim)."""
+    pairs = F.split(F.hex(blob), r"(?<=\G..)")
+    return F.transform(
+        F.sequence(F.lit(1), F.lit(dim)),
+        lambda d: F.conv(F.element_at(pairs, d), 16, 10).cast("int"))
+
+
+def _sq8_reconstruct(ucodes: F.Column, dim: int) -> F.Column:
+    """x_hat per dimension from unpacked codes + the joined quantizer
+    row (``mns``/``mxs`` columns) — the same arithmetic, in the same
+    op order, as ``_sq8_dequantized``'s in-flight path."""
+    return F.transform(
+        F.sequence(F.lit(1), F.lit(dim)),
+        lambda d: F.element_at("mns", d)
+        + (F.element_at(ucodes, d).cast("double") + F.lit(0.5))
+        * (F.element_at("mxs", d) - F.element_at("mns", d))
+        / F.lit(256.0),
+    )
+
+
+def _next_index_version(spark, path: str) -> int:
+    from ..jobs.versioned import list_versions
+
+    versions = list_versions(spark, path)
+    return (versions[-1] + 1) if versions else 0
+
+
+def _index_manifest(spark, path: str) -> dict:
+    """Resolve the newest COMMITTED snapshot of a manifest-versioned
+    index (raises FileNotFoundError for an empty/uncommitted path)."""
+    from ..jobs.versioned import _read_manifest, list_versions
+
+    versions = list_versions(spark, path)
+    if not versions:
+        raise FileNotFoundError(
+            f"vector index {path}: no committed version (data dirs "
+            f"without a manifest are uncommitted orphans)")
+    return _read_manifest(spark, path, versions[-1])
+
+
+def vacuum_index(spark, path: str, keep_last: int = 2) -> dict:
+    """Collect index garbage: delete (a) data dirs no RETAINED manifest
+    references — including the orphans a crashed commit leaves, which
+    would otherwise collide with the next version's directory — and
+    (b) manifests older than the last ``keep_last``.  The index twin of
+    jobs/versioned.vacuum (different manifest schema: codes/quantizer/
+    centroids refs instead of a flat dirs list)."""
+    from ..jobs.compact import _fs
+    from ..jobs.versioned import _read_manifest, list_versions
+
+    fs, _, jvm = _fs(spark, path)
+    versions = list_versions(spark, path)
+    keep = versions[-keep_last:] if keep_last else []
+    referenced: set[str] = set()
+    for v in keep:
+        man = _read_manifest(spark, path, v)
+        for d in man["codes"]:
+            referenced.add(d.split("/")[1])           # data/<vdir>/codes
+        for key in ("quantizer", "centroids"):
+            if key in man:
+                referenced.add(man[key].split("/")[1])
+    removed_dirs, removed_manifests = [], []
+    data_root = jvm.org.apache.hadoop.fs.Path(f"{path}/data")
+    if fs.exists(data_root):
+        for st in fs.listStatus(data_root):
+            name = st.getPath().getName()
+            if name not in referenced:
+                fs.delete(st.getPath(), True)
+                removed_dirs.append(name)
+    for v in versions:
+        if v not in keep:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(
+                f"{path}/_versions/v{v:06d}.json"), False)
+            removed_manifests.append(v)
+    return {"removed_dirs": sorted(removed_dirs),
+            "removed_manifests": removed_manifests,
+            "kept_versions": keep}
+
+
+def read_index_codes(spark, path: str) -> DataFrame:
+    """The codes table of the newest COMMITTED snapshot of an SQ8 /
+    IVF-SQ8 index — what a maintenance job or audit reads; uncommitted
+    (crash-orphaned) data dirs are invisible by construction."""
+    m = _index_manifest(spark, path)
+    return spark.read.parquet(*[f"{path}/{d}" for d in m["codes"]])
+
+
 def write_sq8_index(emb: DataFrame, path: str, dim: int = 64) -> None:
     """Persist the COMPRESSED vector serving layout: ``(vec_id,
-    codes)`` with 1-byte-resolution scalar codes plus the 1-row
-    quantizer at ``<path>/_quantizer`` — the on-disk twin of
-    ``sq8_topk``'s in-flight quantization and the IO claim behind it:
-    the ANN candidate scan reads this small codes table; full-precision
-    vectors are touched only for the re-rank shortlist (they stay in
-    the caller's primary store).  Compose with ``write_ivf_index``'s
-    cluster partitioning for pruning + compression together at 100 TB.
-    """
+    codes)`` with the dim-byte packed blob per row plus the 1-row
+    quantizer — the on-disk twin of ``sq8_topk``'s in-flight
+    quantization and the IO claim behind it: the ANN candidate scan
+    reads this small codes table; full-precision vectors are touched
+    only for the re-rank shortlist (they stay in the caller's primary
+    store).
+
+    Commit protocol (jobs/versioned.py): codes and quantizer are
+    written FIRST under ``<path>/data/v<N>/``, then one manifest at
+    ``<path>/_versions/v<N>.json`` referencing both via an atomic
+    tmp+rename — a crash between any two writes leaves orphan data
+    dirs but never a reader-visible index whose codes and quantizer
+    disagree (the torn-write failure an index rebuilt over hours at
+    100 TB cannot afford).  Single-writer: a concurrent commit of the
+    same version number fails on the manifest create."""
+    from ..jobs.versioned import _write_manifest
+
+    spark = emb.sparkSession
+    version = _next_index_version(spark, path)
+    base = f"data/v{version:06d}"
     stats = _sq8_stats(emb, dim)
     (
         emb.join(F.broadcast(stats))
         .select("vec_id",
-                _sq8_codes(F.col("embedding"), F.col("mns"),
-                           F.col("mxs"), dim).alias("codes"))
-        .write.mode("overwrite").parquet(path)
+                _sq8_pack(_sq8_codes(F.col("embedding"), F.col("mns"),
+                                     F.col("mxs"), dim)).alias("codes"))
+        .write.mode("error").parquet(f"{path}/{base}/codes")
     )
-    stats.coalesce(1).write.mode("overwrite").parquet(
-        f"{path}/_quantizer")
+    stats.coalesce(1).write.mode("error").parquet(
+        f"{path}/{base}/quantizer")
+    _write_manifest(spark, path, version, {
+        "version": version, "kind": "sq8", "dim": dim,
+        "codes": [f"{base}/codes"], "quantizer": f"{base}/quantizer",
+    })
 
 
 def sq8_index_topk(spark, path: str, query_vec: list[float],
                    vectors: DataFrame, k: int = 10,
                    rerank_mult: int = SQ_RERANK_MULT,
                    dim: int = 64) -> DataFrame:
-    """Serve top-k from a ``write_sq8_index`` layout: scan ONLY the
-    codes table, score each candidate's reconstruction against the
-    full-precision query (asymmetric-distance scoring), TakeOrdered the
-    ``k * rerank_mult`` shortlist, then join ``vectors`` (the primary
-    store) for exact cosine on just those rows.  Returns
-    ``(rank, neighbor_id, cos_sim)``."""
-    stats = spark.read.parquet(f"{path}/_quantizer")
+    """Serve top-k from a ``write_sq8_index`` layout: resolve the
+    newest committed manifest, scan ONLY its codes dirs, score each
+    candidate's reconstruction against the full-precision query
+    (asymmetric-distance scoring), TakeOrdered the ``k * rerank_mult``
+    shortlist, then join ``vectors`` (the primary store) for exact
+    cosine on just those rows.  Returns ``(rank, neighbor_id,
+    cos_sim)``."""
+    m = _index_manifest(spark, path)
+    stats = spark.read.parquet(f"{path}/{m['quantizer']}")
     q = F.array(*[F.lit(float(x)) for x in query_vec])
-    hat = F.transform(
-        F.sequence(F.lit(1), F.lit(dim)),
-        lambda d: F.element_at("mns", d)
-        + (F.element_at("codes", d).cast("double") + F.lit(0.5))
-        * (F.element_at("mxs", d) - F.element_at("mns", d))
-        / F.lit(256.0),
-    )
     shortlist = (
-        spark.read.parquet(path)
+        spark.read.parquet(*[f"{path}/{d}" for d in m["codes"]])
         .join(F.broadcast(stats))
+        .withColumn("ucodes", _sq8_unpack(F.col("codes"), dim))
         .select(F.col("vec_id").alias("neighbor_id"),
-                cosine(q, hat).alias("approx_sim"))
+                cosine(q, _sq8_reconstruct(F.col("ucodes"), dim))
+                .alias("approx_sim"))
         .orderBy(F.desc("approx_sim"), F.asc("neighbor_id"))
         .limit(k * rerank_mult)
         .select("neighbor_id")
@@ -625,7 +740,7 @@ SQ_DRIFT_TOL = 0.05   # tolerated out-of-range drift, fraction of range
 def sq8_index_upsert(spark, path: str, new_emb: DataFrame,
                      dim: int = 64,
                      tol: float = SQ_DRIFT_TOL) -> dict:
-    """Maintain a ``write_sq8_index`` layout under appends, returning
+    """Maintain a ``write_sq8_index`` layout under batches, returning
     the operational decision AS DATA (the ``maintain_ivf_index``
     pattern): a scalar quantizer is trained on the corpus min/max, so
     a batch whose values drift OUTSIDE the stored range would be
@@ -634,15 +749,34 @@ def sq8_index_upsert(spark, path: str, new_emb: DataFrame,
 
     One aggregate over the batch computes its per-dim min/max; dims
     whose values exceed the stored range by more than ``tol`` x range
-    are counted.  Zero such dims: the batch is encoded with the
-    EXISTING quantizer (edge clamping only) and appended — codes stay
-    mutually comparable, ``{"decision": "appended"}``.  Any such dim:
-    NOTHING is written (the index stays consistent) and
-    ``{"decision": "rebuild", "drifted_dims": [...]}`` tells the
-    caller to re-run ``write_sq8_index`` over the unioned corpus —
-    re-encoding everything, the honest cost of moving the quantizer.
+    are counted.  Any such dim: NOTHING is written (the index stays
+    consistent) and ``{"decision": "rebuild", "drifted_dims": [...]}``
+    tells the caller to re-run ``write_sq8_index`` over the unioned
+    corpus — re-encoding everything, the honest cost of moving the
+    quantizer.  In-range batches encode with the EXISTING quantizer
+    (edge clamping only) and commit a new manifest version:
+
+    - all-new vec_ids: the batch lands as ONE new codes dir and the
+      manifest references old dirs + new (``{"decision": "appended"}``
+      — an append commit writes only the appended rows);
+    - any vec_id already indexed: keyed REPLACEMENT — survivors
+      (current codes anti-join batch) plus the re-encoded batch are
+      written as one fresh codes dir the new manifest points at alone
+      (``{"decision": "replaced", "n_replaced": N}``).  This rewrites
+      the codes table (the dim-byte/row artifact, not the vectors);
+      a file-granular copy-on-write (jobs/upsert.py) would bound it
+      further if re-submits ever dominate.
+
+    Crash-safe like the writer: data dirs first, manifest rename last —
+    an interrupted upsert leaves the PREVIOUS version fully readable.
+    Single-writer; batches must be vec_id-unique (raises otherwise).
     """
-    stats = spark.read.parquet(f"{path}/_quantizer")
+    from ..jobs.upsert import _check_key_unique
+    from ..jobs.versioned import _write_manifest
+
+    _check_key_unique(new_emb, ["vec_id"])
+    m = _index_manifest(spark, path)
+    stats = spark.read.parquet(f"{path}/{m['quantizer']}")
     bstats = _sq8_stats(new_emb, dim)
     both = bstats.join(F.broadcast(stats.select(
         F.col("mns").alias("omns"), F.col("mxs").alias("omxs"))))
@@ -665,14 +799,35 @@ def sq8_index_upsert(spark, path: str, new_emb: DataFrame,
     if drifted:
         return {"decision": "rebuild", "n_new": n_new,
                 "drifted_dims": [int(d) for d in drifted]}
-    (
+    encoded = (
         new_emb.join(F.broadcast(stats))
         .select("vec_id",
-                _sq8_codes(F.col("embedding"), F.col("mns"),
-                           F.col("mxs"), dim).alias("codes"))
-        .write.mode("append").parquet(path)
+                _sq8_pack(_sq8_codes(F.col("embedding"), F.col("mns"),
+                                     F.col("mxs"), dim)).alias("codes"))
     )
-    return {"decision": "appended", "n_new": n_new, "drifted_dims": []}
+    current = spark.read.parquet(*[f"{path}/{d}" for d in m["codes"]])
+    batch_ids = new_emb.select("vec_id")
+    n_replaced = current.join(
+        F.broadcast(batch_ids), "vec_id", "left_semi").count()
+    version = _next_index_version(spark, path)
+    base = f"data/v{version:06d}"
+    if n_replaced == 0:
+        encoded.write.mode("error").parquet(f"{path}/{base}/codes")
+        dirs = m["codes"] + [f"{base}/codes"]
+        decision = "appended"
+    else:
+        survivors = current.join(
+            F.broadcast(batch_ids), "vec_id", "left_anti")
+        survivors.unionByName(encoded).write.mode("error").parquet(
+            f"{path}/{base}/codes")
+        dirs = [f"{base}/codes"]
+        decision = "replaced"
+    _write_manifest(spark, path, version, {
+        "version": version, "kind": "sq8", "dim": dim,
+        "codes": dirs, "quantizer": m["quantizer"],
+    })
+    return {"decision": decision, "n_new": n_new,
+            "n_replaced": n_replaced, "drifted_dims": []}
 
 
 def write_ivf_sq8_index(emb: DataFrame, path: str, k: int = KMEANS_K,
@@ -685,7 +840,17 @@ def write_ivf_sq8_index(emb: DataFrame, path: str, k: int = KMEANS_K,
     A query scans the ``nprobe`` probed directories OF CODES — cost
     ~ (nprobe/k) x (1/4 bytes) of a full-precision full scan, the
     multiplicative composition of :func:`write_ivf_index`'s partition
-    pruning and :func:`write_sq8_index`'s byte codes."""
+    pruning and :func:`write_sq8_index`'s byte codes.
+
+    Same commit protocol as ``write_sq8_index``: codes, centroids and
+    quantizer land under ``<path>/data/v<N>/`` first, then ONE manifest
+    rename commits all three together — a crash mid-write can never
+    leave codes served under the wrong quantizer or centroids."""
+    from ..jobs.versioned import _write_manifest
+
+    spark = emb.sparkSession
+    version = _next_index_version(spark, path)
+    base = f"data/v{version:06d}"
     assigned = emb.join(
         embedding_kmeans(emb, k, n_iter).select("vec_id", "cluster_id"),
         "vec_id")
@@ -693,17 +858,24 @@ def write_ivf_sq8_index(emb: DataFrame, path: str, k: int = KMEANS_K,
     (
         assigned.join(F.broadcast(stats))
         .select("vec_id", "cluster_id",
-                _sq8_codes(F.col("embedding"), F.col("mns"),
-                           F.col("mxs"), dim).alias("codes"))
+                _sq8_pack(_sq8_codes(F.col("embedding"), F.col("mns"),
+                                     F.col("mxs"), dim)).alias("codes"))
         .repartition("cluster_id")
-        .write.mode("overwrite").partitionBy("cluster_id").parquet(path)
+        .write.mode("error").partitionBy("cluster_id")
+        .parquet(f"{path}/{base}/codes")
     )
     cents = _quantized_centroids(
         assigned.withColumnRenamed("cluster_id", "cid"))
     cents.select(F.col("cid").alias("cluster_id"), "centroid") \
-        .coalesce(1).write.mode("overwrite").parquet(f"{path}/_centroids")
-    stats.coalesce(1).write.mode("overwrite").parquet(
-        f"{path}/_quantizer")
+        .coalesce(1).write.mode("error") \
+        .parquet(f"{path}/{base}/centroids")
+    stats.coalesce(1).write.mode("error").parquet(
+        f"{path}/{base}/quantizer")
+    _write_manifest(spark, path, version, {
+        "version": version, "kind": "ivf_sq8", "dim": dim,
+        "codes": [f"{base}/codes"], "centroids": f"{base}/centroids",
+        "quantizer": f"{base}/quantizer",
+    })
 
 
 def ivf_sq8_index_topk(spark, path: str, query_vec: list[float],
@@ -719,7 +891,8 @@ def ivf_sq8_index_topk(spark, path: str, query_vec: list[float],
     primary store.  Returns ``(rank, neighbor_id, cos_sim)``."""
     import math
 
-    cents = spark.read.parquet(f"{path}/_centroids").collect()
+    m = _index_manifest(spark, path)
+    cents = spark.read.parquet(f"{path}/{m['centroids']}").collect()
     qn = math.sqrt(sum(x * x for x in query_vec))
 
     def cos(c):
@@ -732,21 +905,16 @@ def ivf_sq8_index_topk(spark, path: str, query_vec: list[float],
         key=lambda t: (-t[0], t[1]))
     probe = [cid for _, cid in ranked[:nprobe]]
 
-    stats = spark.read.parquet(f"{path}/_quantizer")
+    stats = spark.read.parquet(f"{path}/{m['quantizer']}")
     q = F.array(*[F.lit(float(x)) for x in query_vec])
-    hat = F.transform(
-        F.sequence(F.lit(1), F.lit(dim)),
-        lambda d: F.element_at("mns", d)
-        + (F.element_at("codes", d).cast("double") + F.lit(0.5))
-        * (F.element_at("mxs", d) - F.element_at("mns", d))
-        / F.lit(256.0),
-    )
     shortlist = (
-        spark.read.parquet(path)
+        spark.read.parquet(*[f"{path}/{d}" for d in m["codes"]])
         .filter(F.col("cluster_id").isin(probe))
         .join(F.broadcast(stats))
+        .withColumn("ucodes", _sq8_unpack(F.col("codes"), dim))
         .select(F.col("vec_id").alias("neighbor_id"),
-                cosine(q, hat).alias("approx_sim"))
+                cosine(q, _sq8_reconstruct(F.col("ucodes"), dim))
+                .alias("approx_sim"))
         .orderBy(F.desc("approx_sim"), F.asc("neighbor_id"))
         .limit(k * rerank_mult)
         .select("neighbor_id")

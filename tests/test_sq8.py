@@ -77,8 +77,8 @@ def test_partitioning_invariance(spark, emb):
 
 def test_index_roundtrip_and_compression(spark, emb, tmp_path):
     """write_sq8_index -> sq8_index_topk serves the same neighbors the
-    in-flight operator finds for the same query, the codes table on
-    disk is materially smaller than the vectors it stands in for, and
+    in-flight operator finds for the same query, the packed codes table
+    on disk is a small fraction of the vectors it stands in for, and
     the served ranks are exact-cosine ordered."""
     import os
 
@@ -111,8 +111,10 @@ def test_index_roundtrip_and_compression(spark, emb, tmp_path):
 
     vec_path = str(tmp_path / "vecs")
     emb.select("vec_id", "embedding").write.parquet(vec_path)
-    codes_size = _dirsize(path, skip="_quantizer")
-    assert codes_size < 0.6 * _dirsize(vec_path)
+    # one 64-byte blob per row vs array<float32>: raw ratio 1/4, and the
+    # blob column carries no per-element repetition levels
+    codes_size = _dirsize(path, skip="quantizer")
+    assert codes_size < 0.35 * _dirsize(vec_path)
 
 
 def test_index_agrees_with_inflight_operator(spark, emb, tmp_path):
@@ -187,6 +189,7 @@ def test_index_upsert_decision_loop(spark, emb, tmp_path):
     from pyspark.sql import functions as F
 
     from public_transit_data_platform_sql_nosql_spark.pipeline.similarity import (  # noqa: E501
+        read_index_codes,
         sq8_index_topk,
         sq8_index_upsert,
         write_sq8_index,
@@ -195,7 +198,7 @@ def test_index_upsert_decision_loop(spark, emb, tmp_path):
     base = emb.filter("vec_id >= 10")
     path = str(tmp_path / "sq8")
     write_sq8_index(base, path)
-    n0 = spark.read.parquet(path).count()
+    n0 = read_index_codes(spark, path).count()
 
     # copies of base vectors under new ids are in-range by
     # construction: appended (truly held-out vectors CAN drift — the
@@ -205,8 +208,8 @@ def test_index_upsert_decision_loop(spark, emb, tmp_path):
         "label")
     st = sq8_index_upsert(spark, path, batch)
     assert st == {"decision": "appended", "n_new": 10,
-                  "drifted_dims": []}
-    assert spark.read.parquet(path).count() == n0 + 10
+                  "n_replaced": 0, "drifted_dims": []}
+    assert read_index_codes(spark, path).count() == n0 + 10
     # the appended copy is servable: identical vector, cos_sim 1.0
     qvec = [float(x) for x in
             emb.filter("vec_id = 10").head()["embedding"]]
@@ -223,7 +226,127 @@ def test_index_upsert_decision_loop(spark, emb, tmp_path):
         (F.col("vec_id") + 90000).alias("vec_id"),
         F.transform("embedding",
                     lambda x: x * F.lit(100.0)).alias("embedding"))
-    n1 = spark.read.parquet(path).count()
+    n1 = read_index_codes(spark, path).count()
     st2 = sq8_index_upsert(spark, path, wild)
     assert st2["decision"] == "rebuild" and st2["drifted_dims"]
-    assert spark.read.parquet(path).count() == n1
+    assert read_index_codes(spark, path).count() == n1
+
+
+def test_upsert_replaces_resubmitted_vec_ids(spark, emb, tmp_path):
+    """A batch re-submitting an already-indexed vec_id rewrites that
+    row instead of appending a duplicate: the index stays one-row-per-
+    vec_id, the new codes win, and the decision says 'replaced'."""
+    from pyspark.sql import functions as F
+
+    from public_transit_data_platform_sql_nosql_spark.pipeline.similarity import (  # noqa: E501
+        read_index_codes,
+        sq8_index_topk,
+        sq8_index_upsert,
+        write_sq8_index,
+    )
+
+    base = emb.filter("vec_id >= 10")
+    path = str(tmp_path / "sq8")
+    write_sq8_index(base, path)
+    n0 = read_index_codes(spark, path).count()
+
+    # re-submit vec 10 carrying vec 11's embedding, plus one new id
+    e11 = emb.filter("vec_id = 11").select(
+        F.lit(10).cast("long").alias("vec_id"), "embedding")
+    new = emb.filter("vec_id = 12").select(
+        (F.col("vec_id") + 70_000).alias("vec_id"), "embedding")
+    st = sq8_index_upsert(spark, path, e11.unionByName(new))
+    assert st["decision"] == "replaced"
+    assert st["n_replaced"] == 1 and st["n_new"] == 2
+
+    codes = read_index_codes(spark, path)
+    assert codes.count() == n0 + 1                       # no dup rows
+    assert codes.filter("vec_id = 10").count() == 1
+    # vec 10 now answers for vec 11's vector at cos_sim 1.0
+    qvec = [float(x) for x in
+            emb.filter("vec_id = 11").head()["embedding"]]
+    vectors = base.filter("vec_id != 10").unionByName(
+        e11.select("vec_id", "embedding")
+        .withColumn("label", F.lit(None).cast("string"))
+        .select(*base.columns)).unionByName(
+        new.withColumn("label", F.lit(None).cast("string"))
+        .select(*base.columns))
+    served = sorted(sq8_index_topk(spark, path, qvec, vectors,
+                                   k=3).collect(),
+                    key=lambda r: r["rank"])
+    top2 = {served[0]["neighbor_id"], served[1]["neighbor_id"]}
+    assert {10, 11} == top2
+    assert served[0]["cos_sim"] == served[1]["cos_sim"] == 1.0
+
+    # batches must be vec_id-unique: ambiguous merges raise pre-write
+    import pytest as _pytest
+    dup = e11.unionByName(e11)
+    with _pytest.raises(ValueError):
+        sq8_index_upsert(spark, path, dup)
+
+
+def test_pack_unpack_round_trips_every_byte(spark):
+    """The packed-blob codec is exact for all 256 code values."""
+    from pyspark.sql import functions as F
+
+    from public_transit_data_platform_sql_nosql_spark.pipeline.similarity import (  # noqa: E501
+        _sq8_pack,
+        _sq8_unpack,
+    )
+
+    df = spark.range(1).select(
+        F.sequence(F.lit(0), F.lit(255)).alias("codes"))
+    row = df.select(
+        _sq8_unpack(_sq8_pack(F.col("codes")), 256).alias("back"),
+        F.octet_length(_sq8_pack(F.col("codes"))).alias("nbytes"),
+    ).head()
+    assert row["nbytes"] == 256
+    assert list(row["back"]) == list(range(256))
+
+
+def test_crash_between_data_and_manifest_is_invisible(spark, emb,
+                                                      tmp_path):
+    """Torn-write safety: data dirs written without their manifest (a
+    crash before the commit rename) are never served — readers resolve
+    the previous committed version; vacuum collects the orphan so the
+    next commit can reuse the version slot."""
+    import os
+
+    from public_transit_data_platform_sql_nosql_spark.pipeline.similarity import (  # noqa: E501
+        read_index_codes,
+        sq8_index_topk,
+        sq8_index_upsert,
+        vacuum_index,
+        write_sq8_index,
+    )
+    from pyspark.sql import functions as F
+
+    base = emb.filter("vec_id >= 10")
+    path = str(tmp_path / "sq8")
+    write_sq8_index(base, path)
+    n0 = read_index_codes(spark, path).count()
+
+    # simulate a crashed v1 commit: codes dir written, no manifest
+    orphan = os.path.join(path, "data", "v000001", "codes")
+    emb.filter("vec_id < 5").select(
+        "vec_id", F.encode(F.lit("junk"), "utf-8").alias("codes")
+    ).write.parquet(orphan)
+
+    # readers see only v0 — count unchanged, serving works
+    assert read_index_codes(spark, path).count() == n0
+    qvec = [float(x) for x in
+            emb.filter("vec_id = 10").head()["embedding"]]
+    top = sorted(sq8_index_topk(spark, path, qvec, base, k=1).collect(),
+                 key=lambda r: r["rank"])
+    assert top[0]["neighbor_id"] == 10
+
+    # the orphan blocks v1's directory slot: vacuum collects it...
+    st = vacuum_index(spark, path)
+    assert st["removed_dirs"] == ["v000001"]
+    assert not os.path.exists(os.path.join(path, "data", "v000001"))
+    # ...and the next commit lands cleanly as v1
+    batch = emb.filter("vec_id >= 10 AND vec_id < 12").select(
+        (F.col("vec_id") + 50_000).alias("vec_id"), "embedding")
+    st2 = sq8_index_upsert(spark, path, batch)
+    assert st2["decision"] == "appended"
+    assert read_index_codes(spark, path).count() == n0 + 2
