@@ -896,8 +896,6 @@ _PIPELINE_QUERIES = {
         lambda s, d: pdedup.exact_dedup(_aug(s, d)),
     "dedup_ngram_jaccard":
         lambda s, d: pdedup.ngram_jaccard_pairs(_aug(s, d)),
-    "dedup_minhash_lsh":
-        lambda s, d: pdedup.minhash_lsh_pairs(_aug(s, d)),
     "dedup_simhash":
         lambda s, d: pdedup.simhash_pairs(_aug(s, d)),
     "dedup_embedding_cosine":
@@ -920,12 +918,6 @@ _PIPELINE_QUERIES = {
             pdedup.decontaminate_report(
                 _aug(s, d).filter("doc_id % 11 != 0"),
                 _aug(s, d).filter("doc_id % 11 = 0"))),
-    # train/eval benchmark-decontamination: every 11th doc plays the
-    # held-out eval set; report = train docs sharing >= 3 shingles
-    "pipeline_decontaminate":
-        lambda s, d: pdedup.decontaminate_report(
-            _aug(s, d).filter("doc_id % 11 != 0"),
-            _aug(s, d).filter("doc_id % 11 = 0")),
     "ann_bruteforce_topk":
         lambda s, d: psim.brute_force_topk(_emb(s, d)),
     "ann_ivf_topk":
@@ -942,12 +934,6 @@ _PIPELINE_QUERIES = {
     # in pipeline/curation.py + pipeline/mixing.py and pytest-covered
     "curation_split":
         lambda s, d: pmix.curation_assignments(_aug(s, d)),
-    # token-budget sequence packing over the chunk table (budget 160 so
-    # sf docs span several sequences); oracle mirrors the exclusive
-    # prefix-sum DIV bucketing in DuckDB window SQL
-    "pipeline_pack_sequences":
-        lambda s, d: pcur.pack_sequences(pcur.chunk_tokens(_aug(s, d)),
-                                         token_budget=160),
     "multimodal_features": _multimodal_features,
 }
 
@@ -1102,28 +1088,26 @@ _EXTRA_QUERIES = {
     # signal beside the heuristic quality_scores)
     "text_lm_score":
         lambda s, d: ptext.lm_transition_scores(_aug(s, d)),
-    # BPE merge-table training ON the corpus (one corpus pass to the
-    # piece-frequency table, then vocabulary-sized rounds); per-round
-    # argmax-and-rewrite, hash-checked against the generated DuckDB
-    # unroll (oracles._learn_merges_sql) + Python-mirror differential
-    "text_learn_merges":
-        lambda s, d: pbpe.learn_merges(_aug(s, d), n_merges=16),
-    # the drop twin of the rotated-in dedup_repeated_spans flagship
-    # (_FLAGSHIP_R8): the corpus rewritten with every repeated span cut
-    "dedup_drop_repeated_spans":
-        lambda s, d: pdedup.drop_repeated_spans(_aug(s, d)),
-    # r8: the remaining web-curation rows (url_dedup and domain_cap
-    # rotated into the hash window via _FLAGSHIP_R8)
-    "web_domain_stats":
-        lambda s, d: pweb.domain_stats(_web(s, d)),
-    "web_blocklist":
-        lambda s, d: pweb.blocklist_filter(_web(s, d)),
-    # r8: deep-k pagerank twin (reachable twin rotated into the window):
-    # per-round eager localCheckpoint, oracle = the generated unroll
-    "transit_stop_rank_deep":
-        lambda s, d: (lambda v: graphq.stop_pagerank_deep(
-            v["stop_times"], v["trips"], n_iter=6))(
-            register_gtfs_views(s, d)),
+    # r9 rotation: shape-duplicates displaced by _FLAGSHIP_R9 — each is
+    # pinned transitively by an in-window composition (q4_top_routes /
+    # q4_hourly_profile / q4_totals_by_service all consume the hourly
+    # view; q2_service_breakdown_top5 pins the semi-join-to-ranked +
+    # detail-ordering shape; pipeline_training_sequences composes
+    # pack_sequences AND decontaminate_report; dedup_clusters consumes
+    # minhash_lsh_pairs directly)
+    "q4_hourly_frequency_view":
+        lambda s, d: _q4_hourly_view(s, d),
+    "q4_detail_rows":
+        lambda s, d: _q4_detail_rows(s, d),
+    "dedup_minhash_lsh":
+        lambda s, d: pdedup.minhash_lsh_pairs(_aug(s, d)),
+    "pipeline_decontaminate":
+        lambda s, d: pdedup.decontaminate_report(
+            _aug(s, d).filter("doc_id % 11 != 0"),
+            _aug(s, d).filter("doc_id % 11 = 0")),
+    "pipeline_pack_sequences":
+        lambda s, d: pcur.pack_sequences(pcur.chunk_tokens(_aug(s, d)),
+                                         token_budget=160),
     # r7 rotation: the rows below left the 50-entry driver window to make
     # room for _FLAGSHIP_QUERIES; each is a shape-duplicate of an
     # in-window row (precompute_q* of q1-q4; arrivals_flat of
@@ -1249,6 +1233,41 @@ _FLAGSHIP_R8 = {
             register_gtfs_views(s, d)),
 }
 
+# r9 rotation (tools/rotation_check.py enforces the cadence): five
+# never-gated queries take hash-gate slots, displacing five
+# shape-duplicates whose signal an in-window composition carries
+# (q4_hourly_frequency_view / q4_detail_rows -> the q4 family rows;
+# pipeline_pack_sequences + pipeline_decontaminate -> both composed
+# inside pipeline_training_sequences; dedup_minhash_lsh -> consumed
+# verbatim by dedup_clusters).  All five stay oracle-checked in
+# _EXTRA_QUERIES + the pytest sweep.
+_FLAGSHIP_R9 = {
+    # BPE merge-table training ON the corpus (one corpus pass to the
+    # piece-frequency table, then vocabulary-sized rounds); per-round
+    # argmax-and-rewrite, hash-checked against the generated DuckDB
+    # unroll (oracles._learn_merges_sql) + Python-mirror differential —
+    # newly oracled in r8, first time under the driver gate
+    "text_learn_merges":
+        lambda s, d: pbpe.learn_merges(_aug(s, d), n_merges=16),
+    # the drop twin of dedup_repeated_spans: the corpus rewritten with
+    # every repeated span cut
+    "dedup_drop_repeated_spans":
+        lambda s, d: pdedup.drop_repeated_spans(_aug(s, d)),
+    # per-domain doc/host/URL counts + integer-permille corpus share
+    # (the web family's skew screen)
+    "web_domain_stats":
+        lambda s, d: pweb.domain_stats(_web(s, d)),
+    # dot-suffix domain blocklist as explode + equi-join
+    "web_blocklist":
+        lambda s, d: pweb.blocklist_filter(_web(s, d)),
+    # deep-k pagerank twin: per-round eager localCheckpoint, oracle =
+    # the generated level-unroll SQL at the deeper constant
+    "transit_stop_rank_deep":
+        lambda s, d: (lambda v: graphq.stop_pagerank_deep(
+            v["stop_times"], v["trips"], n_iter=6))(
+            register_gtfs_views(s, d)),
+}
+
 
 # ---------------------------------------------------------------------------
 # driver contract
@@ -1265,9 +1284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_transfer_points": _q3,
         "q2_route_stats_weekday": _q2_weekday,
         "q2_route_stats_whole_week": _q2_whole_week,
-        "q4_hourly_frequency_view": _q4_hourly_view,
         "q4_top_routes_daily": _q4_top_routes,
-        "q4_detail_rows": _q4_detail_rows,
         "q4_totals_by_service": _q4_totals_by_service,
         "q2_longest_trip_path": _q2_longest_trip_path,
         "q4_hourly_profile": _q4_hourly_profile,
@@ -1279,6 +1296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **_PARITY_QUERIES,
         **_FLAGSHIP_QUERIES,
         **_FLAGSHIP_R8,
+        **_FLAGSHIP_R9,
         **_EVENTS_QUERIES,
         **_PIPELINE_QUERIES,
         # keep last: beyond the harness's 50-entry window by design
