@@ -78,23 +78,70 @@ def media_table(docs: DataFrame) -> DataFrame:
     )
 
 
+def _decode_bmp(payload: bytes) -> list[int]:
+    """Pure-Python decode of an uncompressed 24-bit BMP
+    (BITMAPINFOHEADER, BI_RGB): returns the pixel bytes as a flat
+    top-down row-major B,G,R sample stream — row padding stripped and
+    bottom-up storage order undone, i.e. a REAL layout normalization,
+    not a byte passthrough.  Width/height/offsets come from the
+    little-endian headers; negative biHeight (top-down files) is
+    honored.  Anything other than BI_RGB 24bpp raises
+    NotImplementedError (palette/compressed variants want a real
+    imaging library)."""
+    import struct
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload (missing 'BM' magic)")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size = struct.unpack_from("<I", payload, 14)[0]
+    if hdr_size < 40:
+        raise NotImplementedError("BITMAPCOREHEADER BMPs not supported")
+    w, h = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    comp = struct.unpack_from("<I", payload, 30)[0]
+    if comp != 0 or bpp != 24:
+        raise NotImplementedError(
+            f"only uncompressed 24-bit BMP supported (got bpp={bpp}, "
+            f"compression={comp})")
+    top_down = h < 0
+    h = abs(h)
+    row_bytes = w * 3
+    row_stride = (row_bytes + 3) & ~3          # rows pad to 4 bytes
+    if len(payload) < data_off + h * row_stride:
+        raise ValueError("truncated BMP pixel array")
+    out: list[int] = []
+    rows = range(h) if top_down else range(h - 1, -1, -1)
+    for r in rows:
+        off = data_off + r * row_stride
+        out.extend(payload[off:off + row_bytes])
+    return out
+
+
 def decode_payload(payload: bytes, kind: str, fake: bool = False):
     """Decode an encoded media payload to raw samples.
 
-    Real decoding needs PIL/ffmpeg-class libraries that are absent here —
-    STUB per the build contract.  ``fake=True`` returns a deterministic
-    pseudo-decode (the byte values themselves) so downstream plumbing is
-    testable.
+    ``fake=True`` (the oracle default throughout this module) returns a
+    deterministic pseudo-decode — the byte values themselves — so the
+    DuckDB differentials hash-match downstream arithmetic.  The real
+    branch decodes what pure Python can: uncompressed 24-bit BMP images
+    (``_decode_bmp`` — header parse, padding strip, row-order
+    normalization).  Compressed codecs need PIL/torchaudio/ffmpeg-class
+    libraries absent from this container and still raise
+    NotImplementedError; wire them here on a real cluster (same
+    list-of-samples contract).
     """
     if fake:
         return list(payload)
+    if kind == "image" and payload[:2] == b"BM":
+        return _decode_bmp(payload)
     raise NotImplementedError(
-        f"no {kind} codec in this environment; wire PIL/torchaudio/ffmpeg "
-        "here on a real cluster"
+        f"no {kind} codec in this environment for this payload; wire "
+        "PIL/torchaudio/ffmpeg here on a real cluster"
     )
 
 
-def _feature_batches(passthrough: tuple[str, ...] = ()):
+def _feature_batches(passthrough: tuple[str, ...] = (),
+                     fake: bool = True):
     out_cols = [f.name for f in FEATURES_SCHEMA] + list(passthrough)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -103,7 +150,7 @@ def _feature_batches(passthrough: tuple[str, ...] = ()):
             for i, (media_id, kind, payload) in enumerate(zip(
                 pdf["media_id"], pdf["kind"], pdf["payload"]
             )):
-                samples = decode_payload(bytes(payload), kind, fake=True)
+                samples = decode_payload(bytes(payload), kind, fake=fake)
                 n = len(samples) or 1
                 # deterministic fixed-width "embedding": per-bucket byte
                 # mass.  Buckets accumulate as EXACT integers; the only
@@ -130,18 +177,23 @@ def _feature_batches(passthrough: tuple[str, ...] = ()):
 
 
 def extract_features(media: DataFrame,
-                     passthrough: tuple[str, ...] = ()) -> DataFrame:
+                     passthrough: tuple[str, ...] = (),
+                     fake: bool = True) -> DataFrame:
     """Arrow-batched feature extraction over the payload column.
 
     ``passthrough`` names top-level metadata columns of ``media`` carried
     through the Arrow batch UNCHANGED — metadata stays attached to its
     features without a re-join shuffle (the scale-right way to keep
-    provenance columns next to extracted features)."""
+    provenance columns next to extracted features).  ``fake=False``
+    routes each payload through the REAL decoder (currently
+    uncompressed 24-bit BMP for images — see ``decode_payload``); the
+    fake byte-passthrough stays the default because it is what the
+    DuckDB oracle mirrors."""
     extra = [media.schema[c] for c in passthrough]
     schema = T.StructType(FEATURES_SCHEMA.fields + extra)
     return media.select("media_id", "kind", "payload",
                         *passthrough).mapInPandas(
-        _feature_batches(tuple(passthrough)), schema=schema
+        _feature_batches(tuple(passthrough), fake=fake), schema=schema
     )
 
 

@@ -63,3 +63,80 @@ def test_frame_sampling_fanout(media):
                 assert r["frame_len"] == L
             else:
                 assert 1 <= r["frame_len"] <= L
+
+
+# --- real BMP decode path ----------------------------------------------------
+
+
+def _make_bmp(width, height, pixels, top_down=False):
+    """Minimal uncompressed 24-bit BMP encoder for fixtures.  ``pixels``
+    is a top-down row-major list of (b, g, r) tuples; ``top_down``
+    writes a negative-height file (rows stored top-down), otherwise the
+    standard bottom-up order.  Rows pad to 4 bytes like real files."""
+    import struct
+
+    row_bytes = width * 3
+    stride = (row_bytes + 3) & ~3
+    data_off = 14 + 40
+    size = data_off + stride * height
+    hdr = b"BM" + struct.pack("<IHHI", size, 0, 0, data_off)
+    dib = struct.pack("<IiiHHIIiiII", 40, width,
+                      -height if top_down else height,
+                      1, 24, 0, stride * height, 2835, 2835, 0, 0)
+    body = bytearray()
+    rows = range(height) if top_down else range(height - 1, -1, -1)
+    for r in rows:
+        for c in range(width):
+            body.extend(pixels[r * width + c])
+        body.extend(b"\x00" * (stride - row_bytes))
+    return bytes(hdr + dib + body)
+
+
+_PIXELS_3X2 = [(10, 20, 30), (40, 50, 60), (70, 80, 90),
+               (110, 120, 130), (140, 150, 160), (170, 180, 190)]
+_FLAT_3X2 = [b for px in _PIXELS_3X2 for b in px]
+
+
+def test_bmp_decode_normalizes_layout():
+    """The real decoder undoes bottom-up row storage and strips row
+    padding: bottom-up and top-down encodings of the same image decode
+    to the identical top-down B,G,R sample stream."""
+    bot = _make_bmp(3, 2, _PIXELS_3X2, top_down=False)
+    top = _make_bmp(3, 2, _PIXELS_3X2, top_down=True)
+    assert bot != top  # genuinely different byte layouts on disk
+    assert mm.decode_payload(bot, "image") == _FLAT_3X2
+    assert mm.decode_payload(top, "image") == _FLAT_3X2
+    # and the decode differs from the fake byte passthrough
+    assert mm.decode_payload(bot, "image", fake=True) != _FLAT_3X2
+
+
+def test_bmp_unsupported_variants_raise():
+    import struct
+
+    bmp = bytearray(_make_bmp(2, 2, _PIXELS_3X2[:4]))
+    struct.pack_into("<I", bmp, 30, 1)  # BI_RLE8 compression
+    with pytest.raises(NotImplementedError):
+        mm.decode_payload(bytes(bmp), "image")
+    with pytest.raises(ValueError):
+        mm.decode_payload(_make_bmp(3, 2, _PIXELS_3X2)[:-8], "image")
+
+
+def test_bmp_end_to_end_through_extract_features(spark):
+    """A generated BMP flows through the REAL (fake=False) decode inside
+    the Arrow batch stage: byte_len / checksum / features computed from
+    the normalized pixel stream, not the raw file bytes."""
+    payload = _make_bmp(3, 2, _PIXELS_3X2)
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(payload))],
+        "media_id long, kind string, payload binary")
+    row = mm.extract_features(df, fake=False).head()
+    samples = _FLAT_3X2
+    assert row["byte_len"] == len(samples) == 18
+    assert row["checksum"] == sum(samples) % 1_000_000_007
+    bucket = [0] * mm.FEATURE_DIM
+    for s in samples:
+        bucket[s % mm.FEATURE_DIM] += s
+    want = [b / 255.0 / len(samples) for b in bucket]
+    assert list(row["features"]) == want
+    # the raw file bytes would have produced a different checksum
+    assert row["checksum"] != sum(payload) % 1_000_000_007
