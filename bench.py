@@ -14,6 +14,22 @@ set (dedup_clusters — the full connected-components fixpoint,
 pipeline_curated_corpus, text_profile replacing the narrower
 text_quality), so compare BENCH_r4+ totals per-query, not by the sum.
 
+NOTE r7->r8 drift triage (r9): the r8 regressions on untouched queries
+(q2 +77%, q3 +54%, q4 +56%, ann_lsh_topk +146%) were re-measured in r9
+with BOTH protocols in solo sessions (tools/abtest.py interleaved
+6-rep, and this bench's own warmup+median-of-3 via SPARK_GRAFT_QUERIES)
+at code identical to r8: the bench-identical run reproduced the R7
+numbers, not r8's (q2 1.89 s vs r8 3.23 / r7 1.83; q3 1.93 vs 3.10 /
+2.02; q4 1.99 vs 2.74 / 1.75; ann_lsh 1.16 vs 2.00 / 0.81), while
+dedup_minhash_lsh measured SLOWER than both rounds (5.1 s vs 2.2-2.3)
+— so the r8 total was box-state variance, not a plan change, and the
+box drifts in both directions round to round.  The interleaved run
+adds a protocol insight: round-robin execution keeps the largest
+codegen'd expressions (minhash, repeated-spans) mid-C2-ramp (~60%
+above their solo numbers), so cross-query interleaving is for drift
+ATTRIBUTION only, never for recording headline numbers.  A '# drift-
+note' line in the bench tail carries this forward each round.
+
 NOTE r5->r6 drift triage (r7): the queries that moved 28-58% between r5
 and r6 with zero code change (dedup_minhash_lsh, text_profile, q3,
 pipeline_curated_corpus) were re-measured in r7 with a 6-rep
@@ -62,6 +78,13 @@ def main() -> None:
     headline = [n for n in headline if n in qs] + sorted(
         n for n in qs if n not in headline and _is_headline_extra(n)
     )
+    # one-off restricted runs (e.g. the matched-scale sf1 point over a
+    # tools/gen_sf.py fixture that only carries the transit tables);
+    # unset -> the full headline set, which is what the driver records
+    only = os.environ.get("SPARK_GRAFT_QUERIES")
+    if only:
+        keep = {n.strip() for n in only.split(",") if n.strip()}
+        headline = [n for n in headline if n in keep]
 
     # warm the JVM + parquet footer caches once so per-query numbers measure
     # the plan, not first-touch JIT
@@ -102,6 +125,11 @@ def main() -> None:
         print(f"# {name}: {times[name]}s ({n} rows; "
               f"samples {[round(s, 3) for s in samples]})", file=sys.stderr)
 
+    print("# drift-note r9: r8's q2/q3/q4/ann_lsh regressions were "
+          "re-measured solo at identical code and reproduced the R7 "
+          "numbers (box-state variance, both directions; see module "
+          "docstring) — compare rounds per-query against that baseline, "
+          "not by totals", file=sys.stderr)
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1)) if m else None
     out = {
