@@ -301,6 +301,65 @@ def cmd_web_curate(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_vector_index(args: argparse.Namespace) -> int:
+    """Manage a manifest-committed SQ8 vector index
+    (pipeline/similarity.py): ``build`` trains the quantizer on the
+    corpus and writes packed byte codes (``--ivf`` adds k-means
+    partition pruning on top), ``query`` serves exact-reranked top-k
+    for a stored vector's embedding, ``upsert`` appends / keyed-replaces
+    a batch under the drift guard, ``vacuum`` collects crash-orphaned
+    data dirs and old manifests.  One JSON status line per action."""
+    spark = _spark("vector-index")
+    from .pipeline import similarity as sim
+
+    if args.action == "build":
+        emb = spark.read.parquet(args.emb)
+        if args.pq:
+            sim.write_pq_index(emb, args.path, dim=args.dim)
+        elif args.ivf:
+            sim.write_ivf_sq8_index(emb, args.path, dim=args.dim)
+        else:
+            sim.write_sq8_index(emb, args.path, dim=args.dim)
+        n = sim.read_index_codes(spark, args.path).count()
+        print(json.dumps({"action": "build", "path": args.path,
+                          "ivf": bool(args.ivf), "pq": bool(args.pq),
+                          "rows": n}))
+        return 0
+    if args.action == "query":
+        emb = spark.read.parquet(args.emb)
+        row = emb.filter(f"vec_id = {int(args.vec_id)}").head()
+        if row is None:
+            print(json.dumps({"error": f"vec_id {args.vec_id} not in "
+                                       f"{args.emb}"}))
+            return 2
+        qvec = [float(x) for x in row["embedding"]]
+        kind = sim._index_manifest(spark, args.path).get("kind", "sq8")
+        if kind == "ivf_sq8":
+            res = sim.ivf_sq8_index_topk(
+                spark, args.path, qvec, emb, k=args.k,
+                nprobe=args.nprobe, dim=args.dim)
+        elif kind == "pq":
+            res = sim.pq_index_topk(spark, args.path, qvec, emb,
+                                    k=args.k)
+        else:
+            res = sim.sq8_index_topk(spark, args.path, qvec, emb,
+                                     k=args.k, dim=args.dim)
+        out = [{"rank": r["rank"], "neighbor_id": r["neighbor_id"],
+                "cos_sim": r["cos_sim"]}
+               for r in res.orderBy("rank").collect()]
+        print(json.dumps({"action": "query", "vec_id": int(args.vec_id),
+                          "kind": kind, "topk": out}))
+        return 0
+    if args.action == "upsert":
+        batch = spark.read.parquet(args.batch)
+        st = sim.sq8_index_upsert(spark, args.path, batch, dim=args.dim)
+        print(json.dumps({"action": "upsert", **st}))
+        return 0 if st["decision"] != "rebuild" else 3
+    st = sim.vacuum_index(spark, args.path, keep_last=args.keep_last)
+    print(json.dumps({"action": "vacuum", **st}))
+    return 0
+
+
 def cmd_plan(args: argparse.Namespace) -> int:
     """Print the scale screening (plan_summary) — and optionally the
     full formatted physical plan — of any registered engine query, by
@@ -478,6 +537,29 @@ def main(argv: list[str] | None = None) -> int:
     pw.add_argument("--cap", type=int, default=None,
                     help="max docs per registrable domain")
     pw.set_defaults(fn=cmd_web_curate)
+
+    pv = sub.add_parser(
+        "vector-index",
+        help="build/query/upsert/vacuum a manifest-committed SQ8 "
+             "ANN index")
+    pv.add_argument("action",
+                    choices=("build", "query", "upsert", "vacuum"))
+    pv.add_argument("--path", required=True,
+                    help="index root (manifest-versioned)")
+    pv.add_argument("--emb", help="primary vector parquet "
+                                  "(vec_id, embedding)")
+    pv.add_argument("--batch", help="upsert batch parquet")
+    pv.add_argument("--ivf", action="store_true",
+                    help="build: compose k-means partition pruning")
+    pv.add_argument("--pq", action="store_true",
+                    help="build: product quantization (m-byte codes)")
+    pv.add_argument("--dim", type=int, default=64)
+    pv.add_argument("--vec-id", type=int, default=0,
+                    help="query: id whose stored embedding is the query")
+    pv.add_argument("--k", type=int, default=10)
+    pv.add_argument("--nprobe", type=int, default=2)
+    pv.add_argument("--keep-last", type=int, default=2)
+    pv.set_defaults(fn=cmd_vector_index)
 
     pl = sub.add_parser(
         "plan", help="scale-screen a query's physical plan")

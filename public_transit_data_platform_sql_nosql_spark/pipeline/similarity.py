@@ -254,7 +254,7 @@ def vacuum_index(spark, path: str, keep_last: int = 2) -> dict:
         man = _read_manifest(spark, path, v)
         for d in man["codes"]:
             referenced.add(d.split("/")[1])           # data/<vdir>/codes
-        for key in ("quantizer", "centroids"):
+        for key in ("quantizer", "centroids", "codebooks"):
             if key in man:
                 referenced.add(man[key].split("/")[1])
     removed_dirs, removed_manifests = [], []
@@ -684,6 +684,15 @@ def write_ivf_index(emb: DataFrame, path: str, k: int = KMEANS_K,
     ``_centroids`` holds the INTEGER milli-quantized sums driving the
     final assignment, so query-side ranking reproduces the clustering's
     own geometry exactly.
+
+    Consistency note (vs the manifest-committed SQ8 family): this
+    layout stays a plain in-place directory because ``ivf_index_upsert``
+    merges through jobs/upsert's file-granular copy-on-write swap,
+    which owns its own crash protocol.  A crash between the vector
+    write and ``_centroids`` here degrades only RECALL (full-precision
+    vectors re-ranked by exact cosine stay correct under stale
+    centroids); in the SQ8 layouts a torn quantizer corrupts VALUES,
+    which is why those commit through ``_versions`` manifests.
     """
     assigned = emb.join(
         embedding_kmeans(emb, k, n_iter).select("vec_id", "cluster_id"),
@@ -915,6 +924,155 @@ def ivf_sq8_index_topk(spark, path: str, query_vec: list[float],
         .select(F.col("vec_id").alias("neighbor_id"),
                 cosine(q, _sq8_reconstruct(F.col("ucodes"), dim))
                 .alias("approx_sim"))
+        .orderBy(F.desc("approx_sim"), F.asc("neighbor_id"))
+        .limit(k * rerank_mult)
+        .select("neighbor_id")
+    )
+    pairs = (
+        shortlist.join(
+            vectors.select(F.col("vec_id").alias("neighbor_id"),
+                           F.col("embedding").alias("ne")),
+            "neighbor_id")
+        .select("neighbor_id",
+                F.round(cosine(q, F.col("ne")), 6).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+        .limit(k)
+    )
+    return bounded_rank(
+        pairs, [-F.col("cos_sim"), F.col("neighbor_id")], "rank",
+        start=1,
+    ).select("rank", "neighbor_id", "cos_sim")
+
+
+PQ_M = 8           # subspaces (dim must divide evenly)
+PQ_K = 16          # codebook entries per subspace -> 4-bit codes
+PQ_RERANK_MULT = 8  # PQ quantizes coarser than SQ8 (m bytes vs dim), so
+#                     its exact-rerank shortlist defaults 2x deeper —
+#                     measured mean recall@10 0.8 at 8x vs 0.6 at 4x on
+#                     the sf embeddings, still scanning only m bytes/row
+
+
+def write_pq_index(emb: DataFrame, path: str, m: int = PQ_M,
+                   k: int = PQ_K, dim: int = 64,
+                   n_iter: int = KMEANS_ITERS) -> None:
+    """Persist a PRODUCT-QUANTIZATION serving layout — the third
+    compression point on the ANN spectrum (full vectors -> SQ8's
+    byte-per-dim -> PQ's byte-per-SUBSPACE): the vector splits into
+    ``m`` contiguous subvectors, each subspace learns its own ``k``-way
+    deterministic k-means codebook (``embedding_kmeans`` per slice —
+    same integer-quantized, engine-deterministic machinery), and every
+    vector stores just its ``m`` nearest-codeword ids, packed into an
+    ``m``-byte blob.  Effective grid = k^m cells (16^8 ~ 4.3e9 here)
+    from m*k stored codewords; on-disk codes are dim/m of SQ8's and
+    1/(4*dim/m) of float32.
+
+    Codebooks are stored UNIT-NORMALIZED: ``_quantized_centroids``
+    emits integer milli-SUMS whose magnitude carries cluster size, and
+    concatenating subspaces with different cluster sizes would skew the
+    cross-subspace cosine — normalizing each codeword keeps every
+    subspace's contribution to the reconstruction direction-only (the
+    codes themselves are chosen by cosine, which is scale-free, so
+    assignment is unaffected).
+
+    Same manifest commit protocol as ``write_sq8_index``: codes +
+    codebooks land under ``data/v<N>/`` first, ONE atomic manifest
+    rename publishes both — codes can never be served under the wrong
+    codebooks.  Codes use the serving codebooks' PREDECESSOR assignment
+    (the write_ivf_index pattern: centroids are one update step fresher
+    than the assignment that chose the codes — standard for quantizers
+    trained in-pass)."""
+    from ..jobs.versioned import _write_manifest
+
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    spark = emb.sparkSession
+    version = _next_index_version(spark, path)
+    base = f"data/v{version:06d}"
+
+    coded = emb.select("vec_id", "embedding")
+    books = None
+    for j in range(m):
+        sub_emb = emb.select(
+            "vec_id",
+            F.slice("embedding", j * sub + 1, sub).alias("embedding"))
+        assigned = sub_emb.join(
+            embedding_kmeans(sub_emb, k, n_iter)
+            .select("vec_id", F.col("cluster_id").alias("cid")),
+            "vec_id")
+        norm = F.sqrt(F.aggregate(
+            "centroid", F.lit(0.0), lambda a, x: a + x * x))
+        book_j = (
+            _quantized_centroids(assigned)
+            .select(F.lit(j).alias("subspace"),
+                    F.col("cid").alias("code"),
+                    F.transform(
+                        "centroid",
+                        lambda x: x / F.nullif(norm, F.lit(0.0)))
+                    .alias("centroid"))
+        )
+        books = book_j if books is None else books.unionByName(book_j)
+        coded = coded.join(
+            assigned.select("vec_id", F.col("cid").alias(f"c{j}")),
+            "vec_id")
+    (
+        coded.select(
+            "vec_id",
+            _sq8_pack(F.array(*[F.col(f"c{j}").cast("smallint")
+                                for j in range(m)])).alias("codes"))
+        .write.mode("error").parquet(f"{path}/{base}/codes")
+    )
+    books.coalesce(1).write.mode("error").parquet(
+        f"{path}/{base}/codebooks")
+    _write_manifest(spark, path, version, {
+        "version": version, "kind": "pq", "dim": dim, "m": m, "k": k,
+        "codes": [f"{base}/codes"], "codebooks": f"{base}/codebooks",
+    })
+
+
+def pq_index_topk(spark, path: str, query_vec: list[float],
+                  vectors: DataFrame, k: int = 10,
+                  rerank_mult: int = PQ_RERANK_MULT) -> DataFrame:
+    """Serve top-k from a ``write_pq_index`` layout: the m*k codeword
+    table is collected driver-side (tiny by construction, like the IVF
+    centroid table) and inlined as a nested array literal, so candidate
+    scoring is ONE pure-expression pass over the m-byte codes column —
+    reconstruct each candidate as the concatenation of its codewords,
+    cosine against the full-precision query, TakeOrdered the
+    ``k * rerank_mult`` shortlist, exact-rerank against the primary
+    store.  No shuffle before the bounded shortlist; the scan reads
+    m bytes per row."""
+    m_an = _index_manifest(spark, path)
+    m, dim = int(m_an["m"]), int(m_an["dim"])
+    kk = int(m_an["k"])
+    sub = dim // m
+    rows = spark.read.parquet(f"{path}/{m_an['codebooks']}").collect()
+    table: dict = {}
+    for r in rows:
+        table[(int(r["subspace"]), int(r["code"]))] = [
+            float(x) for x in r["centroid"]]
+    zero = [0.0] * sub
+    cb_lit = F.array(*[
+        F.array(*[
+            F.array(*[F.lit(v) for v in table.get((j, c), zero)])
+            for c in range(kk)])
+        for j in range(m)])
+
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    ucodes = _sq8_unpack(F.col("codes"), m)
+    hat = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda d: F.element_at(
+            F.element_at(
+                F.element_at(cb_lit, (d / F.lit(sub)).cast("int") + 1),
+                F.element_at(ucodes,
+                             (d / F.lit(sub)).cast("int") + 1) + 1),
+            F.pmod(d, F.lit(sub)).cast("int") + 1),
+    )
+    shortlist = (
+        spark.read.parquet(*[f"{path}/{d}" for d in m_an["codes"]])
+        .select(F.col("vec_id").alias("neighbor_id"),
+                cosine(q, hat).alias("approx_sim"))
         .orderBy(F.desc("approx_sim"), F.asc("neighbor_id"))
         .limit(k * rerank_mult)
         .select("neighbor_id")

@@ -283,3 +283,87 @@ def test_cli_web_curate(spark, tmp_path, capsys):
     kept = spark.read.parquet(out)
     assert kept.count() == 9
     assert kept.filter("url LIKE '%bad.org%'").count() == 0
+
+
+def test_cli_vector_index_lifecycle(spark, tmp_path, capsys):
+    """vector-index build -> query -> upsert -> vacuum over the sf
+    embeddings: the CLI drives the manifest-committed SQ8 layout end to
+    end, the rebuild decision surfaces as a distinct exit code, and
+    vacuum reports what it kept."""
+    import __spark_entry__ as E
+    from pyspark.sql import functions as F
+
+    emb_path = str(tmp_path / "emb")
+    E._emb(spark, SF_DIR).write.parquet(emb_path)
+    idx = str(tmp_path / "idx")
+
+    assert main(["vector-index", "build", "--path", idx,
+                 "--emb", emb_path]) == 0
+    built = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert built["rows"] > 0 and built["ivf"] is False
+
+    assert main(["vector-index", "query", "--path", idx,
+                 "--emb", emb_path, "--vec-id", "3", "--k", "5"]) == 0
+    q = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert q["kind"] == "sq8" and len(q["topk"]) == 5
+    assert q["topk"][0]["neighbor_id"] == 3  # own vector is rank 1
+
+    batch_path = str(tmp_path / "batch")
+    (spark.read.parquet(emb_path).limit(5)
+     .select((F.col("vec_id") + 10_000).alias("vec_id"), "embedding")
+     .write.parquet(batch_path))
+    assert main(["vector-index", "upsert", "--path", idx,
+                 "--batch", batch_path]) == 0
+    up = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert up["decision"] == "appended" and up["n_new"] == 5
+
+    # drifted batch: refused, distinct exit code
+    wild_path = str(tmp_path / "wild")
+    (spark.read.parquet(emb_path).limit(2)
+     .select((F.col("vec_id") + 20_000).alias("vec_id"),
+             F.transform("embedding", lambda x: x * F.lit(100.0))
+             .alias("embedding"))
+     .write.parquet(wild_path))
+    assert main(["vector-index", "upsert", "--path", idx,
+                 "--batch", wild_path]) == 3
+    refused = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert refused["decision"] == "rebuild"
+
+    assert main(["vector-index", "vacuum", "--path", idx]) == 0
+    vac = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert vac["kept_versions"]
+
+
+def test_cli_vector_index_ivf_build_and_query(spark, tmp_path, capsys):
+    import __spark_entry__ as E
+
+    emb_path = str(tmp_path / "emb")
+    E._emb(spark, SF_DIR).write.parquet(emb_path)
+    idx = str(tmp_path / "ivf")
+    assert main(["vector-index", "build", "--path", idx,
+                 "--emb", emb_path, "--ivf"]) == 0
+    built = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert built["ivf"] is True
+    assert main(["vector-index", "query", "--path", idx,
+                 "--emb", emb_path, "--vec-id", "0", "--k", "3",
+                 "--nprobe", "2"]) == 0
+    q = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert q["kind"] == "ivf_sq8" and len(q["topk"]) == 3
+    assert q["topk"][0]["neighbor_id"] == 0
+
+
+def test_cli_vector_index_pq_build_and_query(spark, tmp_path, capsys):
+    import __spark_entry__ as E
+
+    emb_path = str(tmp_path / "emb")
+    E._emb(spark, SF_DIR).write.parquet(emb_path)
+    idx = str(tmp_path / "pq")
+    assert main(["vector-index", "build", "--path", idx,
+                 "--emb", emb_path, "--pq"]) == 0
+    built = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert built["pq"] is True
+    assert main(["vector-index", "query", "--path", idx,
+                 "--emb", emb_path, "--vec-id", "3", "--k", "3"]) == 0
+    q = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert q["kind"] == "pq" and len(q["topk"]) == 3
+    assert q["topk"][0]["neighbor_id"] == 3
