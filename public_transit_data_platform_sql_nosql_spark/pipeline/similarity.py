@@ -990,8 +990,8 @@ def write_pq_index(emb: DataFrame, path: str, m: int = PQ_M,
     version = _next_index_version(spark, path)
     base = f"data/v{version:06d}"
 
-    coded = emb.select("vec_id", "embedding")
     books = None
+    asg_all = None
     for j in range(m):
         sub_emb = emb.select(
             "vec_id",
@@ -1012,14 +1012,22 @@ def write_pq_index(emb: DataFrame, path: str, m: int = PQ_M,
                     .alias("centroid"))
         )
         books = book_j if books is None else books.unionByName(book_j)
-        coded = coded.join(
-            assigned.select("vec_id", F.col("cid").alias(f"c{j}")),
-            "vec_id")
+        asg_j = assigned.select(
+            "vec_id", F.lit(j).alias("subspace"), "cid")
+        asg_all = asg_j if asg_all is None else asg_all.unionByName(asg_j)
+    # code assembly: the m per-subspace assignment streams union into
+    # ONE groupBy(vec_id) that sorts (subspace, cid) pairs in place —
+    # one shuffle of narrow int rows, instead of m successive vec_id
+    # joins widening the coded table join by join
     (
-        coded.select(
+        asg_all.groupBy("vec_id")
+        .agg(F.array_sort(
+            F.collect_list(F.struct("subspace", "cid"))).alias("sc"))
+        .select(
             "vec_id",
-            _sq8_pack(F.array(*[F.col(f"c{j}").cast("smallint")
-                                for j in range(m)])).alias("codes"))
+            _sq8_pack(F.expr(
+                "transform(sc, x -> cast(x.cid AS smallint))"))
+            .alias("codes"))
         .write.mode("error").parquet(f"{path}/{base}/codes")
     )
     books.coalesce(1).write.mode("error").parquet(

@@ -587,3 +587,52 @@ def stream_kmv_cardinality(docs_stream: DataFrame, sketch_path: str,
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_vector_index_upsert(emb_stream: DataFrame, index_path: str,
+                               checkpoint: str, dim: int = 64,
+                               tol: float | None = None):
+    """foreachBatch maintenance of a ``write_sq8_index`` layout from a
+    live vector feed — the streaming twin of
+    ``similarity.sq8_index_upsert``, closing the vector-serving loop
+    the way stream_incremental_dedup closes the dedup one.
+
+    Per micro-batch: duplicate vec_ids WITHIN the batch collapse first
+    (at-least-once delivery can replay rows; the upsert's key-unique
+    contract is a correctness guard, not a replay handler), then the
+    drift-guarded upsert runs — all-new ids append a codes dir,
+    re-submitted ids are keyed-replaced, and a batch whose values drift
+    past the trained quantizer range writes NOTHING.  Every decision is
+    committed as a row to the versioned store at
+    ``<index_path>/_state/decisions`` (batch_id, decision, n_new,
+    n_replaced, n_drifted_dims) — the rebuild signal an operator
+    watches, auditable across restarts.  Index commits stay atomic
+    (manifest rename), so a crash mid-batch leaves the previous index
+    version fully readable and the checkpoint replays the batch.
+    """
+    from ..jobs.versioned import commit_version
+    from ..pipeline.similarity import SQ_DRIFT_TOL, sq8_index_upsert
+
+    t = SQ_DRIFT_TOL if tol is None else tol
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = (batch_df.dropDuplicates(["vec_id"])
+                 .localCheckpoint(eager=True))
+        if not batch.head(1):
+            return
+        st = sq8_index_upsert(spark, index_path, batch, dim=dim, tol=t)
+        decision = spark.createDataFrame(
+            [(int(batch_id), st["decision"], int(st["n_new"]),
+              int(st.get("n_replaced", 0)), len(st["drifted_dims"]))],
+            "batch_id long, decision string, n_new long, "
+            "n_replaced long, n_drifted_dims long")
+        commit_version(decision, f"{index_path}/_state/decisions",
+                       mode="append")
+
+    return (
+        emb_stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", f"{checkpoint}/ck")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -438,3 +438,84 @@ def test_stream_kmv_matches_batch_sketch(spark, tmp_path):
     by_col = {r[0]: r[3] for r in got}
     assert by_col["lang"] == 3
     assert by_col["source"] == 3
+
+
+def test_stream_vector_index_upsert(spark, tmp_path):
+    """Streaming SQ8 maintenance: an append batch, a keyed-replacement
+    batch, and a drifted batch arrive as separate micro-batches; the
+    final index equals what the batch upserts would produce in any
+    order (disjoint effects by construction), the drifted batch writes
+    nothing, and the decisions store records one auditable row per
+    batch."""
+    import __spark_entry__ as E
+    from pyspark.sql import functions as F
+
+    from public_transit_data_platform_sql_nosql_spark.jobs.versioned import (
+        read_version,
+    )
+    from public_transit_data_platform_sql_nosql_spark.pipeline.similarity import (  # noqa: E501
+        read_index_codes,
+        sq8_index_topk,
+        write_sq8_index,
+    )
+    from public_transit_data_platform_sql_nosql_spark.streaming.jobs import (
+        stream_vector_index_upsert,
+    )
+
+    emb = E._emb(spark, SF_DIR)
+    base = emb.filter("vec_id >= 10").select("vec_id", "embedding")
+    idx = str(tmp_path / "idx")
+    write_sq8_index(base, idx)
+    n0 = read_index_codes(spark, idx).count()
+
+    src = str(tmp_path / "src")
+    # batch A: 5 new ids (copies of in-range vectors); includes an
+    # intra-batch duplicate row to exercise the replay collapse
+    a = emb.filter("vec_id >= 10 AND vec_id < 15").select(
+        (F.col("vec_id") + 50_000).alias("vec_id"), "embedding")
+    a.unionByName(a.limit(1)).coalesce(1).write.parquet(f"{src}/a.parquet")
+    # batch B: re-submits vec 20 carrying vec 21's embedding
+    emb.filter("vec_id = 21").select(
+        F.lit(20).cast("long").alias("vec_id"), "embedding"
+    ).coalesce(1).write.parquet(f"{src}/b.parquet")
+    # batch C: 100x-scaled values -> drift refusal
+    emb.filter("vec_id < 2").select(
+        (F.col("vec_id") + 90_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(100.0))
+        .cast("array<float>").alias("embedding"),
+    ).coalesce(1).write.parquet(f"{src}/c.parquet")
+
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/*.parquet")
+    )
+    q = stream_vector_index_upsert(stream, idx, str(tmp_path / "chk"))
+    q.awaitTermination()
+
+    codes = read_index_codes(spark, idx)
+    assert codes.count() == n0 + 5          # +5 appends, 1 replace, 0 drift
+    assert codes.filter("vec_id = 20").count() == 1
+    assert codes.filter("vec_id >= 90000").count() == 0
+    assert codes.groupBy("vec_id").count().filter("count > 1").count() == 0
+
+    decisions = sorted(
+        map(tuple, read_version(
+            spark, f"{idx}/_state/decisions").collect()))
+    kinds = sorted(d[1] for d in decisions)
+    assert kinds == ["appended", "rebuild", "replaced"]
+    by_kind = {d[1]: d for d in decisions}
+    assert by_kind["appended"][2] == 5      # dup row collapsed
+    assert by_kind["replaced"][3] == 1
+    assert by_kind["rebuild"][4] > 0
+
+    # the replacement is servable: vec 20 now answers for vec 21
+    vectors = base.filter("vec_id != 20").unionByName(
+        spark.createDataFrame(
+            [(20,)], "vec_id long").join(
+            emb.filter("vec_id = 21").select("embedding")))
+    qvec = [float(x)
+            for x in emb.filter("vec_id = 21").head()["embedding"]]
+    top = sorted(sq8_index_topk(spark, idx, qvec, vectors, k=2).collect(),
+                 key=lambda r: r["rank"])
+    assert {top[0]["neighbor_id"], top[1]["neighbor_id"]} >= {20}
