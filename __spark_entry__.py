@@ -987,6 +987,12 @@ _EXTRA_QUERIES = {
     # updates, fully oracle-checked (verify + pytest differential)
     "embedding_kmeans":
         lambda s, d: psim.embedding_kmeans(_emb(s, d)),
+    # r9: in-flight product-quantization ANN — m per-subspace kmeans
+    # codebooks trained in-pass, candidates scored on the codeword
+    # reconstruction, exact rerank; oracle = m generated kmeans-chain
+    # unrolls over array slices (oracles.pq_topk_sql)
+    "ann_pq_topk":
+        lambda s, d: psim.pq_topk(_emb(s, d)),
     # SemDeDup composition: k-means blocking + within-cluster keep-first
     # (augmented corpus, so the planted near-dups give real positives)
     "semantic_dedup":

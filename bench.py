@@ -149,6 +149,12 @@ def _is_headline_extra(name: str) -> bool:
     pipeline_curated_corpus (quality + keep-one + split composition) are
     the most expensive operators users run — benched so their wall time
     has round-over-round history."""
+    if name == "ann_pq_topk":
+        # in-flight PQ trains 8 per-subspace kmeans codebooks in-pass —
+        # a ~20 s FIXED training cost that is flat across these SFs and
+        # would swamp the headline total without adding scan signal;
+        # serving cost lives in the (pytest-covered) pq_index_topk path
+        return False
     return name.startswith((
         "dedup_minhash", "dedup_clusters", "ann_", "text_profile",
         "pipeline_curated_corpus", "pipeline_training_chunks",

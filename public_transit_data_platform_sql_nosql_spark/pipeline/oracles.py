@@ -153,57 +153,148 @@ def _emb_band_union_sql() -> str:
     return "\n  UNION ALL\n".join(parts)
 
 
-def kmeans_ctes(src: str) -> str:
+def kmeans_ctes(src: str, k: int | None = None, dim: int = 64,
+                prefix: str = "") -> str:
     """CTE chain mirroring pipeline/similarity.py embedding_kmeans over
-    the table ``src`` (k=8, n_iter=2 unrolled; final assignment in
-    ``a2``): hash seeding, round-6 argmax with (cos DESC, cid ASC)
-    tie-break, integer milli-quantized centroid sums."""
+    the table ``src`` (n_iter=2 unrolled; final assignment in
+    ``{prefix}a2``): hash seeding, round-6 argmax with (cos DESC,
+    cid ASC) tie-break, integer milli-quantized centroid sums.
+    ``k``/``dim`` default to the corpus operator's constants;
+    ``prefix`` namespaces the CTEs so several chains (e.g. the PQ
+    oracle's per-subspace instances) coexist in one statement."""
     from .similarity import KMEANS_K, KMEANS_SALT
 
-    return f"""s AS (
+    kk = KMEANS_K if k is None else k
+    p = prefix
+    return f"""{p}s AS (
   SELECT vec_id, embedding,
          {md5h(f"'{KMEANS_SALT}' || CAST(vec_id AS VARCHAR)")} AS h
   FROM {src}
-  ORDER BY h, vec_id LIMIT {KMEANS_K}
+  ORDER BY h, vec_id LIMIT {kk}
 ),
-c0 AS (
+{p}c0 AS (
   SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS BIGINT) AS cid,
          embedding AS centroid
-  FROM s
+  FROM {p}s
 ),
-a1 AS (
+{p}a1 AS (
   SELECT vec_id, embedding, cid FROM (
     SELECT e.vec_id, e.embedding, c.cid,
            row_number() OVER (PARTITION BY e.vec_id
-             ORDER BY round({cos_sql('e.embedding', 'c.centroid')}, 6)
+             ORDER BY round({cos_sql('e.embedding', 'c.centroid', dim)}, 6)
                DESC, c.cid) AS rn
-    FROM {src} e, c0 c
+    FROM {src} e, {p}c0 c
   ) WHERE rn = 1
 ),
-comp1 AS (
+{p}comp1 AS (
   SELECT cid, u.pos AS pos, CAST(SUM(u.q) AS BIGINT) AS s
   FROM (
-    SELECT cid, UNNEST(list_transform(range(1, 65),
+    SELECT cid, UNNEST(list_transform(range(1, {dim + 1}),
          i -> struct_pack(pos := i,
               q := CAST(round(embedding[i] * 1000) AS BIGINT)))) AS u
-    FROM a1
+    FROM {p}a1
   )
   GROUP BY 1, 2
 ),
-c1 AS (
+{p}c1 AS (
   SELECT cid, list(CAST(s AS DOUBLE) ORDER BY pos) AS centroid
-  FROM comp1 GROUP BY cid
+  FROM {p}comp1 GROUP BY cid
 ),
-a2 AS (
+{p}a2 AS (
   SELECT vec_id, cid, cos_sim FROM (
     SELECT e.vec_id, c.cid,
-           round({cos_sql('e.embedding', 'c.centroid')}, 6) AS cos_sim,
+           round({cos_sql('e.embedding', 'c.centroid', dim)}, 6) AS cos_sim,
            row_number() OVER (PARTITION BY e.vec_id
-             ORDER BY round({cos_sql('e.embedding', 'c.centroid')}, 6)
+             ORDER BY round({cos_sql('e.embedding', 'c.centroid', dim)}, 6)
                DESC, c.cid) AS rn
-    FROM {src} e, c1 c
+    FROM {src} e, {p}c1 c
   ) WHERE rn = 1
 )"""
+
+
+def pq_topk_sql(src: str = "embeddings", num_queries: int = 8,
+                k: int = 10, m: int = 8, ksub: int = 16,
+                dim: int = 64, rerank_mult: int = 8) -> str:
+    """Generated oracle for pipeline/similarity.pq_topk: ``m`` unrolled
+    k-means chains (one per contiguous array slice), unit-normalized
+    codewords (exact left-fold norm, same op order as core.dot),
+    reconstruction = subspace-ordered codeword concatenation,
+    asymmetric cosine shortlist of ``k * rerank_mult``, exact re-rank —
+    the same doubles in the same order as the Spark plan."""
+    sub = dim // m
+    chains, books, asgs = [], [], []
+    for j in range(m):
+        chains.append(
+            f"sub{j} AS (SELECT vec_id, "
+            f"embedding[{j * sub + 1}:{(j + 1) * sub}] AS embedding "
+            f"FROM {src})")
+        chains.append(kmeans_ctes(f"sub{j}", k=ksub, dim=sub,
+                                  prefix=f"p{j}_"))
+        # codewords are the centroids of the FINAL assignment (c2 — one
+        # update step fresher than the a2-producing c1, matching
+        # _pq_books_and_assignments' _quantized_centroids(assigned))
+        chains.append(
+            f"""p{j}_comp2 AS (
+  SELECT cid, u.pos AS pos, CAST(SUM(u.q) AS BIGINT) AS s
+  FROM (
+    SELECT a.cid, UNNEST(list_transform(range(1, {sub + 1}),
+         i -> struct_pack(pos := i,
+              q := CAST(round(e.embedding[i] * 1000) AS BIGINT)))) AS u
+    FROM p{j}_a2 a JOIN sub{j} e USING (vec_id)
+  )
+  GROUP BY 1, 2
+)""")
+        chains.append(
+            f"p{j}_c2 AS (SELECT cid, list(CAST(s AS DOUBLE) "
+            f"ORDER BY pos) AS centroid FROM p{j}_comp2 GROUP BY cid)")
+        books.append(
+            f"SELECT {j} AS subspace, cid AS code, "
+            f"list_transform(centroid, x -> x / nullif(sqrt("
+            f"{dot_sql('centroid', 'centroid', sub)}), 0)) AS centroid "
+            f"FROM p{j}_c2")
+        asgs.append(
+            f"SELECT vec_id, {j} AS subspace, cid FROM p{j}_a2")
+    return f"""
+WITH {','.join(chains)},
+books AS ({' UNION ALL '.join(books)}),
+asg AS ({' UNION ALL '.join(asgs)}),
+hat AS (
+  SELECT a.vec_id,
+         flatten(list(b.centroid ORDER BY a.subspace)) AS hat
+  FROM asg a JOIN books b
+    ON a.subspace = b.subspace AND a.cid = b.code
+  GROUP BY a.vec_id
+),
+q AS (SELECT vec_id AS query_id, embedding AS qe FROM {src}
+      WHERE vec_id < {num_queries}),
+approx AS (
+  SELECT q.query_id, h.vec_id AS neighbor_id,
+         {cos_sql('q.qe', 'h.hat', dim)} AS approx_sim
+  FROM hat h, q WHERE q.query_id != h.vec_id
+),
+short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY approx_sim DESC, neighbor_id) AS rn
+    FROM approx
+  ) WHERE rn <= {k * rerank_mult}
+),
+pairs AS (
+  SELECT s.query_id, s.neighbor_id,
+         round({cos_sql('q.qe', 'n.ne', dim)}, 6) AS cos_sim
+  FROM short s
+  JOIN q ON q.query_id = s.query_id
+  JOIN (SELECT vec_id AS neighbor_id, embedding AS ne FROM {src}) n
+    ON n.neighbor_id = s.neighbor_id
+)
+SELECT query_id, rank, neighbor_id, cos_sim FROM (
+  SELECT query_id, neighbor_id, cos_sim,
+         CAST(row_number() OVER (PARTITION BY query_id
+           ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
+  FROM pairs
+) WHERE rank <= {k}
+"""
 
 
 def bm25_ctes(terms_sql: str) -> str:
@@ -1205,6 +1296,10 @@ r AS (
 )
 SELECT query_id, rank, neighbor_id, cos_sim FROM r WHERE rank <= 10
 """,
+        # m unrolled per-slice kmeans chains + normalized codeword
+        # reconstruction + asymmetric shortlist + exact rerank
+        # (pipeline/similarity.pq_topk; generated by pq_topk_sql)
+        "ann_pq_topk": pq_topk_sql(),
         "ann_bruteforce_topk": f"""
 WITH pairs AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

@@ -952,6 +952,115 @@ PQ_RERANK_MULT = 8  # PQ quantizes coarser than SQ8 (m bytes vs dim), so
 #                     the sf embeddings, still scanning only m bytes/row
 
 
+def _pq_books_and_assignments(emb: DataFrame, m: int, k: int,
+                              dim: int, n_iter: int):
+    """Shared PQ trainer core: per-subspace deterministic k-means.
+    Returns ``(books, asg_all)`` — the UNIT-normalized codeword table
+    ``(subspace, code, centroid)`` and the assignment stream
+    ``(vec_id, subspace, cid)``.  Normalization divides by the exact
+    left-fold norm (``core.dot`` order), so the DuckDB oracle
+    reproduces every double."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    books = None
+    asg_all = None
+    for j in range(m):
+        sub_emb = emb.select(
+            "vec_id",
+            F.slice("embedding", j * sub + 1, sub).alias("embedding"))
+        assigned = sub_emb.join(
+            embedding_kmeans(sub_emb, k, n_iter)
+            .select("vec_id", F.col("cluster_id").alias("cid")),
+            "vec_id")
+        norm = F.sqrt(dot(F.col("centroid"), F.col("centroid")))
+        book_j = (
+            _quantized_centroids(assigned)
+            .select(F.lit(j).alias("subspace"),
+                    F.col("cid").alias("code"),
+                    F.transform(
+                        "centroid",
+                        lambda x: x / F.nullif(norm, F.lit(0.0)))
+                    .alias("centroid"))
+        )
+        books = book_j if books is None else books.unionByName(book_j)
+        asg_j = assigned.select(
+            "vec_id", F.lit(j).alias("subspace"), "cid")
+        asg_all = asg_j if asg_all is None else asg_all.unionByName(asg_j)
+    return books, asg_all
+
+
+def _pq_reconstructions(books: DataFrame, asg_all: DataFrame) -> DataFrame:
+    """(vec_id, hat): each vector's PQ reconstruction — its m codewords
+    concatenated in subspace order.  One broadcast join against the
+    m*k codeword table + one groupBy(vec_id)."""
+    parts = asg_all.join(
+        F.broadcast(books),
+        (asg_all["subspace"] == books["subspace"])
+        & (asg_all["cid"] == books["code"])
+    ).select("vec_id", asg_all["subspace"].alias("j"), "centroid")
+    return (
+        parts.groupBy("vec_id")
+        .agg(F.collect_list(F.struct("j", "centroid")).alias("sc"))
+        .select(
+            "vec_id",
+            F.flatten(F.expr(
+                "transform(array_sort(sc, (l, r) -> "
+                "case when l.j < r.j then -1 "
+                "when l.j > r.j then 1 else 0 end), x -> x.centroid)"))
+            .alias("hat"))
+    )
+
+
+def pq_topk(emb: DataFrame, num_queries: int = 8, k: int = 10,
+            m: int = PQ_M, ksub: int = PQ_K, dim: int = 64,
+            n_iter: int = KMEANS_ITERS,
+            rerank_mult: int = PQ_RERANK_MULT) -> DataFrame:
+    """In-flight product-quantization ANN — the operator twin of the
+    ``write_pq_index`` serving layout, fully oracle-checkable: train
+    the m per-subspace codebooks on the corpus in-pass, score every
+    candidate by its PQ RECONSTRUCTION against the full-precision
+    queries (asymmetric scoring, like ``sq8_topk``), shortlist
+    ``k * rerank_mult`` per query, exact-cosine re-rank.  Same output
+    contract as the other ANN paths (query_id, rank, neighbor_id,
+    cos_sim).
+
+    Every stage is engine-deterministic: the per-subspace k-means is
+    ``embedding_kmeans``'s hash-seeded integer-quantized machinery,
+    codeword normalization uses the exact left-fold norm, and the
+    scoring doubles follow the shared ``cosine`` op order — so the
+    generated DuckDB oracle (m unrolled k-means chains over array
+    slices) hash-compares the full result."""
+    books, asg_all = _pq_books_and_assignments(emb, m, ksub, dim, n_iter)
+    hat = _pq_reconstructions(books, asg_all)
+    q = (emb.filter(F.col("vec_id") < num_queries)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("qe")))
+    approx = (
+        hat.select(F.col("vec_id").alias("neighbor_id"),
+                   F.col("hat").alias("nhat"))
+        .join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id",
+                cosine(F.col("qe"), F.col("nhat")).alias("approx_sim"))
+    )
+    w = (Window.partitionBy("query_id")
+         .orderBy(F.desc("approx_sim"), F.asc("neighbor_id")))
+    shortlist = (
+        approx.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k * rerank_mult)
+        .select("query_id", "neighbor_id")
+    )
+    ne = emb.select(F.col("vec_id").alias("neighbor_id"),
+                    F.col("embedding").alias("ne"))
+    pairs = (
+        shortlist.join(F.broadcast(q), "query_id").join(ne, "neighbor_id")
+        .select("query_id", "neighbor_id",
+                F.round(cosine(F.col("qe"), F.col("ne")), 6)
+                .alias("cos_sim"))
+    )
+    return _ranked(pairs, k)
+
+
 def write_pq_index(emb: DataFrame, path: str, m: int = PQ_M,
                    k: int = PQ_K, dim: int = 64,
                    n_iter: int = KMEANS_ITERS) -> None:
@@ -983,38 +1092,11 @@ def write_pq_index(emb: DataFrame, path: str, m: int = PQ_M,
     trained in-pass)."""
     from ..jobs.versioned import _write_manifest
 
-    if dim % m:
-        raise ValueError(f"dim {dim} not divisible by m {m}")
-    sub = dim // m
     spark = emb.sparkSession
     version = _next_index_version(spark, path)
     base = f"data/v{version:06d}"
 
-    books = None
-    asg_all = None
-    for j in range(m):
-        sub_emb = emb.select(
-            "vec_id",
-            F.slice("embedding", j * sub + 1, sub).alias("embedding"))
-        assigned = sub_emb.join(
-            embedding_kmeans(sub_emb, k, n_iter)
-            .select("vec_id", F.col("cluster_id").alias("cid")),
-            "vec_id")
-        norm = F.sqrt(F.aggregate(
-            "centroid", F.lit(0.0), lambda a, x: a + x * x))
-        book_j = (
-            _quantized_centroids(assigned)
-            .select(F.lit(j).alias("subspace"),
-                    F.col("cid").alias("code"),
-                    F.transform(
-                        "centroid",
-                        lambda x: x / F.nullif(norm, F.lit(0.0)))
-                    .alias("centroid"))
-        )
-        books = book_j if books is None else books.unionByName(book_j)
-        asg_j = assigned.select(
-            "vec_id", F.lit(j).alias("subspace"), "cid")
-        asg_all = asg_j if asg_all is None else asg_all.unionByName(asg_j)
+    books, asg_all = _pq_books_and_assignments(emb, m, k, dim, n_iter)
     # code assembly: the m per-subspace assignment streams union into
     # ONE groupBy(vec_id) that sorts (subspace, cid) pairs in place —
     # one shuffle of narrow int rows, instead of m successive vec_id

@@ -35,6 +35,9 @@ BOUNDED_BNLJ: dict[str, str] = {
     # SQ8: 1-row quantizer-stats broadcast to the scan + the same
     # bounded query-set broadcast as the brute-force baseline
     "ann_sq8_topk": "broadcast sides = 1-row stats + bounded query set",
+    # PQ: k-row centroid broadcasts inside the per-subspace kmeans
+    # chains (as embedding_kmeans) + the bounded query-set broadcast
+    "ann_pq_topk": "broadcast sides = k-row codebooks + bounded queries",
     # nearest-centroid assignment: vectors x broadcast(k centroids),
     # k is a compile-time constant (64) — the loop degenerates to a
     # k-wide constant attach per vector.

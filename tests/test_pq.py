@@ -131,3 +131,37 @@ def test_torn_pq_commit_is_invisible(spark, emb, tmp_path):
 def test_dim_must_divide(spark, emb, tmp_path):
     with pytest.raises(ValueError):
         write_pq_index(emb, str(tmp_path / "x"), m=7)
+
+
+def test_inflight_pq_topk_contract_and_index_agreement(spark, emb,
+                                                       pq_path):
+    """The in-flight pq_topk (the oracle-checked operator form) serves
+    the usual ANN contract and agrees with the served index for the
+    same query: identical codebook machinery, so the shortlists match
+    modulo the in-flight operator's self-exclusion."""
+    from public_transit_data_platform_sql_nosql_spark.pipeline.similarity import (  # noqa: E501
+        pq_topk,
+    )
+
+    out = pq_topk(emb, num_queries=2, k=5).collect()
+    assert all(r.query_id != r.neighbor_id for r in out)
+    by_q: dict = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append((r.rank, r.cos_sim,
+                                                r.neighbor_id))
+    assert set(by_q) == {0, 1}
+    for qid, rows in by_q.items():
+        rows.sort()
+        assert [r for r, _, _ in rows] == [1, 2, 3, 4, 5]
+        sims = [s for _, s, _ in rows]
+        assert sims == sorted(sims, reverse=True), qid
+
+    # same codebook machinery, but the two paths build shortlists of
+    # different sizes (k*8 each at their own k), so the approx boundary
+    # can admit/drop one candidate — require >= 4/5 agreement, which the
+    # deterministic training makes a stable, not flaky, bound
+    served = {r["neighbor_id"]
+              for r in pq_index_topk(spark, pq_path, _qvec(emb, 0),
+                                     emb, k=6).collect()}
+    inflight = {nid for _, _, nid in by_q[0]}
+    assert len(inflight & (served - {0})) >= 4
