@@ -1085,6 +1085,21 @@ _EXTRA_QUERIES = {
     "profile_quantiles":
         lambda s, d: pprof.column_quantiles(
             _lineitem(s, d), _QUANTILE_COLS),
+    # r9: pairwise Pearson matrix over the fact numerics in ONE
+    # aggregation — exact integer moments (decimal sums), the only
+    # floats are the final fixed-order casts/sqrt/divides, so the
+    # generated HUGEINT oracle hash-compares the rounded doubles
+    "profile_correlations":
+        lambda s, d: pprof.numeric_correlations(
+            _lineitem(s, d), _QUANTILE_COLS),
+    # r9: KMV corpus-overlap screen between two planted, overlapping
+    # doc splits — exact set algebra on the shared md5 k-minima, every
+    # output an integer (the metadata-level contamination pre-screen
+    # that runs before the exact shingle-join decontamination)
+    "profile_overlap_kmv":
+        lambda s, d: pprof.kmv_overlap(
+            _aug(s, d).filter("doc_id % 3 != 0"),
+            _aug(s, d).filter("doc_id % 2 = 0"), "text"),
     # per-(source, lang) curation dashboard: doc counts, emptiness,
     # exact-dup pressure, token/char volume, integer-mean quality
     "pipeline_corpus_report":

@@ -212,6 +212,40 @@ def kmeans_ctes(src: str, k: int | None = None, dim: int = 64,
 )"""
 
 
+def correlations_sql(table: str, cols: list[str],
+                     scale: int = 100) -> str:
+    """Oracle for pipeline/profile.numeric_correlations: HUGEINT
+    integer-moment sums (exact, like Spark's decimal(38,0)), the same
+    complete-case filter, and the same fixed final double op order."""
+    cs = sorted(cols)
+    notnull = " AND ".join(f"{c} IS NOT NULL" for c in cs)
+    qcols = ", ".join(
+        f"CAST(round(CAST({c} AS DOUBLE) * {scale}) AS HUGEINT) AS q_{c}"
+        for c in cs)
+    sums = ["CAST(count(*) AS BIGINT) AS n"]
+    for c in cs:
+        sums.append(f"SUM(q_{c}) AS s_{c}")
+        sums.append(f"SUM(q_{c} * q_{c}) AS ss_{c}")
+    pairs = []
+    for i, cx in enumerate(cs):
+        for cy in cs[i + 1:]:
+            sums.append(f"SUM(q_{cx} * q_{cy}) AS sp_{cx}__{cy}")
+            pairs.append(f"""SELECT '{cx}' AS col_x, '{cy}' AS col_y,
+  n AS n_rows,
+  CASE WHEN (n * ss_{cx} - s_{cx} * s_{cx}) > 0
+        AND (n * ss_{cy} - s_{cy} * s_{cy}) > 0
+       THEN round(
+         CAST(n * sp_{cx}__{cy} - s_{cx} * s_{cy} AS DOUBLE)
+         / sqrt(CAST(n * ss_{cx} - s_{cx} * s_{cx} AS DOUBLE))
+         / sqrt(CAST(n * ss_{cy} - s_{cy} * s_{cy} AS DOUBLE)), 6)
+  END AS corr FROM s""")
+    return f"""
+WITH base AS (SELECT {qcols} FROM {table} WHERE {notnull}),
+s AS (SELECT {', '.join(sums)} FROM base)
+{' UNION ALL '.join(pairs)}
+"""
+
+
 def pq_topk_sql(src: str = "embeddings", num_queries: int = 8,
                 k: int = 10, m: int = 8, ksub: int = 16,
                 dim: int = 64, rerank_mult: int = 8) -> str:
@@ -646,6 +680,48 @@ FROM (SELECT h FROM (
         FROM docs_aug WHERE {c} IS NOT NULL)
       ORDER BY h LIMIT {KMV_K})"""
             for c in ("doc_id", "text", "lang", "source", "n_chars")),
+        # mirrors pipeline/profile.py kmv_overlap on the planted split
+        # (a = doc_id % 3 != 0, b = doc_id % 2 = 0 — overlapping by
+        # construction): exact KMV set algebra, every output an integer
+        "profile_overlap_kmv": f"""
+WITH {DOCS},
+sa AS (SELECT h FROM (
+         SELECT DISTINCT {md5h("CAST(text AS VARCHAR)")} AS h
+         FROM docs_aug WHERE doc_id % 3 != 0 AND text IS NOT NULL)
+       ORDER BY h LIMIT {KMV_K}),
+sb AS (SELECT h FROM (
+         SELECT DISTINCT {md5h("CAST(text AS VARCHAR)")} AS h
+         FROM docs_aug WHERE doc_id % 2 = 0 AND text IS NOT NULL)
+       ORDER BY h LIMIT {KMV_K}),
+ea AS (SELECT CAST(CASE WHEN count(*) < {KMV_K} THEN count(*)
+            ELSE {(KMV_K - 1) * KMV_SPACE} // greatest(max(h), 1)
+            END AS BIGINT) AS est_distinct_a FROM sa),
+eb AS (SELECT CAST(CASE WHEN count(*) < {KMV_K} THEN count(*)
+            ELSE {(KMV_K - 1) * KMV_SPACE} // greatest(max(h), 1)
+            END AS BIGINT) AS est_distinct_b FROM sb),
+m AS (SELECT h, max(in_a) AS in_a, max(in_b) AS in_b FROM (
+        SELECT h, 1 AS in_a, 0 AS in_b FROM sa
+        UNION ALL SELECT h, 0, 1 FROM sb)
+      GROUP BY h ORDER BY h LIMIT {KMV_K}),
+base AS (SELECT CAST(count(*) AS BIGINT) AS n_union_sketch,
+                CAST(max(h) AS BIGINT) AS kth_hash,
+                CAST(sum(in_a * in_b) AS BIGINT) AS match_k
+         FROM m),
+u AS (SELECT *, CAST(CASE WHEN n_union_sketch < {KMV_K}
+            THEN n_union_sketch
+            ELSE {(KMV_K - 1) * KMV_SPACE} // greatest(kth_hash, 1)
+            END AS BIGINT) AS est_union
+      FROM base, ea, eb)
+SELECT 'text' AS "column", n_union_sketch, kth_hash, match_k,
+       est_distinct_a, est_distinct_b, est_union,
+       CAST(CASE WHEN n_union_sketch > 0
+            THEN match_k * 1000 // n_union_sketch ELSE 0 END AS BIGINT)
+         AS est_jaccard_permille,
+       CAST(CASE WHEN n_union_sketch > 0
+            THEN match_k * est_union // n_union_sketch ELSE 0 END
+            AS BIGINT) AS est_intersection
+FROM u
+""",
         # mirrors pipeline/web.py url_dedup: keep-one per canonical URL
         # (tracking params stripped, identifying params kept)
         "web_url_dedup": f"""
@@ -857,6 +933,11 @@ FROM h JOIN g USING (text_md5)
                       "l_discount", "l_tax")
             for p in (0.01, 0.25, 0.5, 0.75, 0.9, 0.99)
         ),
+        # mirrors pipeline/profile.py numeric_correlations over the
+        # lineitem numerics (exact HUGEINT integer moments; generated)
+        "profile_correlations": correlations_sql(
+            "lineitem",
+            ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]),
         # mirrors pipeline/profile.py corpus_report: per-(source, lang)
         # curation dashboard — integer micro quality quantized BEFORE the
         # group sum, so means are order-independent DIV arithmetic

@@ -299,6 +299,158 @@ def column_quantiles(df: DataFrame, columns: list[str],
         lambda c, p: F.expr(f"percentile(`{c}`, {p})"))
 
 
+def kmv_overlap(a: DataFrame, b: DataFrame, column: str,
+                k: int = KMV_K) -> DataFrame:
+    """Corpus-overlap estimate between two tables on one column — the
+    metadata-level contamination/lineage pre-screen ("how much of eval
+    is already in train?", "what fraction of crawl B is crawl A?")
+    that runs BEFORE committing to the exact shingle-join
+    decontamination pass.
+
+    Pure KMV set algebra, so it stays ORACLE-exact like
+    :func:`kmv_distinct`: the k-minima of the union are the k smallest
+    of the two sketches' union (kmin merges exactly), and an element of
+    the union k-minima belongs to A iff it is in A's sketch (A's kth
+    minimum >= the union's kth), so ``match_k`` — union k-minima present
+    in BOTH sketches — is an exact sample-based Jaccard numerator:
+
+        jaccard  ~= match_k / n_union_sketch
+        |A ∩ B|  ~= jaccard * est_union          (integer DIV forms)
+
+    Under-k unions degenerate to EXACT set arithmetic (the sketches are
+    the full hash sets).  One row out: ``(column, n_union_sketch,
+    kth_hash, match_k, est_distinct_a, est_distinct_b, est_union,
+    est_jaccard_permille, est_intersection)`` — every value an integer,
+    hash-compared by the driver.
+
+    Shape: two narrow sketch plans (as kmv_distinct), one k-row merge,
+    1-row aggregates attached by bounded broadcasts."""
+    def _sketch(df):
+        h = md5_hash64(F.col(column).cast("string"))
+        return (
+            df.where(F.col(column).isNotNull())
+            .select(h.alias("h"))
+            .groupBy("h").agg(F.lit(1))
+            .orderBy("h").limit(k).select("h")
+        )
+
+    def _est(sketch, name):
+        return sketch.agg(
+            F.count(F.lit(1)).cast("long").alias("ns"),
+            F.max("h").cast("long").alias("kh"),
+        ).select(
+            F.when(F.col("ns") < k, F.col("ns"))
+            .otherwise(F.expr(f"{(k - 1) * KMV_SPACE} DIV "
+                              f"greatest(kh, 1)"))
+            .cast("long").alias(name))
+
+    ka, kb = _sketch(a), _sketch(b)
+    merged = (
+        ka.select("h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b"))
+        .unionByName(
+            kb.select("h", F.lit(0).alias("in_a"),
+                      F.lit(1).alias("in_b")))
+        .groupBy("h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+        .orderBy("h").limit(k)
+    )
+    base = merged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_union_sketch"),
+        F.max("h").cast("long").alias("kth_hash"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long")
+        .alias("match_k"),
+    )
+    out = (
+        base.join(F.broadcast(_est(ka, "est_distinct_a")))
+        .join(F.broadcast(_est(kb, "est_distinct_b")))
+        .withColumn(
+            "est_union",
+            F.when(F.col("n_union_sketch") < k, F.col("n_union_sketch"))
+            .otherwise(F.expr(f"{(k - 1) * KMV_SPACE} DIV "
+                              f"greatest(kth_hash, 1)"))
+            .cast("long"))
+    )
+    return out.select(
+        F.lit(column).alias("column"),
+        "n_union_sketch", "kth_hash", "match_k",
+        "est_distinct_a", "est_distinct_b", "est_union",
+        F.when(F.col("n_union_sketch") > 0,
+               F.expr("match_k * 1000 DIV n_union_sketch"))
+        .otherwise(F.lit(0)).cast("long").alias("est_jaccard_permille"),
+        F.when(F.col("n_union_sketch") > 0,
+               F.expr("match_k * est_union DIV n_union_sketch"))
+        .otherwise(F.lit(0)).cast("long").alias("est_intersection"),
+    )
+
+
+CORR_SCALE = 100        # 2-dp money/ratio columns quantize exactly
+
+
+def numeric_correlations(df: DataFrame, columns: list[str],
+                         scale: int = CORR_SCALE) -> DataFrame:
+    """Pairwise Pearson correlation matrix over numeric columns — the
+    feature-screening half of profiling (which columns carry the same
+    signal, which join keys co-vary), in ONE aggregation over ONE scan.
+
+    Engine-exact by the integer-moment trick: every value quantizes to
+    an integer (``round(value * scale)`` — exact for 2-dp money/ratio
+    columns at the default scale), all five moments per pair (n, Sx,
+    Sy, Sxx, Syy, Sxy) accumulate as EXACT decimal(38,0) integer sums
+    (order-independent, map-side combinable), and the only floating
+    ops are the final casts/sqrt/divisions in a fixed order — so the
+    DuckDB oracle (HUGEINT sums) hash-compares the rounded doubles.
+    Scale invariance of Pearson r makes the quantization a NO-OP on the
+    statistic beyond the quantization granularity itself (documented:
+    the result is the correlation OF THE QUANTIZED values).
+
+    Complete-case semantics: rows with a NULL in ANY requested column
+    are dropped once up front (one shared n for every pair — the form
+    whose moments all come from one pass).  Zero-variance columns yield
+    NULL correlations (never a division blow-up).  Output:
+    ``(col_x, col_y, n_rows, corr)`` for the ``m*(m-1)/2`` name-sorted
+    pairs; m stays dashboard-sized so the single aggregation emits
+    m*(m+3)/2 + 1 cells — trivially within one reducer."""
+    cols = sorted(columns)
+    base = df.select(*cols).na.drop("any")
+    qdf = base.select(*[
+        F.round(F.col(c).cast("double") * scale)
+        .cast("decimal(38,0)").alias(f"q_{c}") for c in cols])
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    for c in cols:
+        aggs.append(F.sum(F.col(f"q_{c}")).alias(f"s_{c}"))
+        aggs.append(F.sum(F.col(f"q_{c}") * F.col(f"q_{c}"))
+                    .alias(f"ss_{c}"))
+    for i, cx in enumerate(cols):
+        for cy in cols[i + 1:]:
+            aggs.append(F.sum(F.col(f"q_{cx}") * F.col(f"q_{cy}"))
+                        .alias(f"sp_{cx}__{cy}"))
+    row = qdf.agg(*aggs)
+
+    def _dec(col):
+        return col.cast("decimal(38,0)")
+
+    n = _dec(F.col("n"))
+    pair_structs = []
+    for i, cx in enumerate(cols):
+        for cy in cols[i + 1:]:
+            den_x = n * F.col(f"ss_{cx}") - F.col(f"s_{cx}") * F.col(f"s_{cx}")
+            den_y = n * F.col(f"ss_{cy}") - F.col(f"s_{cy}") * F.col(f"s_{cy}")
+            num = n * F.col(f"sp_{cx}__{cy}") \
+                - F.col(f"s_{cx}") * F.col(f"s_{cy}")
+            corr = F.when(
+                (den_x > 0) & (den_y > 0),
+                F.round(num.cast("double")
+                        / F.sqrt(den_x.cast("double"))
+                        / F.sqrt(den_y.cast("double")), 6))
+            pair_structs.append(F.struct(
+                F.lit(cx).alias("col_x"), F.lit(cy).alias("col_y"),
+                F.col("n").alias("n_rows"), corr.alias("corr")))
+    return (
+        row.select(F.explode(F.array(*pair_structs)).alias("p"))
+        .select("p.*")
+    )
+
+
 def approx_column_quantiles(df: DataFrame, columns: list[str],
                             ps=DEFAULT_QUANTILES,
                             accuracy: int = 10000) -> DataFrame:

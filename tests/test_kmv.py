@@ -62,3 +62,60 @@ def test_plan_uses_bounded_topk(spark):
     plan = executed_plan(kmv_distinct(df, ["v"]))
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_kmv_overlap_estimates_and_exact_regime(spark):
+    """Overlap screen semantics: on an under-k pair the sketches ARE
+    the full hash sets, so jaccard/intersection/union are EXACT; on an
+    over-k pair the estimates stay within the KMV error envelope of the
+    true planted overlap."""
+    from pyspark.sql import functions as F
+
+    from public_transit_data_platform_sql_nosql_spark.pipeline.profile import (
+        KMV_K,
+        kmv_overlap,
+    )
+
+    # exact regime: 30 + 30 values, 10 shared -> union 50, jacc 1/5
+    a = spark.range(30).select(
+        F.concat(F.lit("v"), F.col("id")).alias("v"))
+    b = spark.range(20, 50).select(
+        F.concat(F.lit("v"), F.col("id")).alias("v"))
+    row = kmv_overlap(a, b, "v").head()
+    assert row["n_union_sketch"] == 50 < KMV_K
+    assert row["est_union"] == 50
+    assert row["match_k"] == 10 == row["est_intersection"]
+    assert row["est_jaccard_permille"] == 10 * 1000 // 50
+    assert row["est_distinct_a"] == 30 and row["est_distinct_b"] == 30
+
+    # sketch regime: 3000 + 3000 with 1000 shared (union 5000)
+    a = spark.range(3000).select(
+        F.concat(F.lit("x"), F.col("id")).alias("v"))
+    b = spark.range(2000, 5000).select(
+        F.concat(F.lit("x"), F.col("id")).alias("v"))
+    row = kmv_overlap(a, b, "v").head()
+    assert row["n_union_sketch"] == KMV_K
+    # ~13% stderr at k=64; allow 4 sigma on each estimate
+    assert abs(row["est_union"] - 5000) < 5000 * 0.52
+    assert abs(row["est_intersection"] - 1000) < 1000 * 1.0 + 200
+    assert 0 < row["est_jaccard_permille"] < 1000
+
+
+def test_kmv_overlap_disjoint_and_identical(spark):
+    from pyspark.sql import functions as F
+
+    from public_transit_data_platform_sql_nosql_spark.pipeline.profile import (
+        kmv_overlap,
+    )
+
+    a = spark.range(2000).select(
+        F.concat(F.lit("a"), F.col("id")).alias("v"))
+    b = spark.range(2000).select(
+        F.concat(F.lit("b"), F.col("id")).alias("v"))
+    row = kmv_overlap(a, b, "v").head()
+    assert row["match_k"] == 0
+    assert row["est_intersection"] == 0 == row["est_jaccard_permille"]
+
+    row = kmv_overlap(a, a, "v").head()
+    assert row["est_jaccard_permille"] == 1000
+    assert row["est_intersection"] == row["est_union"]

@@ -60,6 +60,9 @@ BOUNDED_BNLJ: dict[str, str] = {
     # per-domain share-of-corpus: 1-row total-count broadcast attached
     # to the domain-sized stats table (web.py domain_stats docstring)
     "web_domain_stats": "broadcast side = 1-row corpus total",
+    # overlap screen: the two per-side estimate rows are 1-row sketch
+    # aggregates attached to the 1-row union-sketch aggregate
+    "profile_overlap_kmv": "broadcast sides = 1-row sketch estimates",
     # epoch balancing: rate table = per-source counts x broadcast(1-row
     # max-source-count aggregate) (mixing.py epoch_balance `nmax`) — the
     # same scalar-subquery shape as text_lm_score's vocab count.

@@ -164,3 +164,51 @@ def test_quantiles_monotone_and_shape(spark):
     med_a = [r["value"] for r in rows
              if r["column"] == "a" and r["p"] == 0.5][0]
     assert med_a == 499.5
+
+
+def test_correlations_match_statistics_and_handle_edges(spark):
+    """Pearson matrix semantics on hand-checkable data: a perfectly
+    linear pair hits 1.0 / -1.0, an independent-ish pair stays small,
+    NULL rows drop complete-case (one shared n), and a zero-variance
+    column yields NULL, never a division blow-up."""
+    import statistics as st
+
+    from public_transit_data_platform_sql_nosql_spark.pipeline.profile import (
+        numeric_correlations,
+    )
+
+    rows = [(float(i), float(2 * i + 3), float(-i), 7.0,
+             float((i * 37) % 11)) for i in range(50)]
+    rows.append((None, 1.0, 1.0, 7.0, 1.0))     # dropped (complete-case)
+    df = spark.createDataFrame(
+        rows, "a double, b double, c double, konst double, m double")
+    got = {(r["col_x"], r["col_y"]): (r["n_rows"], r["corr"])
+           for r in numeric_correlations(
+               df, ["a", "b", "c", "konst", "m"]).collect()}
+    assert len(got) == 10
+    assert all(n == 50 for n, _ in got.values())
+    assert got[("a", "b")][1] == 1.0
+    assert got[("a", "c")][1] == -1.0
+    # zero-variance column: NULL against everything
+    for other in ("a", "b", "c", "m"):
+        key = tuple(sorted(("konst", other)))
+        assert got[key][1] is None
+    # agrees with the library statistic on the quantized values
+    want = round(st.correlation([r[0] for r in rows[:50]],
+                                [r[4] for r in rows[:50]]), 6)
+    assert abs(got[("a", "m")][1] - want) < 1e-9
+
+
+def test_correlations_partitioning_invariance(spark):
+    """Integer-moment sums are order-independent: any repartitioning
+    yields bit-identical correlations."""
+    from public_transit_data_platform_sql_nosql_spark.pipeline.profile import (
+        numeric_correlations,
+    )
+
+    li = E._lineitem(spark, SF_DIR)
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    a = sorted(map(tuple, numeric_correlations(li, cols).collect()))
+    b = sorted(map(tuple, numeric_correlations(
+        li.repartition(13), cols).collect()))
+    assert a == b

@@ -350,3 +350,28 @@ def test_crash_between_data_and_manifest_is_invisible(spark, emb,
     st2 = sq8_index_upsert(spark, path, batch)
     assert st2["decision"] == "appended"
     assert read_index_codes(spark, path).count() == n0 + 2
+
+
+def test_index_scan_reads_only_codes_columns(spark, emb, tmp_path):
+    """The serving scan's IO claim, asserted on the plan: the SQ8
+    shortlist stage scans ONLY (vec_id, codes) from the codes table —
+    full-precision embeddings never appear in its ReadSchema (they are
+    read separately for the bounded rerank join)."""
+    from public_transit_data_platform_sql_nosql_spark.pipeline.similarity import (  # noqa: E501
+        sq8_index_topk,
+        write_sq8_index,
+    )
+    from public_transit_data_platform_sql_nosql_spark.plans import (
+        executed_plan,
+    )
+
+    path = str(tmp_path / "sq8")
+    write_sq8_index(emb, path)
+    qvec = [float(x) for x in
+            emb.filter("vec_id = 0").head()["embedding"]]
+    plan = executed_plan(sq8_index_topk(spark, path, qvec, emb, k=5))
+    # the codes-table file scans must not carry an embedding column
+    for chunk in plan.split("Location:")[1:]:
+        if "/sq8/" in chunk.split("\n")[0]:
+            schema = chunk.split("ReadSchema:")[-1].split("\n")[0]
+            assert "codes" in schema and "embedding" not in schema
