@@ -1096,12 +1096,46 @@ def write_pq_index(emb: DataFrame, path: str, m: int = PQ_M,
     version = _next_index_version(spark, path)
     base = f"data/v{version:06d}"
 
-    books, asg_all = _pq_books_and_assignments(emb, m, k, dim, n_iter)
-    # code assembly: the m per-subspace assignment streams union into
-    # ONE groupBy(vec_id) that sorts (subspace, cid) pairs in place —
-    # one shuffle of narrow int rows, instead of m successive vec_id
-    # joins widening the coded table join by join
-    (
+    # books = the trainer's final (unit-normalized) codebooks; the
+    # stored CODES are then the nearest-codeword assignment against
+    # THOSE books (_pq_encode) — writer and upsert share the one
+    # encoding expression, so the index is self-consistent: the
+    # codeword a code points at is exactly the argmax the scoring
+    # reconstructs with, and a re-submitted identical vector re-encodes
+    # bit-identically.  The books are lineage-truncated first — they
+    # sit under every per-subspace encode branch, and re-deriving the
+    # 8 kmeans chains per branch would square the training work.
+    books, _ = _pq_books_and_assignments(emb, m, k, dim, n_iter)
+    books = books.localCheckpoint(eager=True)
+    sub = dim // m
+    _pq_encode(emb, books, m, sub).write.mode("error").parquet(
+        f"{path}/{base}/codes")
+    books.coalesce(1).write.mode("error").parquet(
+        f"{path}/{base}/codebooks")
+    _write_manifest(spark, path, version, {
+        "version": version, "kind": "pq", "dim": dim, "m": m, "k": k,
+        "codes": [f"{base}/codes"], "codebooks": f"{base}/codebooks",
+    })
+
+
+def _pq_encode(emb: DataFrame, books: DataFrame, m: int,
+               sub: int) -> DataFrame:
+    """(vec_id, codes): nearest stored codeword per subspace by the
+    trainer's own argmax (round-6 cosine, cid-ASC tie-break) against
+    the SERVING codebooks — the one encoding expression shared by the
+    index writer and the upsert, so an identical vector always gets
+    bit-identical codes."""
+    asg_all = None
+    for j in range(m):
+        sub_emb = emb.select(
+            "vec_id",
+            F.slice("embedding", j * sub + 1, sub).alias("embedding"))
+        cents = (books.filter(F.col("subspace") == j)
+                 .select(F.col("code").alias("cid"), "centroid"))
+        asg_j = _assign(sub_emb, cents).select(
+            "vec_id", F.lit(j).alias("subspace"), "cid")
+        asg_all = asg_j if asg_all is None else asg_all.unionByName(asg_j)
+    return (
         asg_all.groupBy("vec_id")
         .agg(F.array_sort(
             F.collect_list(F.struct("subspace", "cid"))).alias("sc"))
@@ -1110,14 +1144,55 @@ def write_pq_index(emb: DataFrame, path: str, m: int = PQ_M,
             _sq8_pack(F.expr(
                 "transform(sc, x -> cast(x.cid AS smallint))"))
             .alias("codes"))
-        .write.mode("error").parquet(f"{path}/{base}/codes")
     )
-    books.coalesce(1).write.mode("error").parquet(
-        f"{path}/{base}/codebooks")
+
+
+def pq_index_upsert(spark, path: str, new_emb: DataFrame) -> dict:
+    """Maintain a ``write_pq_index`` layout under batches: new vectors
+    are encoded against the STORED codebooks (nearest codeword per
+    subspace by round-6 cosine with the trainer's tie-break — cosine is
+    scale-free, so the unit-normalized serving codewords induce the
+    same argmax geometry the trainer used) and committed through the
+    same atomic manifest protocol as ``sq8_index_upsert``: all-new
+    vec_ids append one codes dir; re-submitted vec_ids are
+    keyed-REPLACED; batches must be vec_id-unique.  The codebooks are
+    NOT moved — re-train with ``write_pq_index`` when the corpus
+    distribution drifts (the IVF maintain loop's rebuild decision is
+    the pattern; PQ's drift signal is falling sampled recall)."""
+    from ..jobs.upsert import _check_key_unique
+    from ..jobs.versioned import _write_manifest
+
+    _check_key_unique(new_emb, ["vec_id"])
+    man = _index_manifest(spark, path)
+    m, dim = int(man["m"]), int(man["dim"])
+    sub = dim // m
+    books = spark.read.parquet(f"{path}/{man['codebooks']}")
+    encoded = _pq_encode(new_emb, books, m, sub)
+    current = spark.read.parquet(*[f"{path}/{d}" for d in man["codes"]])
+    batch_ids = new_emb.select("vec_id")
+    n_new = new_emb.count()
+    n_replaced = current.join(
+        F.broadcast(batch_ids), "vec_id", "left_semi").count()
+    version = _next_index_version(spark, path)
+    base = f"data/v{version:06d}"
+    if n_replaced == 0:
+        encoded.write.mode("error").parquet(f"{path}/{base}/codes")
+        dirs = man["codes"] + [f"{base}/codes"]
+        decision = "appended"
+    else:
+        survivors = current.join(
+            F.broadcast(batch_ids), "vec_id", "left_anti")
+        survivors.unionByName(encoded).write.mode("error").parquet(
+            f"{path}/{base}/codes")
+        dirs = [f"{base}/codes"]
+        decision = "replaced"
     _write_manifest(spark, path, version, {
-        "version": version, "kind": "pq", "dim": dim, "m": m, "k": k,
-        "codes": [f"{base}/codes"], "codebooks": f"{base}/codebooks",
+        "version": version, "kind": "pq", "dim": dim, "m": m,
+        "k": int(man["k"]), "codes": dirs,
+        "codebooks": man["codebooks"],
     })
+    return {"decision": decision, "n_new": n_new,
+            "n_replaced": n_replaced}
 
 
 def pq_index_topk(spark, path: str, query_vec: list[float],

@@ -165,3 +165,55 @@ def test_inflight_pq_topk_contract_and_index_agreement(spark, emb,
                                      emb, k=6).collect()}
     inflight = {nid for _, _, nid in by_q[0]}
     assert len(inflight & (served - {0})) >= 4
+
+
+def test_pq_upsert_append_and_replace(spark, emb, tmp_path):
+    """PQ maintenance mirrors SQ8's: copies of indexed vectors under
+    new ids append and become servable at the same quality (identical
+    vector -> identical codes -> same shortlist rank); re-submitted
+    vec_ids are keyed-replaced, never duplicated."""
+    from pyspark.sql import functions as F
+
+    from public_transit_data_platform_sql_nosql_spark.pipeline.similarity import (  # noqa: E501
+        pq_index_upsert,
+    )
+
+    base = emb.filter("vec_id >= 10")
+    path = str(tmp_path / "pq")
+    write_pq_index(base, path)
+    n0 = read_index_codes(spark, path).count()
+
+    batch = emb.filter("vec_id >= 10 AND vec_id < 15").select(
+        (F.col("vec_id") + 50_000).alias("vec_id"), "embedding")
+    st = pq_index_upsert(spark, path, batch)
+    assert st == {"decision": "appended", "n_new": 5, "n_replaced": 0}
+    codes = read_index_codes(spark, path)
+    assert codes.count() == n0 + 5
+    # an identical vector got identical codes (same stored geometry)
+    c10 = codes.filter("vec_id = 10").head()["codes"]
+    c50010 = codes.filter("vec_id = 50010").head()["codes"]
+    assert bytes(c10) == bytes(c50010)
+    # and it serves: both copies rank at the top for their own vector
+    qvec = _qvec(emb, 10)
+    vectors = base.select("vec_id", "embedding").unionByName(batch)
+    top = sorted(pq_index_topk(spark, path, qvec, vectors,
+                               k=2).collect(),
+                 key=lambda r: r["rank"])
+    assert {top[0]["neighbor_id"], top[1]["neighbor_id"]} \
+        == {10, 50_010}
+
+    # keyed replacement: vec 20 re-submitted with vec 21's embedding
+    e21 = emb.filter("vec_id = 21").select(
+        F.lit(20).cast("long").alias("vec_id"), "embedding")
+    st2 = pq_index_upsert(spark, path, e21)
+    assert st2["decision"] == "replaced" and st2["n_replaced"] == 1
+    codes = read_index_codes(spark, path)
+    assert codes.count() == n0 + 5
+    assert codes.filter("vec_id = 20").count() == 1
+    c20 = codes.filter("vec_id = 20").head()["codes"]
+    c21 = codes.filter("vec_id = 21").head()["codes"]
+    assert bytes(c20) == bytes(c21)
+
+    # batches must be vec_id-unique
+    with pytest.raises(ValueError):
+        pq_index_upsert(spark, path, e21.unionByName(e21))
