@@ -1132,8 +1132,26 @@ def _pq_encode(emb: DataFrame, books: DataFrame, m: int,
             F.slice("embedding", j * sub + 1, sub).alias("embedding"))
         cents = (books.filter(F.col("subspace") == j)
                  .select(F.col("code").alias("cid"), "centroid"))
-        asg_j = _assign(sub_emb, cents).select(
-            "vec_id", F.lit(j).alias("subspace"), "cid")
+        # _assign's argmax with one extra guard the trainer never
+        # needs: an upserted vector CAN be all-zero in a subspace
+        # (cosine undefined — ANSI division by zero); it scores -1
+        # everywhere and lands on the lowest code deterministically
+        scored = sub_emb.join(F.broadcast(cents)).select(
+            "vec_id", "cid",
+            F.when(dot(F.col("embedding"), F.col("embedding")) == 0,
+                   F.lit(-1.0))
+            .otherwise(F.round(cosine(F.col("embedding"),
+                                      F.col("centroid")), 6))
+            .alias("cos_sim"))
+        asg_j = (
+            scored.groupBy("vec_id")
+            .agg(F.max_by(
+                F.struct("cid", "cos_sim"),
+                F.struct(F.col("cos_sim"),
+                         (-F.col("cid")).alias("nc"))).alias("best"))
+            .select("vec_id", F.lit(j).alias("subspace"),
+                    F.col("best.cid").alias("cid"))
+        )
         asg_all = asg_j if asg_all is None else asg_all.unionByName(asg_j)
     return (
         asg_all.groupBy("vec_id")
@@ -1193,6 +1211,74 @@ def pq_index_upsert(spark, path: str, new_emb: DataFrame) -> dict:
     })
     return {"decision": decision, "n_new": n_new,
             "n_replaced": n_replaced}
+
+
+def maintain_pq_index(spark, path: str, new_emb: DataFrame,
+                      vectors: DataFrame, *, k: int = 10,
+                      recall_floor_permille: int = 600,
+                      sample_queries: int = 4,
+                      rebuild: bool = True) -> dict:
+    """The closed PQ maintenance loop (the ``maintain_ivf_index``
+    pattern for the codebook index): merge a vector batch
+    (``pq_index_upsert`` — codes against the STORED codebooks), measure
+    MIN sampled serving recall of the PQ path vs brute force over the
+    primary store, and return the decision AS DATA:
+
+    - ``"ok"``      — min sampled recall >= the floor; codebooks keep.
+    - ``"rebuild"`` — the batch drifted past what the stored codewords
+      quantize well (PQ has no nprobe to bump — codebook staleness IS
+      the failure mode); with ``rebuild=True`` the codebooks retrain
+      over ``vectors`` (the primary store, which the PQ layout never
+      duplicates) as a new committed version, and recall re-measures.
+
+    The recall probe is ``sample_queries`` bounded top-k jobs — the
+    monitor's honest cost, amortized per maintenance batch."""
+    st = dict(pq_index_upsert(spark, path, new_emb))
+    queries = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in new_emb.select("vec_id", "embedding")
+        .orderBy("vec_id").limit(sample_queries).collect()
+    ]
+    out = {**st, "n_queries": len(queries),
+           "recall_floor_permille": recall_floor_permille}
+
+    def _min_recall() -> int:
+        approx = None
+        exact = None
+        for qid, qv in queries:
+            a = pq_index_topk(spark, path, qv, vectors, k=k).select(
+                F.lit(qid).cast("long").alias("query_id"),
+                F.col("neighbor_id"))
+            qcol = F.array(*[F.lit(float(x)) for x in qv])
+            e = (vectors.select(
+                    "vec_id",
+                    F.round(cosine(F.col("embedding"), qcol), 6)
+                    .alias("cos_sim"))
+                 .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+                 .limit(k)
+                 .select(F.lit(qid).cast("long").alias("query_id"),
+                         F.col("vec_id").alias("neighbor_id")))
+            approx = a if approx is None else approx.unionByName(a)
+            exact = e if exact is None else exact.unionByName(e)
+        row = (ann_recall(approx, exact)
+               .agg(F.min("recall_permille").alias("r")).collect()[0])
+        return int(row["r"])
+
+    if not queries:
+        out.update(decision="ok", recall_permille=None)
+        return out
+    r0 = _min_recall()
+    out["recall_permille"] = r0
+    if r0 >= recall_floor_permille:
+        out["decision"] = "ok"
+        return out
+    out["decision"] = "rebuild"
+    if rebuild:
+        man = _index_manifest(spark, path)
+        write_pq_index(vectors, path, m=int(man["m"]),
+                       k=int(man["k"]), dim=int(man["dim"]))
+        out["recall_after_rebuild_permille"] = _min_recall()
+    return out
 
 
 def pq_index_topk(spark, path: str, query_vec: list[float],

@@ -592,17 +592,21 @@ def stream_kmv_cardinality(docs_stream: DataFrame, sketch_path: str,
 def stream_vector_index_upsert(emb_stream: DataFrame, index_path: str,
                                checkpoint: str, dim: int = 64,
                                tol: float | None = None):
-    """foreachBatch maintenance of a ``write_sq8_index`` layout from a
-    live vector feed — the streaming twin of
-    ``similarity.sq8_index_upsert``, closing the vector-serving loop
-    the way stream_incremental_dedup closes the dedup one.
+    """foreachBatch maintenance of a manifest-committed vector index
+    (``write_sq8_index`` or ``write_pq_index`` — the layout kind is
+    read from the index's own manifest) from a live feed — the
+    streaming twin of the ``*_index_upsert`` operators, closing the
+    vector-serving loop the way stream_incremental_dedup closes the
+    dedup one.
 
     Per micro-batch: duplicate vec_ids WITHIN the batch collapse first
     (at-least-once delivery can replay rows; the upsert's key-unique
     contract is a correctness guard, not a replay handler), then the
-    drift-guarded upsert runs — all-new ids append a codes dir,
-    re-submitted ids are keyed-replaced, and a batch whose values drift
-    past the trained quantizer range writes NOTHING.  Every decision is
+    kind's upsert runs — all-new ids append a codes dir, re-submitted
+    ids are keyed-replaced, and an SQ8 batch whose values drift past
+    the trained quantizer range writes NOTHING (PQ batches always
+    encode — codebook staleness surfaces through the recall monitor,
+    ``maintain_pq_index``, not a range guard).  Every decision is
     committed as a row to the versioned store at
     ``<index_path>/_state/decisions`` (batch_id, decision, n_new,
     n_replaced, n_drifted_dims) — the rebuild signal an operator
@@ -611,7 +615,12 @@ def stream_vector_index_upsert(emb_stream: DataFrame, index_path: str,
     version fully readable and the checkpoint replays the batch.
     """
     from ..jobs.versioned import commit_version
-    from ..pipeline.similarity import SQ_DRIFT_TOL, sq8_index_upsert
+    from ..pipeline.similarity import (
+        SQ_DRIFT_TOL,
+        _index_manifest,
+        pq_index_upsert,
+        sq8_index_upsert,
+    )
 
     t = SQ_DRIFT_TOL if tol is None else tol
 
@@ -621,10 +630,17 @@ def stream_vector_index_upsert(emb_stream: DataFrame, index_path: str,
                  .localCheckpoint(eager=True))
         if not batch.head(1):
             return
-        st = sq8_index_upsert(spark, index_path, batch, dim=dim, tol=t)
+        kind = _index_manifest(spark, index_path).get("kind", "sq8")
+        if kind == "pq":
+            st = pq_index_upsert(spark, index_path, batch)
+            n_drifted = 0
+        else:
+            st = sq8_index_upsert(spark, index_path, batch,
+                                  dim=dim, tol=t)
+            n_drifted = len(st["drifted_dims"])
         decision = spark.createDataFrame(
             [(int(batch_id), st["decision"], int(st["n_new"]),
-              int(st.get("n_replaced", 0)), len(st["drifted_dims"]))],
+              int(st.get("n_replaced", 0)), n_drifted)],
             "batch_id long, decision string, n_new long, "
             "n_replaced long, n_drifted_dims long")
         commit_version(decision, f"{index_path}/_state/decisions",

