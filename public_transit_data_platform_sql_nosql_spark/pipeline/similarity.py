@@ -324,19 +324,32 @@ def write_sq8_index(emb: DataFrame, path: str, dim: int = 64) -> None:
 def sq8_index_topk(spark, path: str, query_vec: list[float],
                    vectors: DataFrame, k: int = 10,
                    rerank_mult: int = SQ_RERANK_MULT,
-                   dim: int = 64) -> DataFrame:
+                   dim: int = 64,
+                   allowed: DataFrame | None = None) -> DataFrame:
     """Serve top-k from a ``write_sq8_index`` layout: resolve the
     newest committed manifest, scan ONLY its codes dirs, score each
     candidate's reconstruction against the full-precision query
     (asymmetric-distance scoring), TakeOrdered the ``k * rerank_mult``
     shortlist, then join ``vectors`` (the primary store) for exact
     cosine on just those rows.  Returns ``(rank, neighbor_id,
-    cos_sim)``."""
+    cos_sim)``.
+
+    ``allowed`` (optional, a ``vec_id`` DataFrame) makes this a
+    FILTERED search — "nearest neighbors among docs matching a
+    metadata predicate", the production ANN shape: the candidate set
+    semi-joins the allow-list BEFORE the shortlist TakeOrdered, so
+    restrictive filters cannot starve the shortlist the way
+    post-filtering the top-k would (the caller computes the allow-list
+    from the metadata store, where its predicate pushes down)."""
     m = _index_manifest(spark, path)
     stats = spark.read.parquet(f"{path}/{m['quantizer']}")
     q = F.array(*[F.lit(float(x)) for x in query_vec])
+    cand = spark.read.parquet(*[f"{path}/{d}" for d in m["codes"]])
+    if allowed is not None:
+        cand = cand.join(allowed.select("vec_id"), "vec_id",
+                         "left_semi")
     shortlist = (
-        spark.read.parquet(*[f"{path}/{d}" for d in m["codes"]])
+        cand
         .join(F.broadcast(stats))
         .withColumn("ucodes", _sq8_unpack(F.col("codes"), dim))
         .select(F.col("vec_id").alias("neighbor_id"),
@@ -1283,7 +1296,8 @@ def maintain_pq_index(spark, path: str, new_emb: DataFrame,
 
 def pq_index_topk(spark, path: str, query_vec: list[float],
                   vectors: DataFrame, k: int = 10,
-                  rerank_mult: int = PQ_RERANK_MULT) -> DataFrame:
+                  rerank_mult: int = PQ_RERANK_MULT,
+                  allowed: DataFrame | None = None) -> DataFrame:
     """Serve top-k from a ``write_pq_index`` layout: the m*k codeword
     table is collected driver-side (tiny by construction, like the IVF
     centroid table) and inlined as a nested array literal, so candidate
@@ -1292,7 +1306,9 @@ def pq_index_topk(spark, path: str, query_vec: list[float],
     cosine against the full-precision query, TakeOrdered the
     ``k * rerank_mult`` shortlist, exact-rerank against the primary
     store.  No shuffle before the bounded shortlist; the scan reads
-    m bytes per row."""
+    m bytes per row.  ``allowed`` (a ``vec_id`` DataFrame) restricts
+    the search to a metadata-filtered candidate set BEFORE the
+    shortlist, exactly as in :func:`sq8_index_topk`."""
     m_an = _index_manifest(spark, path)
     m, dim = int(m_an["m"]), int(m_an["dim"])
     kk = int(m_an["k"])
@@ -1320,8 +1336,12 @@ def pq_index_topk(spark, path: str, query_vec: list[float],
                              (d / F.lit(sub)).cast("int") + 1) + 1),
             F.pmod(d, F.lit(sub)).cast("int") + 1),
     )
+    cand = spark.read.parquet(*[f"{path}/{d}" for d in m_an["codes"]])
+    if allowed is not None:
+        cand = cand.join(allowed.select("vec_id"), "vec_id",
+                         "left_semi")
     shortlist = (
-        spark.read.parquet(*[f"{path}/{d}" for d in m_an["codes"]])
+        cand
         .select(F.col("vec_id").alias("neighbor_id"),
                 cosine(q, hat).alias("approx_sim"))
         .orderBy(F.desc("approx_sim"), F.asc("neighbor_id"))

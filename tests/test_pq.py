@@ -269,3 +269,47 @@ def test_maintain_pq_index_ok_and_rebuild(spark, emb, tmp_path):
         assert len(list_versions(spark, path)) > len(v_after_ok)
         assert st2["recall_after_rebuild_permille"] \
             >= st2["recall_permille"]
+
+
+def test_filtered_search_restricts_candidates(spark, emb, pq_path,
+                                              tmp_path):
+    """Filtered ANN: an allow-list semi-joins the candidate set BEFORE
+    the shortlist, so every served neighbor satisfies the filter and a
+    restrictive filter still fills k (post-filtering the top-k would
+    starve it)."""
+    from pyspark.sql import functions as F
+
+    from public_transit_data_platform_sql_nosql_spark.pipeline.similarity import (  # noqa: E501
+        sq8_index_topk,
+        write_sq8_index,
+    )
+
+    allowed = emb.filter("vec_id % 3 = 0").select("vec_id")
+    n_allowed = allowed.count()
+    qvec = _qvec(emb, 1)   # vec 1 itself is NOT allowed (1 % 3 != 0)
+
+    got = pq_index_topk(spark, pq_path, qvec, emb, k=5,
+                        allowed=allowed).collect()
+    assert len(got) == 5
+    assert all(r["neighbor_id"] % 3 == 0 for r in got)
+
+    sq8 = str(tmp_path / "sq8")
+    write_sq8_index(emb, sq8)
+    got2 = sq8_index_topk(spark, sq8, qvec, emb, k=5,
+                          allowed=allowed).collect()
+    assert len(got2) == 5
+    assert all(r["neighbor_id"] % 3 == 0 for r in got2)
+    # the filtered exact-best (brute force over allowed) is served at
+    # rank 1 by the SQ8 path (its shortlist is near-exact at 8 bits)
+    from public_transit_data_platform_sql_nosql_spark.pipeline.core import (
+        cosine,
+    )
+    qcol = F.array(*[F.lit(float(x)) for x in qvec])
+    best = (emb.join(allowed, "vec_id", "left_semi")
+            .select("vec_id",
+                    F.round(cosine(F.col("embedding"), qcol), 6)
+                    .alias("c"))
+            .orderBy(F.desc("c"), F.asc("vec_id")).head())
+    assert sorted(got2, key=lambda r: r["rank"])[0]["neighbor_id"] \
+        == best["vec_id"]
+    assert n_allowed > 5
