@@ -352,9 +352,30 @@ def cmd_vector_index(args: argparse.Namespace) -> int:
         return 0
     if args.action == "upsert":
         batch = spark.read.parquet(args.batch)
-        st = sim.sq8_index_upsert(spark, args.path, batch, dim=args.dim)
-        print(json.dumps({"action": "upsert", **st}))
+        kind = sim._index_manifest(spark, args.path).get("kind", "sq8")
+        if kind == "pq":
+            st = sim.pq_index_upsert(spark, args.path, batch)
+        else:
+            st = sim.sq8_index_upsert(spark, args.path, batch,
+                                      dim=args.dim)
+        print(json.dumps({"action": "upsert", "kind": kind, **st}))
         return 0 if st["decision"] != "rebuild" else 3
+    if args.action == "maintain":
+        # the closed PQ loop: upsert + sampled-recall monitor +
+        # rebuild-in-place decision (PQ-kind indexes only; SQ8's guard
+        # lives in its upsert, classic IVF's in maintain_ivf_index)
+        kind = sim._index_manifest(spark, args.path).get("kind", "sq8")
+        if kind != "pq":
+            print(json.dumps({"error": f"maintain drives pq indexes; "
+                                       f"this one is {kind!r}"}))
+            return 2
+        batch = spark.read.parquet(args.batch)
+        vectors = spark.read.parquet(args.emb)
+        st = sim.maintain_pq_index(
+            spark, args.path, batch, vectors, k=args.k,
+            recall_floor_permille=args.recall_floor)
+        print(json.dumps({"action": "maintain", **st}))
+        return 0 if st["decision"] == "ok" else 3
     st = sim.vacuum_index(spark, args.path, keep_last=args.keep_last)
     print(json.dumps({"action": "vacuum", **st}))
     return 0
@@ -543,7 +564,8 @@ def main(argv: list[str] | None = None) -> int:
         help="build/query/upsert/vacuum a manifest-committed SQ8 "
              "ANN index")
     pv.add_argument("action",
-                    choices=("build", "query", "upsert", "vacuum"))
+                    choices=("build", "query", "upsert", "maintain",
+                             "vacuum"))
     pv.add_argument("--path", required=True,
                     help="index root (manifest-versioned)")
     pv.add_argument("--emb", help="primary vector parquet "
@@ -559,6 +581,8 @@ def main(argv: list[str] | None = None) -> int:
     pv.add_argument("--k", type=int, default=10)
     pv.add_argument("--nprobe", type=int, default=2)
     pv.add_argument("--keep-last", type=int, default=2)
+    pv.add_argument("--recall-floor", type=int, default=600,
+                    help="maintain: min sampled recall permille")
     pv.set_defaults(fn=cmd_vector_index)
 
     pl = sub.add_parser(

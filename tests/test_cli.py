@@ -367,3 +367,42 @@ def test_cli_vector_index_pq_build_and_query(spark, tmp_path, capsys):
     q = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert q["kind"] == "pq" and len(q["topk"]) == 3
     assert q["topk"][0]["neighbor_id"] == 3
+
+
+def test_cli_vector_index_maintain_pq(spark, tmp_path, capsys):
+    """vector-index maintain over a PQ layout: an in-distribution batch
+    returns 'ok' (exit 0) with its sampled recall; the upsert action
+    also kind-dispatches to the PQ encoder."""
+    import __spark_entry__ as E
+    from pyspark.sql import functions as F
+
+    emb_path = str(tmp_path / "emb")
+    base = E._emb(spark, SF_DIR).filter("vec_id >= 10").select(
+        "vec_id", "embedding")
+    base.write.parquet(emb_path)
+    idx = str(tmp_path / "pq")
+    assert main(["vector-index", "build", "--path", idx,
+                 "--emb", emb_path, "--pq"]) == 0
+    capsys.readouterr()
+
+    batch_path = str(tmp_path / "batch")
+    (base.limit(3)
+     .select((F.col("vec_id") + 50_000).alias("vec_id"), "embedding")
+     .write.parquet(batch_path))
+    merged_path = str(tmp_path / "merged")
+    base.unionByName(spark.read.parquet(batch_path)) \
+        .write.parquet(merged_path)
+
+    assert main(["vector-index", "maintain", "--path", idx,
+                 "--batch", batch_path, "--emb", merged_path,
+                 "--k", "5", "--recall-floor", "400"]) == 0
+    st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert st["decision"] == "ok" and st["recall_permille"] >= 400
+
+    # maintain refuses non-pq layouts with a clear error
+    sq8 = str(tmp_path / "sq8")
+    assert main(["vector-index", "build", "--path", sq8,
+                 "--emb", emb_path]) == 0
+    capsys.readouterr()
+    assert main(["vector-index", "maintain", "--path", sq8,
+                 "--batch", batch_path, "--emb", merged_path]) == 2
