@@ -894,8 +894,6 @@ _PIPELINE_QUERIES = {
         lambda s, d: ptext.text_profile(_aug(s, d)),
     "dedup_exact":
         lambda s, d: pdedup.exact_dedup(_aug(s, d)),
-    "dedup_ngram_jaccard":
-        lambda s, d: pdedup.ngram_jaccard_pairs(_aug(s, d)),
     "dedup_simhash":
         lambda s, d: pdedup.simhash_pairs(_aug(s, d)),
     "dedup_embedding_cosine":
@@ -982,21 +980,6 @@ _EXTRA_QUERIES = {
         .select("media_id", "kind", "out_len", "checksum", "head_hex"),
     "multimodal_frames":
         lambda s, d: pmm.sample_frames(pmm.media_table(_aug(s, d))),
-    # deterministic k-means corpus clustering (semantic-dedup /
-    # topic-balance upstream): hash-seeded, integer-quantized centroid
-    # updates, fully oracle-checked (verify + pytest differential)
-    "embedding_kmeans":
-        lambda s, d: psim.embedding_kmeans(_emb(s, d)),
-    # r9: in-flight product-quantization ANN — m per-subspace kmeans
-    # codebooks trained in-pass, candidates scored on the codeword
-    # reconstruction, exact rerank; oracle = m generated kmeans-chain
-    # unrolls over array slices (oracles.pq_topk_sql)
-    "ann_pq_topk":
-        lambda s, d: psim.pq_topk(_emb(s, d)),
-    # SemDeDup composition: k-means blocking + within-cluster keep-first
-    # (augmented corpus, so the planted near-dups give real positives)
-    "semantic_dedup":
-        lambda s, d: psim.semantic_dedup(_emb_aug(s, d)),
     # one-pass per-column table profiling (exact variant; approx_profile
     # is the pytest-bounded HLL scale path)
     "table_profile":
@@ -1018,16 +1001,6 @@ _EXTRA_QUERIES = {
     # engines — the raw synthetic corpus contains no PII, docs_aug-style)
     "text_scrub_pii":
         lambda s, d: pclean.scrub_pii(_pii_injected(_aug(s, d))),
-    # the END-TO-END flagship: docs -> curate -> decontaminate -> chunk
-    # -> boilerplate-drop -> token-budget sequence packing, ONE plan
-    # OLAP rollup: (type, day) + per-type + grand-total grains in ONE
-    # Expand+aggregate pass, GROUPING bitmask disambiguates subtotal
-    # NULLs
-    "events_rollup":
-        lambda s, d: ev.type_daily_rollup(_events(s, d)),
-    # CUBE twin: adds the day-only grain (bitmask 2)
-    "events_cube":
-        lambda s, d: ev.type_daily_cube(_events(s, d)),
     # pre-flight join profile: per-user view x purchase pair counts,
     # hottest keys first — the skew screening a 100-TB join runs before
     # committing to a shuffle (null keys shown, not dropped)
@@ -1044,11 +1017,6 @@ _EXTRA_QUERIES = {
     # snapshot audit: per-doc added/removed/changed/unchanged between
     # two corpus versions (one narrow full-outer hash join)
     "pipeline_corpus_diff": _corpus_diff,
-    # BM25 full-text search over the corpus (integer-micro quantized
-    # per-term scores so the per-doc sum is order-independent)
-    "text_search_bm25":
-        lambda s, d: ptext.search_bm25(
-            _aug(s, d), ["spark", "window", "merge"], top_k=20),
     # per-doc top-5 TF-IDF keywords (BM25-shaped idf — transcendental-free
     # so the score doubles hash-compare bit-identically)
     "text_tfidf_keywords":
@@ -1085,21 +1053,6 @@ _EXTRA_QUERIES = {
     "profile_quantiles":
         lambda s, d: pprof.column_quantiles(
             _lineitem(s, d), _QUANTILE_COLS),
-    # r9: pairwise Pearson matrix over the fact numerics in ONE
-    # aggregation — exact integer moments (decimal sums), the only
-    # floats are the final fixed-order casts/sqrt/divides, so the
-    # generated HUGEINT oracle hash-compares the rounded doubles
-    "profile_correlations":
-        lambda s, d: pprof.numeric_correlations(
-            _lineitem(s, d), _QUANTILE_COLS),
-    # r9: KMV corpus-overlap screen between two planted, overlapping
-    # doc splits — exact set algebra on the shared md5 k-minima, every
-    # output an integer (the metadata-level contamination pre-screen
-    # that runs before the exact shingle-join decontamination)
-    "profile_overlap_kmv":
-        lambda s, d: pprof.kmv_overlap(
-            _aug(s, d).filter("doc_id % 3 != 0"),
-            _aug(s, d).filter("doc_id % 2 = 0"), "text"),
     # per-(source, lang) curation dashboard: doc counts, emptiness,
     # exact-dup pressure, token/char volume, integer-mean quality
     "pipeline_corpus_report":
@@ -1120,6 +1073,28 @@ _EXTRA_QUERIES = {
         lambda s, d: _q4_hourly_view(s, d),
     "q4_detail_rows":
         lambda s, d: _q4_detail_rows(s, d),
+    # r10 rotation: shape-duplicates displaced by _FLAGSHIP_R10 (see
+    # that dict's comments for the per-row justification); all stay
+    # oracle-checked here + in tests/test_driver_parity.py
+    "ann_sq8_topk":
+        lambda s, d: psim.sq8_topk(_emb(s, d)),
+    "web_domain_cap":
+        lambda s, d: pweb.domain_cap(_web(s, d)),
+    "web_domain_stats":
+        lambda s, d: pweb.domain_stats(_web(s, d)),
+    "web_blocklist":
+        lambda s, d: pweb.blocklist_filter(_web(s, d)),
+    "profile_distinct_kmv":
+        lambda s, d: pprof.kmv_distinct(
+            _aug(s, d), ["doc_id", "text", "lang", "source", "n_chars"]),
+    "dedup_drop_repeated_spans":
+        lambda s, d: pdedup.drop_repeated_spans(_aug(s, d)),
+    "transit_stop_rank_deep":
+        lambda s, d: (lambda v: graphq.stop_pagerank_deep(
+            v["stop_times"], v["trips"], n_iter=6))(
+            register_gtfs_views(s, d)),
+    "dedup_ngram_jaccard":
+        lambda s, d: pdedup.ngram_jaccard_pairs(_aug(s, d)),
     "dedup_minhash_lsh":
         lambda s, d: pdedup.minhash_lsh_pairs(_aug(s, d)),
     "pipeline_decontaminate":
@@ -1225,26 +1200,13 @@ _FLAGSHIP_R8 = {
     # pinned by multimodal_features; events_top_users_by_value —
     # groupby-sum ranking pinned by q4_top_routes_daily).  All five
     # stay oracle-checked in _EXTRA_QUERIES + the pytest sweep.
-    # scalar-quantization ANN: the compression scale path (scan 1-byte
-    # codes, exact-rerank only the shortlist) beside brute/LSH/IVF;
-    # quantizer trained in-pass from a 1-row min/max broadcast
-    "ann_sq8_topk":
-        lambda s, d: psim.sq8_topk(_emb(s, d)),
     # web-provenance curation over the docs_web view (deterministic
     # per-doc URLs with planted skew/collision structure): URL
-    # canonicalization keep-one and the hot-domain cap — the two
-    # RefinedWeb/C4-class stages with the richest hash signal; the
-    # skew screen and suffix blocklist stay oracle-checked below
+    # canonicalization keep-one — the RefinedWeb/C4-class stage with
+    # the richest hash signal; the cap, skew screen and suffix
+    # blocklist stay oracle-checked below
     "web_url_dedup":
         lambda s, d: pweb.url_dedup(_web(s, d)),
-    "web_domain_cap":
-        lambda s, d: pweb.domain_cap(_web(s, d)),
-    # engine-deterministic cardinality sketch (KMV on the md5 hash) —
-    # the hash-checkable complement of approx_profile's HLL; the
-    # estimate is a pure integer function of the k smallest hashes
-    "profile_distinct_kmv":
-        lambda s, d: pprof.kmv_distinct(
-            _aug(s, d), ["doc_id", "text", "lang", "source", "n_chars"]),
     # deep-k BFS twin: driver loop with per-level eager localCheckpoint
     # (O(1) plan per level at any budget); oracle = the SAME generated
     # level-unroll SQL at the deeper constant
@@ -1270,23 +1232,67 @@ _FLAGSHIP_R9 = {
     # newly oracled in r8, first time under the driver gate
     "text_learn_merges":
         lambda s, d: pbpe.learn_merges(_aug(s, d), n_merges=16),
-    # the drop twin of dedup_repeated_spans: the corpus rewritten with
-    # every repeated span cut
-    "dedup_drop_repeated_spans":
-        lambda s, d: pdedup.drop_repeated_spans(_aug(s, d)),
-    # per-domain doc/host/URL counts + integer-permille corpus share
-    # (the web family's skew screen)
-    "web_domain_stats":
-        lambda s, d: pweb.domain_stats(_web(s, d)),
-    # dot-suffix domain blocklist as explode + equi-join
-    "web_blocklist":
-        lambda s, d: pweb.blocklist_filter(_web(s, d)),
-    # deep-k pagerank twin: per-round eager localCheckpoint, oracle =
-    # the generated level-unroll SQL at the deeper constant
-    "transit_stop_rank_deep":
-        lambda s, d: (lambda v: graphq.stop_pagerank_deep(
-            v["stop_times"], v["trips"], n_iter=6))(
-            register_gtfs_views(s, d)),
+}
+
+# r10 rotation (tools/rotation_check.py enforces the cadence): EIGHT
+# never-gated queries take hash-gate slots — the three r9 flagships
+# (PQ ANN, the one-pass Pearson matrix, the KMV overlap screen) plus
+# BM25 retrieval, the grouping-sets pair, corpus k-means and SemDeDup —
+# displacing eight shape-duplicates whose signal an in-window row
+# carries (ann_sq8_topk -> serving-path pytest + ann_pq_topk's
+# quantized-scan shape; web_domain_cap/stats/blocklist -> web_url_dedup
+# pins the family, cap delegates stratified_cap's machinery;
+# profile_distinct_kmv -> profile_overlap_kmv runs the same k-minima
+# union algebra; dedup_drop_repeated_spans -> twin of in-window
+# dedup_repeated_spans; transit_stop_rank_deep -> constant-deeper twin
+# of in-window transit_stop_rank; dedup_ngram_jaccard -> the
+# shingle-Jaccard pairwise shape also runs inside decontaminate within
+# pipeline_training_sequences).  All eight stay oracle-checked in
+# _EXTRA_QUERIES + the pytest parity sweep.
+_FLAGSHIP_R10 = {
+    # r9: in-flight product-quantization ANN — m per-subspace kmeans
+    # codebooks trained in-pass, candidates scored on the codeword
+    # reconstruction, exact rerank; oracle = m generated kmeans-chain
+    # unrolls over array slices (oracles.pq_topk_sql)
+    "ann_pq_topk":
+        lambda s, d: psim.pq_topk(_emb(s, d)),
+    # r9: pairwise Pearson matrix over the fact numerics in ONE
+    # aggregation — exact integer moments (decimal sums), the only
+    # floats are the final fixed-order casts/sqrt/divides, so the
+    # generated HUGEINT oracle hash-compares the rounded doubles
+    "profile_correlations":
+        lambda s, d: pprof.numeric_correlations(
+            _lineitem(s, d), _QUANTILE_COLS),
+    # r9: KMV corpus-overlap screen between two planted, overlapping
+    # doc splits — exact set algebra on the shared md5 k-minima, every
+    # output an integer (the metadata-level contamination pre-screen
+    # that runs before the exact shingle-join decontamination)
+    "profile_overlap_kmv":
+        lambda s, d: pprof.kmv_overlap(
+            _aug(s, d).filter("doc_id % 3 != 0"),
+            _aug(s, d).filter("doc_id % 2 = 0"), "text"),
+    # BM25 full-text search over the corpus (integer-micro quantized
+    # per-term scores so the per-doc sum is order-independent)
+    "text_search_bm25":
+        lambda s, d: ptext.search_bm25(
+            _aug(s, d), ["spark", "window", "merge"], top_k=20),
+    # OLAP rollup: (type, day) + per-type + grand-total grains in ONE
+    # Expand+aggregate pass, GROUPING bitmask disambiguates subtotal
+    # NULLs
+    "events_rollup":
+        lambda s, d: ev.type_daily_rollup(_events(s, d)),
+    # CUBE twin: adds the day-only grain (bitmask 2)
+    "events_cube":
+        lambda s, d: ev.type_daily_cube(_events(s, d)),
+    # deterministic k-means corpus clustering (semantic-dedup /
+    # topic-balance upstream): hash-seeded, integer-quantized centroid
+    # updates, fully oracle-checked (verify + pytest differential)
+    "embedding_kmeans":
+        lambda s, d: psim.embedding_kmeans(_emb(s, d)),
+    # SemDeDup composition: k-means blocking + within-cluster keep-first
+    # (augmented corpus, so the planted near-dups give real positives)
+    "semantic_dedup":
+        lambda s, d: psim.semantic_dedup(_emb_aug(s, d)),
 }
 
 
@@ -1318,6 +1324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **_FLAGSHIP_QUERIES,
         **_FLAGSHIP_R8,
         **_FLAGSHIP_R9,
+        **_FLAGSHIP_R10,
         **_EVENTS_QUERIES,
         **_PIPELINE_QUERIES,
         # keep last: beyond the harness's 50-entry window by design

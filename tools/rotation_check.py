@@ -64,15 +64,39 @@ def main() -> int:
               "to enforce yet")
         return 0
     rounds = sorted(hist)
-    prev_window = set(hist[rounds[-1]])
-    ever_gated: set[str] = set()
+    # The window to compare against is the last recorded round the live
+    # window actually ROTATED AGAINST.  Once the driver records this
+    # round's CORRECTNESS file, the live window equals the latest
+    # recorded one — comparing against itself would read fresh==0 and
+    # fail forever (the r9 round-clock bug).  In that post-gate state,
+    # compare the latest recorded window against the round BEFORE it.
+    baseline_round = rounds[-1]
+    if current_window == hist[rounds[-1]] and len(rounds) >= 2:
+        baseline_round = rounds[-2]
+    elif current_window == hist[rounds[-1]]:
+        # Only one recorded round and it IS the live window: that round
+        # was itself the first gate — nothing earlier to rotate against.
+        print("rotation-check: live window equals the only recorded "
+              "round (first gate) — nothing to enforce yet")
+        return 0
+    prev_window = set(hist[baseline_round])
+    # "Never gated" must be judged as of the baseline round: entries the
+    # live window rotated in are recorded by the gate that follows, and
+    # counting that recording against their freshness would zero the
+    # check the moment the driver writes the round's CORRECTNESS file.
+    ever_gated_at_baseline: set[str] = set()
+    for r in rounds:
+        if r <= baseline_round:
+            ever_gated_at_baseline.update(hist[r])
+    ever_gated: set[str] = set(ever_gated_at_baseline)
     for r in rounds:
         ever_gated.update(hist[r])
 
     backlog = [n for n in registered
                if n not in ever_gated and n not in current_window]
     fresh = [n for n in current_window if n not in prev_window]
-    fresh_from_backlog = [n for n in fresh if n not in ever_gated]
+    fresh_from_backlog = [n for n in fresh
+                          if n not in ever_gated_at_baseline]
 
     print(f"rotation-check: {len(registered)} registered, "
           f"window {len(current_window)}, fresh-this-round "
