@@ -302,24 +302,31 @@ def cmd_web_curate(args: argparse.Namespace) -> int:
 
 
 def cmd_vector_index(args: argparse.Namespace) -> int:
-    """Manage a manifest-committed SQ8 vector index
-    (pipeline/similarity.py): ``build`` trains the quantizer on the
-    corpus and writes packed byte codes (``--ivf`` adds k-means
-    partition pruning on top), ``query`` serves exact-reranked top-k
-    for a stored vector's embedding, ``upsert`` appends / keyed-replaces
-    a batch under the drift guard, ``vacuum`` collects crash-orphaned
-    data dirs and old manifests.  One JSON status line per action."""
+    """Manage a manifest-committed vector index
+    (pipeline/similarity.py): ``build`` trains the quantizer/centroids/
+    codebooks (``--ivf`` = SQ8 codes + k-means partition pruning,
+    ``--pq`` = product quantization; ``--train-fraction`` hash-samples
+    the trainer), ``query`` serves exact-reranked top-k for a stored
+    vector's embedding, ``upsert`` appends / keyed-replaces a batch
+    through the KIND-TRUE maintainer (foreign kinds are refused, never
+    silently downgraded), ``maintain`` runs the closed recall loop
+    (pq / ivf_sq8), ``vacuum`` collects crash-orphaned data dirs and
+    old manifests.  One JSON status line per action."""
     spark = _spark("vector-index")
     from .pipeline import similarity as sim
 
     if args.action == "build":
         emb = spark.read.parquet(args.emb)
+        build_dim = args.dim if args.dim is not None else 64
+        tf = args.train_fraction
         if args.pq:
-            sim.write_pq_index(emb, args.path, dim=args.dim)
+            sim.write_pq_index(emb, args.path, dim=build_dim,
+                               train_fraction=tf)
         elif args.ivf:
-            sim.write_ivf_sq8_index(emb, args.path, dim=args.dim)
+            sim.write_ivf_sq8_index(emb, args.path, dim=build_dim,
+                                    train_fraction=tf)
         else:
-            sim.write_sq8_index(emb, args.path, dim=args.dim)
+            sim.write_sq8_index(emb, args.path, dim=build_dim)
         n = sim.read_index_codes(spark, args.path).count()
         print(json.dumps({"action": "build", "path": args.path,
                           "ivf": bool(args.ivf), "pq": bool(args.pq),
@@ -351,31 +358,47 @@ def cmd_vector_index(args: argparse.Namespace) -> int:
                           "kind": kind, "topk": out}))
         return 0
     if args.action == "upsert":
+        # kind-TRUE dispatch: each layout has its own maintainer, and
+        # every maintainer refuses foreign kinds (decision
+        # "wrong_kind") — an ivf_sq8 index can no longer be silently
+        # downgraded by the flat-sq8 path committing a manifest that
+        # drops its centroids
         batch = spark.read.parquet(args.batch)
         kind = sim._index_manifest(spark, args.path).get("kind", "sq8")
         if kind == "pq":
             st = sim.pq_index_upsert(spark, args.path, batch)
+        elif kind == "ivf_sq8":
+            st = sim.ivf_sq8_index_upsert(spark, args.path, batch)
         else:
             st = sim.sq8_index_upsert(spark, args.path, batch,
                                       dim=args.dim)
         print(json.dumps({"action": "upsert", "kind": kind, **st}))
-        return 0 if st["decision"] != "rebuild" else 3
+        return 0 if st["decision"] not in ("rebuild", "wrong_kind") \
+            else 3
     if args.action == "maintain":
-        # the closed PQ loop: upsert + sampled-recall monitor +
-        # rebuild-in-place decision (PQ-kind indexes only; SQ8's guard
-        # lives in its upsert, classic IVF's in maintain_ivf_index)
+        # the closed maintenance loops, dispatched by the manifest's
+        # kind: upsert + sampled-recall monitor + bump-nprobe (ivf_sq8
+        # only — pruning has a runtime knob, codebooks don't) +
+        # rebuild-in-place decision.  Flat sq8's guard lives in its
+        # upsert; classic IVF's in maintain_ivf_index
         kind = sim._index_manifest(spark, args.path).get("kind", "sq8")
-        if kind != "pq":
-            print(json.dumps({"error": f"maintain drives pq indexes; "
-                                       f"this one is {kind!r}"}))
+        if kind not in ("pq", "ivf_sq8"):
+            print(json.dumps({"error": f"maintain drives pq/ivf_sq8 "
+                                       f"indexes; this one is {kind!r}"}))
             return 2
         batch = spark.read.parquet(args.batch)
         vectors = spark.read.parquet(args.emb)
-        st = sim.maintain_pq_index(
-            spark, args.path, batch, vectors, k=args.k,
-            recall_floor_permille=args.recall_floor)
-        print(json.dumps({"action": "maintain", **st}))
-        return 0 if st["decision"] == "ok" else 3
+        if kind == "pq":
+            st = sim.maintain_pq_index(
+                spark, args.path, batch, vectors, k=args.k,
+                recall_floor_permille=args.recall_floor)
+        else:
+            st = sim.maintain_ivf_sq8_index(
+                spark, args.path, batch, vectors, k=args.k,
+                nprobe=args.nprobe,
+                recall_floor_permille=args.recall_floor)
+        print(json.dumps({"action": "maintain", "kind": kind, **st}))
+        return 0 if st["decision"] in ("ok", "bump_nprobe") else 3
     st = sim.vacuum_index(spark, args.path, keep_last=args.keep_last)
     print(json.dumps({"action": "vacuum", **st}))
     return 0
@@ -561,8 +584,9 @@ def main(argv: list[str] | None = None) -> int:
 
     pv = sub.add_parser(
         "vector-index",
-        help="build/query/upsert/vacuum a manifest-committed SQ8 "
-             "ANN index")
+        help="build/query/upsert/maintain/vacuum a manifest-committed "
+             "ANN index (sq8 / ivf_sq8 / pq — ops dispatch by the "
+             "manifest's kind)")
     pv.add_argument("action",
                     choices=("build", "query", "upsert", "maintain",
                              "vacuum"))
@@ -575,7 +599,14 @@ def main(argv: list[str] | None = None) -> int:
                     help="build: compose k-means partition pruning")
     pv.add_argument("--pq", action="store_true",
                     help="build: product quantization (m-byte codes)")
-    pv.add_argument("--dim", type=int, default=64)
+    pv.add_argument("--train-fraction", type=float, default=1.0,
+                    help="build (--ivf/--pq): hash-sample fraction for "
+                         "centroid/codebook training; assignment and "
+                         "encoding always cover every vector")
+    pv.add_argument("--dim", type=int, default=None,
+                    help="build: vector dim (default 64); query/upsert "
+                         "resolve dim from the index manifest and only "
+                         "ASSERT a passed value")
     pv.add_argument("--vec-id", type=int, default=0,
                     help="query: id whose stored embedding is the query")
     pv.add_argument("--k", type=int, default=10)

@@ -117,6 +117,47 @@ def _decode_bmp(payload: bytes) -> list[int]:
     return out
 
 
+def _decode_wav(payload: bytes) -> list[int]:
+    """Pure-Python decode of an uncompressed PCM WAV (RIFF/WAVE,
+    format tag 1, 8- or 16-bit): walks the chunk list to the ``fmt ``
+    and ``data`` chunks (chunks pad to even offsets per RIFF, and
+    extension chunks like LIST/cue are skipped — a real container
+    walk, not a fixed-offset read) and returns the interleaved sample
+    stream as Python ints — 8-bit PCM is unsigned 0..255 by spec,
+    16-bit is little-endian signed -32768..32767.  Anything else
+    (float PCM, ADPCM, 24-bit) raises NotImplementedError — those
+    variants want a real audio library."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload (missing RIFF/WAVE magic)")
+    pos, end = 12, min(len(payload), 8 + struct.unpack_from(
+        "<I", payload, 4)[0])
+    fmt = None
+    data = None
+    while pos + 8 <= end:
+        cid = payload[pos:pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)           # chunks pad to even
+    if fmt is None or data is None:
+        raise ValueError("truncated WAV: fmt/data chunk missing")
+    audio_fmt, _n_ch = struct.unpack_from("<HH", fmt, 0)
+    bits = struct.unpack_from("<H", fmt, 14)[0]
+    if audio_fmt != 1 or bits not in (8, 16):
+        raise NotImplementedError(
+            f"only uncompressed 8/16-bit PCM WAV supported (got "
+            f"format={audio_fmt}, bits={bits})")
+    if bits == 8:
+        return list(data)
+    n = len(data) // 2
+    return list(struct.unpack_from(f"<{n}h", data, 0))
+
+
 def decode_payload(payload: bytes, kind: str, fake: bool = False):
     """Decode an encoded media payload to raw samples.
 
@@ -125,15 +166,18 @@ def decode_payload(payload: bytes, kind: str, fake: bool = False):
     DuckDB differentials hash-match downstream arithmetic.  The real
     branch decodes what pure Python can: uncompressed 24-bit BMP images
     (``_decode_bmp`` — header parse, padding strip, row-order
-    normalization).  Compressed codecs need PIL/torchaudio/ffmpeg-class
-    libraries absent from this container and still raise
-    NotImplementedError; wire them here on a real cluster (same
-    list-of-samples contract).
+    normalization) and uncompressed 8/16-bit PCM WAV audio
+    (``_decode_wav`` — RIFF chunk walk, interleaved sample unpack).
+    Compressed codecs need PIL/torchaudio/ffmpeg-class libraries absent
+    from this container and still raise NotImplementedError; wire them
+    here on a real cluster (same list-of-samples contract).
     """
     if fake:
         return list(payload)
     if kind == "image" and payload[:2] == b"BM":
         return _decode_bmp(payload)
+    if kind == "audio" and payload[:4] == b"RIFF":
+        return _decode_wav(payload)
     raise NotImplementedError(
         f"no {kind} codec in this environment for this payload; wire "
         "PIL/torchaudio/ffmpeg here on a real cluster"

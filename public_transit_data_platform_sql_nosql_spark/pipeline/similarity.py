@@ -236,19 +236,45 @@ def _index_manifest(spark, path: str) -> dict:
     return _read_manifest(spark, path, versions[-1])
 
 
+def _manifest_dim(m: dict, dim: int | None, path: str) -> int:
+    """The index's true dimensionality is recorded in its manifest; a
+    caller-passed dim that disagrees would silently corrupt results
+    (element_at past the stored quantizer arrays yields NULL, codes
+    coalesce to 0, upserts append blobs of a different byte width) —
+    so serving and upsert RESOLVE dim from the manifest and refuse a
+    contradicting override (the PQ family's m/dim-from-manifest
+    behavior, made uniform across the SQ8 family)."""
+    stored = int(m["dim"])
+    if dim is not None and int(dim) != stored:
+        raise ValueError(
+            f"vector index {path} was built with dim={stored}; "
+            f"caller passed dim={dim} — drop the argument (the manifest "
+            f"is authoritative) or rebuild the index at the new dim")
+    return stored
+
+
 def vacuum_index(spark, path: str, keep_last: int = 2) -> dict:
     """Collect index garbage: delete (a) data dirs no RETAINED manifest
     references — including the orphans a crashed commit leaves, which
     would otherwise collide with the next version's directory — and
     (b) manifests older than the last ``keep_last``.  The index twin of
     jobs/versioned.vacuum (different manifest schema: codes/quantizer/
-    centroids refs instead of a flat dirs list)."""
+    centroids refs instead of a flat dirs list).
+
+    ``keep_last`` must be >= 1: keep_last=0 would compute keep=[] and
+    delete every data dir AND every manifest — destroying the index
+    with no committed version left (and the CLI exposes --keep-last
+    directly, so the guard lives here, not at the edge)."""
     from ..jobs.compact import _fs
     from ..jobs.versioned import _read_manifest, list_versions
 
+    if keep_last < 1:
+        raise ValueError(
+            f"vacuum_index keep_last must be >= 1 (got {keep_last}): "
+            f"retaining zero versions would delete the entire index")
     fs, _, jvm = _fs(spark, path)
     versions = list_versions(spark, path)
-    keep = versions[-keep_last:] if keep_last else []
+    keep = versions[-keep_last:]
     referenced: set[str] = set()
     for v in keep:
         man = _read_manifest(spark, path, v)
@@ -275,12 +301,26 @@ def vacuum_index(spark, path: str, keep_last: int = 2) -> dict:
             "kept_versions": keep}
 
 
+def _read_codes(spark, path: str, dirs: list[str]) -> DataFrame:
+    """Union-read a manifest's codes dirs ONE ROOT AT A TIME: Spark
+    refuses multiple root directories in a single partitioned read
+    (partition discovery would be ambiguous), and an upserted ivf_sq8
+    manifest legitimately references several cluster-partitioned dirs.
+    Per-dir reads keep per-dir partition pruning; the union is a plan
+    node, not a materialization."""
+    out = None
+    for d in dirs:
+        part = spark.read.parquet(f"{path}/{d}")
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
 def read_index_codes(spark, path: str) -> DataFrame:
     """The codes table of the newest COMMITTED snapshot of an SQ8 /
     IVF-SQ8 index — what a maintenance job or audit reads; uncommitted
     (crash-orphaned) data dirs are invisible by construction."""
     m = _index_manifest(spark, path)
-    return spark.read.parquet(*[f"{path}/{d}" for d in m["codes"]])
+    return _read_codes(spark, path, m["codes"])
 
 
 def write_sq8_index(emb: DataFrame, path: str, dim: int = 64) -> None:
@@ -324,7 +364,7 @@ def write_sq8_index(emb: DataFrame, path: str, dim: int = 64) -> None:
 def sq8_index_topk(spark, path: str, query_vec: list[float],
                    vectors: DataFrame, k: int = 10,
                    rerank_mult: int = SQ_RERANK_MULT,
-                   dim: int = 64,
+                   dim: int | None = None,
                    allowed: DataFrame | None = None) -> DataFrame:
     """Serve top-k from a ``write_sq8_index`` layout: resolve the
     newest committed manifest, scan ONLY its codes dirs, score each
@@ -340,11 +380,14 @@ def sq8_index_topk(spark, path: str, query_vec: list[float],
     semi-joins the allow-list BEFORE the shortlist TakeOrdered, so
     restrictive filters cannot starve the shortlist the way
     post-filtering the top-k would (the caller computes the allow-list
-    from the metadata store, where its predicate pushes down)."""
+    from the metadata store, where its predicate pushes down).
+
+    ``dim`` is resolved from the manifest (pass it only to assert)."""
     m = _index_manifest(spark, path)
+    dim = _manifest_dim(m, dim, path)
     stats = spark.read.parquet(f"{path}/{m['quantizer']}")
     q = F.array(*[F.lit(float(x)) for x in query_vec])
-    cand = spark.read.parquet(*[f"{path}/{d}" for d in m["codes"]])
+    cand = _read_codes(spark, path, m["codes"])
     if allowed is not None:
         cand = cand.join(allowed.select("vec_id"), "vec_id",
                          "left_semi")
@@ -682,8 +725,50 @@ def semantic_dedup(emb: DataFrame, threshold: float = 0.98,
     )
 
 
+TRAIN_SALT = "idx-train-v1"
+
+
+def _train_sample(emb: DataFrame, train_fraction: float) -> DataFrame:
+    """Deterministic hash-sample of an index trainer's input: keep the
+    vectors whose ``md5(salt||vec_id)`` lands under the fraction (the
+    house split pattern — no RNG, so the same corpus always trains the
+    same books/centroids and the oracle stays reproducible).
+
+    This is the scale lever that decouples training cost from corpus
+    size: k-means/codebook quality depends on the DISTRIBUTION, not
+    the row count, so at 100 TB the chains run over a hash-sample
+    while assignment/encoding still cover every vector.
+    ``train_fraction=1.0`` (the default everywhere) bypasses the
+    filter entirely — full-corpus training stays the oracle path."""
+    from .core import md5_hash64
+
+    if train_fraction >= 1.0:
+        return emb
+    if not 0.0 < train_fraction < 1.0:
+        raise ValueError(
+            f"train_fraction must be in (0, 1] (got {train_fraction})")
+    permille = max(1, int(round(train_fraction * 1000)))
+    h = md5_hash64(F.concat(F.lit(TRAIN_SALT),
+                            F.col("vec_id").cast("string")))
+    return emb.filter(F.pmod(h, F.lit(1000)) < F.lit(permille))
+
+
+def _trained_centroids(emb: DataFrame, k: int, n_iter: int,
+                       train_fraction: float) -> DataFrame:
+    """The IVF writers' shared trainer: k-means centroids learned over
+    the (possibly hash-sampled) corpus, returned as a ``(cid,
+    centroid)`` table ready for ``_assign`` over the FULL corpus."""
+    train = _train_sample(emb, train_fraction).select(
+        "vec_id", "embedding")
+    sasg = train.join(
+        embedding_kmeans(train, k, n_iter)
+        .select("vec_id", F.col("cluster_id").alias("cid")), "vec_id")
+    return _quantized_centroids(sasg)
+
+
 def write_ivf_index(emb: DataFrame, path: str, k: int = KMEANS_K,
-                    n_iter: int = KMEANS_ITERS) -> None:
+                    n_iter: int = KMEANS_ITERS,
+                    train_fraction: float = 1.0) -> None:
     """Persist an IVF layout: vectors written hive-partitioned by their
     k-means cluster (``cluster_id=NN/`` directories) plus the final
     centroid table at ``<path>/_centroids`` — the on-disk twin of
@@ -706,10 +791,24 @@ def write_ivf_index(emb: DataFrame, path: str, k: int = KMEANS_K,
     vectors re-ranked by exact cosine stay correct under stale
     centroids); in the SQ8 layouts a torn quantizer corrupts VALUES,
     which is why those commit through ``_versions`` manifests.
+
+    ``train_fraction < 1`` trains the k-means chains on a
+    deterministic hash-sample (``_train_sample``) and then assigns the
+    FULL corpus against the learned centroids — at 100 TB the
+    n_iter full passes of centroid training are the dominant build
+    cost and a sample preserves the geometry; 1.0 (default) keeps the
+    exact full-corpus oracle behavior.
     """
-    assigned = emb.join(
-        embedding_kmeans(emb, k, n_iter).select("vec_id", "cluster_id"),
-        "vec_id")
+    if train_fraction >= 1.0:
+        assigned = emb.join(
+            embedding_kmeans(emb, k, n_iter)
+            .select("vec_id", "cluster_id"), "vec_id")
+    else:
+        cents_t = _trained_centroids(emb, k, n_iter, train_fraction)
+        assigned = emb.join(
+            _assign(emb.select("vec_id", "embedding"), cents_t)
+            .select("vec_id", F.col("cid").alias("cluster_id")),
+            "vec_id")
     (
         assigned.repartition("cluster_id")
         .write.mode("overwrite").partitionBy("cluster_id").parquet(path)
@@ -759,8 +858,35 @@ def ivf_index_topk(spark, path: str, query_vec: list[float], k: int = 10,
 SQ_DRIFT_TOL = 0.05   # tolerated out-of-range drift, fraction of range
 
 
+def _sq8_drifted_dims(stats: DataFrame, new_emb: DataFrame, dim: int,
+                      tol: float) -> list[int]:
+    """Dims whose batch min/max exceed the stored quantizer range by
+    more than ``tol`` x range — the shared drift screen of the SQ8
+    family's upserts (one aggregate over the batch + one 1-row
+    broadcast join; empty list = safe to encode with edge clamping)."""
+    bstats = _sq8_stats(new_emb, dim)
+    both = bstats.join(F.broadcast(stats.select(
+        F.col("mns").alias("omns"), F.col("mxs").alias("omxs"))))
+    drifted = both.select(
+        F.filter(
+            F.sequence(F.lit(1), F.lit(dim)),
+            lambda d: (
+                (F.element_at("mns", d)
+                 < F.element_at("omns", d)
+                 - F.lit(tol) * (F.element_at("omxs", d)
+                                 - F.element_at("omns", d)))
+                | (F.element_at("mxs", d)
+                   > F.element_at("omxs", d)
+                   + F.lit(tol) * (F.element_at("omxs", d)
+                                   - F.element_at("omns", d)))
+            ),
+        ).alias("dd")
+    ).head()["dd"]
+    return [int(d) for d in drifted] if drifted else []
+
+
 def sq8_index_upsert(spark, path: str, new_emb: DataFrame,
-                     dim: int = 64,
+                     dim: int | None = None,
                      tol: float = SQ_DRIFT_TOL) -> dict:
     """Maintain a ``write_sq8_index`` layout under batches, returning
     the operational decision AS DATA (the ``maintain_ivf_index``
@@ -792,42 +918,39 @@ def sq8_index_upsert(spark, path: str, new_emb: DataFrame,
     Crash-safe like the writer: data dirs first, manifest rename last —
     an interrupted upsert leaves the PREVIOUS version fully readable.
     Single-writer; batches must be vec_id-unique (raises otherwise).
+
+    KIND-GUARDED: this is the flat-sq8 maintainer only.  Applied to an
+    ``ivf_sq8`` layout it would append a codes dir with no cluster_id
+    partition column and commit a kind-"sq8" manifest that DROPS the
+    centroids reference — silently downgrading the index (the next
+    query would serve the unpruned flat path over mixed-schema dirs).
+    A non-sq8 manifest returns ``{"decision": "wrong_kind"}`` with
+    NOTHING written (decisions-as-data, the house pattern); dispatch
+    ``ivf_sq8`` batches to :func:`ivf_sq8_index_upsert`.  ``dim`` is
+    resolved from the manifest (pass it only to assert).
     """
     from ..jobs.upsert import _check_key_unique
     from ..jobs.versioned import _write_manifest
 
     _check_key_unique(new_emb, ["vec_id"])
     m = _index_manifest(spark, path)
+    if m.get("kind") != "sq8":
+        return {"decision": "wrong_kind", "kind": m.get("kind"),
+                "expected": "sq8"}
+    dim = _manifest_dim(m, dim, path)
     stats = spark.read.parquet(f"{path}/{m['quantizer']}")
-    bstats = _sq8_stats(new_emb, dim)
-    both = bstats.join(F.broadcast(stats.select(
-        F.col("mns").alias("omns"), F.col("mxs").alias("omxs"))))
-    drifted = both.select(
-        F.filter(
-            F.sequence(F.lit(1), F.lit(dim)),
-            lambda d: (
-                (F.element_at("mns", d)
-                 < F.element_at("omns", d)
-                 - F.lit(tol) * (F.element_at("omxs", d)
-                                 - F.element_at("omns", d)))
-                | (F.element_at("mxs", d)
-                   > F.element_at("omxs", d)
-                   + F.lit(tol) * (F.element_at("omxs", d)
-                                   - F.element_at("omns", d)))
-            ),
-        ).alias("dd")
-    ).head()["dd"]
+    drifted = _sq8_drifted_dims(stats, new_emb, dim, tol)
     n_new = new_emb.count()
     if drifted:
         return {"decision": "rebuild", "n_new": n_new,
-                "drifted_dims": [int(d) for d in drifted]}
+                "drifted_dims": drifted}
     encoded = (
         new_emb.join(F.broadcast(stats))
         .select("vec_id",
                 _sq8_pack(_sq8_codes(F.col("embedding"), F.col("mns"),
                                      F.col("mxs"), dim)).alias("codes"))
     )
-    current = spark.read.parquet(*[f"{path}/{d}" for d in m["codes"]])
+    current = _read_codes(spark, path, m["codes"])
     batch_ids = new_emb.select("vec_id")
     n_replaced = current.join(
         F.broadcast(batch_ids), "vec_id", "left_semi").count()
@@ -854,7 +977,8 @@ def sq8_index_upsert(spark, path: str, new_emb: DataFrame,
 
 def write_ivf_sq8_index(emb: DataFrame, path: str, k: int = KMEANS_K,
                         n_iter: int = KMEANS_ITERS,
-                        dim: int = 64) -> None:
+                        dim: int = 64,
+                        train_fraction: float = 1.0) -> None:
     """Pruning AND compression in one layout — the full 100-TB vector
     serving stack: SQ8 codes hive-partitioned by k-means cluster
     (``cluster_id=NN/`` directories), with the centroid table at
@@ -867,15 +991,28 @@ def write_ivf_sq8_index(emb: DataFrame, path: str, k: int = KMEANS_K,
     Same commit protocol as ``write_sq8_index``: codes, centroids and
     quantizer land under ``<path>/data/v<N>/`` first, then ONE manifest
     rename commits all three together — a crash mid-write can never
-    leave codes served under the wrong quantizer or centroids."""
+    leave codes served under the wrong quantizer or centroids.
+
+    ``train_fraction < 1`` hash-samples the k-means TRAINING input
+    (assignment and encoding still cover every vector); the SQ8
+    quantizer stats stay full-corpus regardless — min/max on a sample
+    would under-cover the range and clamp real values, and the stats
+    aggregation is one map-side-combinable pass, not a scale cost."""
     from ..jobs.versioned import _write_manifest
 
     spark = emb.sparkSession
     version = _next_index_version(spark, path)
     base = f"data/v{version:06d}"
-    assigned = emb.join(
-        embedding_kmeans(emb, k, n_iter).select("vec_id", "cluster_id"),
-        "vec_id")
+    if train_fraction >= 1.0:
+        assigned = emb.join(
+            embedding_kmeans(emb, k, n_iter)
+            .select("vec_id", "cluster_id"), "vec_id")
+    else:
+        cents_t = _trained_centroids(emb, k, n_iter, train_fraction)
+        assigned = emb.join(
+            _assign(emb.select("vec_id", "embedding"), cents_t)
+            .select("vec_id", F.col("cid").alias("cluster_id")),
+            "vec_id")
     stats = _sq8_stats(emb, dim)
     (
         assigned.join(F.broadcast(stats))
@@ -904,16 +1041,32 @@ def ivf_sq8_index_topk(spark, path: str, query_vec: list[float],
                        vectors: DataFrame, k: int = 10,
                        nprobe: int = 2,
                        rerank_mult: int = SQ_RERANK_MULT,
-                       dim: int = 64) -> DataFrame:
+                       dim: int | None = None,
+                       allowed: DataFrame | None = None) -> DataFrame:
     """Serve top-k from a ``write_ivf_sq8_index`` layout: rank the
     k-row centroid table driver-side, partition-prune to the ``nprobe``
     best cluster directories, score ONLY those clusters' codes against
     the full-precision query (asymmetric reconstruction scoring), then
     exact-cosine re-rank the ``k * rerank_mult`` shortlist against the
-    primary store.  Returns ``(rank, neighbor_id, cos_sim)``."""
+    primary store.  Returns ``(rank, neighbor_id, cos_sim)``.
+
+    ``allowed`` (a ``vec_id`` DataFrame) makes this a FILTERED search
+    with the same semi-join-before-shortlist contract as
+    :func:`sq8_index_topk` — plus the layout-specific subtlety the flat
+    layouts don't have: the allowed vectors may live OUTSIDE the
+    ``nprobe`` probed clusters, and a fixed probe set would then starve
+    the shortlist no matter how the filter is applied.  So under a
+    filter the probe set WIDENS adaptively: probe ``nprobe`` clusters,
+    count the allowed candidates inside them (one partition-pruned
+    semi-join count), and double the probe set until it holds >= ``k``
+    allowed candidates or every cluster is probed.  Each widening step
+    costs one bounded count job; an unfiltered query never pays it.
+
+    ``dim`` is resolved from the manifest (pass it only to assert)."""
     import math
 
     m = _index_manifest(spark, path)
+    dim = _manifest_dim(m, dim, path)
     cents = spark.read.parquet(f"{path}/{m['centroids']}").collect()
     qn = math.sqrt(sum(x * x for x in query_vec))
 
@@ -925,13 +1078,27 @@ def ivf_sq8_index_topk(spark, path: str, query_vec: list[float],
     ranked = sorted(
         ((round(cos(r["centroid"]), 6), r["cluster_id"]) for r in cents),
         key=lambda t: (-t[0], t[1]))
+    codes_all = _read_codes(spark, path, m["codes"])
+    if allowed is not None:
+        allow_ids = allowed.select("vec_id")
+        while nprobe < len(ranked):
+            probe = [cid for _, cid in ranked[:nprobe]]
+            n_reachable = (
+                codes_all.filter(F.col("cluster_id").isin(probe))
+                .join(allow_ids, "vec_id", "left_semi").count())
+            if n_reachable >= k:
+                break
+            nprobe = min(nprobe * 2, len(ranked))
     probe = [cid for _, cid in ranked[:nprobe]]
 
     stats = spark.read.parquet(f"{path}/{m['quantizer']}")
     q = F.array(*[F.lit(float(x)) for x in query_vec])
+    cand = codes_all.filter(F.col("cluster_id").isin(probe))
+    if allowed is not None:
+        cand = cand.join(allowed.select("vec_id"), "vec_id",
+                         "left_semi")
     shortlist = (
-        spark.read.parquet(*[f"{path}/{d}" for d in m["codes"]])
-        .filter(F.col("cluster_id").isin(probe))
+        cand
         .join(F.broadcast(stats))
         .withColumn("ucodes", _sq8_unpack(F.col("codes"), dim))
         .select(F.col("vec_id").alias("neighbor_id"),
@@ -955,6 +1122,201 @@ def ivf_sq8_index_topk(spark, path: str, query_vec: list[float],
         pairs, [-F.col("cos_sim"), F.col("neighbor_id")], "rank",
         start=1,
     ).select("rank", "neighbor_id", "cos_sim")
+
+
+def ivf_sq8_index_upsert(spark, path: str, new_emb: DataFrame,
+                         tol: float = SQ_DRIFT_TOL) -> dict:
+    """Maintain a ``write_ivf_sq8_index`` layout under batches — the
+    kind-true upsert the pruning x compression flagship needs
+    (``sq8_index_upsert`` refuses this kind: flat-encoding an ivf_sq8
+    batch would drop the cluster_id partition column and commit a
+    manifest without the centroids reference).  The
+    ``ivf_index_upsert`` assignment ported to the manifest protocol:
+
+    - the batch is drift-screened against the stored quantizer (the
+      shared SQ8 screen; out-of-range dims return ``{"decision":
+      "rebuild", ...}`` with NOTHING written);
+    - in-range vectors are assigned against the STORED centroids (one
+      k-row broadcast — the index geometry is not recomputed) and
+      encoded with the STORED quantizer via the writer's own
+      expressions, so a re-submitted identical vector re-encodes
+      bit-identically;
+    - all-new vec_ids land as ONE new cluster-partitioned codes dir
+      holding only the touched ``cluster_id=`` partitions; the manifest
+      references old dirs + new (``{"decision": "appended"}``) — probed
+      reads still partition-prune across every referenced dir;
+    - re-submitted vec_ids are keyed-REPLACED: survivors + the encoded
+      batch rewrite as one fresh partitioned dir the new manifest
+      points at alone (``{"decision": "replaced"}``; file-granular
+      copy-on-write would bound this further if re-submits dominate).
+
+    Same crash protocol as the writer: data dirs first, ONE manifest
+    rename last — an interrupted upsert leaves the previous version
+    fully readable with codes, centroids and quantizer consistent.
+    Centroids and quantizer are never moved by an upsert; retrain with
+    ``write_ivf_sq8_index`` when drift accumulates."""
+    from ..jobs.upsert import _check_key_unique
+    from ..jobs.versioned import _write_manifest
+
+    _check_key_unique(new_emb, ["vec_id"])
+    m = _index_manifest(spark, path)
+    if m.get("kind") != "ivf_sq8":
+        return {"decision": "wrong_kind", "kind": m.get("kind"),
+                "expected": "ivf_sq8"}
+    dim = int(m["dim"])
+    stats = spark.read.parquet(f"{path}/{m['quantizer']}")
+    drifted = _sq8_drifted_dims(stats, new_emb, dim, tol)
+    n_new = new_emb.count()
+    if drifted:
+        return {"decision": "rebuild", "n_new": n_new,
+                "drifted_dims": drifted}
+    cents = (
+        spark.read.parquet(f"{path}/{m['centroids']}")
+        .withColumnRenamed("cluster_id", "cid")
+    )
+    encoded = (
+        _assign(new_emb.select("vec_id", "embedding"), cents)
+        .select("vec_id", F.col("cid").alias("cluster_id"))
+        .join(new_emb.select("vec_id", "embedding"), "vec_id")
+        .join(F.broadcast(stats))
+        .select("vec_id", "cluster_id",
+                _sq8_pack(_sq8_codes(F.col("embedding"), F.col("mns"),
+                                     F.col("mxs"), dim)).alias("codes"))
+    )
+    current = _read_codes(spark, path, m["codes"])
+    batch_ids = new_emb.select("vec_id")
+    n_replaced = current.join(
+        F.broadcast(batch_ids), "vec_id", "left_semi").count()
+    version = _next_index_version(spark, path)
+    base = f"data/v{version:06d}"
+    if n_replaced == 0:
+        (encoded.repartition("cluster_id")
+         .write.mode("error").partitionBy("cluster_id")
+         .parquet(f"{path}/{base}/codes"))
+        dirs = m["codes"] + [f"{base}/codes"]
+        decision = "appended"
+    else:
+        survivors = current.join(
+            F.broadcast(batch_ids), "vec_id", "left_anti")
+        (survivors.select("vec_id", "cluster_id", "codes")
+         .unionByName(encoded)
+         .repartition("cluster_id")
+         .write.mode("error").partitionBy("cluster_id")
+         .parquet(f"{path}/{base}/codes"))
+        dirs = [f"{base}/codes"]
+        decision = "replaced"
+    _write_manifest(spark, path, version, {
+        "version": version, "kind": "ivf_sq8", "dim": dim,
+        "codes": dirs, "centroids": m["centroids"],
+        "quantizer": m["quantizer"],
+    })
+    return {"decision": decision, "n_new": n_new,
+            "n_replaced": n_replaced, "drifted_dims": []}
+
+
+def maintain_ivf_sq8_index(spark, path: str, new_emb: DataFrame,
+                           vectors: DataFrame, *, k: int = 10,
+                           nprobe: int = 2,
+                           recall_floor_permille: int = 600,
+                           max_nprobe: int | None = None,
+                           sample_queries: int = 4,
+                           rebuild: bool = True) -> dict:
+    """The closed maintenance loop for the pruning x compression
+    flagship — ``maintain_ivf_index``'s decision ladder on the
+    manifest-committed layout: merge a batch (``ivf_sq8_index_upsert``),
+    measure MIN sampled serving recall vs brute force over the primary
+    store, and return the decision AS DATA:
+
+    - ``"ok"``          — min sampled recall >= the floor.
+    - ``"bump_nprobe"`` — recall recovered by probing more clusters
+      (doubled, capped at the cluster count / ``max_nprobe``); the
+      returned ``nprobe`` is the setting to serve with.  This rung
+      exists here and not in PQ: partition pruning has a runtime knob,
+      codebooks don't.
+    - ``"rebuild"``     — under the floor even at the probe cap, OR the
+      upsert itself refused on quantizer drift: centroids AND quantizer
+      retrain over ``vectors`` as a new committed version (the honest
+      cost — both artifacts are corpus-distribution-dependent), then
+      recall re-measures.
+
+    Same primary-store CONTRACT as ``maintain_pq_index``: ``vectors``
+    must already contain the batch (the probe's ground truth and any
+    rebuild read it); violations raise before anything is written."""
+    n_missing = (new_emb.select("vec_id")
+                 .join(vectors.select("vec_id"), "vec_id", "left_anti")
+                 .count())
+    if n_missing:
+        raise ValueError(
+            f"maintain_ivf_sq8_index: {n_missing} batch vec_ids are "
+            f"absent from `vectors` — pass the POST-merge primary "
+            f"store (the probe and any rebuild read it as ground "
+            f"truth)")
+    st = dict(ivf_sq8_index_upsert(spark, path, new_emb))
+    if st["decision"] == "wrong_kind":
+        return st
+    man = _index_manifest(spark, path)
+    n_clusters = spark.read.parquet(
+        f"{path}/{man['centroids']}").count()
+    cap = min(max_nprobe or n_clusters, n_clusters)
+    queries = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in new_emb.select("vec_id", "embedding")
+        .orderBy("vec_id").limit(sample_queries).collect()
+    ]
+    out = {**st, "n_queries": len(queries), "nprobe": nprobe,
+           "recall_floor_permille": recall_floor_permille}
+
+    def _min_recall(np_: int) -> int:
+        approx = exact = None
+        for qid, qv in queries:
+            a = ivf_sq8_index_topk(
+                spark, path, qv, vectors, k=k, nprobe=np_).select(
+                F.lit(qid).cast("long").alias("query_id"),
+                F.col("neighbor_id"))
+            qcol = F.array(*[F.lit(float(x)) for x in qv])
+            e = (vectors.select(
+                    "vec_id",
+                    F.round(cosine(F.col("embedding"), qcol), 6)
+                    .alias("cos_sim"))
+                 .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+                 .limit(k)
+                 .select(F.lit(qid).cast("long").alias("query_id"),
+                         F.col("vec_id").alias("neighbor_id")))
+            approx = a if approx is None else approx.unionByName(a)
+            exact = e if exact is None else exact.unionByName(e)
+        row = (ann_recall(approx, exact)
+               .agg(F.min("recall_permille").alias("r")).collect()[0])
+        return int(row["r"])
+
+    def _rebuild_and_remeasure():
+        write_ivf_sq8_index(vectors, path, k=n_clusters,
+                            dim=int(man["dim"]))
+        if queries:
+            out["recall_after_rebuild_permille"] = _min_recall(nprobe)
+
+    if st["decision"] == "rebuild":            # quantizer drift refusal
+        if rebuild:
+            _rebuild_and_remeasure()
+        return out
+    if not queries:
+        out.update(decision="ok", recall_permille=None)
+        return out
+    r0 = _min_recall(nprobe)
+    out["recall_permille"] = r0
+    if r0 >= recall_floor_permille:
+        out["decision"] = "ok"
+        return out
+    bumped = min(max(nprobe * 2, nprobe + 1), cap)
+    if bumped > nprobe:
+        r1 = _min_recall(bumped)
+        out["recall_after_bump_permille"] = r1
+        if r1 >= recall_floor_permille:
+            out.update(decision="bump_nprobe", nprobe=bumped)
+            return out
+    out["decision"] = "rebuild"
+    if rebuild:
+        _rebuild_and_remeasure()
+    return out
 
 
 PQ_M = 8           # subspaces (dim must divide evenly)
@@ -1076,7 +1438,8 @@ def pq_topk(emb: DataFrame, num_queries: int = 8, k: int = 10,
 
 def write_pq_index(emb: DataFrame, path: str, m: int = PQ_M,
                    k: int = PQ_K, dim: int = 64,
-                   n_iter: int = KMEANS_ITERS) -> None:
+                   n_iter: int = KMEANS_ITERS,
+                   train_fraction: float = 1.0) -> None:
     """Persist a PRODUCT-QUANTIZATION serving layout — the third
     compression point on the ANN spectrum (full vectors -> SQ8's
     byte-per-dim -> PQ's byte-per-SUBSPACE): the vector splits into
@@ -1118,7 +1481,11 @@ def write_pq_index(emb: DataFrame, path: str, m: int = PQ_M,
     # bit-identically.  The books are lineage-truncated first — they
     # sit under every per-subspace encode branch, and re-deriving the
     # 8 kmeans chains per branch would square the training work.
-    books, _ = _pq_books_and_assignments(emb, m, k, dim, n_iter)
+    # train_fraction < 1 hash-samples the TRAINING corpus only (the m
+    # k-means chains are n_iter full passes each — the build's scale
+    # cost); _pq_encode below still encodes every vector.
+    books, _ = _pq_books_and_assignments(
+        _train_sample(emb, train_fraction), m, k, dim, n_iter)
     books = books.localCheckpoint(eager=True)
     sub = dim // m
     _pq_encode(emb, books, m, sub).write.mode("error").parquet(
@@ -1195,11 +1562,14 @@ def pq_index_upsert(spark, path: str, new_emb: DataFrame) -> dict:
 
     _check_key_unique(new_emb, ["vec_id"])
     man = _index_manifest(spark, path)
+    if man.get("kind") != "pq":
+        return {"decision": "wrong_kind", "kind": man.get("kind"),
+                "expected": "pq"}
     m, dim = int(man["m"]), int(man["dim"])
     sub = dim // m
     books = spark.read.parquet(f"{path}/{man['codebooks']}")
     encoded = _pq_encode(new_emb, books, m, sub)
-    current = spark.read.parquet(*[f"{path}/{d}" for d in man["codes"]])
+    current = _read_codes(spark, path, man["codes"])
     batch_ids = new_emb.select("vec_id")
     n_new = new_emb.count()
     n_replaced = current.join(
@@ -1245,7 +1615,23 @@ def maintain_pq_index(spark, path: str, new_emb: DataFrame,
       duplicates) as a new committed version, and recall re-measures.
 
     The recall probe is ``sample_queries`` bounded top-k jobs — the
-    monitor's honest cost, amortized per maintenance batch."""
+    monitor's honest cost, amortized per maintenance batch.
+
+    CONTRACT: ``vectors`` (the primary store) must already contain the
+    batch — the recall probe compares the index against brute force
+    over ``vectors``, and a rebuild retrains over ``vectors`` alone, so
+    a pre-merge store would skew the probe (batch self-hits counted
+    against recall) and silently drop the batch from a rebuilt index.
+    Violations raise before anything is written (one bounded anti-join
+    count of the batch ids)."""
+    n_missing = (new_emb.select("vec_id")
+                 .join(vectors.select("vec_id"), "vec_id", "left_anti")
+                 .count())
+    if n_missing:
+        raise ValueError(
+            f"maintain_pq_index: {n_missing} batch vec_ids are absent "
+            f"from `vectors` — pass the POST-merge primary store (the "
+            f"probe and any rebuild read it as ground truth)")
     st = dict(pq_index_upsert(spark, path, new_emb))
     queries = [
         (int(r["vec_id"]), [float(x) for x in r["embedding"]])
@@ -1336,7 +1722,7 @@ def pq_index_topk(spark, path: str, query_vec: list[float],
                              (d / F.lit(sub)).cast("int") + 1) + 1),
             F.pmod(d, F.lit(sub)).cast("int") + 1),
     )
-    cand = spark.read.parquet(*[f"{path}/{d}" for d in m_an["codes"]])
+    cand = _read_codes(spark, path, m_an["codes"])
     if allowed is not None:
         cand = cand.join(allowed.select("vec_id"), "vec_id",
                          "left_semi")

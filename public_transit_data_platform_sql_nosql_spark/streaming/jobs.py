@@ -590,34 +590,40 @@ def stream_kmv_cardinality(docs_stream: DataFrame, sketch_path: str,
 
 
 def stream_vector_index_upsert(emb_stream: DataFrame, index_path: str,
-                               checkpoint: str, dim: int = 64,
+                               checkpoint: str, dim: int | None = None,
                                tol: float | None = None):
     """foreachBatch maintenance of a manifest-committed vector index
-    (``write_sq8_index`` or ``write_pq_index`` — the layout kind is
-    read from the index's own manifest) from a live feed — the
-    streaming twin of the ``*_index_upsert`` operators, closing the
+    (``write_sq8_index``, ``write_ivf_sq8_index`` or ``write_pq_index``
+    — the layout kind AND dim are read from the index's own manifest,
+    never trusted from the caller) from a live feed — the streaming
+    twin of the ``*_index_upsert`` operators, closing the
     vector-serving loop the way stream_incremental_dedup closes the
     dedup one.
 
     Per micro-batch: duplicate vec_ids WITHIN the batch collapse first
     (at-least-once delivery can replay rows; the upsert's key-unique
     contract is a correctness guard, not a replay handler), then the
-    kind's upsert runs — all-new ids append a codes dir, re-submitted
-    ids are keyed-replaced, and an SQ8 batch whose values drift past
-    the trained quantizer range writes NOTHING (PQ batches always
-    encode — codebook staleness surfaces through the recall monitor,
-    ``maintain_pq_index``, not a range guard).  Every decision is
-    committed as a row to the versioned store at
+    kind's OWN upsert runs — all-new ids append a codes dir
+    (cluster-partitioned for ivf_sq8, so probed reads keep pruning),
+    re-submitted ids are keyed-replaced, and an SQ8-family batch whose
+    values drift past the trained quantizer range writes NOTHING (PQ
+    batches always encode — codebook staleness surfaces through the
+    recall monitor, ``maintain_pq_index``, not a range guard).  Every
+    decision is committed as a row to the versioned store at
     ``<index_path>/_state/decisions`` (batch_id, decision, n_new,
     n_replaced, n_drifted_dims) — the rebuild signal an operator
     watches, auditable across restarts.  Index commits stay atomic
     (manifest rename), so a crash mid-batch leaves the previous index
     version fully readable and the checkpoint replays the batch.
+
+    ``dim`` exists only to ASSERT against the manifest (a value that
+    disagrees raises instead of corrupting appended code blobs).
     """
     from ..jobs.versioned import commit_version
     from ..pipeline.similarity import (
         SQ_DRIFT_TOL,
         _index_manifest,
+        ivf_sq8_index_upsert,
         pq_index_upsert,
         sq8_index_upsert,
     )
@@ -633,11 +639,12 @@ def stream_vector_index_upsert(emb_stream: DataFrame, index_path: str,
         kind = _index_manifest(spark, index_path).get("kind", "sq8")
         if kind == "pq":
             st = pq_index_upsert(spark, index_path, batch)
-            n_drifted = 0
+        elif kind == "ivf_sq8":
+            st = ivf_sq8_index_upsert(spark, index_path, batch, tol=t)
         else:
             st = sq8_index_upsert(spark, index_path, batch,
                                   dim=dim, tol=t)
-            n_drifted = len(st["drifted_dims"])
+        n_drifted = len(st.get("drifted_dims", []))
         decision = spark.createDataFrame(
             [(int(batch_id), st["decision"], int(st["n_new"]),
               int(st.get("n_replaced", 0)), n_drifted)],

@@ -140,3 +140,85 @@ def test_bmp_end_to_end_through_extract_features(spark):
     assert list(row["features"]) == want
     # the raw file bytes would have produced a different checksum
     assert row["checksum"] != sum(payload) % 1_000_000_007
+
+
+# --- real WAV/PCM decode path ------------------------------------------------
+
+
+def _make_wav(samples, bits=16, channels=1, extra_chunk=False,
+              odd_pad=False):
+    """Minimal uncompressed PCM WAV encoder for fixtures: standard
+    RIFF/WAVE with fmt + data chunks; ``extra_chunk`` inserts a LIST
+    chunk before data (the walk must skip it), ``odd_pad`` makes that
+    chunk odd-sized to exercise RIFF even-padding."""
+    import struct
+
+    if bits == 16:
+        data = struct.pack(f"<{len(samples)}h", *samples)
+    else:
+        data = bytes(samples)
+    byte_rate = 8000 * channels * bits // 8
+    fmt = struct.pack("<HHIIHH", 1, channels, 8000, byte_rate,
+                      channels * bits // 8, bits)
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    if extra_chunk:
+        body = b"INFOx" if odd_pad else b"INFO"
+        chunks += b"LIST" + struct.pack("<I", len(body)) + body
+        if odd_pad:
+            chunks += b"\x00"
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+_SAMPLES_16 = [0, 1000, -1000, 32767, -32768, 7, -7, 255]
+
+
+def test_wav_decode_unpacks_pcm():
+    """16-bit PCM round-trips to signed ints, 8-bit to unsigned bytes,
+    and the chunk walk skips interposed (odd-padded) LIST chunks."""
+    assert mm.decode_payload(
+        _make_wav(_SAMPLES_16), "audio") == _SAMPLES_16
+    assert mm.decode_payload(
+        _make_wav(_SAMPLES_16, extra_chunk=True), "audio") == _SAMPLES_16
+    assert mm.decode_payload(
+        _make_wav(_SAMPLES_16, extra_chunk=True, odd_pad=True),
+        "audio") == _SAMPLES_16
+    eight = [0, 1, 127, 128, 255]
+    assert mm.decode_payload(
+        _make_wav(eight, bits=8), "audio") == eight
+    # the decode differs from the fake byte passthrough
+    assert mm.decode_payload(
+        _make_wav(_SAMPLES_16), "audio", fake=True) != _SAMPLES_16
+
+
+def test_wav_unsupported_variants_raise():
+    import struct
+
+    wav = bytearray(_make_wav(_SAMPLES_16))
+    struct.pack_into("<H", wav, 20, 3)     # IEEE-float format tag
+    with pytest.raises(NotImplementedError):
+        mm.decode_payload(bytes(wav), "audio")
+    with pytest.raises(ValueError):
+        mm.decode_payload(b"RIFF\x04\x00\x00\x00WAVE", "audio")
+    # a non-RIFF container routes to the generic no-codec branch
+    with pytest.raises(NotImplementedError):
+        mm.decode_payload(b"OggS" + bytes(16), "audio")
+
+
+def test_wav_end_to_end_through_extract_features(spark):
+    """A generated WAV flows through the REAL (fake=False) decode inside
+    the Arrow batch stage: byte_len / checksum / features computed from
+    the signed sample stream, not the raw container bytes."""
+    payload = _make_wav(_SAMPLES_16, extra_chunk=True)
+    df = spark.createDataFrame(
+        [(1, "audio", bytearray(payload))],
+        "media_id long, kind string, payload binary")
+    row = mm.extract_features(df, fake=False).head()
+    samples = _SAMPLES_16
+    assert row["byte_len"] == len(samples) == 8
+    assert row["checksum"] == sum(samples) % 1_000_000_007
+    bucket = [0] * mm.FEATURE_DIM
+    for s in samples:
+        bucket[s % mm.FEATURE_DIM] += s
+    want = [b / 255.0 / len(samples) for b in bucket]
+    assert list(row["features"]) == want
