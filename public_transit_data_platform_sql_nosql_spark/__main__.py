@@ -391,12 +391,14 @@ def cmd_vector_index(args: argparse.Namespace) -> int:
         if kind == "pq":
             st = sim.maintain_pq_index(
                 spark, args.path, batch, vectors, k=args.k,
-                recall_floor_permille=args.recall_floor)
+                recall_floor_permille=args.recall_floor,
+                train_fraction=args.train_fraction)
         else:
             st = sim.maintain_ivf_sq8_index(
                 spark, args.path, batch, vectors, k=args.k,
                 nprobe=args.nprobe,
-                recall_floor_permille=args.recall_floor)
+                recall_floor_permille=args.recall_floor,
+                train_fraction=args.train_fraction)
         print(json.dumps({"action": "maintain", "kind": kind, **st}))
         return 0 if st["decision"] in ("ok", "bump_nprobe") else 3
     st = sim.vacuum_index(spark, args.path, keep_last=args.keep_last)
@@ -600,9 +602,11 @@ def main(argv: list[str] | None = None) -> int:
     pv.add_argument("--pq", action="store_true",
                     help="build: product quantization (m-byte codes)")
     pv.add_argument("--train-fraction", type=float, default=1.0,
-                    help="build (--ivf/--pq): hash-sample fraction for "
-                         "centroid/codebook training; assignment and "
-                         "encoding always cover every vector")
+                    help="build/maintain (--ivf/--pq): hash-sample "
+                         "fraction for centroid/codebook training "
+                         "(maintain forwards it to a rebuild); "
+                         "assignment and encoding always cover every "
+                         "vector")
     pv.add_argument("--dim", type=int, default=None,
                     help="build: vector dim (default 64); query/upsert "
                          "resolve dim from the index manifest and only "

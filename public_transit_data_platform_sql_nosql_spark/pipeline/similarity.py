@@ -820,13 +820,20 @@ def write_ivf_index(emb: DataFrame, path: str, k: int = KMEANS_K,
 
 
 def ivf_index_topk(spark, path: str, query_vec: list[float], k: int = 10,
-                   nprobe: int = 2) -> DataFrame:
+                   nprobe: int = 2,
+                   allowed: DataFrame | None = None) -> DataFrame:
     """ANN over a ``write_ivf_index`` layout: rank the stored centroids
     against ``query_vec`` (driver-side — the centroid table is k rows by
     construction), then exact cosine top-k over ONLY the ``nprobe`` best
     clusters' directories.  The cluster_id IN-filter prunes partitions
     at plan time (PartitionFilters — plan-asserted in tests), so the
     scan cost is |probed clusters|, independent of corpus size.
+
+    ``allowed`` (a ``vec_id`` DataFrame) makes this a FILTERED search
+    with the same semi-join-before-top-k contract and adaptive probe
+    widening as :func:`ivf_sq8_index_topk` — the probe set doubles
+    until it holds >= ``k`` allowed candidates or every cluster is
+    probed, so a restrictive filter cannot starve the result.
     """
     import math
 
@@ -841,12 +848,25 @@ def ivf_index_topk(spark, path: str, query_vec: list[float], k: int = 10,
     ranked = sorted(
         ((round(cos(r["centroid"]), 6), r["cluster_id"]) for r in cents),
         key=lambda t: (-t[0], t[1]))
+    stored = spark.read.parquet(path)
+    if allowed is not None:
+        allow_ids = allowed.select("vec_id")
+        while nprobe < len(ranked):
+            probe = [cid for _, cid in ranked[:nprobe]]
+            n_reachable = (
+                stored.filter(F.col("cluster_id").isin(probe))
+                .join(allow_ids, "vec_id", "left_semi").count())
+            if n_reachable >= k:
+                break
+            nprobe = min(nprobe * 2, len(ranked))
     probe = [cid for _, cid in ranked[:nprobe]]
 
     qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+    cand = stored.filter(F.col("cluster_id").isin(probe))
+    if allowed is not None:
+        cand = cand.join(allowed.select("vec_id"), "vec_id", "left_semi")
     return (
-        spark.read.parquet(path)
-        .filter(F.col("cluster_id").isin(probe))
+        cand
         .select(
             "vec_id", "cluster_id",
             F.round(cosine(F.col("embedding"), qcol), 6).alias("cos_sim"))
@@ -1220,7 +1240,8 @@ def maintain_ivf_sq8_index(spark, path: str, new_emb: DataFrame,
                            recall_floor_permille: int = 600,
                            max_nprobe: int | None = None,
                            sample_queries: int = 4,
-                           rebuild: bool = True) -> dict:
+                           rebuild: bool = True,
+                           train_fraction: float = 1.0) -> dict:
     """The closed maintenance loop for the pruning x compression
     flagship — ``maintain_ivf_index``'s decision ladder on the
     manifest-committed layout: merge a batch (``ivf_sq8_index_upsert``),
@@ -1289,8 +1310,12 @@ def maintain_ivf_sq8_index(spark, path: str, new_emb: DataFrame,
         return int(row["r"])
 
     def _rebuild_and_remeasure():
+        # the rebuild is the maintenance loop's expensive rung — at
+        # 100 TB it runs with the writer's sampled trainer (the same
+        # train_fraction= contract; 1.0 keeps the full-corpus default)
         write_ivf_sq8_index(vectors, path, k=n_clusters,
-                            dim=int(man["dim"]))
+                            dim=int(man["dim"]),
+                            train_fraction=train_fraction)
         if queries:
             out["recall_after_rebuild_permille"] = _min_recall(nprobe)
 
@@ -1600,7 +1625,8 @@ def maintain_pq_index(spark, path: str, new_emb: DataFrame,
                       vectors: DataFrame, *, k: int = 10,
                       recall_floor_permille: int = 600,
                       sample_queries: int = 4,
-                      rebuild: bool = True) -> dict:
+                      rebuild: bool = True,
+                      train_fraction: float = 1.0) -> dict:
     """The closed PQ maintenance loop (the ``maintain_ivf_index``
     pattern for the codebook index): merge a vector batch
     (``pq_index_upsert`` — codes against the STORED codebooks), measure
@@ -1675,7 +1701,8 @@ def maintain_pq_index(spark, path: str, new_emb: DataFrame,
     if rebuild:
         man = _index_manifest(spark, path)
         write_pq_index(vectors, path, m=int(man["m"]),
-                       k=int(man["k"]), dim=int(man["dim"]))
+                       k=int(man["k"]), dim=int(man["dim"]),
+                       train_fraction=train_fraction)
         out["recall_after_rebuild_permille"] = _min_recall()
     return out
 
@@ -1894,7 +1921,8 @@ def maintain_ivf_index(spark, path: str, new_emb: DataFrame, *,
                        recall_floor_permille: int = 900,
                        max_nprobe: int | None = None,
                        sample_queries: int = 8,
-                       rebuild: bool = True) -> dict:
+                       rebuild: bool = True,
+                       train_fraction: float = 1.0) -> dict:
     """The closed IVF maintenance loop: merge a vector batch
     (``ivf_index_upsert``), measure serving recall on a deterministic
     sample of the batch (``ann_recall`` of the nprobe-pruned path vs
@@ -1957,7 +1985,8 @@ def maintain_ivf_index(spark, path: str, new_emb: DataFrame, *,
             .select("vec_id", "embedding")
             .localCheckpoint(eager=True)
         )
-        write_ivf_index(stored, path, k=n_clusters)
+        write_ivf_index(stored, path, k=n_clusters,
+                        train_fraction=train_fraction)
         out["recall_after_rebuild_permille"] = _sampled_recall(
             spark, path, queries, k, nprobe)
     return out

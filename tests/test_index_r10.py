@@ -514,3 +514,23 @@ def test_cli_maintain_dispatches_ivf_sq8(spark, emb, tmp_path, capsys):
     assert st["kind"] == "ivf_sq8"
     assert (rc == 0) == (st["decision"] in ("ok", "bump_nprobe"))
     assert st["decision"] in ("ok", "bump_nprobe")
+
+
+def test_legacy_ivf_filtered_search(spark, emb, tmp_path):
+    """allowed= on the classic full-precision IVF layout: same
+    semi-join + adaptive-widening contract as the composed layout, so
+    the whole serving API takes metadata filters uniformly."""
+    from public_transit_data_platform_sql_nosql_spark.pipeline.similarity import (  # noqa: E501
+        ivf_index_topk,
+        write_ivf_index,
+    )
+
+    path = str(tmp_path / "ivf")
+    write_ivf_index(emb.select("vec_id", "embedding"), path)
+    allowed = emb.filter("vec_id % 3 = 0").select("vec_id")
+    qvec = _qvec(emb, 1)      # vec 1 itself is NOT allowed
+
+    got = ivf_index_topk(spark, path, qvec, k=5, nprobe=1,
+                         allowed=allowed).collect()
+    assert len(got) == 5
+    assert all(r["vec_id"] % 3 == 0 for r in got)
