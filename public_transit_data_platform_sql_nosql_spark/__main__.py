@@ -401,6 +401,10 @@ def cmd_vector_index(args: argparse.Namespace) -> int:
                 train_fraction=args.train_fraction)
         print(json.dumps({"action": "maintain", "kind": kind, **st}))
         return 0 if st["decision"] in ("ok", "bump_nprobe") else 3
+    if args.action == "compact":
+        st = sim.compact_index(spark, args.path)
+        print(json.dumps({"action": "compact", **st}))
+        return 0
     st = sim.vacuum_index(spark, args.path, keep_last=args.keep_last)
     print(json.dumps({"action": "vacuum", **st}))
     return 0
@@ -591,7 +595,7 @@ def main(argv: list[str] | None = None) -> int:
              "manifest's kind)")
     pv.add_argument("action",
                     choices=("build", "query", "upsert", "maintain",
-                             "vacuum"))
+                             "compact", "vacuum"))
     pv.add_argument("--path", required=True,
                     help="index root (manifest-versioned)")
     pv.add_argument("--emb", help="primary vector parquet "

@@ -315,6 +315,45 @@ def _read_codes(spark, path: str, dirs: list[str]) -> DataFrame:
     return out
 
 
+def compact_index(spark, path: str, min_dirs: int = 2) -> dict:
+    """Fold an append-fragmented index back to ONE codes dir: every
+    appended upsert adds a dir the manifest references, and while each
+    stays partition-prunable, an append-heavy feed accumulates dirs
+    whose per-dir open/footer overhead eventually taxes every probe
+    (the small-files problem, at directory granularity).  Compaction
+    union-reads the committed dirs, rewrites them as a single dir
+    (cluster-partitioned when the kind is ivf_sq8, so pruning
+    survives), and commits a manifest identical except for the codes
+    list — same crash protocol as every writer (data first, one
+    rename; an interrupted compaction leaves the fragmented version
+    fully readable).  ``vacuum_index`` then collects the old dirs once
+    they fall out of the retention window.
+
+    Returns the decision as data: ``{"decision": "noop"}`` when the
+    manifest already references fewer than ``min_dirs`` dirs (nothing
+    to fold), else ``{"decision": "compacted", "dirs_before": N}``."""
+    from ..jobs.versioned import _write_manifest
+
+    m = _index_manifest(spark, path)
+    if len(m["codes"]) < min_dirs:
+        return {"decision": "noop", "dirs_before": len(m["codes"])}
+    codes = _read_codes(spark, path, m["codes"])
+    version = _next_index_version(spark, path)
+    base = f"data/v{version:06d}"
+    if m.get("kind") == "ivf_sq8":
+        (codes.select("vec_id", "cluster_id", "codes")
+         .repartition("cluster_id")
+         .write.mode("error").partitionBy("cluster_id")
+         .parquet(f"{path}/{base}/codes"))
+    else:
+        codes.write.mode("error").parquet(f"{path}/{base}/codes")
+    _write_manifest(spark, path, version, {
+        **m, "version": version, "codes": [f"{base}/codes"],
+    })
+    return {"decision": "compacted", "dirs_before": len(m["codes"]),
+            "version": version}
+
+
 def read_index_codes(spark, path: str) -> DataFrame:
     """The codes table of the newest COMMITTED snapshot of an SQ8 /
     IVF-SQ8 index — what a maintenance job or audit reads; uncommitted

@@ -534,3 +534,66 @@ def test_legacy_ivf_filtered_search(spark, emb, tmp_path):
                          allowed=allowed).collect()
     assert len(got) == 5
     assert all(r["vec_id"] % 3 == 0 for r in got)
+
+
+def test_compact_index_folds_appended_dirs(spark, emb, tmp_path,
+                                           capsys):
+    """Append-fragmented indexes fold back to ONE codes dir with
+    identical content; ivf_sq8 keeps its cluster partitioning (and the
+    serving plan keeps pruning); vacuum then collects the old dirs."""
+    from pyspark.sql import functions as F
+
+    from public_transit_data_platform_sql_nosql_spark.__main__ import (
+        main,
+    )
+    from public_transit_data_platform_sql_nosql_spark.pipeline.similarity import (  # noqa: E501
+        compact_index,
+    )
+    from public_transit_data_platform_sql_nosql_spark.plans import (
+        executed_plan,
+    )
+
+    base = emb.filter("vec_id >= 10").select("vec_id", "embedding")
+    path = str(tmp_path / "ivfsq8")
+    write_ivf_sq8_index(base, path)
+    for lo in (0, 3):   # two appended batches -> three dirs
+        batch = emb.filter(f"vec_id >= {lo + 10} AND vec_id < {lo + 13}") \
+            .select((F.col("vec_id") + 50_000 + lo * 1000).alias("vec_id"),
+                    "embedding")
+        assert ivf_sq8_index_upsert(spark, path, batch)["decision"] \
+            == "appended"
+    m0 = _index_manifest(spark, path)
+    assert len(m0["codes"]) == 3
+    before = sorted(map(tuple, read_index_codes(spark, path)
+                        .select("vec_id", "cluster_id", "codes")
+                        .collect()))
+
+    st = compact_index(spark, path)
+    assert st == {"decision": "compacted", "dirs_before": 3,
+                  "version": st["version"]}
+    m1 = _index_manifest(spark, path)
+    assert m1["kind"] == "ivf_sq8" and len(m1["codes"]) == 1
+    assert m1["centroids"] == m0["centroids"]
+    after = sorted(map(tuple, read_index_codes(spark, path)
+                       .select("vec_id", "cluster_id", "codes")
+                       .collect()))
+    assert after == before
+    qvec = _qvec(emb, 10)
+    plan = executed_plan(
+        ivf_sq8_index_topk(spark, path, qvec, emb, k=3, nprobe=1))
+    assert "PartitionFilters" in plan
+
+    # idempotent: a single-dir manifest is a noop
+    assert compact_index(spark, path)["decision"] == "noop"
+
+    # CLI wiring + vacuum collects the superseded dirs
+    assert main(["vector-index", "compact", "--path", path]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["decision"] == "noop"
+    assert main(["vector-index", "vacuum", "--path", path,
+                 "--keep-last", "1"]) == 0
+    vac = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert vac["removed_dirs"]            # the folded-away append dirs
+    assert sorted(map(tuple, read_index_codes(spark, path)
+                      .select("vec_id", "cluster_id", "codes")
+                      .collect())) == before
