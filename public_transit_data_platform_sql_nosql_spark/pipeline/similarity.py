@@ -1183,6 +1183,90 @@ def ivf_sq8_index_topk(spark, path: str, query_vec: list[float],
     ).select("rank", "neighbor_id", "cos_sim")
 
 
+def ivf_sq8_index_topk_batch(spark, path: str, queries: DataFrame,
+                             vectors: DataFrame, k: int = 10,
+                             nprobe: int = 2,
+                             rerank_mult: int = SQ_RERANK_MULT,
+                             allowed: DataFrame | None = None
+                             ) -> DataFrame:
+    """BATCH retrieval over a ``write_ivf_sq8_index`` layout — the
+    production serving shape: ``queries`` is a ``(query_id,
+    embedding)`` DataFrame and the whole batch runs as ONE distributed
+    plan (``(query_id, rank, neighbor_id, cos_sim)`` out, the in-flight
+    operators' contract), not a driver loop over single-query calls.
+
+    Stages: (1) per-query cluster ranking — queries x the broadcast
+    k-row centroid table, round-6 cosine, top-``nprobe`` per query via
+    a bounded window; (2) the UNION of probed clusters (<= the cluster
+    count, collected driver-side like the single-query path's ranking)
+    becomes a static IN-filter so the codes scan still partition-prunes
+    — each probed directory is read ONCE for the whole batch and the
+    probes join fans its rows out only to the queries that probed it;
+    (3) asymmetric reconstruction scoring + per-query
+    ``k * rerank_mult`` shortlist; (4) exact-cosine re-rank against the
+    primary store.  Queries ride broadcast (the bounded side, as in
+    ``brute_force_topk``); shuffle keys are (query_id) windows only.
+
+    ``allowed`` semi-joins the candidate set before the shortlist, as
+    everywhere.  Note: the batch path applies the filter at the FIXED
+    ``nprobe`` — the adaptive per-query probe widening of the
+    single-query path would need per-query probe depths; raise
+    ``nprobe`` explicitly for restrictive filters here."""
+    m = _index_manifest(spark, path)
+    dim = int(m["dim"])
+    cents = spark.read.parquet(f"{path}/{m['centroids']}")
+    q = queries.select(F.col("query_id"),
+                       F.col("embedding").alias("qe"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("c_sim"), F.asc("cluster_id"))
+    probes = (
+        q.join(F.broadcast(cents))
+        .select("query_id", "cluster_id",
+                F.round(cosine(F.col("qe"), F.col("centroid")), 6)
+                .alias("c_sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "cluster_id")
+    )
+    probed = [r["cluster_id"]
+              for r in probes.select("cluster_id").distinct().collect()]
+    cand = (
+        _read_codes(spark, path, m["codes"])
+        .filter(F.col("cluster_id").isin(probed))
+        .join(probes, "cluster_id")
+    )
+    if allowed is not None:
+        cand = cand.join(allowed.select("vec_id"), "vec_id",
+                         "left_semi")
+    stats = spark.read.parquet(f"{path}/{m['quantizer']}")
+    scored = (
+        cand.join(F.broadcast(q), "query_id")
+        .join(F.broadcast(stats))
+        .withColumn("ucodes", _sq8_unpack(F.col("codes"), dim))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                cosine(F.col("qe"),
+                       _sq8_reconstruct(F.col("ucodes"), dim))
+                .alias("approx_sim"))
+    )
+    ws = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_sim"), F.asc("neighbor_id"))
+    shortlist = (
+        scored.withColumn("rn", F.row_number().over(ws))
+        .filter(F.col("rn") <= k * rerank_mult)
+        .select("query_id", "neighbor_id")
+    )
+    pairs = (
+        shortlist.join(F.broadcast(q), "query_id")
+        .join(vectors.select(F.col("vec_id").alias("neighbor_id"),
+                             F.col("embedding").alias("ne")),
+              "neighbor_id")
+        .select("query_id", "neighbor_id",
+                F.round(cosine(F.col("qe"), F.col("ne")), 6)
+                .alias("cos_sim"))
+    )
+    return _ranked(pairs, k)
+
+
 def ivf_sq8_index_upsert(spark, path: str, new_emb: DataFrame,
                          tol: float = SQ_DRIFT_TOL) -> dict:
     """Maintain a ``write_ivf_sq8_index`` layout under batches — the

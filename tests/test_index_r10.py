@@ -597,3 +597,45 @@ def test_compact_index_folds_appended_dirs(spark, emb, tmp_path,
     assert sorted(map(tuple, read_index_codes(spark, path)
                       .select("vec_id", "cluster_id", "codes")
                       .collect())) == before
+
+
+def test_batch_serving_matches_single_query_path(spark, emb, tmp_path):
+    """ivf_sq8_index_topk_batch is ONE distributed plan whose per-query
+    results equal the single-query serving path's, the codes scan still
+    partition-prunes, and allowed= restricts every query's candidates."""
+    from public_transit_data_platform_sql_nosql_spark.pipeline.similarity import (  # noqa: E501
+        ivf_sq8_index_topk_batch,
+    )
+    from public_transit_data_platform_sql_nosql_spark.plans import (
+        executed_plan,
+    )
+
+    path = str(tmp_path / "ivfsq8")
+    write_ivf_sq8_index(emb, path)
+    queries = emb.filter("vec_id < 4").select(
+        emb.vec_id.alias("query_id"), "embedding")
+
+    batch = ivf_sq8_index_topk_batch(spark, path, queries, emb, k=5,
+                                     nprobe=2)
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["neighbor_id"], r["cos_sim"]))
+    assert set(got) == {0, 1, 2, 3}
+    for qid in range(4):
+        single = sorted(
+            (r["rank"], r["neighbor_id"], r["cos_sim"])
+            for r in ivf_sq8_index_topk(
+                spark, path, _qvec(emb, qid), emb, k=5,
+                nprobe=2).collect())
+        assert sorted(got[qid]) == single, qid
+
+    plan = executed_plan(
+        ivf_sq8_index_topk_batch(spark, path, queries, emb, k=5,
+                                 nprobe=1))
+    assert "PartitionFilters" in plan
+
+    allowed = emb.filter("vec_id % 3 = 0").select("vec_id")
+    filt = ivf_sq8_index_topk_batch(spark, path, queries, emb, k=5,
+                                    nprobe=4, allowed=allowed).collect()
+    assert filt and all(r["neighbor_id"] % 3 == 0 for r in filt)
