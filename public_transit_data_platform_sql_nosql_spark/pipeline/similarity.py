@@ -457,6 +457,53 @@ def sq8_index_topk(spark, path: str, query_vec: list[float],
     ).select("rank", "neighbor_id", "cos_sim")
 
 
+def sq8_index_topk_batch(spark, path: str, queries: DataFrame,
+                         vectors: DataFrame, k: int = 10,
+                         rerank_mult: int = SQ_RERANK_MULT,
+                         allowed: DataFrame | None = None) -> DataFrame:
+    """BATCH retrieval over a ``write_sq8_index`` layout: the codes
+    table is scanned ONCE and scored against every query in the
+    broadcast ``(query_id, embedding)`` batch — one distributed plan,
+    per-query windows for the ``k * rerank_mult`` shortlist and the
+    exact re-rank, the in-flight operators' ``(query_id, rank,
+    neighbor_id, cos_sim)`` contract out.  ``allowed`` semi-joins the
+    candidate set before scoring, as everywhere."""
+    m = _index_manifest(spark, path)
+    dim = int(m["dim"])
+    stats = spark.read.parquet(f"{path}/{m['quantizer']}")
+    q = queries.select("query_id", F.col("embedding").alias("qe"))
+    cand = _read_codes(spark, path, m["codes"])
+    if allowed is not None:
+        cand = cand.join(allowed.select("vec_id"), "vec_id",
+                         "left_semi")
+    scored = (
+        cand.join(F.broadcast(stats))
+        .withColumn("ucodes", _sq8_unpack(F.col("codes"), dim))
+        .join(F.broadcast(q))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                cosine(F.col("qe"),
+                       _sq8_reconstruct(F.col("ucodes"), dim))
+                .alias("approx_sim"))
+    )
+    ws = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_sim"), F.asc("neighbor_id"))
+    shortlist = (
+        scored.withColumn("rn", F.row_number().over(ws))
+        .filter(F.col("rn") <= k * rerank_mult)
+        .select("query_id", "neighbor_id")
+    )
+    pairs = (
+        shortlist.join(F.broadcast(q), "query_id")
+        .join(vectors.select(F.col("vec_id").alias("neighbor_id"),
+                             F.col("embedding").alias("ne")),
+              "neighbor_id")
+        .select("query_id", "neighbor_id",
+                F.round(cosine(F.col("qe"), F.col("ne")), 6)
+                .alias("cos_sim"))
+    )
+    return _ranked(pairs, k)
+
+
 def hyperplane(j: int, dim: int = 64) -> F.Column:
     """Deterministic pseudo-random hyperplane j: component d is
     ((j*37 + d*61) % 17) - 8, d = 0..dim-1 (zero-mean ints)."""
@@ -1830,6 +1877,81 @@ def maintain_pq_index(spark, path: str, new_emb: DataFrame,
     return out
 
 
+def _pq_codebook_hat(spark, path: str, m_an: dict) -> F.Column:
+    """The PQ reconstruction EXPRESSION for a stored index: the m*k
+    codeword table is collected driver-side (tiny by construction, like
+    the IVF centroid table) and inlined as a nested array literal, so a
+    candidate's reconstruction — its m codewords concatenated in
+    subspace order, indexed by the unpacked ``codes`` column — is one
+    pure expression over m bytes/row.  Shared by the single-query and
+    batch serving paths (one literal, bit-identical scoring)."""
+    m, dim = int(m_an["m"]), int(m_an["dim"])
+    kk = int(m_an["k"])
+    sub = dim // m
+    rows = spark.read.parquet(f"{path}/{m_an['codebooks']}").collect()
+    table: dict = {}
+    for r in rows:
+        table[(int(r["subspace"]), int(r["code"]))] = [
+            float(x) for x in r["centroid"]]
+    zero = [0.0] * sub
+    cb_lit = F.array(*[
+        F.array(*[
+            F.array(*[F.lit(v) for v in table.get((j, c), zero)])
+            for c in range(kk)])
+        for j in range(m)])
+    ucodes = _sq8_unpack(F.col("codes"), m)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda d: F.element_at(
+            F.element_at(
+                F.element_at(cb_lit, (d / F.lit(sub)).cast("int") + 1),
+                F.element_at(ucodes,
+                             (d / F.lit(sub)).cast("int") + 1) + 1),
+            F.pmod(d, F.lit(sub)).cast("int") + 1),
+    )
+
+
+def pq_index_topk_batch(spark, path: str, queries: DataFrame,
+                        vectors: DataFrame, k: int = 10,
+                        rerank_mult: int = PQ_RERANK_MULT,
+                        allowed: DataFrame | None = None) -> DataFrame:
+    """BATCH retrieval over a ``write_pq_index`` layout: the m-byte
+    codes are scanned ONCE, each candidate's codebook reconstruction is
+    computed once per (candidate, query) against the broadcast query
+    batch, and per-query windows take the shortlist and exact re-rank —
+    one distributed plan with the in-flight ``(query_id, rank,
+    neighbor_id, cos_sim)`` contract."""
+    m_an = _index_manifest(spark, path)
+    hat = _pq_codebook_hat(spark, path, m_an)
+    q = queries.select("query_id", F.col("embedding").alias("qe"))
+    cand = _read_codes(spark, path, m_an["codes"])
+    if allowed is not None:
+        cand = cand.join(allowed.select("vec_id"), "vec_id",
+                         "left_semi")
+    scored = (
+        cand.join(F.broadcast(q))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                cosine(F.col("qe"), hat).alias("approx_sim"))
+    )
+    ws = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_sim"), F.asc("neighbor_id"))
+    shortlist = (
+        scored.withColumn("rn", F.row_number().over(ws))
+        .filter(F.col("rn") <= k * rerank_mult)
+        .select("query_id", "neighbor_id")
+    )
+    pairs = (
+        shortlist.join(F.broadcast(q), "query_id")
+        .join(vectors.select(F.col("vec_id").alias("neighbor_id"),
+                             F.col("embedding").alias("ne")),
+              "neighbor_id")
+        .select("query_id", "neighbor_id",
+                F.round(cosine(F.col("qe"), F.col("ne")), 6)
+                .alias("cos_sim"))
+    )
+    return _ranked(pairs, k)
+
+
 def pq_index_topk(spark, path: str, query_vec: list[float],
                   vectors: DataFrame, k: int = 10,
                   rerank_mult: int = PQ_RERANK_MULT,
@@ -1846,32 +1968,8 @@ def pq_index_topk(spark, path: str, query_vec: list[float],
     the search to a metadata-filtered candidate set BEFORE the
     shortlist, exactly as in :func:`sq8_index_topk`."""
     m_an = _index_manifest(spark, path)
-    m, dim = int(m_an["m"]), int(m_an["dim"])
-    kk = int(m_an["k"])
-    sub = dim // m
-    rows = spark.read.parquet(f"{path}/{m_an['codebooks']}").collect()
-    table: dict = {}
-    for r in rows:
-        table[(int(r["subspace"]), int(r["code"]))] = [
-            float(x) for x in r["centroid"]]
-    zero = [0.0] * sub
-    cb_lit = F.array(*[
-        F.array(*[
-            F.array(*[F.lit(v) for v in table.get((j, c), zero)])
-            for c in range(kk)])
-        for j in range(m)])
-
     q = F.array(*[F.lit(float(x)) for x in query_vec])
-    ucodes = _sq8_unpack(F.col("codes"), m)
-    hat = F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda d: F.element_at(
-            F.element_at(
-                F.element_at(cb_lit, (d / F.lit(sub)).cast("int") + 1),
-                F.element_at(ucodes,
-                             (d / F.lit(sub)).cast("int") + 1) + 1),
-            F.pmod(d, F.lit(sub)).cast("int") + 1),
-    )
+    hat = _pq_codebook_hat(spark, path, m_an)
     cand = _read_codes(spark, path, m_an["codes"])
     if allowed is not None:
         cand = cand.join(allowed.select("vec_id"), "vec_id",

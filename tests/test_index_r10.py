@@ -639,3 +639,45 @@ def test_batch_serving_matches_single_query_path(spark, emb, tmp_path):
     filt = ivf_sq8_index_topk_batch(spark, path, queries, emb, k=5,
                                     nprobe=4, allowed=allowed).collect()
     assert filt and all(r["neighbor_id"] % 3 == 0 for r in filt)
+
+
+def test_flat_batch_paths_match_single_query(spark, emb, tmp_path):
+    """sq8/pq batch retrieval: per-query results equal the
+    single-query serving paths (one scan, per-query windows)."""
+    from public_transit_data_platform_sql_nosql_spark.pipeline.similarity import (  # noqa: E501
+        pq_index_topk,
+        pq_index_topk_batch,
+        sq8_index_topk_batch,
+        write_pq_index,
+    )
+
+    queries = emb.filter("vec_id < 3").select(
+        emb.vec_id.alias("query_id"), "embedding")
+
+    sq8 = str(tmp_path / "sq8")
+    write_sq8_index(emb, sq8)
+    got = {}
+    for r in sq8_index_topk_batch(spark, sq8, queries, emb,
+                                  k=5).collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["neighbor_id"], r["cos_sim"]))
+    for qid in range(3):
+        single = sorted(
+            (r["rank"], r["neighbor_id"], r["cos_sim"])
+            for r in sq8_index_topk(spark, sq8, _qvec(emb, qid), emb,
+                                    k=5).collect())
+        assert sorted(got[qid]) == single, qid
+
+    pq = str(tmp_path / "pq")
+    write_pq_index(emb, pq)
+    gotp = {}
+    for r in pq_index_topk_batch(spark, pq, queries, emb,
+                                 k=5).collect():
+        gotp.setdefault(r["query_id"], []).append(
+            (r["rank"], r["neighbor_id"], r["cos_sim"]))
+    for qid in range(3):
+        single = sorted(
+            (r["rank"], r["neighbor_id"], r["cos_sim"])
+            for r in pq_index_topk(spark, pq, _qvec(emb, qid), emb,
+                                   k=5).collect())
+        assert sorted(gotp[qid]) == single, qid
