@@ -357,6 +357,30 @@ def cmd_vector_index(args: argparse.Namespace) -> int:
         print(json.dumps({"action": "query", "vec_id": int(args.vec_id),
                           "kind": kind, "topk": out}))
         return 0
+    if args.action == "query-batch":
+        # the production serving shape: a parquet of (query_id,
+        # embedding) runs through the layout's BATCH path as ONE
+        # distributed plan; ranked results land as parquet at --out
+        queries = spark.read.parquet(args.queries)
+        emb = spark.read.parquet(args.emb)
+        kind = sim._index_manifest(spark, args.path).get("kind", "sq8")
+        if kind == "ivf_sq8":
+            res = sim.ivf_sq8_index_topk_batch(
+                spark, args.path, queries, emb, k=args.k,
+                nprobe=args.nprobe)
+        elif kind == "pq":
+            res = sim.pq_index_topk_batch(spark, args.path, queries,
+                                          emb, k=args.k)
+        else:
+            res = sim.sq8_index_topk_batch(spark, args.path, queries,
+                                           emb, k=args.k)
+        res.write.mode("overwrite").parquet(args.out)
+        n_q = queries.select("query_id").distinct().count()
+        n_r = spark.read.parquet(args.out).count()
+        print(json.dumps({"action": "query-batch", "kind": kind,
+                          "n_queries": n_q, "n_results": n_r,
+                          "out": args.out}))
+        return 0
     if args.action == "upsert":
         # kind-TRUE dispatch: each layout has its own maintainer, and
         # every maintainer refuses foreign kinds (decision
@@ -594,8 +618,12 @@ def main(argv: list[str] | None = None) -> int:
              "ANN index (sq8 / ivf_sq8 / pq — ops dispatch by the "
              "manifest's kind)")
     pv.add_argument("action",
-                    choices=("build", "query", "upsert", "maintain",
-                             "compact", "vacuum"))
+                    choices=("build", "query", "query-batch", "upsert",
+                             "maintain", "compact", "vacuum"))
+    pv.add_argument("--queries",
+                    help="query-batch: parquet of (query_id, embedding)")
+    pv.add_argument("--out",
+                    help="query-batch: output parquet for ranked results")
     pv.add_argument("--path", required=True,
                     help="index root (manifest-versioned)")
     pv.add_argument("--emb", help="primary vector parquet "

@@ -646,7 +646,7 @@ def stream_vector_index_upsert(emb_stream: DataFrame, index_path: str,
                                   dim=dim, tol=t)
         n_drifted = len(st.get("drifted_dims", []))
         decision = spark.createDataFrame(
-            [(int(batch_id), st["decision"], int(st["n_new"]),
+            [(int(batch_id), st["decision"], int(st.get("n_new", 0)),
               int(st.get("n_replaced", 0)), n_drifted)],
             "batch_id long, decision string, n_new long, "
             "n_replaced long, n_drifted_dims long")
@@ -655,6 +655,66 @@ def stream_vector_index_upsert(emb_stream: DataFrame, index_path: str,
 
     return (
         emb_stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", f"{checkpoint}/ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_vector_search(query_stream: DataFrame, index_path: str,
+                         vectors: DataFrame, results_path: str,
+                         checkpoint: str, k: int = 10,
+                         nprobe: int = 2):
+    """foreachBatch ANN SERVING from a live query feed — the retrieval
+    twin of ``stream_vector_index_upsert``: each micro-batch of
+    ``(query_id, embedding)`` rows runs through the index's BATCH
+    serving path (ONE distributed plan per micro-batch, never a
+    driver loop over queries) against the newest COMMITTED index
+    snapshot, and the ranked results land in the versioned store at
+    ``results_path`` as ``(batch_id, query_id, rank, neighbor_id,
+    cos_sim)`` — atomically published per batch, so a results reader
+    never sees a half-served batch.
+
+    Kind-dispatched from the index manifest (ivf_sq8 probes + prunes;
+    sq8/pq scan their codes once per batch).  Duplicate query_ids
+    within a batch collapse first (replay handling, as in the upsert
+    stream).  Because the manifest is re-resolved per batch, a
+    concurrent upsert/compaction/rebuild is picked up at the next
+    micro-batch boundary — serving reads are never torn (the manifest
+    rename is the only publication point)."""
+    from pyspark.sql import functions as F
+
+    from ..jobs.versioned import commit_version
+    from ..pipeline.similarity import (
+        _index_manifest,
+        ivf_sq8_index_topk_batch,
+        pq_index_topk_batch,
+        sq8_index_topk_batch,
+    )
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        queries = (batch_df.dropDuplicates(["query_id"])
+                   .localCheckpoint(eager=True))
+        if not queries.head(1):
+            return
+        kind = _index_manifest(spark, index_path).get("kind", "sq8")
+        if kind == "ivf_sq8":
+            res = ivf_sq8_index_topk_batch(
+                spark, index_path, queries, vectors, k=k, nprobe=nprobe)
+        elif kind == "pq":
+            res = pq_index_topk_batch(
+                spark, index_path, queries, vectors, k=k)
+        else:
+            res = sq8_index_topk_batch(
+                spark, index_path, queries, vectors, k=k)
+        commit_version(
+            res.select(F.lit(int(batch_id)).alias("batch_id"),
+                       "query_id", "rank", "neighbor_id", "cos_sim"),
+            results_path, mode="append")
+
+    return (
+        query_stream.writeStream.foreachBatch(_process)
         .option("checkpointLocation", f"{checkpoint}/ck")
         .trigger(availableNow=True)
         .start()

@@ -681,3 +681,83 @@ def test_flat_batch_paths_match_single_query(spark, emb, tmp_path):
             for r in pq_index_topk(spark, pq, _qvec(emb, qid), emb,
                                    k=5).collect())
         assert sorted(gotp[qid]) == single, qid
+
+
+def test_stream_vector_search_serves_batches(spark, emb, tmp_path):
+    """The retrieval twin of the upsert stream: micro-batches of query
+    vectors run through the index's batch serving path against the
+    newest committed snapshot; ranked results publish atomically per
+    batch and equal the single-query path."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from public_transit_data_platform_sql_nosql_spark.jobs.versioned import (  # noqa: E501
+        read_version,
+    )
+    from public_transit_data_platform_sql_nosql_spark.streaming.jobs import (  # noqa: E501
+        stream_vector_search,
+    )
+
+    idx = str(tmp_path / "ivfsq8")
+    write_ivf_sq8_index(emb, idx)
+    src = str(tmp_path / "src")
+    (emb.filter("vec_id < 2")
+     .select(emb.vec_id.alias("query_id"), "embedding")
+     .coalesce(1).write.parquet(f"{src}/a.parquet"))
+    (emb.filter("vec_id >= 2 AND vec_id < 4")
+     .select(emb.vec_id.alias("query_id"), "embedding")
+     .coalesce(1).write.parquet(f"{src}/b.parquet"))
+
+    stream = (
+        spark.readStream
+        .schema("query_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/*.parquet")
+    )
+    results = str(tmp_path / "results")
+    q = stream_vector_search(stream, idx, emb, results,
+                             str(tmp_path / "chk"), k=5, nprobe=2)
+    q.awaitTermination()
+
+    rows = read_version(spark, results).collect()
+    served = {}
+    for r in rows:
+        served.setdefault(r["query_id"], []).append(
+            (r["rank"], r["neighbor_id"], r["cos_sim"]))
+    assert set(served) == {0, 1, 2, 3}
+    for qid in range(4):
+        single = sorted(
+            (r["rank"], r["neighbor_id"], r["cos_sim"])
+            for r in ivf_sq8_index_topk(
+                spark, idx, _qvec(emb, qid), emb, k=5,
+                nprobe=2).collect())
+        assert sorted(served[qid]) == single, qid
+    # per-batch atomic publication: two micro-batches, two batch ids
+    assert len({r["batch_id"] for r in rows}) == 2
+
+
+def test_cli_query_batch(spark, emb, tmp_path, capsys):
+    from public_transit_data_platform_sql_nosql_spark.__main__ import (
+        main,
+    )
+
+    emb_path = str(tmp_path / "emb")
+    emb.select("vec_id", "embedding").write.parquet(emb_path)
+    idx = str(tmp_path / "pq")
+    assert main(["vector-index", "build", "--path", idx,
+                 "--emb", emb_path, "--pq"]) == 0
+    capsys.readouterr()
+    qpath = str(tmp_path / "queries")
+    (emb.filter("vec_id < 3")
+     .select(emb.vec_id.alias("query_id"), "embedding")
+     .write.parquet(qpath))
+    out = str(tmp_path / "results")
+    assert main(["vector-index", "query-batch", "--path", idx,
+                 "--emb", emb_path, "--queries", qpath,
+                 "--out", out, "--k", "5"]) == 0
+    st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert st["kind"] == "pq" and st["n_queries"] == 3
+    assert st["n_results"] == 15
+    res = spark.read.parquet(out)
+    assert res.count() == 15
+    assert set(res.columns) == {"query_id", "rank", "neighbor_id",
+                                "cos_sim"}
