@@ -158,6 +158,68 @@ def _decode_wav(payload: bytes) -> list[int]:
     return list(struct.unpack_from(f"<{n}h", data, 0))
 
 
+def _decode_avi(payload: bytes) -> list[int]:
+    """Pure-Python decode of an uncompressed-DIB AVI (RIFF/'AVI ',
+    single 'vids' stream, BI_RGB 24bpp frames): a REAL container
+    traversal — the nested LIST tree is walked in order (hdrl/strl for
+    the stream headers, movi for the frame chunks), the video stream's
+    BITMAPINFOHEADER supplies dims/format, and every '..db'/'..dc'
+    frame is normalized exactly like a BMP pixel array (4-byte row
+    padding stripped, bottom-up row order flipped) before the frames
+    concatenate into one flat B,G,R sample stream.  Compressed codecs
+    or non-24bpp frames raise NotImplementedError (those want a real
+    ffmpeg-class library)."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload (missing RIFF/'AVI ')")
+    end = min(len(payload),
+              8 + struct.unpack_from("<I", payload, 4)[0])
+    strf = None
+    in_vids = False
+    frames: list[tuple[int, int]] = []
+
+    def walk(pos: int, stop: int) -> None:
+        nonlocal strf, in_vids
+        while pos + 8 <= stop:
+            cid = payload[pos:pos + 4]
+            size = struct.unpack_from("<I", payload, pos + 4)[0]
+            body = pos + 8
+            if cid == b"LIST":
+                walk(body + 4, min(body + size, stop))
+            elif cid == b"strh":
+                in_vids = payload[body:body + 4] == b"vids"
+            elif cid == b"strf" and in_vids and strf is None:
+                strf = body
+            elif cid[2:4] in (b"db", b"dc"):
+                frames.append((body, size))
+            pos = body + size + (size & 1)     # chunks pad to even
+
+    walk(12, end)
+    if strf is None:
+        raise ValueError("truncated AVI: no video stream header")
+    w, h = struct.unpack_from("<ii", payload, strf + 4)
+    bpp = struct.unpack_from("<H", payload, strf + 14)[0]
+    comp = struct.unpack_from("<I", payload, strf + 16)[0]
+    if comp != 0 or bpp != 24:
+        raise NotImplementedError(
+            f"only uncompressed 24-bit DIB AVI supported (got bpp="
+            f"{bpp}, compression={comp})")
+    top_down = h < 0
+    h = abs(h)
+    row_bytes = w * 3
+    stride = (row_bytes + 3) & ~3
+    out: list[int] = []
+    for off, size in frames:
+        if size < h * stride:
+            raise ValueError("truncated AVI frame chunk")
+        rows = range(h) if top_down else range(h - 1, -1, -1)
+        for r in rows:
+            o = off + r * stride
+            out.extend(payload[o:o + row_bytes])
+    return out
+
+
 def decode_payload(payload: bytes, kind: str, fake: bool = False):
     """Decode an encoded media payload to raw samples.
 
@@ -166,8 +228,10 @@ def decode_payload(payload: bytes, kind: str, fake: bool = False):
     DuckDB differentials hash-match downstream arithmetic.  The real
     branch decodes what pure Python can: uncompressed 24-bit BMP images
     (``_decode_bmp`` — header parse, padding strip, row-order
-    normalization) and uncompressed 8/16-bit PCM WAV audio
-    (``_decode_wav`` — RIFF chunk walk, interleaved sample unpack).
+    normalization), uncompressed 8/16-bit PCM WAV audio (``_decode_wav``
+    — RIFF chunk walk, interleaved sample unpack), and uncompressed-DIB
+    AVI video (``_decode_avi`` — nested LIST traversal, per-frame BMP
+    layout normalization) — one REAL decode path per media kind.
     Compressed codecs need PIL/torchaudio/ffmpeg-class libraries absent
     from this container and still raise NotImplementedError; wire them
     here on a real cluster (same list-of-samples contract).
@@ -178,6 +242,9 @@ def decode_payload(payload: bytes, kind: str, fake: bool = False):
         return _decode_bmp(payload)
     if kind == "audio" and payload[:4] == b"RIFF":
         return _decode_wav(payload)
+    if kind == "video" and payload[:4] == b"RIFF" \
+            and payload[8:12] == b"AVI ":
+        return _decode_avi(payload)
     raise NotImplementedError(
         f"no {kind} codec in this environment for this payload; wire "
         "PIL/torchaudio/ffmpeg here on a real cluster"

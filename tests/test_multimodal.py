@@ -222,3 +222,98 @@ def test_wav_end_to_end_through_extract_features(spark):
         bucket[s % mm.FEATURE_DIM] += s
     want = [b / 255.0 / len(samples) for b in bucket]
     assert list(row["features"]) == want
+
+
+# --- real AVI decode path ----------------------------------------------------
+
+
+def _make_avi(width, height, frames, top_down=False):
+    """Minimal uncompressed-DIB AVI encoder for fixtures: RIFF('AVI ')
+    containing LIST(hdrl){avih, LIST(strl){strh('vids'), strf(BIH)}}
+    then LIST(movi){'00db' frames}.  Each frame is a list of top-down
+    row-major (b, g, r) tuples; rows pad to 4 bytes and store bottom-up
+    unless ``top_down`` (negative biHeight)."""
+    import struct
+
+    def chunk(cid, body):
+        return cid + struct.pack("<I", len(body)) + body \
+            + (b"\x00" if len(body) & 1 else b"")
+
+    def lst(ltype, body):
+        return chunk(b"LIST", ltype + body)
+
+    row_bytes = width * 3
+    stride = (row_bytes + 3) & ~3
+    strf = struct.pack("<IiiHHIIiiII", 40, width,
+                       -height if top_down else height,
+                       1, 24, 0, stride * height, 0, 0, 0, 0)
+    strh = b"vids" + b"DIB " + bytes(48)
+    avih = struct.pack("<IIIIIIIIII", 33333, 0, 0, 0, len(frames),
+                       0, 1, 0, width, height) + bytes(16)
+    movi_frames = b""
+    for px in frames:
+        body = bytearray()
+        rows = range(height) if top_down else range(height - 1, -1, -1)
+        for r in rows:
+            for c in range(width):
+                body.extend(px[r * width + c])
+            body.extend(b"\x00" * (stride - row_bytes))
+        movi_frames += chunk(b"00db", bytes(body))
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", movi_frames)
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+_FRAME_A = _PIXELS_3X2
+_FRAME_B = [(200, 201, 202), (1, 2, 3), (90, 91, 92),
+            (10, 11, 12), (50, 60, 70), (0, 255, 128)]
+_FLAT_AB = [b for px in (_FRAME_A + _FRAME_B) for b in px]
+
+
+def test_avi_decode_normalizes_frames():
+    """Bottom-up and top-down encodings of the same two-frame clip
+    decode to the identical concatenated top-down sample stream; the
+    decode differs from the raw container bytes."""
+    bot = _make_avi(3, 2, [_FRAME_A, _FRAME_B])
+    top = _make_avi(3, 2, [_FRAME_A, _FRAME_B], top_down=True)
+    assert bot != top
+    assert mm.decode_payload(bot, "video") == _FLAT_AB
+    assert mm.decode_payload(top, "video") == _FLAT_AB
+    assert mm.decode_payload(bot, "video", fake=True) != _FLAT_AB
+
+
+def test_avi_unsupported_variants_raise():
+    import struct
+
+    avi = bytearray(_make_avi(3, 2, [_FRAME_A]))
+    # find strf's biCompression and set MJPG
+    i = avi.find(b"strf") + 8 + 16
+    struct.pack_into("<I", avi, i, 0x47504A4D)
+    with pytest.raises(NotImplementedError):
+        mm.decode_payload(bytes(avi), "video")
+    with pytest.raises(ValueError):
+        mm.decode_payload(b"RIFF\x04\x00\x00\x00AVI ", "video")
+    # non-AVI RIFF under the video kind -> generic no-codec branch
+    with pytest.raises(NotImplementedError):
+        mm.decode_payload(_make_wav(_SAMPLES_16), "video")
+
+
+def test_avi_end_to_end_through_extract_features(spark):
+    """A generated AVI flows through the REAL (fake=False) decode
+    inside the Arrow batch stage, and the frame stream feeds the same
+    feature arithmetic as every other kind."""
+    payload = _make_avi(3, 2, [_FRAME_A, _FRAME_B])
+    df = spark.createDataFrame(
+        [(1, "video", bytearray(payload))],
+        "media_id long, kind string, payload binary")
+    row = mm.extract_features(df, fake=False).head()
+    samples = _FLAT_AB
+    assert row["byte_len"] == len(samples) == 36
+    assert row["checksum"] == sum(samples) % 1_000_000_007
+    bucket = [0] * mm.FEATURE_DIM
+    for s in samples:
+        bucket[s % mm.FEATURE_DIM] += s
+    want = [b / 255.0 / len(samples) for b in bucket]
+    assert list(row["features"]) == want

@@ -134,3 +134,61 @@ def test_train_sample_is_nested_and_deterministic(ids, f1, f2):
     lo, hi = sorted((f1, f2))
     assert _sample(ids, lo) <= _sample(ids, hi)
     assert _sample(ids, f1) == _sample(ids, f1)
+
+
+# --- AVI codec (mirrors pipeline/multimodal._decode_avi) -------------------
+
+
+def _make_avi(width, height, frames, top_down=False):
+    def chunk(cid, body):
+        return cid + struct.pack("<I", len(body)) + body \
+            + (b"\x00" if len(body) & 1 else b"")
+
+    def lst(ltype, body):
+        return chunk(b"LIST", ltype + body)
+
+    row_bytes = width * 3
+    stride = (row_bytes + 3) & ~3
+    strf = struct.pack("<IiiHHIIiiII", 40, width,
+                       -height if top_down else height,
+                       1, 24, 0, stride * height, 0, 0, 0, 0)
+    strh = b"vids" + b"DIB " + bytes(48)
+    avih = struct.pack("<IIIIIIIIII", 33333, 0, 0, 0, len(frames),
+                       0, 1, 0, width, height) + bytes(16)
+    movi = b""
+    for px in frames:
+        body = bytearray()
+        rows = range(height) if top_down else range(height - 1, -1, -1)
+        for r in rows:
+            for c in range(width):
+                body.extend(px[r * width + c])
+            body.extend(b"\x00" * (stride - row_bytes))
+        movi += chunk(b"00db", bytes(body))
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    body = b"AVI " + hdrl + lst(b"movi", movi)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+pixel = st.tuples(*[st.integers(min_value=0, max_value=255)] * 3)
+
+
+@given(st.integers(min_value=1, max_value=5),
+       st.integers(min_value=1, max_value=4),
+       st.integers(min_value=1, max_value=3),
+       st.booleans(), st.data())
+@settings(max_examples=100, deadline=None)
+def test_avi_roundtrip_any_geometry(w, h, n_frames, top_down, data):
+    """encode -> decode is the identity on the flat frame stream for
+    any (width, height, frame-count, row-order) — padding strip and
+    bottom-up flip are exact inverses of the encoder's layout."""
+    from public_transit_data_platform_sql_nosql_spark.pipeline.multimodal import (  # noqa: E501
+        _decode_avi,
+    )
+
+    frames = [
+        [data.draw(pixel) for _ in range(w * h)]
+        for _ in range(n_frames)]
+    flat = [b for px_frame in frames for px in px_frame for b in px]
+    assert _decode_avi(
+        _make_avi(w, h, frames, top_down=top_down)) == flat
