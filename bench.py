@@ -125,6 +125,19 @@ def main() -> None:
         print(f"# {name}: {times[name]}s ({n} rows; "
               f"samples {[round(s, 3) for s in samples]})", file=sys.stderr)
 
+    print("# drift-note r11: the FOUR-round monotone climb on the "
+          "heavyweight pipeline queries (pipeline_curated_corpus "
+          "6.09 -> 8.80 s r7-r10, pipeline_training_chunks 8.78 -> "
+          "11.16, dedup_clusters 5.33 -> 7.02, dedup_repeated_spans "
+          "2.02 -> 2.84, text_profile 0.49 -> 1.07) was re-measured "
+          "with tools/abtest.py (6-rep interleaved, identical code, "
+          "r10's protocol): medians 6.55 / 8.39 / 5.75 / 2.67 / 0.44 s "
+          "— every one back inside its r6-r8 band, NONE reproducing "
+          "the r10 numbers (and interleaving biases these numbers UP, "
+          "so the snap-back is conservative) — the climb was box-state "
+          "variance compounding across rounds, not a plan/import "
+          "regression; no code in dedup/curation changed r8-r10, "
+          "consistent with this attribution", file=sys.stderr)
     print("# drift-note r10: the two-round monotone creep on "
           "ann_bruteforce_topk (0.73 -> 0.94 -> 1.60 s r7-r9) and "
           "ann_ivf_topk (1.05 -> 1.33 -> 1.77 s) was re-measured with "
@@ -152,7 +165,13 @@ def main() -> None:
 
 _SF1_QUERIES = ("q1_busiest_stops", "q2_route_stats_whole_week",
                 "q3_transfer_points", "q4_top_routes_daily",
-                "denormalize_check")
+                "denormalize_check",
+                # r11: the LLM-pipeline heavyweights — where the 100-TB
+                # scale claims live — measured at matched scale too
+                # (gen_sf now synthesizes documents/embeddings at 10x
+                # the driver's sf0.1, same rule as the transit tables)
+                "pipeline_training_chunks", "dedup_clusters",
+                "text_search_bm25")
 
 
 def _sf1_section(spark, qs) -> dict | None:
@@ -177,7 +196,8 @@ def _sf1_section(spark, qs) -> dict | None:
     if os.environ.get("SPARK_GRAFT_SF1", "1") == "0":
         return None
     sf1_dir = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/sfgen/sf1")
-    if not os.path.exists(f"{sf1_dir}/lineitem.parquet"):
+    if not all(os.path.exists(f"{sf1_dir}/{t}.parquet")
+               for t in ("lineitem", "documents", "embeddings")):
         print(f"# sf1: fixture missing at {sf1_dir}; generating "
               f"(tools/gen_sf.py)", file=sys.stderr)
         r = subprocess.run(

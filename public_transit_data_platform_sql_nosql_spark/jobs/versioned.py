@@ -107,6 +107,14 @@ def commit_version(df: DataFrame, path: str,
     versions = list_versions(spark, path)
     version = (versions[-1] + 1) if versions else 0
     new_dir = f"{path}/data/v{version:06d}"
+    # version = newest committed + 1, so this dir can pre-exist ONLY as
+    # a crashed commit's orphan (its manifest never landed; the store is
+    # single-writer).  Reclaim it — otherwise a replayed foreachBatch
+    # micro-batch wedges forever on the mode('error') write below.
+    fs, _, jvm = _fs(spark, path)
+    orphan = jvm.org.apache.hadoop.fs.Path(new_dir)
+    if fs.exists(orphan):
+        fs.delete(orphan, True)
     df.write.mode("error").parquet(new_dir)
     dirs = [f"data/v{version:06d}"]
     if mode == "append" and versions:

@@ -217,10 +217,21 @@ def _sq8_reconstruct(ucodes: F.Column, dim: int) -> F.Column:
 
 
 def _next_index_version(spark, path: str) -> int:
+    """Claim the next version number AND its data dir: version is the
+    newest committed + 1, so ``data/v<N>`` can pre-exist only as a
+    crashed commit's orphan (its manifest never landed; the index is
+    single-writer) — reclaim it here so a replayed upsert/maintenance
+    batch doesn't wedge on its mode('error') writes."""
+    from ..jobs.compact import _fs
     from ..jobs.versioned import list_versions
 
     versions = list_versions(spark, path)
-    return (versions[-1] + 1) if versions else 0
+    version = (versions[-1] + 1) if versions else 0
+    fs, _, jvm = _fs(spark, path)
+    orphan = jvm.org.apache.hadoop.fs.Path(f"{path}/data/v{version:06d}")
+    if fs.exists(orphan):
+        fs.delete(orphan, True)
+    return version
 
 
 def _index_manifest(spark, path: str) -> dict:
@@ -828,11 +839,13 @@ def _train_sample(emb: DataFrame, train_fraction: float) -> DataFrame:
     filter entirely — full-corpus training stays the oracle path."""
     from .core import md5_hash64
 
-    if train_fraction >= 1.0:
-        return emb
-    if not 0.0 < train_fraction < 1.0:
+    if not 0.0 < train_fraction <= 1.0:
+        # range FIRST: a typo like 25 (meant 0.25) or 1.5 must raise,
+        # not silently train on the full corpus
         raise ValueError(
             f"train_fraction must be in (0, 1] (got {train_fraction})")
+    if train_fraction == 1.0:
+        return emb
     permille = max(1, int(round(train_fraction * 1000)))
     h = md5_hash64(F.concat(F.lit(TRAIN_SALT),
                             F.col("vec_id").cast("string")))
@@ -944,7 +957,10 @@ def ivf_index_topk(spark, path: str, query_vec: list[float], k: int = 10,
                 .join(allow_ids, "vec_id", "left_semi").count())
             if n_reachable >= k:
                 break
-            nprobe = min(nprobe * 2, len(ranked))
+            # max(..., nprobe + 1) keeps the step positive when a caller
+            # passes nprobe <= 0 (doubling 0 would spin count jobs
+            # forever — the maintain_ivf_sq8_index widening pattern)
+            nprobe = min(max(nprobe * 2, nprobe + 1), len(ranked))
     probe = [cid for _, cid in ranked[:nprobe]]
 
     qcol = F.array(*[F.lit(float(x)) for x in query_vec])
@@ -1194,7 +1210,10 @@ def ivf_sq8_index_topk(spark, path: str, query_vec: list[float],
                 .join(allow_ids, "vec_id", "left_semi").count())
             if n_reachable >= k:
                 break
-            nprobe = min(nprobe * 2, len(ranked))
+            # max(..., nprobe + 1) keeps the step positive when a caller
+            # passes nprobe <= 0 (doubling 0 would spin count jobs
+            # forever — the maintain_ivf_sq8_index widening pattern)
+            nprobe = min(max(nprobe * 2, nprobe + 1), len(ranked))
     probe = [cid for _, cid in ranked[:nprobe]]
 
     stats = spark.read.parquet(f"{path}/{m['quantizer']}")
@@ -1255,10 +1274,17 @@ def ivf_sq8_index_topk_batch(spark, path: str, queries: DataFrame,
     ``brute_force_topk``); shuffle keys are (query_id) windows only.
 
     ``allowed`` semi-joins the candidate set before the shortlist, as
-    everywhere.  Note: the batch path applies the filter at the FIXED
-    ``nprobe`` — the adaptive per-query probe widening of the
-    single-query path would need per-query probe depths; raise
-    ``nprobe`` explicitly for restrictive filters here."""
+    everywhere — with PER-QUERY adaptive probe widening (the
+    single-query contract, batch form): each query starts at
+    ``nprobe``, the allowed candidates inside every query's probed
+    clusters are counted in ONE partition-pruned aggregate per round,
+    and only the STARVED queries (< ``k`` reachable candidates) double
+    their probe depth for the next round — at most O(log n_clusters)
+    bounded count jobs, and a batch with no restrictive filter pays
+    none of them.  Probe depths live driver-side, bounded by the batch
+    (queries are the broadcast side by contract)."""
+    from pyspark.sql import types as T
+
     m = _index_manifest(spark, path)
     dim = int(m["dim"])
     cents = spark.read.parquet(f"{path}/{m['centroids']}")
@@ -1266,25 +1292,58 @@ def ivf_sq8_index_topk_batch(spark, path: str, queries: DataFrame,
                        F.col("embedding").alias("qe"))
     w = Window.partitionBy("query_id").orderBy(
         F.desc("c_sim"), F.asc("cluster_id"))
-    probes = (
+    ranked = (
         q.join(F.broadcast(cents))
         .select("query_id", "cluster_id",
                 F.round(cosine(F.col("qe"), F.col("centroid")), 6)
                 .alias("c_sim"))
         .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= nprobe)
-        .select("query_id", "cluster_id")
+        .select("query_id", "cluster_id", "rn")
     )
-    probed = [r["cluster_id"]
-              for r in probes.select("cluster_id").distinct().collect()]
-    cand = (
-        _read_codes(spark, path, m["codes"])
-        .filter(F.col("cluster_id").isin(probed))
-        .join(probes, "cluster_id")
-    )
-    if allowed is not None:
-        cand = cand.join(allowed.select("vec_id"), "vec_id",
-                         "left_semi")
+    codes_all = _read_codes(spark, path, m["codes"])
+
+    def _cand(probes: DataFrame) -> DataFrame:
+        # UNION of probed clusters as a static IN-filter (bounded by
+        # the cluster count) so the codes scan partition-prunes; the
+        # probes join fans rows out only to the queries that probed
+        # each cluster
+        probed = [r["cluster_id"] for r in
+                  probes.select("cluster_id").distinct().collect()]
+        c = (codes_all.filter(F.col("cluster_id").isin(probed))
+             .join(probes, "cluster_id"))
+        if allowed is not None:
+            c = c.join(allowed.select("vec_id"), "vec_id", "left_semi")
+        return c
+
+    if allowed is None:
+        cand = _cand(ranked.filter(F.col("rn") <= nprobe)
+                     .select("query_id", "cluster_id"))
+    else:
+        ranked = ranked.localCheckpoint(eager=True)  # rank ONCE, reuse
+        n_clusters = cents.count()                   # k-row table
+        depths = {r["query_id"]: min(max(nprobe, 0), n_clusters)
+                  for r in q.select("query_id").collect()}
+        dschema = T.StructType([q.schema["query_id"],
+                                T.StructField("depth", T.IntegerType())])
+        while True:
+            depth_df = spark.createDataFrame(
+                [(qid, int(d)) for qid, d in depths.items()], dschema)
+            probes = (ranked.join(F.broadcast(depth_df), "query_id")
+                      .filter(F.col("rn") <= F.col("depth"))
+                      .select("query_id", "cluster_id"))
+            counts = {r["query_id"]: r["n"]
+                      for r in _cand(probes).groupBy("query_id")
+                      .agg(F.count(F.lit(1)).alias("n")).collect()}
+            starved = [qid for qid, d in depths.items()
+                       if counts.get(qid, 0) < k and d < n_clusters]
+            if not starved:
+                break
+            for qid in starved:
+                # max(..., d + 1) keeps the step positive for
+                # nprobe <= 0 callers (the single-query guard)
+                depths[qid] = min(max(depths[qid] * 2, depths[qid] + 1),
+                                  n_clusters)
+        cand = _cand(probes)
     stats = spark.read.parquet(f"{path}/{m['quantizer']}")
     scored = (
         cand.join(F.broadcast(q), "query_id")

@@ -589,9 +589,30 @@ def stream_kmv_cardinality(docs_stream: DataFrame, sketch_path: str,
     )
 
 
+def _max_committed_batch_id(spark, store_path: str) -> int:
+    """Newest ``batch_id`` already committed to an append-mode versioned
+    store, or -1 for an empty/missing one — the foreachBatch
+    exactly-once guard: Structured Streaming replays a micro-batch when
+    a crash lands between the store commit and the checkpoint commit,
+    and without this check the replay would append the same batch's
+    rows a second time.  Each append commit's NEWEST data dir holds
+    exactly one micro-batch, so the check reads only that dir — bounded
+    by one batch, not by the store's history."""
+    from ..jobs.versioned import _read_manifest, list_versions
+
+    versions = list_versions(spark, store_path)
+    if not versions:
+        return -1
+    m = _read_manifest(spark, store_path, versions[-1])
+    row = (spark.read.parquet(f"{store_path}/{m['dirs'][-1]}")
+           .agg(F.max("batch_id").alias("b")).head())
+    return -1 if row is None or row["b"] is None else int(row["b"])
+
+
 def stream_vector_index_upsert(emb_stream: DataFrame, index_path: str,
                                checkpoint: str, dim: int | None = None,
-                               tol: float | None = None):
+                               tol: float | None = None,
+                               compact_hint_dirs: int = 8):
     """foreachBatch maintenance of a manifest-committed vector index
     (``write_sq8_index``, ``write_ivf_sq8_index`` or ``write_pq_index``
     — the layout kind AND dim are read from the index's own manifest,
@@ -618,6 +639,15 @@ def stream_vector_index_upsert(emb_stream: DataFrame, index_path: str,
 
     ``dim`` exists only to ASSERT against the manifest (a value that
     disagrees raises instead of corrupting appended code blobs).
+
+    Replay-idempotent: a batch_id at or below the decisions store's
+    newest committed batch_id is skipped outright (the crash window
+    between the decision commit and the checkpoint commit), and a
+    replay that re-runs the index upsert itself (crash BETWEEN the
+    index commit and the decision commit) lands as a keyed replacement
+    — the index never double-counts.  When the post-upsert manifest
+    references >= ``compact_hint_dirs`` codes dirs, a ``compact`` hint
+    row (n_new = dir count) is appended to the decisions store.
     """
     from ..jobs.versioned import commit_version
     from ..pipeline.similarity import (
@@ -632,6 +662,15 @@ def stream_vector_index_upsert(emb_stream: DataFrame, index_path: str,
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        # replay guard: a crash between the decision commit and the
+        # checkpoint commit re-delivers this batch_id — skip it (the
+        # index AND its decision row already landed).  A crash between
+        # the INDEX commit and the decision commit re-runs the upsert,
+        # which the keyed-replacement contract absorbs (same vec_ids →
+        # replace), so the index never double-counts either way.
+        decisions = f"{index_path}/_state/decisions"
+        if _max_committed_batch_id(spark, decisions) >= int(batch_id):
+            return
         batch = (batch_df.dropDuplicates(["vec_id"])
                  .localCheckpoint(eager=True))
         if not batch.head(1):
@@ -645,9 +684,19 @@ def stream_vector_index_upsert(emb_stream: DataFrame, index_path: str,
             st = sq8_index_upsert(spark, index_path, batch,
                                   dim=dim, tol=t)
         n_drifted = len(st.get("drifted_dims", []))
+        rows = [(int(batch_id), st["decision"], int(st.get("n_new", 0)),
+                 int(st.get("n_replaced", 0)), n_drifted)]
+        # ops-loop closure: append-heavy feeds fragment the codes list
+        # one dir per batch; once the POST-upsert manifest crosses the
+        # threshold, emit a `compact` hint row (n_new carries the dir
+        # count) telling the operator to run compact_index + vacuum —
+        # the same decision-as-data contract as the upsert itself
+        n_dirs = len(_index_manifest(spark, index_path)
+                     .get("codes", []))
+        if n_dirs >= compact_hint_dirs:
+            rows.append((int(batch_id), "compact", int(n_dirs), 0, 0))
         decision = spark.createDataFrame(
-            [(int(batch_id), st["decision"], int(st.get("n_new", 0)),
-              int(st.get("n_replaced", 0)), n_drifted)],
+            rows,
             "batch_id long, decision string, n_new long, "
             "n_replaced long, n_drifted_dims long")
         commit_version(decision, f"{index_path}/_state/decisions",
@@ -681,7 +730,10 @@ def stream_vector_search(query_stream: DataFrame, index_path: str,
     stream).  Because the manifest is re-resolved per batch, a
     concurrent upsert/compaction/rebuild is picked up at the next
     micro-batch boundary — serving reads are never torn (the manifest
-    rename is the only publication point)."""
+    rename is the only publication point).  Replay-idempotent: a
+    batch_id at or below the results store's newest committed batch_id
+    is skipped, so the crash window between the results commit and the
+    checkpoint commit cannot double-publish a batch."""
     from pyspark.sql import functions as F
 
     from ..jobs.versioned import commit_version
@@ -694,6 +746,12 @@ def stream_vector_search(query_stream: DataFrame, index_path: str,
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        # replay guard (exactly-once results): a crash after the results
+        # commit but before the checkpoint commit re-delivers this
+        # batch_id — without the check the replay would append a second
+        # copy of the batch's rows to the results store
+        if _max_committed_batch_id(spark, results_path) >= int(batch_id):
+            return
         queries = (batch_df.dropDuplicates(["query_id"])
                    .localCheckpoint(eager=True))
         if not queries.head(1):

@@ -40,7 +40,24 @@ BASE = {
     "part": 200_000,
     "supplier": 10_000,
     "customer": 150_000,
+    # the LLM-pipeline corpus, same 10x-the-driver's-sf0.1 rule
+    # (documents 5k -> 50k, embeddings 2k -> 20k) so the pipeline
+    # heavyweights get a matched-scale trend line alongside q1-q4
+    "documents": 50_000,
+    "embeddings": 20_000,
 }
+
+# the driver corpus's own bag-of-words shape: short data-engineering
+# tokens, uniform draws per position (sampled from sf0.1: 8-100 words,
+# ~50 avg; 5 langs with en ~41%; 20 uniform sources; ~0.2% exact dups)
+_VOCAB = ("spark", "batch", "part", "line", "column", "order", "small",
+          "sort", "fast", "value", "scan", "hash", "slow", "group",
+          "agg", "filter", "query", "a", "big", "key", "window",
+          "vector", "table", "stream", "the", "join", "merge", "data",
+          "customer", "row", "plan", "shuffle", "read", "write",
+          "cache", "skew", "code", "stage", "task", "broadcast")
+_LANGS = ("en",) * 14 + ("de",) * 5 + ("fr",) * 5 + ("zh",) * 5 \
+    + ("es",) * 5
 
 _SEG = ("FURNITURE", "MACHINERY", "AUTOMOBILE", "BUILDING", "HOUSEHOLD")
 _PRIO = ("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
@@ -183,9 +200,52 @@ def main() -> int:
         ))
     lineitem.write.mode("overwrite").parquet(f"{out}/lineitem.parquet")
 
+    n_docs = int(BASE["documents"] * sf)
+    n_vec = int(BASE["embeddings"] * sf)
+    vocab = F.array(*[F.lit(w) for w in _VOCAB])
+    langs = F.array(*[F.lit(w) for w in _LANGS])
+    # ~0.2% exact dups: every 500th doc copies its predecessor's text
+    # (the shape pipeline/source.py's docs_aug augmentation and the
+    # exact-dedup family expect from the driver corpus)
+    eff = (F.col("id")
+           - F.when(F.col("id") % 500 == 499, F.lit(1)).otherwise(0))
+    n_words = _mix(eff, 71) % 92 + 8
+    text = F.concat_ws(" ", F.transform(
+        F.sequence(F.lit(1), n_words),
+        lambda i: F.element_at(
+            vocab,
+            (_mix(eff * 128 + i, 72) % len(_VOCAB) + 1).cast("int"))))
+    (spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        text.alias("text"),
+        F.element_at(langs, (_mix(F.col("id"), 73) % len(_LANGS) + 1)
+                     .cast("int")).alias("lang"),
+        F.format_string("src%d", (_mix(F.col("id"), 74) % 20))
+        .alias("source"))
+     .withColumn("n_chars", F.length("text").cast("long"))
+     .write.mode("overwrite").parquet(f"{out}/documents.parquet"))
+
+    # 10-label cluster structure like the driver's: per-label center
+    # plus per-vector noise, dim 64 float32
+    lbl = (_mix(F.col("id"), 81) % 10).cast("int")
+    emb = F.transform(
+        F.sequence(F.lit(1), F.lit(64)),
+        lambda j: (
+            ((_mix(lbl.cast("long") * 64 + j, 82) % 1000)
+             / F.lit(1000.0) - F.lit(0.5))
+            + ((_mix(F.col("id") * 64 + j, 83) % 1000)
+               / F.lit(1000.0) - F.lit(0.5)) * F.lit(0.3)
+        ).cast("float"))
+    (spark.range(n_vec).select(
+        F.col("id").alias("vec_id"),
+        emb.alias("embedding"),
+        lbl.alias("label"))
+     .write.mode("overwrite").parquet(f"{out}/embeddings.parquet"))
+
     counts = {t: spark.read.parquet(f"{out}/{t}.parquet").count()
               for t in ("region", "nation", "customer", "supplier",
-                        "part", "orders", "lineitem")}
+                        "part", "orders", "lineitem", "documents",
+                        "embeddings")}
     print({"sf": sf, "out": out, "rows": counts})
     spark.stop()
     return 0
