@@ -1045,6 +1045,16 @@ _EXTRA_QUERIES = {
     # exact-dup pressure, token/char volume, integer-mean quality
     "pipeline_corpus_report":
         lambda s, d: pprof.corpus_report(_aug(s, d)),
+    # feature-hashing text embeddings (the corpus -> vector-family
+    # bridge the vector-pipeline CLI uses): one shuffle-free codegen'd
+    # projection; first 8 dims projected as float32 scalars (driver
+    # can't hash lists — multimodal_features precedent); the oracle
+    # reproduces the float32 values bit-exactly (integer double sums,
+    # IEEE sqrt/divide, REAL cast)
+    "text_hash_embeddings":
+        lambda s, d: ptext.hash_embeddings(_aug(s, d)).select(
+            "vec_id", *[F.element_at("embedding", i + 1).alias(f"f{i}")
+                        for i in range(8)]),
     # self-supervised bigram-LM fluency scoring (integer micro transition
     # mass, add-V smoothing — the log-free perplexity-style quality
     # signal beside the heuristic quality_scores)

@@ -488,6 +488,63 @@ def build_serve_app(spark, sf_dir: str, precompute_dir: str | None,
     return create_app(api, denorm)
 
 
+def cmd_vector_pipeline(args: argparse.Namespace) -> int:
+    """Raw JSONL corpus -> served ANN results in ONE command — the
+    end-to-end recipe wiring the existing pieces: ``read_jsonl_docs``
+    (declared schema, PERMISSIVE quarantine split) -> exact-dedup
+    keep-first -> ``hash_embeddings`` (feature-hashing text vectors) ->
+    ``write_ivf_sq8_index`` (sampled training) -> one distributed
+    batch-retrieval pass serving the first ``--n-queries`` docs' own
+    vectors.  Artifacts land under ``--workdir``: ``docs/``
+    ``quarantine/`` ``emb/`` ``index/`` ``results/`` — ``emb/`` is a
+    live primary store (feed it to ``vector-index upsert`` /
+    ``stream_vector_search`` to keep serving the growing corpus).
+    One JSON status line."""
+    spark = _spark("vector-pipeline")
+    from pyspark.sql import functions as F
+
+    from .pipeline import similarity as sim
+    from .pipeline.dedup import exact_dedup
+    from .pipeline.text import hash_embeddings
+    from .sources.ingest import read_jsonl_docs
+
+    wd = args.workdir
+    # land the raw read ONCE, then split: the quarantine filter must not
+    # re-scan the JSONL (and a corrupt-only projection is refused by
+    # Spark anyway — see read_jsonl_docs)
+    raw = read_jsonl_docs(spark, args.docs).localCheckpoint(eager=True)
+    raw.filter("_corrupt_record IS NOT NULL") \
+        .write.mode("overwrite").parquet(f"{wd}/quarantine")
+    n_bad = spark.read.parquet(f"{wd}/quarantine").count()
+    clean = raw.filter("_corrupt_record IS NULL").drop("_corrupt_record")
+    keep = (exact_dedup(clean).filter("NOT is_duplicate")
+            .select("doc_id"))
+    clean.join(keep, "doc_id", "left_semi") \
+        .write.mode("overwrite").parquet(f"{wd}/docs")
+    docs = spark.read.parquet(f"{wd}/docs")
+    n_docs = docs.count()
+
+    hash_embeddings(docs, dim=args.dim) \
+        .write.mode("overwrite").parquet(f"{wd}/emb")
+    emb = spark.read.parquet(f"{wd}/emb")
+    sim.write_ivf_sq8_index(emb, f"{wd}/index", dim=args.dim,
+                            train_fraction=args.train_fraction)
+
+    queries = (emb.orderBy("vec_id").limit(args.n_queries)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    sim.ivf_sq8_index_topk_batch(
+        spark, f"{wd}/index", queries, emb, k=args.k,
+        nprobe=args.nprobe) \
+        .write.mode("overwrite").parquet(f"{wd}/results")
+    n_results = spark.read.parquet(f"{wd}/results").count()
+    print(json.dumps({
+        "workdir": wd, "n_docs": n_docs, "n_quarantined": n_bad,
+        "index_kind": "ivf_sq8", "dim": args.dim,
+        "n_queries": int(args.n_queries), "n_results": n_results,
+    }))
+    return 0
+
+
 def cmd_serve(args: argparse.Namespace) -> int:  # pragma: no cover
     spark = _spark("serve")
     app = build_serve_app(spark, args.sf_dir, args.precompute_dir,
@@ -651,6 +708,23 @@ def main(argv: list[str] | None = None) -> int:
     pv.add_argument("--recall-floor", type=int, default=600,
                     help="maintain: min sampled recall permille")
     pv.set_defaults(fn=cmd_vector_index)
+
+    pvp = sub.add_parser(
+        "vector-pipeline",
+        help="JSONL corpus -> quarantine/dedup -> hash embeddings -> "
+             "ivf_sq8 index -> batch ANN results, in one command")
+    pvp.add_argument("--docs", required=True,
+                     help="JSONL path/glob (doc_id, text, lang, source, "
+                          "n_chars per line)")
+    pvp.add_argument("--workdir", required=True,
+                     help="output root (docs/ quarantine/ emb/ index/ "
+                          "results/)")
+    pvp.add_argument("--dim", type=int, default=64)
+    pvp.add_argument("--k", type=int, default=5)
+    pvp.add_argument("--nprobe", type=int, default=2)
+    pvp.add_argument("--n-queries", type=int, default=3)
+    pvp.add_argument("--train-fraction", type=float, default=1.0)
+    pvp.set_defaults(fn=cmd_vector_pipeline)
 
     pl = sub.add_parser(
         "plan", help="scale-screen a query's physical plan")

@@ -1975,4 +1975,30 @@ ranked AS (
 )
 SELECT query_id, rank, neighbor_id, cos_sim FROM ranked WHERE rank <= 5
 """,
+        # mirrors pipeline/text.py hash_embeddings: feature-hashing text
+        # vectors — per-token bucket/sign from the md5 hash, exact-integer
+        # double sums, IEEE sqrt/divide, then the float32 cast (DuckDB
+        # REAL) bit-matches Spark's array<float>; first 8 dims projected
+        # (lists are unhashable in the driver compare, like multimodal)
+        "text_hash_embeddings": f"""
+WITH {DOCS},
+t AS (SELECT doc_id, {TOKS} AS toks FROM docs_aug),
+h AS (SELECT doc_id, list_transform(toks, tk -> struct_pack(
+        b := {md5h("'he/' || tk")} % 64,
+        s := CASE WHEN {md5h("'hs/' || tk")} % 2 = 1
+             THEN -1.0 ELSE 1.0 END)) AS hs
+      FROM t),
+v AS (SELECT doc_id, list_transform(range(0, 64), i ->
+        coalesce(list_sum(list_transform(hs, p ->
+          CASE WHEN p.b = i THEN p.s ELSE 0.0 END)), 0.0)) AS raw
+      FROM h),
+n AS (SELECT doc_id, raw,
+             sqrt(list_sum(list_transform(raw, x -> x * x))) AS nrm
+      FROM v)
+SELECT doc_id AS vec_id,
+       {", ".join(
+           f"CAST(raw[{i + 1}] / (CASE WHEN nrm = 0 THEN 1.0 "
+           f"ELSE nrm END) AS REAL) AS f{i}" for i in range(8))}
+FROM n
+""",
     }

@@ -452,3 +452,46 @@ def lm_transition_scores(docs: DataFrame) -> DataFrame:
             F.col("lm_score_micro"),
         )
     )
+
+
+def hash_embeddings(docs: DataFrame, dim: int = 64) -> DataFrame:
+    """``(vec_id, embedding)``: deterministic feature-hashing text
+    embeddings (the classic hashing trick) — every token lands in
+    bucket ``md5_hash64('he/'||token) % dim`` with a ±1 sign from an
+    independently-salted hash (the sign hash unbiases collision sums),
+    bucket counts accumulate, and the vector L2-normalizes (all-zero →
+    zero vector, no NaN).
+
+    This is the bridge from a raw text corpus to the whole vector
+    family (ANN, semantic dedup, the SQ8/IVF/PQ serving indexes) when
+    no model embeddings ship with the data — cheap, reproducible, and
+    good enough for lexical-similarity retrieval.  Shape: ONE
+    shuffle-free codegen'd projection — ``F.aggregate`` folds the token
+    array straight into the dim-vector (no explode, no groupBy), so at
+    100 TB the stage scales with input splits exactly like every other
+    text operator here.  Cost is O(dim x tokens) per row; keep dim
+    modest (the default 64 matches the fixture embeddings).
+    """
+    from .core import md5_hash64
+
+    # NULL text folds to the zero vector (like empty), never a NULL
+    # embedding a downstream cosine would silently null-propagate
+    toks = tokens(F.coalesce(F.col("text"), F.lit("")))
+
+    def _step(acc, t):
+        b = F.pmod(md5_hash64(F.concat(F.lit("he/"), t)), F.lit(dim))
+        sgn = F.when(
+            F.pmod(md5_hash64(F.concat(F.lit("hs/"), t)), F.lit(2))
+            == 1, F.lit(-1.0)).otherwise(F.lit(1.0))
+        return F.transform(
+            acc, lambda v, i: v + F.when(b == i.cast("long"), sgn)
+            .otherwise(F.lit(0.0)))
+
+    raw = F.aggregate(toks, F.array_repeat(F.lit(0.0), dim), _step)
+    norm = F.sqrt(F.aggregate(raw, F.lit(0.0), lambda a, x: a + x * x))
+    emb = F.transform(
+        raw,
+        lambda x: (x / F.when(norm == F.lit(0.0), F.lit(1.0))
+                   .otherwise(norm)).cast("float"))
+    return docs.select(F.col("doc_id").alias("vec_id"),
+                       emb.alias("embedding"))

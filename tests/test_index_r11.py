@@ -452,3 +452,52 @@ def test_wiped_results_store_reserves(spark, emb, tmp_path):
                          str(tmp_path / "chk2"), k=3).awaitTermination()
     assert sorted(map(tuple,
                       read_version(spark, results).collect())) == rows0
+
+
+def test_cli_vector_pipeline_end_to_end(spark, tmp_path, capsys):
+    """The one-command serving demo: JSONL in (with a corrupt line and
+    an exact duplicate) -> quarantine + dedup + hash embeddings +
+    ivf_sq8 index + batch ANN results on disk; every query's rank-1
+    neighbor is itself at cos 1.0."""
+    import json as _json
+
+    from public_transit_data_platform_sql_nosql_spark.__main__ import (
+        main,
+    )
+
+    src = tmp_path / "in.jsonl"
+    lines = [
+        _json.dumps({"doc_id": i, "text": t, "lang": "en",
+                     "source": "s0", "n_chars": len(t)})
+        for i, t in enumerate(
+            ["spark batch window merge", "filter scan join order",
+             "vector table stream hash", "group agg sort key value",
+             "filter scan join order",          # exact dup of doc 1
+             "broadcast shuffle skew plan"])
+    ]
+    lines.insert(3, "{not json at all")          # quarantined
+    src.write_text("\n".join(lines) + "\n")
+
+    wd = str(tmp_path / "wd")
+    # --nprobe 8 probes every cluster: at 5 docs each k-means cluster
+    # holds ~1 vector, so the default nprobe=2 would (correctly) serve
+    # fewer than k
+    assert main(["vector-pipeline", "--docs", str(src),
+                 "--workdir", wd, "--k", "3", "--n-queries", "2",
+                 "--nprobe", "8"]) == 0
+    st = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert st["n_quarantined"] == 1
+    assert st["n_docs"] == 5                     # 6 clean - 1 exact dup
+    assert st["n_queries"] == 2 and st["n_results"] == 6
+
+    docs = spark.read.parquet(f"{wd}/docs")
+    assert docs.count() == 5
+    assert docs.filter("doc_id = 4").count() == 0    # the dup dropped
+    res = spark.read.parquet(f"{wd}/results").collect()
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {0, 1}
+    for qid, rows in by_q.items():
+        top = min(rows, key=lambda r: r["rank"])
+        assert top["neighbor_id"] == qid and top["cos_sim"] == 1.0
