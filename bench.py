@@ -168,10 +168,12 @@ _SF1_QUERIES = ("q1_busiest_stops", "q2_route_stats_whole_week",
                 "denormalize_check",
                 # r11: the LLM-pipeline heavyweights — where the 100-TB
                 # scale claims live — measured at matched scale too
-                # (gen_sf now synthesizes documents/embeddings at 10x
-                # the driver's sf0.1, same rule as the transit tables)
+                # (gen_sf now synthesizes documents/embeddings/events at
+                # 10x the driver's sf0.1, same rule as the transit
+                # tables)
                 "pipeline_training_chunks", "dedup_clusters",
-                "text_search_bm25")
+                "text_search_bm25",
+                "events_asof_join", "events_interval_join")
 
 
 def _sf1_section(spark, qs) -> dict | None:
@@ -197,7 +199,8 @@ def _sf1_section(spark, qs) -> dict | None:
         return None
     sf1_dir = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/sfgen/sf1")
     if not all(os.path.exists(f"{sf1_dir}/{t}.parquet")
-               for t in ("lineitem", "documents", "embeddings")):
+               for t in ("lineitem", "documents", "embeddings",
+                         "events")):
         print(f"# sf1: fixture missing at {sf1_dir}; generating "
               f"(tools/gen_sf.py)", file=sys.stderr)
         r = subprocess.run(

@@ -612,7 +612,8 @@ def _max_committed_batch_id(spark, store_path: str) -> int:
 def stream_vector_index_upsert(emb_stream: DataFrame, index_path: str,
                                checkpoint: str, dim: int | None = None,
                                tol: float | None = None,
-                               compact_hint_dirs: int = 8):
+                               compact_hint_dirs: int = 8,
+                               auto_compact: bool = False):
     """foreachBatch maintenance of a manifest-committed vector index
     (``write_sq8_index``, ``write_ivf_sq8_index`` or ``write_pq_index``
     — the layout kind AND dim are read from the index's own manifest,
@@ -647,7 +648,11 @@ def stream_vector_index_upsert(emb_stream: DataFrame, index_path: str,
     index commit and the decision commit) lands as a keyed replacement
     — the index never double-counts.  When the post-upsert manifest
     references >= ``compact_hint_dirs`` codes dirs, a ``compact`` hint
-    row (n_new = dir count) is appended to the decisions store.
+    row (n_new = dir count) is appended to the decisions store —
+    or, with ``auto_compact=True``, the maintainer runs
+    ``compact_index`` itself inside the same micro-batch and records a
+    ``compacted`` row instead (retention stays an operator choice:
+    ``vacuum_index`` is never run automatically).
     """
     from ..jobs.versioned import commit_version
     from ..pipeline.similarity import (
@@ -694,7 +699,15 @@ def stream_vector_index_upsert(emb_stream: DataFrame, index_path: str,
         n_dirs = len(_index_manifest(spark, index_path)
                      .get("codes", []))
         if n_dirs >= compact_hint_dirs:
-            rows.append((int(batch_id), "compact", int(n_dirs), 0, 0))
+            if auto_compact:
+                from ..pipeline.similarity import compact_index
+
+                compact_index(spark, index_path)
+                rows.append((int(batch_id), "compacted",
+                             int(n_dirs), 0, 0))
+            else:
+                rows.append((int(batch_id), "compact",
+                             int(n_dirs), 0, 0))
         decision = spark.createDataFrame(
             rows,
             "batch_id long, decision string, n_new long, "

@@ -501,3 +501,67 @@ def test_cli_vector_pipeline_end_to_end(spark, tmp_path, capsys):
     for qid, rows in by_q.items():
         top = min(rows, key=lambda r: r["rank"])
         assert top["neighbor_id"] == qid and top["cos_sim"] == 1.0
+
+
+def test_stream_upsert_auto_compact(spark, emb, tmp_path):
+    """auto_compact=True: the maintainer acts on its own hint inside
+    the micro-batch — the manifest folds back to one codes dir, a
+    `compacted` decision row is recorded, and content survives."""
+    from pyspark.sql import functions as F
+
+    from public_transit_data_platform_sql_nosql_spark.streaming.jobs import (  # noqa: E501
+        stream_vector_index_upsert,
+    )
+
+    idx = str(tmp_path / "idx")
+    base = emb.filter("vec_id >= 10").select("vec_id", "embedding")
+    write_ivf_sq8_index(base, idx)
+    src = str(tmp_path / "src")
+    (emb.filter("vec_id < 3")
+     .select((F.col("vec_id") + 50_000).alias("vec_id"), "embedding")
+     .coalesce(1).write.parquet(f"{src}/a.parquet"))
+
+    stream = (spark.readStream
+              .schema("vec_id long, embedding array<float>")
+              .parquet(f"{src}/*.parquet"))
+    stream_vector_index_upsert(stream, idx, str(tmp_path / "chk"),
+                               compact_hint_dirs=2,
+                               auto_compact=True).awaitTermination()
+
+    m = _index_manifest(spark, idx)
+    assert m["kind"] == "ivf_sq8" and len(m["codes"]) == 1
+    dec = sorted(read_version(spark, f"{idx}/_state/decisions")
+                 .collect(), key=lambda r: r["decision"])
+    assert [d["decision"] for d in dec] == ["appended", "compacted"]
+    codes = read_index_codes(spark, idx)
+    assert codes.count() == base.count() + 3
+    assert codes.filter("vec_id >= 50000").count() == 3
+
+
+def test_hash_embeddings_properties(spark):
+    """The corpus->vector bridge: unit norm (or exact zero), bit-level
+    determinism, fixed dim, and a SHUFFLE-FREE plan (one codegen'd
+    projection — no Exchange anywhere)."""
+    import math
+
+    from public_transit_data_platform_sql_nosql_spark.pipeline.text import (
+        hash_embeddings,
+    )
+    from public_transit_data_platform_sql_nosql_spark.plans import (
+        executed_plan,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    e = hash_embeddings(docs, dim=32)
+    plan = executed_plan(e)
+    assert "Exchange" not in plan            # narrow projection only
+
+    rows = e.collect()
+    assert all(len(r["embedding"]) == 32 for r in rows)
+    for r in rows[:50]:
+        n = math.sqrt(sum(x * x for x in r["embedding"]))
+        assert n == 0.0 or abs(n - 1.0) < 1e-6
+    # determinism: a second evaluation is bit-identical
+    again = {r["vec_id"]: list(r["embedding"])
+             for r in hash_embeddings(docs, dim=32).collect()}
+    assert all(list(r["embedding"]) == again[r["vec_id"]] for r in rows)

@@ -45,7 +45,13 @@ BASE = {
     # heavyweights get a matched-scale trend line alongside q1-q4
     "documents": 50_000,
     "embeddings": 20_000,
+    # the event stream (events 100k -> 1M, users 1.5k -> 15k over the
+    # same 30-day window) for the asof/range/interval join family
+    "events": 1_000_000,
+    "event_users": 15_000,
 }
+
+_ETYPES = ("view", "click", "purchase", "signup", "error")
 
 # the driver corpus's own bag-of-words shape: short data-engineering
 # tokens, uniform draws per position (sampled from sf0.1: 8-100 words,
@@ -242,10 +248,28 @@ def main() -> int:
         lbl.alias("label"))
      .write.mode("overwrite").parquet(f"{out}/embeddings.parquet"))
 
+    n_events = int(BASE["events"] * sf)
+    n_users = max(1, int(BASE["event_users"] * sf))
+    etypes = F.array(*[F.lit(t) for t in _ETYPES])
+    span_us = 30 * 86_400 * 1_000_000          # the driver's 30 days
+    start_us = 1_704_067_200_000_000           # 2024-01-01 UTC
+    (spark.range(n_events).select(
+        F.col("id").alias("event_id"),
+        F.timestamp_micros(
+            F.lit(start_us) + F.col("id") * F.lit(span_us // n_events)
+            + _mix(F.col("id"), 91) % 1_000_000).alias("ts"),
+        (_mix(F.col("id"), 92) % n_users).alias("user_id"),
+        F.element_at(etypes, (_mix(F.col("id"), 93) % 5 + 1)
+                     .cast("int")).alias("event_type"),
+        ((_mix(F.col("id"), 94) % 20_000) / 100.0).alias("value"),
+        F.format_string('{"k": %d}', (_mix(F.col("id"), 95) % 100))
+        .alias("props"))
+     .write.mode("overwrite").parquet(f"{out}/events.parquet"))
+
     counts = {t: spark.read.parquet(f"{out}/{t}.parquet").count()
               for t in ("region", "nation", "customer", "supplier",
                         "part", "orders", "lineitem", "documents",
-                        "embeddings")}
+                        "embeddings", "events")}
     print({"sf": sf, "out": out, "rows": counts})
     spark.stop()
     return 0
