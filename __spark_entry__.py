@@ -1330,6 +1330,14 @@ _FLAGSHIP_R11 = {
     # snapshot audit: per-doc added/removed/changed/unchanged between
     # two corpus versions (one narrow full-outer hash join)
     "pipeline_corpus_diff": _corpus_diff,
+    # NEW r11 operator, gated immediately: IVF x PQ — coarse partition
+    # pruning over product-quantized codes (the FAISS-IVFPQ layout's
+    # in-flight twin; composes the ann_ivf probe semantics with the
+    # ann_pq hat scoring, both already hash-pinned separately).
+    # Displaces the 50th in-window slot (a previously-gated
+    # _PIPELINE_QUERIES row whose hash was carried in earlier rounds).
+    "ann_ivf_pq_topk":
+        lambda s, d: psim.ivf_pq_topk(_emb(s, d)),
 }
 
 

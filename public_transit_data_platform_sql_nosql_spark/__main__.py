@@ -319,7 +319,10 @@ def cmd_vector_index(args: argparse.Namespace) -> int:
         emb = spark.read.parquet(args.emb)
         build_dim = args.dim if args.dim is not None else 64
         tf = args.train_fraction
-        if args.pq:
+        if args.pq and args.ivf:
+            sim.write_ivf_pq_index(emb, args.path, dim=build_dim,
+                                   train_fraction=tf)
+        elif args.pq:
             sim.write_pq_index(emb, args.path, dim=build_dim,
                                train_fraction=tf)
         elif args.ivf:
@@ -345,6 +348,9 @@ def cmd_vector_index(args: argparse.Namespace) -> int:
             res = sim.ivf_sq8_index_topk(
                 spark, args.path, qvec, emb, k=args.k,
                 nprobe=args.nprobe, dim=args.dim)
+        elif kind == "ivf_pq":
+            res = sim.ivf_pq_index_topk(spark, args.path, qvec, emb,
+                                        k=args.k, nprobe=args.nprobe)
         elif kind == "pq":
             res = sim.pq_index_topk(spark, args.path, qvec, emb,
                                     k=args.k)
@@ -366,6 +372,10 @@ def cmd_vector_index(args: argparse.Namespace) -> int:
         kind = sim._index_manifest(spark, args.path).get("kind", "sq8")
         if kind == "ivf_sq8":
             res = sim.ivf_sq8_index_topk_batch(
+                spark, args.path, queries, emb, k=args.k,
+                nprobe=args.nprobe)
+        elif kind == "ivf_pq":
+            res = sim.ivf_pq_index_topk_batch(
                 spark, args.path, queries, emb, k=args.k,
                 nprobe=args.nprobe)
         elif kind == "pq":
@@ -393,6 +403,8 @@ def cmd_vector_index(args: argparse.Namespace) -> int:
             st = sim.pq_index_upsert(spark, args.path, batch)
         elif kind == "ivf_sq8":
             st = sim.ivf_sq8_index_upsert(spark, args.path, batch)
+        elif kind == "ivf_pq":
+            st = sim.ivf_pq_index_upsert(spark, args.path, batch)
         else:
             st = sim.sq8_index_upsert(spark, args.path, batch,
                                       dim=args.dim)
@@ -406,15 +418,22 @@ def cmd_vector_index(args: argparse.Namespace) -> int:
         # rebuild-in-place decision.  Flat sq8's guard lives in its
         # upsert; classic IVF's in maintain_ivf_index
         kind = sim._index_manifest(spark, args.path).get("kind", "sq8")
-        if kind not in ("pq", "ivf_sq8"):
-            print(json.dumps({"error": f"maintain drives pq/ivf_sq8 "
-                                       f"indexes; this one is {kind!r}"}))
+        if kind not in ("pq", "ivf_sq8", "ivf_pq"):
+            print(json.dumps({"error": f"maintain drives pq/ivf_sq8/"
+                                       f"ivf_pq indexes; this one is "
+                                       f"{kind!r}"}))
             return 2
         batch = spark.read.parquet(args.batch)
         vectors = spark.read.parquet(args.emb)
         if kind == "pq":
             st = sim.maintain_pq_index(
                 spark, args.path, batch, vectors, k=args.k,
+                recall_floor_permille=args.recall_floor,
+                train_fraction=args.train_fraction)
+        elif kind == "ivf_pq":
+            st = sim.maintain_ivf_pq_index(
+                spark, args.path, batch, vectors, k=args.k,
+                nprobe=args.nprobe,
                 recall_floor_permille=args.recall_floor,
                 train_fraction=args.train_fraction)
         else:
@@ -672,8 +691,8 @@ def main(argv: list[str] | None = None) -> int:
     pv = sub.add_parser(
         "vector-index",
         help="build/query/upsert/maintain/vacuum a manifest-committed "
-             "ANN index (sq8 / ivf_sq8 / pq — ops dispatch by the "
-             "manifest's kind)")
+             "ANN index (sq8 / ivf_sq8 / pq / ivf_pq — ops dispatch by "
+             "the manifest's kind)")
     pv.add_argument("action",
                     choices=("build", "query", "query-batch", "upsert",
                              "maintain", "compact", "vacuum"))
@@ -689,7 +708,9 @@ def main(argv: list[str] | None = None) -> int:
     pv.add_argument("--ivf", action="store_true",
                     help="build: compose k-means partition pruning")
     pv.add_argument("--pq", action="store_true",
-                    help="build: product quantization (m-byte codes)")
+                    help="build: product quantization (m-byte codes); "
+                         "with --ivf: IVF x PQ (cluster-pruned m-byte "
+                         "codes)")
     pv.add_argument("--train-fraction", type=float, default=1.0,
                     help="build/maintain (--ivf/--pq): hash-sample "
                          "fraction for centroid/codebook training "

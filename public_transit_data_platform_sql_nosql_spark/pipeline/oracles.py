@@ -246,15 +246,14 @@ s AS (SELECT {', '.join(sums)} FROM base)
 """
 
 
-def pq_topk_sql(src: str = "embeddings", num_queries: int = 8,
-                k: int = 10, m: int = 8, ksub: int = 16,
-                dim: int = 64, rerank_mult: int = 8) -> str:
-    """Generated oracle for pipeline/similarity.pq_topk: ``m`` unrolled
-    k-means chains (one per contiguous array slice), unit-normalized
-    codewords (exact left-fold norm, same op order as core.dot),
-    reconstruction = subspace-ordered codeword concatenation,
-    asymmetric cosine shortlist of ``k * rerank_mult``, exact re-rank —
-    the same doubles in the same order as the Spark plan."""
+def _pq_hat_ctes(src: str, m: int, ksub: int, dim: int) -> str:
+    """The PQ training + reconstruction CTE fragment shared by the
+    pq_topk and ivf_pq_topk oracles: ``m`` unrolled k-means chains
+    (one per contiguous array slice), unit-normalized codewords (exact
+    left-fold norm, same op order as core.dot), and ``hat`` =
+    subspace-ordered codeword concatenation per vector — the mirror of
+    pipeline/similarity._pq_books_and_assignments +
+    _pq_reconstructions."""
     sub = dim // m
     chains, books, asgs = [], [], []
     for j in range(m):
@@ -288,8 +287,7 @@ def pq_topk_sql(src: str = "embeddings", num_queries: int = 8,
             f"FROM p{j}_c2")
         asgs.append(
             f"SELECT vec_id, {j} AS subspace, cid FROM p{j}_a2")
-    return f"""
-WITH {','.join(chains)},
+    return f"""{','.join(chains)},
 books AS ({' UNION ALL '.join(books)}),
 asg AS ({' UNION ALL '.join(asgs)}),
 hat AS (
@@ -298,13 +296,100 @@ hat AS (
   FROM asg a JOIN books b
     ON a.subspace = b.subspace AND a.cid = b.code
   GROUP BY a.vec_id
-),
+)"""
+
+
+def pq_topk_sql(src: str = "embeddings", num_queries: int = 8,
+                k: int = 10, m: int = 8, ksub: int = 16,
+                dim: int = 64, rerank_mult: int = 8) -> str:
+    """Generated oracle for pipeline/similarity.pq_topk: the shared
+    PQ hat chain (``_pq_hat_ctes``), asymmetric cosine shortlist of
+    ``k * rerank_mult``, exact re-rank — the same doubles in the same
+    order as the Spark plan."""
+    return f"""
+WITH {_pq_hat_ctes(src, m, ksub, dim)},
 q AS (SELECT vec_id AS query_id, embedding AS qe FROM {src}
       WHERE vec_id < {num_queries}),
 approx AS (
   SELECT q.query_id, h.vec_id AS neighbor_id,
          {cos_sql('q.qe', 'h.hat', dim)} AS approx_sim
   FROM hat h, q WHERE q.query_id != h.vec_id
+),
+short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY approx_sim DESC, neighbor_id) AS rn
+    FROM approx
+  ) WHERE rn <= {k * rerank_mult}
+),
+pairs AS (
+  SELECT s.query_id, s.neighbor_id,
+         round({cos_sql('q.qe', 'n.ne', dim)}, 6) AS cos_sim
+  FROM short s
+  JOIN q ON q.query_id = s.query_id
+  JOIN (SELECT vec_id AS neighbor_id, embedding AS ne FROM {src}) n
+    ON n.neighbor_id = s.neighbor_id
+)
+SELECT query_id, rank, neighbor_id, cos_sim FROM (
+  SELECT query_id, neighbor_id, cos_sim,
+         CAST(row_number() OVER (PARTITION BY query_id
+           ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
+  FROM pairs
+) WHERE rank <= {k}
+"""
+
+
+def ivf_pq_topk_sql(src: str = "embeddings", num_queries: int = 8,
+                    k: int = 10, nprobe: int = 2, kc: int | None = None,
+                    m: int = 8, ksub: int = 16, dim: int = 64,
+                    rerank_mult: int = 8) -> str:
+    """Generated oracle for pipeline/similarity.ivf_pq_topk — the
+    composition of the ann_ivf and ann_pq mirrors: the coarse k-means
+    chain (``kmeans_ctes``, prefix ``g_``) plus its FINAL-assignment
+    centroids (``g_c2`` — one update step fresher, exactly
+    ``_quantized_centroids(assigned)``), per-query top-``nprobe``
+    cluster probing by round-6 centroid cosine, the shared PQ hat
+    chain, reconstruction scoring restricted to probed clusters with
+    the self-hit excluded, ``k * rerank_mult`` shortlist, exact
+    re-rank."""
+    from .similarity import KMEANS_K
+
+    kcc = KMEANS_K if kc is None else kc
+    return f"""
+WITH {kmeans_ctes(src, k=kcc, dim=dim, prefix="g_")},
+g_comp2 AS (
+  SELECT cid, u.pos AS pos, CAST(SUM(u.q) AS BIGINT) AS s
+  FROM (
+    SELECT a.cid, UNNEST(list_transform(range(1, {dim + 1}),
+         i -> struct_pack(pos := i,
+              q := CAST(round(e.embedding[i] * 1000) AS BIGINT)))) AS u
+    FROM g_a2 a JOIN {src} e USING (vec_id)
+  )
+  GROUP BY 1, 2
+),
+g_c2 AS (
+  SELECT cid, list(CAST(s AS DOUBLE) ORDER BY pos) AS centroid
+  FROM g_comp2 GROUP BY cid
+),
+{_pq_hat_ctes(src, m, ksub, dim)},
+q AS (SELECT vec_id AS query_id, embedding AS qe FROM {src}
+      WHERE vec_id < {num_queries}),
+probe AS (
+  SELECT query_id, cid, qe FROM (
+    SELECT q.query_id, c.cid, q.qe,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY round({cos_sql('q.qe', 'c.centroid', dim)}, 6)
+               DESC, c.cid) AS rn
+    FROM q, g_c2 c
+  ) WHERE rn <= {nprobe}
+),
+approx AS (
+  SELECT p.query_id, h.vec_id AS neighbor_id,
+         {cos_sql('p.qe', 'h.hat', dim)} AS approx_sim
+  FROM hat h
+  JOIN g_a2 a ON a.vec_id = h.vec_id
+  JOIN probe p ON p.cid = a.cid AND p.query_id != h.vec_id
 ),
 short AS (
   SELECT query_id, neighbor_id FROM (
@@ -1381,6 +1466,10 @@ SELECT query_id, rank, neighbor_id, cos_sim FROM r WHERE rank <= 10
         # reconstruction + asymmetric shortlist + exact rerank
         # (pipeline/similarity.pq_topk; generated by pq_topk_sql)
         "ann_pq_topk": pq_topk_sql(),
+        # coarse kmeans chain (+ fresher g_c2 probing centroids) x the
+        # shared PQ hat chain (pipeline/similarity.ivf_pq_topk;
+        # generated by ivf_pq_topk_sql)
+        "ann_ivf_pq_topk": ivf_pq_topk_sql(),
         "ann_bruteforce_topk": f"""
 WITH pairs AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

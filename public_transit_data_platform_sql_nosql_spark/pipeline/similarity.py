@@ -333,7 +333,7 @@ def compact_index(spark, path: str, min_dirs: int = 2) -> dict:
     whose per-dir open/footer overhead eventually taxes every probe
     (the small-files problem, at directory granularity).  Compaction
     union-reads the committed dirs, rewrites them as a single dir
-    (cluster-partitioned when the kind is ivf_sq8, so pruning
+    (cluster-partitioned when the kind is ivf_sq8 / ivf_pq, so pruning
     survives), and commits a manifest identical except for the codes
     list — same crash protocol as every writer (data first, one
     rename; an interrupted compaction leaves the fragmented version
@@ -351,7 +351,7 @@ def compact_index(spark, path: str, min_dirs: int = 2) -> dict:
     codes = _read_codes(spark, path, m["codes"])
     version = _next_index_version(spark, path)
     base = f"data/v{version:06d}"
-    if m.get("kind") == "ivf_sq8":
+    if m.get("kind") in ("ivf_sq8", "ivf_pq"):
         (codes.select("vec_id", "cluster_id", "codes")
          .repartition("cluster_id")
          .write.mode("error").partitionBy("cluster_id")
@@ -1159,6 +1159,122 @@ def write_ivf_sq8_index(emb: DataFrame, path: str, k: int = KMEANS_K,
     })
 
 
+def _rank_clusters(spark, path: str, m: dict,
+                   query_vec: list[float]) -> list[tuple[float, int]]:
+    """Driver-side cluster ranking for a single query against a stored
+    index's centroid table (tiny by construction): ``[(round-6 cosine,
+    cluster_id), ...]`` sorted (sim DESC, cluster_id ASC) — the probe
+    order every cluster-partitioned layout (ivf_sq8, ivf_pq) shares."""
+    import math
+
+    cents = spark.read.parquet(f"{path}/{m['centroids']}").collect()
+    qn = math.sqrt(sum(x * x for x in query_vec))
+
+    def cos(c):
+        d = sum(a * b for a, b in zip(query_vec, c))
+        n = math.sqrt(sum(x * x for x in c))
+        return d / n / qn if n else -1.0
+
+    return sorted(
+        ((round(cos(r["centroid"]), 6), r["cluster_id"]) for r in cents),
+        key=lambda t: (-t[0], t[1]))
+
+
+def _widen_filtered_probes(codes_all: DataFrame, allowed: DataFrame,
+                           ranked: list, nprobe: int,
+                           k: int) -> list[int]:
+    """Adaptive probe widening under a restrictive ``allowed=`` filter
+    (single-query form, shared by the cluster-partitioned layouts): the
+    allowed vectors may live OUTSIDE the ``nprobe`` best clusters, and
+    a fixed probe set would then starve the shortlist no matter how the
+    filter is applied — so probe, count the reachable allowed
+    candidates (one partition-pruned semi-join count), and double until
+    >= ``k`` are reachable or every cluster is probed.  Returns the
+    widened probe list."""
+    allow_ids = allowed.select("vec_id")
+    while nprobe < len(ranked):
+        probe = [cid for _, cid in ranked[:nprobe]]
+        n_reachable = (
+            codes_all.filter(F.col("cluster_id").isin(probe))
+            .join(allow_ids, "vec_id", "left_semi").count())
+        if n_reachable >= k:
+            break
+        # max(..., nprobe + 1) keeps the step positive when a caller
+        # passes nprobe <= 0 (doubling 0 would spin count jobs
+        # forever — the maintain_ivf_sq8_index widening pattern)
+        nprobe = min(max(nprobe * 2, nprobe + 1), len(ranked))
+    return [cid for _, cid in ranked[:nprobe]]
+
+
+def _batch_candidates(spark, queries_q: DataFrame, cents: DataFrame,
+                      codes_all: DataFrame, nprobe: int, k: int,
+                      allowed: DataFrame | None) -> DataFrame:
+    """Batch probe resolution shared by the cluster-partitioned
+    layouts: per-query cluster ranking (queries x the broadcast
+    centroid table, bounded window), the UNION of probed clusters
+    pushed as a static IN-filter so the codes scan partition-prunes,
+    and — under ``allowed=`` — PER-QUERY adaptive probe widening: each
+    round counts every query's reachable allowed candidates in ONE
+    partition-pruned aggregate and only the STARVED queries (< ``k``
+    reachable) double their depth, at most O(log n_clusters) bounded
+    count jobs.  Returns the candidate rows ``(query_id, vec_id,
+    codes, ...)`` ready for layout-specific scoring."""
+    from pyspark.sql import types as T
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("c_sim"), F.asc("cluster_id"))
+    ranked = (
+        queries_q.join(F.broadcast(cents))
+        .select("query_id", "cluster_id",
+                F.round(cosine(F.col("qe"), F.col("centroid")), 6)
+                .alias("c_sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .select("query_id", "cluster_id", "rn")
+    )
+
+    def _cand(probes: DataFrame) -> DataFrame:
+        # UNION of probed clusters as a static IN-filter (bounded by
+        # the cluster count) so the codes scan partition-prunes; the
+        # probes join fans rows out only to the queries that probed
+        # each cluster
+        probed = [r["cluster_id"] for r in
+                  probes.select("cluster_id").distinct().collect()]
+        c = (codes_all.filter(F.col("cluster_id").isin(probed))
+             .join(probes, "cluster_id"))
+        if allowed is not None:
+            c = c.join(allowed.select("vec_id"), "vec_id", "left_semi")
+        return c
+
+    if allowed is None:
+        return _cand(ranked.filter(F.col("rn") <= nprobe)
+                     .select("query_id", "cluster_id"))
+    ranked = ranked.localCheckpoint(eager=True)      # rank ONCE, reuse
+    n_clusters = cents.count()                       # k-row table
+    depths = {r["query_id"]: min(max(nprobe, 0), n_clusters)
+              for r in queries_q.select("query_id").collect()}
+    dschema = T.StructType([queries_q.schema["query_id"],
+                            T.StructField("depth", T.IntegerType())])
+    while True:
+        depth_df = spark.createDataFrame(
+            [(qid, int(d)) for qid, d in depths.items()], dschema)
+        probes = (ranked.join(F.broadcast(depth_df), "query_id")
+                  .filter(F.col("rn") <= F.col("depth"))
+                  .select("query_id", "cluster_id"))
+        counts = {r["query_id"]: r["n"]
+                  for r in _cand(probes).groupBy("query_id")
+                  .agg(F.count(F.lit(1)).alias("n")).collect()}
+        starved = [qid for qid, d in depths.items()
+                   if counts.get(qid, 0) < k and d < n_clusters]
+        if not starved:
+            break
+        for qid in starved:
+            # max(..., d + 1) keeps the step positive for
+            # nprobe <= 0 callers (the single-query guard)
+            depths[qid] = min(max(depths[qid] * 2, depths[qid] + 1),
+                              n_clusters)
+    return _cand(probes)
+
+
 def ivf_sq8_index_topk(spark, path: str, query_vec: list[float],
                        vectors: DataFrame, k: int = 10,
                        nprobe: int = 2,
@@ -1185,36 +1301,15 @@ def ivf_sq8_index_topk(spark, path: str, query_vec: list[float],
     costs one bounded count job; an unfiltered query never pays it.
 
     ``dim`` is resolved from the manifest (pass it only to assert)."""
-    import math
-
     m = _index_manifest(spark, path)
     dim = _manifest_dim(m, dim, path)
-    cents = spark.read.parquet(f"{path}/{m['centroids']}").collect()
-    qn = math.sqrt(sum(x * x for x in query_vec))
-
-    def cos(c):
-        d = sum(a * b for a, b in zip(query_vec, c))
-        n = math.sqrt(sum(x * x for x in c))
-        return d / n / qn if n else -1.0
-
-    ranked = sorted(
-        ((round(cos(r["centroid"]), 6), r["cluster_id"]) for r in cents),
-        key=lambda t: (-t[0], t[1]))
+    ranked = _rank_clusters(spark, path, m, query_vec)
     codes_all = _read_codes(spark, path, m["codes"])
     if allowed is not None:
-        allow_ids = allowed.select("vec_id")
-        while nprobe < len(ranked):
-            probe = [cid for _, cid in ranked[:nprobe]]
-            n_reachable = (
-                codes_all.filter(F.col("cluster_id").isin(probe))
-                .join(allow_ids, "vec_id", "left_semi").count())
-            if n_reachable >= k:
-                break
-            # max(..., nprobe + 1) keeps the step positive when a caller
-            # passes nprobe <= 0 (doubling 0 would spin count jobs
-            # forever — the maintain_ivf_sq8_index widening pattern)
-            nprobe = min(max(nprobe * 2, nprobe + 1), len(ranked))
-    probe = [cid for _, cid in ranked[:nprobe]]
+        probe = _widen_filtered_probes(codes_all, allowed, ranked,
+                                       nprobe, k)
+    else:
+        probe = [cid for _, cid in ranked[:nprobe]]
 
     stats = spark.read.parquet(f"{path}/{m['quantizer']}")
     q = F.array(*[F.lit(float(x)) for x in query_vec])
@@ -1283,67 +1378,14 @@ def ivf_sq8_index_topk_batch(spark, path: str, queries: DataFrame,
     bounded count jobs, and a batch with no restrictive filter pays
     none of them.  Probe depths live driver-side, bounded by the batch
     (queries are the broadcast side by contract)."""
-    from pyspark.sql import types as T
-
     m = _index_manifest(spark, path)
     dim = int(m["dim"])
     cents = spark.read.parquet(f"{path}/{m['centroids']}")
     q = queries.select(F.col("query_id"),
                        F.col("embedding").alias("qe"))
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("c_sim"), F.asc("cluster_id"))
-    ranked = (
-        q.join(F.broadcast(cents))
-        .select("query_id", "cluster_id",
-                F.round(cosine(F.col("qe"), F.col("centroid")), 6)
-                .alias("c_sim"))
-        .withColumn("rn", F.row_number().over(w))
-        .select("query_id", "cluster_id", "rn")
-    )
     codes_all = _read_codes(spark, path, m["codes"])
-
-    def _cand(probes: DataFrame) -> DataFrame:
-        # UNION of probed clusters as a static IN-filter (bounded by
-        # the cluster count) so the codes scan partition-prunes; the
-        # probes join fans rows out only to the queries that probed
-        # each cluster
-        probed = [r["cluster_id"] for r in
-                  probes.select("cluster_id").distinct().collect()]
-        c = (codes_all.filter(F.col("cluster_id").isin(probed))
-             .join(probes, "cluster_id"))
-        if allowed is not None:
-            c = c.join(allowed.select("vec_id"), "vec_id", "left_semi")
-        return c
-
-    if allowed is None:
-        cand = _cand(ranked.filter(F.col("rn") <= nprobe)
-                     .select("query_id", "cluster_id"))
-    else:
-        ranked = ranked.localCheckpoint(eager=True)  # rank ONCE, reuse
-        n_clusters = cents.count()                   # k-row table
-        depths = {r["query_id"]: min(max(nprobe, 0), n_clusters)
-                  for r in q.select("query_id").collect()}
-        dschema = T.StructType([q.schema["query_id"],
-                                T.StructField("depth", T.IntegerType())])
-        while True:
-            depth_df = spark.createDataFrame(
-                [(qid, int(d)) for qid, d in depths.items()], dschema)
-            probes = (ranked.join(F.broadcast(depth_df), "query_id")
-                      .filter(F.col("rn") <= F.col("depth"))
-                      .select("query_id", "cluster_id"))
-            counts = {r["query_id"]: r["n"]
-                      for r in _cand(probes).groupBy("query_id")
-                      .agg(F.count(F.lit(1)).alias("n")).collect()}
-            starved = [qid for qid, d in depths.items()
-                       if counts.get(qid, 0) < k and d < n_clusters]
-            if not starved:
-                break
-            for qid in starved:
-                # max(..., d + 1) keeps the step positive for
-                # nprobe <= 0 callers (the single-query guard)
-                depths[qid] = min(max(depths[qid] * 2, depths[qid] + 1),
-                                  n_clusters)
-        cand = _cand(probes)
+    cand = _batch_candidates(spark, q, cents, codes_all, nprobe, k,
+                             allowed)
     stats = spark.read.parquet(f"{path}/{m['quantizer']}")
     scored = (
         cand.join(F.broadcast(q), "query_id")
@@ -1987,10 +2029,17 @@ def pq_index_topk_batch(spark, path: str, queries: DataFrame,
     if allowed is not None:
         cand = cand.join(allowed.select("vec_id"), "vec_id",
                          "left_semi")
+    # materialize the reconstruction ONCE PER CANDIDATE before the
+    # query join: hat depends only on the codes column, and leaving it
+    # inside the per-(candidate x query) cosine re-evaluates the m*k
+    # codeword literal walk |queries| times per row (measured 41 s ->
+    # ~3 s for a 16-query batch at sf0.01)
     scored = (
-        cand.join(F.broadcast(q))
-        .select("query_id", F.col("vec_id").alias("neighbor_id"),
-                cosine(F.col("qe"), hat).alias("approx_sim"))
+        cand.select(F.col("vec_id").alias("neighbor_id"),
+                    hat.alias("nhat"))
+        .join(F.broadcast(q))
+        .select("query_id", "neighbor_id",
+                cosine(F.col("qe"), F.col("nhat")).alias("approx_sim"))
     )
     ws = Window.partitionBy("query_id").orderBy(
         F.desc("approx_sim"), F.asc("neighbor_id"))
@@ -2269,4 +2318,415 @@ def maintain_ivf_index(spark, path: str, new_emb: DataFrame, *,
                         train_fraction=train_fraction)
         out["recall_after_rebuild_permille"] = _sampled_recall(
             spark, path, queries, k, nprobe)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# IVF x PQ — coarse partition pruning over product-quantized codes, the
+# fourth point on the serving matrix (flat/full -> SQ8 -> IVFxSQ8 -> PQ ->
+# IVFxPQ): a query scans the nprobe probed cluster directories OF m-BYTE
+# codes — the multiplicative composition of write_ivf_index's pruning and
+# write_pq_index's compression, and the classic billion-scale layout
+# (FAISS's IVFPQ).  Codebooks quantize the RAW vectors, not residuals:
+# every scorer in this family is cosine (direction-only), where residual
+# encoding loses its L2 meaning — documented trade, matching ivf_sq8's
+# raw-value quantizer.
+
+
+def ivf_pq_topk(emb: DataFrame, num_queries: int = 8, k: int = 10,
+                nprobe: int = 2, kc: int = KMEANS_K, m: int = PQ_M,
+                ksub: int = PQ_K, dim: int = 64,
+                n_iter: int = KMEANS_ITERS,
+                rerank_mult: int = PQ_RERANK_MULT) -> DataFrame:
+    """In-flight IVF x PQ ANN — the operator twin of the
+    ``write_ivf_pq_index`` serving layout, fully oracle-checkable:
+    coarse-cluster the corpus (``embedding_kmeans`` — hash-seeded,
+    integer-quantized, engine-deterministic), probe each query's
+    ``nprobe`` best clusters by round-6 centroid cosine, score ONLY the
+    probed clusters' candidates by their PQ RECONSTRUCTION against the
+    full-precision query (asymmetric scoring, ``pq_topk``'s hat), then
+    exact-cosine re-rank the ``k * rerank_mult`` shortlist.  Output
+    contract: ``(query_id, rank, neighbor_id, cos_sim)``.
+
+    Probing uses the centroids of the FINAL assignment (one update step
+    fresher, ``_quantized_centroids(assigned)``) — the same centroid
+    table ``write_ivf_pq_index`` stores.  Cluster MEMBERSHIP here is
+    the trainer's own final assignment (the ``pq_topk`` convention:
+    codes/membership one step staler than the serving geometry), while
+    the stored layout re-assigns against the stored centroids — so the
+    two agree on geometry but can differ on boundary vectors, exactly
+    like ``pq_topk`` vs ``pq_index_topk``.
+
+    Scale: candidate volume is nprobe/kc of ``pq_topk``'s — the probe
+    table is (queries x nprobe) rows riding broadcast, and with the
+    stored layout's cluster-partitioned codes the unprobed clusters are
+    never read at all."""
+    assigned = embedding_kmeans(emb, kc, n_iter).select(
+        "vec_id", "cluster_id")
+    cents = _quantized_centroids(
+        emb.select("vec_id", "embedding")
+        .join(assigned, "vec_id")
+        .withColumnRenamed("cluster_id", "cid"))
+    q = (emb.filter(F.col("vec_id") < num_queries)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("qe")))
+    wp = Window.partitionBy("query_id").orderBy(
+        F.desc("c_sim"), F.asc("cluster_id"))
+    probe = (
+        q.join(F.broadcast(cents))
+        .select("query_id", "qe", F.col("cid").alias("cluster_id"),
+                F.round(cosine(F.col("qe"), F.col("centroid")), 6)
+                .alias("c_sim"))
+        .withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "qe", "cluster_id")
+    )
+    books, asg_all = _pq_books_and_assignments(emb, m, ksub, dim, n_iter)
+    hat = _pq_reconstructions(books, asg_all)
+    cand = hat.join(assigned, "vec_id").select(
+        F.col("vec_id").alias("neighbor_id"), "cluster_id", "hat")
+    approx = (
+        cand.join(F.broadcast(probe),
+                  (cand["cluster_id"] == probe["cluster_id"])
+                  & (F.col("query_id") != F.col("neighbor_id")))
+        .select("query_id", "neighbor_id",
+                cosine(F.col("qe"), F.col("hat")).alias("approx_sim"))
+    )
+    ws = (Window.partitionBy("query_id")
+          .orderBy(F.desc("approx_sim"), F.asc("neighbor_id")))
+    shortlist = (
+        approx.withColumn("rn", F.row_number().over(ws))
+        .filter(F.col("rn") <= k * rerank_mult)
+        .select("query_id", "neighbor_id")
+    )
+    ne = emb.select(F.col("vec_id").alias("neighbor_id"),
+                    F.col("embedding").alias("ne"))
+    pairs = (
+        shortlist.join(F.broadcast(q), "query_id").join(ne, "neighbor_id")
+        .select("query_id", "neighbor_id",
+                F.round(cosine(F.col("qe"), F.col("ne")), 6)
+                .alias("cos_sim"))
+    )
+    return _ranked(pairs, k)
+
+
+def write_ivf_pq_index(emb: DataFrame, path: str, k: int = KMEANS_K,
+                       m: int = PQ_M, ksub: int = PQ_K, dim: int = 64,
+                       n_iter: int = KMEANS_ITERS,
+                       train_fraction: float = 1.0) -> None:
+    """Persist the IVF x PQ serving layout: ``m``-byte PQ codes
+    hive-partitioned by coarse k-means cluster (``cluster_id=NN/``
+    directories), the coarse centroid table and the ``m * ksub``
+    codeword table beside them.  A query reads nprobe/k of the corpus
+    at m bytes per row — at dim=64, m=8 that is 1/8 of SQ8's bytes
+    inside 1/4 of the partitions (nprobe=2, k=8): ~1/256 of a
+    full-precision full scan.
+
+    The stored centroids are the ones the assignment ran against
+    (``_trained_centroids`` -> ``_assign``), so serving ranks exactly
+    the geometry the codes were partitioned by.  Codes are the
+    nearest-codeword assignment against the final (unit-normalized)
+    codebooks via ``_pq_encode`` — writer and upsert share the one
+    encoding expression (the ``write_pq_index`` contract).
+
+    ``train_fraction < 1`` hash-samples BOTH trainers' input (the
+    coarse k-means and the m codebook chains — the build's scale
+    costs); assignment and encoding still cover every vector.
+
+    Same commit protocol as every index writer: codes + centroids +
+    codebooks land under ``data/v<N>/`` first, ONE manifest rename
+    publishes all three."""
+    from ..jobs.versioned import _write_manifest
+
+    spark = emb.sparkSession
+    version = _next_index_version(spark, path)
+    base = f"data/v{version:06d}"
+    cents_t = _trained_centroids(emb, k, n_iter, train_fraction)
+    assigned = _assign(emb.select("vec_id", "embedding"), cents_t) \
+        .select("vec_id", F.col("cid").alias("cluster_id"))
+    # books sit under every per-subspace encode branch — lineage-
+    # truncate once (the write_pq_index pattern)
+    books, _ = _pq_books_and_assignments(
+        _train_sample(emb, train_fraction), m, ksub, dim, n_iter)
+    books = books.localCheckpoint(eager=True)
+    encoded = _pq_encode(emb, books, m, dim // m)
+    (
+        encoded.join(assigned, "vec_id")
+        .select("vec_id", "cluster_id", "codes")
+        .repartition("cluster_id")
+        .write.mode("error").partitionBy("cluster_id")
+        .parquet(f"{path}/{base}/codes")
+    )
+    cents_t.select(F.col("cid").alias("cluster_id"), "centroid") \
+        .coalesce(1).write.mode("error") \
+        .parquet(f"{path}/{base}/centroids")
+    books.coalesce(1).write.mode("error").parquet(
+        f"{path}/{base}/codebooks")
+    _write_manifest(spark, path, version, {
+        "version": version, "kind": "ivf_pq", "dim": dim, "m": m,
+        "k": ksub, "codes": [f"{base}/codes"],
+        "centroids": f"{base}/centroids",
+        "codebooks": f"{base}/codebooks",
+    })
+
+
+def ivf_pq_index_topk(spark, path: str, query_vec: list[float],
+                      vectors: DataFrame, k: int = 10, nprobe: int = 2,
+                      rerank_mult: int = PQ_RERANK_MULT,
+                      allowed: DataFrame | None = None) -> DataFrame:
+    """Serve top-k from a ``write_ivf_pq_index`` layout: rank the
+    centroid table driver-side, partition-prune to the ``nprobe`` best
+    cluster directories, score only those clusters' m-byte codes by
+    codebook reconstruction (one pure expression — ``pq_index_topk``'s
+    inlined-literal hat), exact-cosine re-rank the ``k * rerank_mult``
+    shortlist against the primary store.  ``allowed`` makes this a
+    FILTERED search with the cluster-partitioned family's adaptive
+    probe widening (``_widen_filtered_probes`` — a restrictive
+    allow-list whose survivors live outside the probed clusters widens
+    the probe set instead of starving the shortlist)."""
+    m_an = _index_manifest(spark, path)
+    ranked = _rank_clusters(spark, path, m_an, query_vec)
+    codes_all = _read_codes(spark, path, m_an["codes"])
+    if allowed is not None:
+        probe = _widen_filtered_probes(codes_all, allowed, ranked,
+                                       nprobe, k)
+    else:
+        probe = [cid for _, cid in ranked[:nprobe]]
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    hat = _pq_codebook_hat(spark, path, m_an)
+    cand = codes_all.filter(F.col("cluster_id").isin(probe))
+    if allowed is not None:
+        cand = cand.join(allowed.select("vec_id"), "vec_id",
+                         "left_semi")
+    shortlist = (
+        cand
+        .select(F.col("vec_id").alias("neighbor_id"),
+                cosine(q, hat).alias("approx_sim"))
+        .orderBy(F.desc("approx_sim"), F.asc("neighbor_id"))
+        .limit(k * rerank_mult)
+        .select("neighbor_id")
+    )
+    pairs = (
+        shortlist.join(
+            vectors.select(F.col("vec_id").alias("neighbor_id"),
+                           F.col("embedding").alias("ne")),
+            "neighbor_id")
+        .select("neighbor_id",
+                F.round(cosine(q, F.col("ne")), 6).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+        .limit(k)
+    )
+    return bounded_rank(
+        pairs, [-F.col("cos_sim"), F.col("neighbor_id")], "rank",
+        start=1,
+    ).select("rank", "neighbor_id", "cos_sim")
+
+
+def ivf_pq_index_topk_batch(spark, path: str, queries: DataFrame,
+                            vectors: DataFrame, k: int = 10,
+                            nprobe: int = 2,
+                            rerank_mult: int = PQ_RERANK_MULT,
+                            allowed: DataFrame | None = None
+                            ) -> DataFrame:
+    """BATCH retrieval over a ``write_ivf_pq_index`` layout — ONE
+    distributed plan for the whole ``(query_id, embedding)`` batch:
+    per-query cluster ranking against the broadcast centroid table,
+    the probed-cluster UNION pushed as a partition IN-filter (each
+    probed directory read once for the batch), codebook-reconstruction
+    scoring, per-query shortlist windows, exact re-rank.  ``allowed``
+    gets the shared PER-QUERY adaptive probe widening
+    (``_batch_candidates``)."""
+    m_an = _index_manifest(spark, path)
+    cents = spark.read.parquet(f"{path}/{m_an['centroids']}")
+    q = queries.select(F.col("query_id"),
+                       F.col("embedding").alias("qe"))
+    codes_all = _read_codes(spark, path, m_an["codes"])
+    cand = _batch_candidates(spark, q, cents, codes_all, nprobe, k,
+                             allowed)
+    hat = _pq_codebook_hat(spark, path, m_an)
+    # hat once per candidate row BEFORE the query join (the
+    # pq_index_topk_batch note: re-evaluating the codeword literal
+    # walk per (candidate x query) multiplies the dominant expression
+    # cost by the batch size)
+    scored = (
+        cand.withColumn("nhat", hat)
+        .join(F.broadcast(q), "query_id")
+        .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                cosine(F.col("qe"), F.col("nhat")).alias("approx_sim"))
+    )
+    ws = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_sim"), F.asc("neighbor_id"))
+    shortlist = (
+        scored.withColumn("rn", F.row_number().over(ws))
+        .filter(F.col("rn") <= k * rerank_mult)
+        .select("query_id", "neighbor_id")
+    )
+    pairs = (
+        shortlist.join(F.broadcast(q), "query_id")
+        .join(vectors.select(F.col("vec_id").alias("neighbor_id"),
+                             F.col("embedding").alias("ne")),
+              "neighbor_id")
+        .select("query_id", "neighbor_id",
+                F.round(cosine(F.col("qe"), F.col("ne")), 6)
+                .alias("cos_sim"))
+    )
+    return _ranked(pairs, k)
+
+
+def ivf_pq_index_upsert(spark, path: str, new_emb: DataFrame) -> dict:
+    """Maintain a ``write_ivf_pq_index`` layout under batches — the
+    kind-true upsert (foreign kinds are refused as data, the uniform
+    contract): new vectors are assigned against the STORED centroids
+    (one k-row broadcast) and encoded against the STORED codebooks via
+    the writer's own ``_pq_encode``, so a re-submitted identical vector
+    re-encodes bit-identically.  All-new vec_ids append ONE new
+    cluster-partitioned codes dir (probed reads keep pruning across
+    every referenced dir); re-submitted vec_ids keyed-REPLACE into one
+    fresh partitioned dir.  Centroids and codebooks never move on an
+    upsert — ``maintain_ivf_pq_index`` owns the retrain decision.
+    Same crash protocol as every writer: data first, ONE manifest
+    rename last."""
+    from ..jobs.upsert import _check_key_unique
+    from ..jobs.versioned import _write_manifest
+
+    _check_key_unique(new_emb, ["vec_id"])
+    man = _index_manifest(spark, path)
+    if man.get("kind") != "ivf_pq":
+        return {"decision": "wrong_kind", "kind": man.get("kind"),
+                "expected": "ivf_pq"}
+    m, dim = int(man["m"]), int(man["dim"])
+    books = spark.read.parquet(f"{path}/{man['codebooks']}")
+    cents = (
+        spark.read.parquet(f"{path}/{man['centroids']}")
+        .withColumnRenamed("cluster_id", "cid")
+    )
+    encoded = (
+        _pq_encode(new_emb, books, m, dim // m)
+        .join(_assign(new_emb.select("vec_id", "embedding"), cents)
+              .select("vec_id", F.col("cid").alias("cluster_id")),
+              "vec_id")
+        .select("vec_id", "cluster_id", "codes")
+    )
+    current = _read_codes(spark, path, man["codes"])
+    batch_ids = new_emb.select("vec_id")
+    n_new = new_emb.count()
+    n_replaced = current.join(
+        F.broadcast(batch_ids), "vec_id", "left_semi").count()
+    version = _next_index_version(spark, path)
+    base = f"data/v{version:06d}"
+    if n_replaced == 0:
+        (encoded.repartition("cluster_id")
+         .write.mode("error").partitionBy("cluster_id")
+         .parquet(f"{path}/{base}/codes"))
+        dirs = man["codes"] + [f"{base}/codes"]
+        decision = "appended"
+    else:
+        survivors = current.join(
+            F.broadcast(batch_ids), "vec_id", "left_anti")
+        (survivors.select("vec_id", "cluster_id", "codes")
+         .unionByName(encoded)
+         .repartition("cluster_id")
+         .write.mode("error").partitionBy("cluster_id")
+         .parquet(f"{path}/{base}/codes"))
+        dirs = [f"{base}/codes"]
+        decision = "replaced"
+    _write_manifest(spark, path, version, {
+        "version": version, "kind": "ivf_pq", "dim": dim, "m": m,
+        "k": int(man["k"]), "codes": dirs,
+        "centroids": man["centroids"],
+        "codebooks": man["codebooks"],
+    })
+    return {"decision": decision, "n_new": n_new,
+            "n_replaced": n_replaced}
+
+
+def maintain_ivf_pq_index(spark, path: str, new_emb: DataFrame,
+                          vectors: DataFrame, *, k: int = 10,
+                          nprobe: int = 2,
+                          recall_floor_permille: int = 600,
+                          max_nprobe: int | None = None,
+                          sample_queries: int = 4,
+                          rebuild: bool = True,
+                          train_fraction: float = 1.0) -> dict:
+    """The closed IVF x PQ maintenance loop — the full
+    ``maintain_ivf_sq8_index`` decision ladder (this layout has BOTH
+    failure modes: stale partitioning, which ``bump_nprobe`` recovers,
+    and stale codebooks, which only a rebuild fixes): merge a batch
+    (``ivf_pq_index_upsert``), measure MIN sampled serving recall vs
+    brute force over the primary store, and return the decision AS
+    DATA — ``"ok"`` / ``"bump_nprobe"`` (with the setting to serve
+    with) / ``"rebuild"`` (centroids AND codebooks retrain over
+    ``vectors`` as a new committed version, then recall re-measures).
+
+    Same primary-store CONTRACT as the other maintainers: ``vectors``
+    must already contain the batch; violations raise before anything
+    is written."""
+    n_missing = (new_emb.select("vec_id")
+                 .join(vectors.select("vec_id"), "vec_id", "left_anti")
+                 .count())
+    if n_missing:
+        raise ValueError(
+            f"maintain_ivf_pq_index: {n_missing} batch vec_ids are "
+            f"absent from `vectors` — pass the POST-merge primary "
+            f"store (the probe and any rebuild read it as ground "
+            f"truth)")
+    st = dict(ivf_pq_index_upsert(spark, path, new_emb))
+    if st["decision"] == "wrong_kind":
+        return st
+    man = _index_manifest(spark, path)
+    n_clusters = spark.read.parquet(
+        f"{path}/{man['centroids']}").count()
+    cap = min(max_nprobe or n_clusters, n_clusters)
+    queries = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in new_emb.select("vec_id", "embedding")
+        .orderBy("vec_id").limit(sample_queries).collect()
+    ]
+    out = {**st, "n_queries": len(queries), "nprobe": nprobe,
+           "recall_floor_permille": recall_floor_permille}
+
+    def _min_recall(np_: int) -> int:
+        approx = exact = None
+        for qid, qv in queries:
+            a = ivf_pq_index_topk(
+                spark, path, qv, vectors, k=k, nprobe=np_).select(
+                F.lit(qid).cast("long").alias("query_id"),
+                F.col("neighbor_id"))
+            qcol = F.array(*[F.lit(float(x)) for x in qv])
+            e = (vectors.select(
+                    "vec_id",
+                    F.round(cosine(F.col("embedding"), qcol), 6)
+                    .alias("cos_sim"))
+                 .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+                 .limit(k)
+                 .select(F.lit(qid).cast("long").alias("query_id"),
+                         F.col("vec_id").alias("neighbor_id")))
+            approx = a if approx is None else approx.unionByName(a)
+            exact = e if exact is None else exact.unionByName(e)
+        row = (ann_recall(approx, exact)
+               .agg(F.min("recall_permille").alias("r")).collect()[0])
+        return int(row["r"])
+
+    if not queries:
+        out.update(decision="ok", recall_permille=None)
+        return out
+    r0 = _min_recall(nprobe)
+    out["recall_permille"] = r0
+    if r0 >= recall_floor_permille:
+        out["decision"] = "ok"
+        return out
+    bumped = min(max(nprobe * 2, nprobe + 1), cap)
+    if bumped > nprobe:
+        r1 = _min_recall(bumped)
+        out["recall_after_bump_permille"] = r1
+        if r1 >= recall_floor_permille:
+            out.update(decision="bump_nprobe", nprobe=bumped)
+            return out
+    out["decision"] = "rebuild"
+    if rebuild:
+        write_ivf_pq_index(vectors, path, k=n_clusters,
+                           m=int(man["m"]), ksub=int(man["k"]),
+                           dim=int(man["dim"]),
+                           train_fraction=train_fraction)
+        out["recall_after_rebuild_permille"] = _min_recall(nprobe)
     return out

@@ -615,7 +615,8 @@ def stream_vector_index_upsert(emb_stream: DataFrame, index_path: str,
                                compact_hint_dirs: int = 8,
                                auto_compact: bool = False):
     """foreachBatch maintenance of a manifest-committed vector index
-    (``write_sq8_index``, ``write_ivf_sq8_index`` or ``write_pq_index``
+    (``write_sq8_index``, ``write_ivf_sq8_index``, ``write_pq_index``
+    or ``write_ivf_pq_index``
     — the layout kind AND dim are read from the index's own manifest,
     never trusted from the caller) from a live feed — the streaming
     twin of the ``*_index_upsert`` operators, closing the
@@ -658,6 +659,7 @@ def stream_vector_index_upsert(emb_stream: DataFrame, index_path: str,
     from ..pipeline.similarity import (
         SQ_DRIFT_TOL,
         _index_manifest,
+        ivf_pq_index_upsert,
         ivf_sq8_index_upsert,
         pq_index_upsert,
         sq8_index_upsert,
@@ -683,6 +685,8 @@ def stream_vector_index_upsert(emb_stream: DataFrame, index_path: str,
         kind = _index_manifest(spark, index_path).get("kind", "sq8")
         if kind == "pq":
             st = pq_index_upsert(spark, index_path, batch)
+        elif kind == "ivf_pq":
+            st = ivf_pq_index_upsert(spark, index_path, batch)
         elif kind == "ivf_sq8":
             st = ivf_sq8_index_upsert(spark, index_path, batch, tol=t)
         else:
@@ -737,8 +741,8 @@ def stream_vector_search(query_stream: DataFrame, index_path: str,
     cos_sim)`` — atomically published per batch, so a results reader
     never sees a half-served batch.
 
-    Kind-dispatched from the index manifest (ivf_sq8 probes + prunes;
-    sq8/pq scan their codes once per batch).  Duplicate query_ids
+    Kind-dispatched from the index manifest (ivf_sq8/ivf_pq probe +
+    prune; sq8/pq scan their codes once per batch).  Duplicate query_ids
     within a batch collapse first (replay handling, as in the upsert
     stream).  Because the manifest is re-resolved per batch, a
     concurrent upsert/compaction/rebuild is picked up at the next
@@ -752,6 +756,7 @@ def stream_vector_search(query_stream: DataFrame, index_path: str,
     from ..jobs.versioned import commit_version
     from ..pipeline.similarity import (
         _index_manifest,
+        ivf_pq_index_topk_batch,
         ivf_sq8_index_topk_batch,
         pq_index_topk_batch,
         sq8_index_topk_batch,
@@ -772,6 +777,9 @@ def stream_vector_search(query_stream: DataFrame, index_path: str,
         kind = _index_manifest(spark, index_path).get("kind", "sq8")
         if kind == "ivf_sq8":
             res = ivf_sq8_index_topk_batch(
+                spark, index_path, queries, vectors, k=k, nprobe=nprobe)
+        elif kind == "ivf_pq":
+            res = ivf_pq_index_topk_batch(
                 spark, index_path, queries, vectors, k=k, nprobe=nprobe)
         elif kind == "pq":
             res = pq_index_topk_batch(

@@ -38,6 +38,12 @@ BOUNDED_BNLJ: dict[str, str] = {
     # PQ: k-row centroid broadcasts inside the per-subspace kmeans
     # chains (as embedding_kmeans) + the bounded query-set broadcast
     "ann_pq_topk": "broadcast sides = k-row codebooks + bounded queries",
+    # IVF x PQ composes the two shapes above: the coarse chain's k-row
+    # centroid broadcasts (embedding_kmeans) + the per-subspace
+    # codebook chains (ann_pq) + the (queries x nprobe)-row probe
+    # table broadcast; every nested-loop side is O(k) or O(queries)
+    "ann_ivf_pq_topk": "broadcast sides = k-row centroids/codebooks "
+                       "+ bounded probe table",
     # nearest-centroid assignment: vectors x broadcast(k centroids),
     # k is a compile-time constant (64) — the loop degenerates to a
     # k-wide constant attach per vector.
