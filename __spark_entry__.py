@@ -1338,6 +1338,14 @@ _FLAGSHIP_R11 = {
     # _PIPELINE_QUERIES row whose hash was carried in earlier rounds).
     "ann_ivf_pq_topk":
         lambda s, d: psim.ivf_pq_topk(_emb(s, d)),
+    # NEW r11 operator, gated immediately: binary quantization — one
+    # sign bit per dimension packed into two 32-bit halves, integer
+    # Hamming (xor + popcount) ranking, exact rerank.  Everything
+    # before the rerank is integer arithmetic, so the oracle is exact
+    # by construction.  Displaces the next in-window slot (previously
+    # gated _PIPELINE_QUERIES row).
+    "ann_bq_topk":
+        lambda s, d: psim.bq_topk(_emb(s, d)),
 }
 
 

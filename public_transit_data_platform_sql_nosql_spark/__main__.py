@@ -319,7 +319,9 @@ def cmd_vector_index(args: argparse.Namespace) -> int:
         emb = spark.read.parquet(args.emb)
         build_dim = args.dim if args.dim is not None else 64
         tf = args.train_fraction
-        if args.pq and args.ivf:
+        if args.bq:
+            sim.write_bq_index(emb, args.path, dim=build_dim)
+        elif args.pq and args.ivf:
             sim.write_ivf_pq_index(emb, args.path, dim=build_dim,
                                    train_fraction=tf)
         elif args.pq:
@@ -333,7 +335,7 @@ def cmd_vector_index(args: argparse.Namespace) -> int:
         n = sim.read_index_codes(spark, args.path).count()
         print(json.dumps({"action": "build", "path": args.path,
                           "ivf": bool(args.ivf), "pq": bool(args.pq),
-                          "rows": n}))
+                          "bq": bool(args.bq), "rows": n}))
         return 0
     if args.action == "query":
         emb = spark.read.parquet(args.emb)
@@ -353,6 +355,9 @@ def cmd_vector_index(args: argparse.Namespace) -> int:
                                         k=args.k, nprobe=args.nprobe)
         elif kind == "pq":
             res = sim.pq_index_topk(spark, args.path, qvec, emb,
+                                    k=args.k)
+        elif kind == "bq":
+            res = sim.bq_index_topk(spark, args.path, qvec, emb,
                                     k=args.k)
         else:
             res = sim.sq8_index_topk(spark, args.path, qvec, emb,
@@ -381,6 +386,9 @@ def cmd_vector_index(args: argparse.Namespace) -> int:
         elif kind == "pq":
             res = sim.pq_index_topk_batch(spark, args.path, queries,
                                           emb, k=args.k)
+        elif kind == "bq":
+            res = sim.bq_index_topk_batch(spark, args.path, queries,
+                                          emb, k=args.k)
         else:
             res = sim.sq8_index_topk_batch(spark, args.path, queries,
                                            emb, k=args.k)
@@ -405,6 +413,8 @@ def cmd_vector_index(args: argparse.Namespace) -> int:
             st = sim.ivf_sq8_index_upsert(spark, args.path, batch)
         elif kind == "ivf_pq":
             st = sim.ivf_pq_index_upsert(spark, args.path, batch)
+        elif kind == "bq":
+            st = sim.bq_index_upsert(spark, args.path, batch)
         else:
             st = sim.sq8_index_upsert(spark, args.path, batch,
                                       dim=args.dim)
@@ -691,8 +701,8 @@ def main(argv: list[str] | None = None) -> int:
     pv = sub.add_parser(
         "vector-index",
         help="build/query/upsert/maintain/vacuum a manifest-committed "
-             "ANN index (sq8 / ivf_sq8 / pq / ivf_pq — ops dispatch by "
-             "the manifest's kind)")
+             "ANN index (sq8 / ivf_sq8 / pq / ivf_pq / bq — ops "
+             "dispatch by the manifest's kind)")
     pv.add_argument("action",
                     choices=("build", "query", "query-batch", "upsert",
                              "maintain", "compact", "vacuum"))
@@ -711,6 +721,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="build: product quantization (m-byte codes); "
                          "with --ivf: IVF x PQ (cluster-pruned m-byte "
                          "codes)")
+    pv.add_argument("--bq", action="store_true",
+                    help="build: binary quantization (one sign bit per "
+                         "dim, 8-byte codes, Hamming pre-filter; "
+                         "nothing trains)")
     pv.add_argument("--train-fraction", type=float, default=1.0,
                     help="build/maintain (--ivf/--pq): hash-sample "
                          "fraction for centroid/codebook training "

@@ -416,6 +416,61 @@ SELECT query_id, rank, neighbor_id, cos_sim FROM (
 """
 
 
+def bq_topk_sql(src: str = "embeddings", num_queries: int = 8,
+                k: int = 10, rerank_mult: int = 8) -> str:
+    """Generated oracle for pipeline/similarity.bq_topk: sign-bit
+    packing as an exact sum of distinct powers of two into two 32-bit
+    halves (SUM == OR when bits are distinct), Hamming ranking via
+    xor + bit_count — all INTEGER until the exact round-6 re-rank, so
+    every stage is engine-identical by construction."""
+    half = (
+        "list_reduce(list_transform(range(0, 32), i -> CASE WHEN "
+        "embedding[{off} + i + 1] > 0 THEN (1::BIGINT << i) "
+        "ELSE 0::BIGINT END), (a, x) -> a + x)")
+    return f"""
+WITH bits AS (
+  SELECT vec_id,
+         {half.format(off=0)} AS lo,
+         {half.format(off=32)} AS hi
+  FROM {src}
+),
+q AS (
+  SELECT e.vec_id AS query_id, e.embedding AS qe, b.lo AS qlo,
+         b.hi AS qhi
+  FROM {src} e JOIN bits b USING (vec_id)
+  WHERE e.vec_id < {num_queries}
+),
+approx AS (
+  SELECT q.query_id, b.vec_id AS neighbor_id,
+         bit_count(xor(b.lo, q.qlo)) + bit_count(xor(b.hi, q.qhi))
+           AS ham
+  FROM bits b, q WHERE q.query_id != b.vec_id
+),
+short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY ham, neighbor_id) AS rn
+    FROM approx
+  ) WHERE rn <= {k * rerank_mult}
+),
+pairs AS (
+  SELECT s.query_id, s.neighbor_id,
+         round({cos_sql('q.qe', 'n.ne')}, 6) AS cos_sim
+  FROM short s
+  JOIN q ON q.query_id = s.query_id
+  JOIN (SELECT vec_id AS neighbor_id, embedding AS ne FROM {src}) n
+    ON n.neighbor_id = s.neighbor_id
+)
+SELECT query_id, rank, neighbor_id, cos_sim FROM (
+  SELECT query_id, neighbor_id, cos_sim,
+         CAST(row_number() OVER (PARTITION BY query_id
+           ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
+  FROM pairs
+) WHERE rank <= {k}
+"""
+
+
 def bm25_ctes(terms_sql: str) -> str:
     """The BM25 scoring CTE chain (pipeline/text.py search_bm25) up to
     ``bm`` = (doc_id, n_terms_hit, score_micro) — shared by the
@@ -1470,6 +1525,9 @@ SELECT query_id, rank, neighbor_id, cos_sim FROM r WHERE rank <= 10
         # shared PQ hat chain (pipeline/similarity.ivf_pq_topk;
         # generated by ivf_pq_topk_sql)
         "ann_ivf_pq_topk": ivf_pq_topk_sql(),
+        # sign-bit halves + integer Hamming ranking + exact rerank
+        # (pipeline/similarity.bq_topk; generated by bq_topk_sql)
+        "ann_bq_topk": bq_topk_sql(),
         "ann_bruteforce_topk": f"""
 WITH pairs AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

@@ -2730,3 +2730,266 @@ def maintain_ivf_pq_index(spark, path: str, new_emb: DataFrame,
                            train_fraction=train_fraction)
         out["recall_after_rebuild_permille"] = _min_recall(nprobe)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Binary quantization (BQ) — the fifth point on the serving matrix and
+# the cheapest pre-filter of all: ONE SIGN BIT per dimension (dim=64 ->
+# 8 bytes/vector, 1/32 of float32), candidates ranked by Hamming
+# distance (xor + popcount — pure integer ops, no floats anywhere until
+# the exact re-rank).  Sign quantization is DATA-INDEPENDENT: there is
+# no trained artifact to drift, so the layout has upsert but no
+# maintenance loop — recall is structural (set by dim and rerank_mult),
+# not operational.  Bits pack into TWO 32-bit halves (lo = dims 1..32,
+# hi = 33..64) so neither engine ever touches a sign-bit edge case.
+
+BQ_RERANK_MULT = 8   # BQ quantizes coarsest of all (1 bit/dim) — same
+#                      deepened exact-rerank shortlist as PQ
+
+
+def _bq_half(embedding, lo: int) -> F.Column:
+    """One packed 32-bit half: bit i set iff dimension ``lo + i + 1``
+    is strictly positive.  The bits are distinct powers of two, so SUM
+    equals OR and stays exact in BIGINT — associative integer addition,
+    the engine-exact trick the centroid sums use."""
+    return F.expr(
+        f"aggregate(sequence(0, 31), 0L, (acc, i) -> acc + "
+        f"IF(element_at({embedding}, {lo} + i + 1) > 0D, "
+        f"shiftleft(1L, i), 0L))")
+
+
+def _bq_hamming(lo_a, hi_a, lo_b, hi_b) -> F.Column:
+    return (F.bit_count(lo_a.bitwiseXOR(lo_b))
+            + F.bit_count(hi_a.bitwiseXOR(hi_b))).cast("int")
+
+
+def bq_topk(emb: DataFrame, num_queries: int = 8, k: int = 10,
+            dim: int = 64,
+            rerank_mult: int = BQ_RERANK_MULT) -> DataFrame:
+    """In-flight binary-quantization ANN — the operator twin of the
+    ``write_bq_index`` serving layout, fully oracle-checkable: every
+    vector collapses to dim sign bits, candidates rank by Hamming
+    distance to the query's bits (ASC, neighbor_id tie-break), the
+    ``k * rerank_mult`` shortlist exact-cosine re-ranks.  Output
+    contract: ``(query_id, rank, neighbor_id, cos_sim)``.
+
+    Everything before the re-rank is INTEGER: packing is an exact sum
+    of distinct powers of two, Hamming is xor + popcount — no float
+    enters until the round-6 cosine, so the DuckDB oracle reproduces
+    every row bit-for-bit.
+
+    Scale: the candidate scan reads 8 bytes/vector (two BIGINT halves)
+    and the scoring is two xors + two popcounts per pair — the
+    cheapest possible first-pass filter; at 100 TB this is the layout
+    you put IN FRONT of sq8/pq when even byte codes are too much scan."""
+    if dim != 64:
+        raise ValueError(
+            f"bq packs exactly 64 sign bits into two 32-bit halves "
+            f"(got dim={dim}); rebuild with 64-dim vectors or extend "
+            f"the packing")
+    bits = emb.select(
+        "vec_id",
+        _bq_half("embedding", 0).alias("lo"),
+        _bq_half("embedding", 32).alias("hi"))
+    q = (emb.join(bits, "vec_id")
+         .filter(F.col("vec_id") < num_queries)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("qe"),
+                 F.col("lo").alias("qlo"), F.col("hi").alias("qhi")))
+    approx = (
+        bits.join(F.broadcast(q),
+                  F.col("query_id") != F.col("vec_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                _bq_hamming(F.col("lo"), F.col("hi"),
+                            F.col("qlo"), F.col("qhi")).alias("ham"))
+    )
+    w = (Window.partitionBy("query_id")
+         .orderBy(F.asc("ham"), F.asc("neighbor_id")))
+    shortlist = (
+        approx.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k * rerank_mult)
+        .select("query_id", "neighbor_id")
+    )
+    ne = emb.select(F.col("vec_id").alias("neighbor_id"),
+                    F.col("embedding").alias("ne"))
+    pairs = (
+        shortlist.join(F.broadcast(q.select("query_id", "qe")),
+                       "query_id")
+        .join(ne, "neighbor_id")
+        .select("query_id", "neighbor_id",
+                F.round(cosine(F.col("qe"), F.col("ne")), 6)
+                .alias("cos_sim"))
+    )
+    return _ranked(pairs, k)
+
+
+def write_bq_index(emb: DataFrame, path: str, dim: int = 64) -> None:
+    """Persist the binary-quantization serving layout: ``(vec_id, lo,
+    hi)`` — two packed 32-bit sign-bit halves per vector, 8 bytes of
+    scannable code.  NOTHING trains (the sign quantizer is the data-
+    independent function x > 0), so the manifest carries only the
+    codes reference; same atomic commit protocol as every writer."""
+    from ..jobs.versioned import _write_manifest
+
+    if dim != 64:
+        raise ValueError(
+            f"bq packs exactly 64 sign bits (got dim={dim})")
+    spark = emb.sparkSession
+    version = _next_index_version(spark, path)
+    base = f"data/v{version:06d}"
+    (emb.select("vec_id",
+                _bq_half("embedding", 0).alias("lo"),
+                _bq_half("embedding", 32).alias("hi"))
+     .write.mode("error").parquet(f"{path}/{base}/codes"))
+    _write_manifest(spark, path, version, {
+        "version": version, "kind": "bq", "dim": dim,
+        "codes": [f"{base}/codes"],
+    })
+
+
+def _bq_query_bits(query_vec: list[float]) -> tuple[int, int]:
+    lo = sum(1 << i for i in range(32) if query_vec[i] > 0)
+    hi = sum(1 << i for i in range(32) if query_vec[32 + i] > 0)
+    return lo, hi
+
+
+def bq_index_topk(spark, path: str, query_vec: list[float],
+                  vectors: DataFrame, k: int = 10,
+                  rerank_mult: int = BQ_RERANK_MULT,
+                  allowed: DataFrame | None = None) -> DataFrame:
+    """Serve top-k from a ``write_bq_index`` layout: the query's sign
+    bits are two Python ints inlined as literals, candidate scoring is
+    two xors + two popcounts over the 8-byte codes scan, TakeOrdered
+    the ``k * rerank_mult`` shortlist (Hamming ASC), exact-cosine
+    re-rank against the primary store.  ``allowed`` semi-joins the
+    candidate set before the shortlist, as everywhere."""
+    m_an = _index_manifest(spark, path)
+    if m_an.get("kind") != "bq":
+        raise ValueError(
+            f"vector index {path} is kind={m_an.get('kind')!r}, "
+            f"not bq")
+    qlo, qhi = _bq_query_bits(query_vec)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    cand = _read_codes(spark, path, m_an["codes"])
+    if allowed is not None:
+        cand = cand.join(allowed.select("vec_id"), "vec_id",
+                         "left_semi")
+    shortlist = (
+        cand.select(
+            F.col("vec_id").alias("neighbor_id"),
+            _bq_hamming(F.col("lo"), F.col("hi"),
+                        F.lit(qlo).cast("long"),
+                        F.lit(qhi).cast("long")).alias("ham"))
+        .orderBy(F.asc("ham"), F.asc("neighbor_id"))
+        .limit(k * rerank_mult)
+        .select("neighbor_id")
+    )
+    pairs = (
+        shortlist.join(
+            vectors.select(F.col("vec_id").alias("neighbor_id"),
+                           F.col("embedding").alias("ne")),
+            "neighbor_id")
+        .select("neighbor_id",
+                F.round(cosine(q, F.col("ne")), 6).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+        .limit(k)
+    )
+    return bounded_rank(
+        pairs, [-F.col("cos_sim"), F.col("neighbor_id")], "rank",
+        start=1,
+    ).select("rank", "neighbor_id", "cos_sim")
+
+
+def bq_index_topk_batch(spark, path: str, queries: DataFrame,
+                        vectors: DataFrame, k: int = 10,
+                        rerank_mult: int = BQ_RERANK_MULT,
+                        allowed: DataFrame | None = None) -> DataFrame:
+    """BATCH retrieval over a ``write_bq_index`` layout: the 8-byte
+    codes are scanned once, each query's sign bits computed once on
+    the broadcast side, Hamming scored per pair (two xors + two
+    popcounts), per-query shortlist windows, exact re-rank — ONE
+    distributed plan with the shared ``(query_id, rank, neighbor_id,
+    cos_sim)`` contract."""
+    m_an = _index_manifest(spark, path)
+    if m_an.get("kind") != "bq":
+        raise ValueError(
+            f"vector index {path} is kind={m_an.get('kind')!r}, "
+            f"not bq")
+    q = queries.select(
+        "query_id", F.col("embedding").alias("qe"),
+        _bq_half("embedding", 0).alias("qlo"),
+        _bq_half("embedding", 32).alias("qhi"))
+    cand = _read_codes(spark, path, m_an["codes"])
+    if allowed is not None:
+        cand = cand.join(allowed.select("vec_id"), "vec_id",
+                         "left_semi")
+    scored = (
+        cand.join(F.broadcast(q))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                _bq_hamming(F.col("lo"), F.col("hi"),
+                            F.col("qlo"), F.col("qhi")).alias("ham"))
+    )
+    ws = Window.partitionBy("query_id").orderBy(
+        F.asc("ham"), F.asc("neighbor_id"))
+    shortlist = (
+        scored.withColumn("rn", F.row_number().over(ws))
+        .filter(F.col("rn") <= k * rerank_mult)
+        .select("query_id", "neighbor_id")
+    )
+    pairs = (
+        shortlist.join(F.broadcast(q.select("query_id", "qe")),
+                       "query_id")
+        .join(vectors.select(F.col("vec_id").alias("neighbor_id"),
+                             F.col("embedding").alias("ne")),
+              "neighbor_id")
+        .select("query_id", "neighbor_id",
+                F.round(cosine(F.col("qe"), F.col("ne")), 6)
+                .alias("cos_sim"))
+    )
+    return _ranked(pairs, k)
+
+
+def bq_index_upsert(spark, path: str, new_emb: DataFrame) -> dict:
+    """Maintain a ``write_bq_index`` layout under batches — the
+    kind-true upsert: new vectors are sign-packed with the writer's
+    own expression (data-independent, so there is no drift screen and
+    nothing to retrain — EVER: the only maintenance a BQ layout needs
+    is this upsert plus ``compact_index``/``vacuum_index`` hygiene).
+    All-new vec_ids append one codes dir; re-submitted vec_ids are
+    keyed-REPLACED.  Same crash protocol as every writer."""
+    from ..jobs.upsert import _check_key_unique
+    from ..jobs.versioned import _write_manifest
+
+    _check_key_unique(new_emb, ["vec_id"])
+    man = _index_manifest(spark, path)
+    if man.get("kind") != "bq":
+        return {"decision": "wrong_kind", "kind": man.get("kind"),
+                "expected": "bq"}
+    encoded = new_emb.select(
+        "vec_id",
+        _bq_half("embedding", 0).alias("lo"),
+        _bq_half("embedding", 32).alias("hi"))
+    current = _read_codes(spark, path, man["codes"])
+    batch_ids = new_emb.select("vec_id")
+    n_new = new_emb.count()
+    n_replaced = current.join(
+        F.broadcast(batch_ids), "vec_id", "left_semi").count()
+    version = _next_index_version(spark, path)
+    base = f"data/v{version:06d}"
+    if n_replaced == 0:
+        encoded.write.mode("error").parquet(f"{path}/{base}/codes")
+        dirs = man["codes"] + [f"{base}/codes"]
+        decision = "appended"
+    else:
+        survivors = current.join(
+            F.broadcast(batch_ids), "vec_id", "left_anti")
+        survivors.unionByName(encoded).write.mode("error").parquet(
+            f"{path}/{base}/codes")
+        dirs = [f"{base}/codes"]
+        decision = "replaced"
+    _write_manifest(spark, path, version, {
+        "version": version, "kind": "bq", "dim": int(man["dim"]),
+        "codes": dirs,
+    })
+    return {"decision": decision, "n_new": n_new,
+            "n_replaced": n_replaced}

@@ -659,6 +659,7 @@ def stream_vector_index_upsert(emb_stream: DataFrame, index_path: str,
     from ..pipeline.similarity import (
         SQ_DRIFT_TOL,
         _index_manifest,
+        bq_index_upsert,
         ivf_pq_index_upsert,
         ivf_sq8_index_upsert,
         pq_index_upsert,
@@ -685,6 +686,8 @@ def stream_vector_index_upsert(emb_stream: DataFrame, index_path: str,
         kind = _index_manifest(spark, index_path).get("kind", "sq8")
         if kind == "pq":
             st = pq_index_upsert(spark, index_path, batch)
+        elif kind == "bq":
+            st = bq_index_upsert(spark, index_path, batch)
         elif kind == "ivf_pq":
             st = ivf_pq_index_upsert(spark, index_path, batch)
         elif kind == "ivf_sq8":
@@ -756,6 +759,7 @@ def stream_vector_search(query_stream: DataFrame, index_path: str,
     from ..jobs.versioned import commit_version
     from ..pipeline.similarity import (
         _index_manifest,
+        bq_index_topk_batch,
         ivf_pq_index_topk_batch,
         ivf_sq8_index_topk_batch,
         pq_index_topk_batch,
@@ -783,6 +787,9 @@ def stream_vector_search(query_stream: DataFrame, index_path: str,
                 spark, index_path, queries, vectors, k=k, nprobe=nprobe)
         elif kind == "pq":
             res = pq_index_topk_batch(
+                spark, index_path, queries, vectors, k=k)
+        elif kind == "bq":
+            res = bq_index_topk_batch(
                 spark, index_path, queries, vectors, k=k)
         else:
             res = sq8_index_topk_batch(

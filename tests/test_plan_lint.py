@@ -44,6 +44,9 @@ BOUNDED_BNLJ: dict[str, str] = {
     # table broadcast; every nested-loop side is O(k) or O(queries)
     "ann_ivf_pq_topk": "broadcast sides = k-row centroids/codebooks "
                        "+ bounded probe table",
+    # BQ: the bounded query set rides broadcast with a != condition
+    # (the brute-force shape); the stream side scans 8-byte halves
+    "ann_bq_topk": "broadcast side = bounded query set",
     # nearest-centroid assignment: vectors x broadcast(k centroids),
     # k is a compile-time constant (64) — the loop degenerates to a
     # k-wide constant attach per vector.
