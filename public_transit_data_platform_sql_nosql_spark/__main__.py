@@ -458,6 +458,17 @@ def cmd_vector_index(args: argparse.Namespace) -> int:
         st = sim.compact_index(spark, args.path)
         print(json.dumps({"action": "compact", **st}))
         return 0
+    if args.action == "stats":
+        st = sim.index_stats(spark, args.path)
+        print(json.dumps({"action": "stats", **st}))
+        return 0
+    if args.action == "recall-curve":
+        vectors = spark.read.parquet(args.emb)
+        rows = sim.index_recall_curve(spark, args.path, vectors,
+                                      k=args.k)
+        print(json.dumps({"action": "recall-curve",
+                          "path": args.path, "curve": rows}))
+        return 0
     st = sim.vacuum_index(spark, args.path, keep_last=args.keep_last)
     print(json.dumps({"action": "vacuum", **st}))
     return 0
@@ -700,12 +711,14 @@ def main(argv: list[str] | None = None) -> int:
 
     pv = sub.add_parser(
         "vector-index",
-        help="build/query/upsert/maintain/vacuum a manifest-committed "
+        help="build/query/upsert/maintain/stats/recall-curve/vacuum "
+             "a manifest-committed "
              "ANN index (sq8 / ivf_sq8 / pq / ivf_pq / bq — ops "
              "dispatch by the manifest's kind)")
     pv.add_argument("action",
                     choices=("build", "query", "query-batch", "upsert",
-                             "maintain", "compact", "vacuum"))
+                             "maintain", "compact", "vacuum", "stats",
+                             "recall-curve"))
     pv.add_argument("--queries",
                     help="query-batch: parquet of (query_id, embedding)")
     pv.add_argument("--out",

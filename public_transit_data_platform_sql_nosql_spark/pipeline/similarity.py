@@ -1208,7 +1208,8 @@ def _widen_filtered_probes(codes_all: DataFrame, allowed: DataFrame,
 
 def _batch_candidates(spark, queries_q: DataFrame, cents: DataFrame,
                       codes_all: DataFrame, nprobe: int, k: int,
-                      allowed: DataFrame | None) -> DataFrame:
+                      allowed: DataFrame | None,
+                      code_proj=None) -> DataFrame:
     """Batch probe resolution shared by the cluster-partitioned
     layouts: per-query cluster ranking (queries x the broadcast
     centroid table, bounded window), the UNION of probed clusters
@@ -1236,11 +1237,18 @@ def _batch_candidates(spark, queries_q: DataFrame, cents: DataFrame,
         # UNION of probed clusters as a static IN-filter (bounded by
         # the cluster count) so the codes scan partition-prunes; the
         # probes join fans rows out only to the queries that probed
-        # each cluster
+        # each cluster.  ``code_proj`` (a DataFrame -> DataFrame
+        # projection) applies to the pruned codes BEFORE the fan-out:
+        # a per-candidate expression placed here runs once per stored
+        # row instead of once per (candidate x probing-query) pair —
+        # the ivf_pq hat reconstruction's placement (and the widening
+        # loop's counts still prune it away via column pruning)
         probed = [r["cluster_id"] for r in
                   probes.select("cluster_id").distinct().collect()]
-        c = (codes_all.filter(F.col("cluster_id").isin(probed))
-             .join(probes, "cluster_id"))
+        base = codes_all.filter(F.col("cluster_id").isin(probed))
+        if code_proj is not None:
+            base = code_proj(base)
+        c = base.join(probes, "cluster_id")
         if allowed is not None:
             c = c.join(allowed.select("vec_id"), "vec_id", "left_semi")
         return c
@@ -2541,16 +2549,16 @@ def ivf_pq_index_topk_batch(spark, path: str, queries: DataFrame,
     q = queries.select(F.col("query_id"),
                        F.col("embedding").alias("qe"))
     codes_all = _read_codes(spark, path, m_an["codes"])
-    cand = _batch_candidates(spark, q, cents, codes_all, nprobe, k,
-                             allowed)
     hat = _pq_codebook_hat(spark, path, m_an)
-    # hat once per candidate row BEFORE the query join (the
-    # pq_index_topk_batch note: re-evaluating the codeword literal
-    # walk per (candidate x query) multiplies the dominant expression
-    # cost by the batch size)
+    # hat once per STORED row, below the probes fan-out (the
+    # pq_index_topk_batch note, one level deeper: the probes join
+    # duplicates each candidate per probing query, so an expression
+    # placed above it re-evaluates the codeword literal walk per pair)
+    cand = _batch_candidates(
+        spark, q, cents, codes_all, nprobe, k, allowed,
+        code_proj=lambda df: df.withColumn("nhat", hat))
     scored = (
-        cand.withColumn("nhat", hat)
-        .join(F.broadcast(q), "query_id")
+        cand.join(F.broadcast(q), "query_id")
         .select("query_id", F.col("vec_id").alias("neighbor_id"),
                 cosine(F.col("qe"), F.col("nhat")).alias("approx_sim"))
     )
@@ -2993,3 +3001,128 @@ def bq_index_upsert(spark, path: str, new_emb: DataFrame) -> dict:
     })
     return {"decision": decision, "n_new": n_new,
             "n_replaced": n_replaced}
+
+
+# ---------------------------------------------------------------------------
+# Index observability — the ops counterpart of the maintenance loops:
+# everything an operator needs to DECIDE (compact? vacuum? bump nprobe?
+# rebuild?) surfaced as data, never by prodding index internals.
+
+
+_CODE_BYTES = {
+    # bytes of scannable code per vector, by layout kind
+    "bq": 8,
+}
+
+
+def index_stats(spark, path: str) -> dict:
+    """One JSON-able snapshot of a stored vector index's health: kind,
+    dim, committed version + retained-version count, vector count,
+    codes-dir fragmentation (the compaction signal the streaming
+    maintainer thresholds on), scannable bytes per vector, and — for
+    the cluster-partitioned kinds — cluster count and balance
+    (max/mean size, integer permille; heavy imbalance means the coarse
+    centroids have drifted from the data distribution and probing the
+    big clusters is paying for it — the rebuild signal BEFORE recall
+    visibly sags).
+
+    Cost: one manifest read + one codes count + (IVF kinds) one k-row
+    groupBy — safe to run per maintenance batch."""
+    from ..jobs.versioned import list_versions
+
+    m = _index_manifest(spark, path)
+    kind = m.get("kind", "sq8")
+    codes = _read_codes(spark, path, m["codes"])
+    dim = int(m["dim"])
+    if kind in _CODE_BYTES:
+        bpv = _CODE_BYTES[kind]
+    elif kind in ("pq", "ivf_pq"):
+        bpv = int(m["m"])
+    else:
+        bpv = dim                                   # sq8 / ivf_sq8
+    out = {
+        "kind": kind, "dim": dim, "version": int(m["version"]),
+        "n_versions_retained": len(list_versions(spark, path)),
+        "n_vectors": codes.count(),
+        "n_codes_dirs": len(m["codes"]),
+        "code_bytes_per_vector": bpv,
+    }
+    if "cluster_id" in codes.columns:
+        sizes = [int(r["n"]) for r in
+                 codes.groupBy("cluster_id")
+                 .agg(F.count(F.lit(1)).alias("n")).collect()]
+        mean = sum(sizes) / len(sizes)
+        out.update(
+            n_clusters=len(sizes),
+            cluster_size_min=min(sizes),
+            cluster_size_max=max(sizes),
+            cluster_imbalance_permille=int(1000 * max(sizes) / mean),
+        )
+    return out
+
+
+def index_recall_curve(spark, path: str, vectors: DataFrame,
+                       num_queries: int = 4, k: int = 10,
+                       nprobes: tuple = (1, 2, 4, 8)) -> list[dict]:
+    """Recall-vs-probe-depth sweep for a stored index — the data an
+    operator reads to PICK nprobe instead of guessing: for each probe
+    depth (IVF kinds; the flat kinds measure their single operating
+    point), serve the first ``num_queries`` stored vectors as queries
+    and compare against exact brute force over the primary store.
+    Returns rows of ``{"nprobe": N|None, "min_recall_permille": ...,
+    "mean_recall_permille": ...}`` — min AND mean, because one drifted
+    region is exactly what a mean averages away.
+
+    Cost: num_queries x len(nprobes) bounded top-k jobs plus one exact
+    pass per query — a monitor you run per maintenance batch or from
+    the CLI, never per serving query."""
+    m = _index_manifest(spark, path)
+    kind = m.get("kind", "sq8")
+    servers = {
+        "sq8": lambda qv, np_: sq8_index_topk(
+            spark, path, qv, vectors, k=k),
+        "pq": lambda qv, np_: pq_index_topk(
+            spark, path, qv, vectors, k=k),
+        "bq": lambda qv, np_: bq_index_topk(
+            spark, path, qv, vectors, k=k),
+        "ivf_sq8": lambda qv, np_: ivf_sq8_index_topk(
+            spark, path, qv, vectors, k=k, nprobe=np_),
+        "ivf_pq": lambda qv, np_: ivf_pq_index_topk(
+            spark, path, qv, vectors, k=k, nprobe=np_),
+    }
+    serve = servers[kind]
+    depths = list(nprobes) if kind.startswith("ivf_") else [None]
+    queries = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in vectors.select("vec_id", "embedding")
+        .orderBy("vec_id").limit(num_queries).collect()
+    ]
+    exact = None
+    for qid, qv in queries:
+        qcol = F.array(*[F.lit(float(x)) for x in qv])
+        e = (vectors.select(
+                "vec_id",
+                F.round(cosine(F.col("embedding"), qcol), 6)
+                .alias("cos_sim"))
+             .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+             .limit(k)
+             .select(F.lit(qid).cast("long").alias("query_id"),
+                     F.col("vec_id").alias("neighbor_id")))
+        exact = e if exact is None else exact.unionByName(e)
+    exact = exact.localCheckpoint(eager=True)
+    rows = []
+    for np_ in depths:
+        approx = None
+        for qid, qv in queries:
+            a = serve(qv, np_).select(
+                F.lit(qid).cast("long").alias("query_id"),
+                F.col("neighbor_id"))
+            approx = a if approx is None else approx.unionByName(a)
+        rec = (ann_recall(approx, exact)
+               .agg(F.min("recall_permille").alias("mn"),
+                    F.avg("recall_permille").alias("mean"))
+               .collect()[0])
+        rows.append({"nprobe": np_,
+                     "min_recall_permille": int(rec["mn"]),
+                     "mean_recall_permille": int(rec["mean"])})
+    return rows
