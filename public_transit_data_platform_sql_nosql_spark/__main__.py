@@ -533,9 +533,10 @@ def cmd_vector_pipeline(args: argparse.Namespace) -> int:
     end-to-end recipe wiring the existing pieces: ``read_jsonl_docs``
     (declared schema, PERMISSIVE quarantine split) -> exact-dedup
     keep-first -> ``hash_embeddings`` (feature-hashing text vectors) ->
-    ``write_ivf_sq8_index`` (sampled training) -> one distributed
-    batch-retrieval pass serving the first ``--n-queries`` docs' own
-    vectors.  Artifacts land under ``--workdir``: ``docs/``
+    an index build (``--kind`` picks the layout — default ivf_sq8;
+    training is sampled via ``--train-fraction`` where the kind
+    trains) -> one distributed batch-retrieval pass serving the first
+    ``--n-queries`` docs' own vectors.  Artifacts land under ``--workdir``: ``docs/``
     ``quarantine/`` ``emb/`` ``index/`` ``results/`` — ``emb/`` is a
     live primary store (feed it to ``vector-index upsert`` /
     ``stream_vector_search`` to keep serving the growing corpus).
@@ -567,19 +568,43 @@ def cmd_vector_pipeline(args: argparse.Namespace) -> int:
     hash_embeddings(docs, dim=args.dim) \
         .write.mode("overwrite").parquet(f"{wd}/emb")
     emb = spark.read.parquet(f"{wd}/emb")
-    sim.write_ivf_sq8_index(emb, f"{wd}/index", dim=args.dim,
-                            train_fraction=args.train_fraction)
+    kind = args.kind
+    tf = args.train_fraction
+    if kind == "ivf_sq8":
+        sim.write_ivf_sq8_index(emb, f"{wd}/index", dim=args.dim,
+                                train_fraction=tf)
+    elif kind == "ivf_pq":
+        sim.write_ivf_pq_index(emb, f"{wd}/index", dim=args.dim,
+                               train_fraction=tf)
+    elif kind == "pq":
+        sim.write_pq_index(emb, f"{wd}/index", dim=args.dim,
+                           train_fraction=tf)
+    elif kind == "bq":
+        sim.write_bq_index(emb, f"{wd}/index", dim=args.dim)
+    else:
+        sim.write_sq8_index(emb, f"{wd}/index", dim=args.dim)
 
     queries = (emb.orderBy("vec_id").limit(args.n_queries)
                .select(F.col("vec_id").alias("query_id"), "embedding"))
-    sim.ivf_sq8_index_topk_batch(
-        spark, f"{wd}/index", queries, emb, k=args.k,
-        nprobe=args.nprobe) \
-        .write.mode("overwrite").parquet(f"{wd}/results")
+    batchers = {
+        "ivf_sq8": lambda: sim.ivf_sq8_index_topk_batch(
+            spark, f"{wd}/index", queries, emb, k=args.k,
+            nprobe=args.nprobe),
+        "ivf_pq": lambda: sim.ivf_pq_index_topk_batch(
+            spark, f"{wd}/index", queries, emb, k=args.k,
+            nprobe=args.nprobe),
+        "pq": lambda: sim.pq_index_topk_batch(
+            spark, f"{wd}/index", queries, emb, k=args.k),
+        "bq": lambda: sim.bq_index_topk_batch(
+            spark, f"{wd}/index", queries, emb, k=args.k),
+        "sq8": lambda: sim.sq8_index_topk_batch(
+            spark, f"{wd}/index", queries, emb, k=args.k),
+    }
+    batchers[kind]().write.mode("overwrite").parquet(f"{wd}/results")
     n_results = spark.read.parquet(f"{wd}/results").count()
     print(json.dumps({
         "workdir": wd, "n_docs": n_docs, "n_quarantined": n_bad,
-        "index_kind": "ivf_sq8", "dim": args.dim,
+        "index_kind": kind, "dim": args.dim,
         "n_queries": int(args.n_queries), "n_results": n_results,
     }))
     return 0
@@ -760,7 +785,7 @@ def main(argv: list[str] | None = None) -> int:
     pvp = sub.add_parser(
         "vector-pipeline",
         help="JSONL corpus -> quarantine/dedup -> hash embeddings -> "
-             "ivf_sq8 index -> batch ANN results, in one command")
+             "ANN index (--kind) -> batch ANN results, in one command")
     pvp.add_argument("--docs", required=True,
                      help="JSONL path/glob (doc_id, text, lang, source, "
                           "n_chars per line)")
@@ -772,6 +797,9 @@ def main(argv: list[str] | None = None) -> int:
     pvp.add_argument("--nprobe", type=int, default=2)
     pvp.add_argument("--n-queries", type=int, default=3)
     pvp.add_argument("--train-fraction", type=float, default=1.0)
+    pvp.add_argument("--kind", default="ivf_sq8",
+                     choices=("sq8", "ivf_sq8", "pq", "ivf_pq", "bq"),
+                     help="index layout for the end-to-end pipeline")
     pvp.set_defaults(fn=cmd_vector_pipeline)
 
     pl = sub.add_parser(

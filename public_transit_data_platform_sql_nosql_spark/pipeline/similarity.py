@@ -1648,8 +1648,19 @@ def _pq_books_and_assignments(emb: DataFrame, m: int, k: int,
         sub_emb = emb.select(
             "vec_id",
             F.slice("embedding", j * sub + 1, sub).alias("embedding"))
-        assigned = sub_emb.join(
-            embedding_kmeans(sub_emb, k, n_iter)
+        # SPARSE corpora (e.g. hash embeddings of short texts) have
+        # all-zero slices in most subspaces; cosine against them is
+        # undefined (ANSI division by zero), so the k-means chain
+        # trains on the NON-ZERO slices only and zero slices take the
+        # lowest code deterministically — exactly the argmax
+        # _pq_encode resolves for them (every score -1, cid-ASC
+        # tie-break), so trainer assignment and encoder agree.  Dense
+        # corpora take the unchanged path (the filter keeps every
+        # row), so the oracle mirror is unaffected.
+        zero = dot(F.col("embedding"), F.col("embedding")) == 0
+        nz = sub_emb.filter(~zero)
+        assigned = nz.join(
+            embedding_kmeans(nz, k, n_iter)
             .select("vec_id", F.col("cluster_id").alias("cid")),
             "vec_id")
         norm = F.sqrt(dot(F.col("centroid"), F.col("centroid")))
@@ -1663,8 +1674,16 @@ def _pq_books_and_assignments(emb: DataFrame, m: int, k: int,
                     .alias("centroid"))
         )
         books = book_j if books is None else books.unionByName(book_j)
+        # zero slices take the LOWEST code the subspace's book carries
+        # (a 1-row broadcast aggregate) — the same argmax _pq_encode
+        # resolves for them, so trainer assignment and encoder agree
+        zero_asg = (sub_emb.filter(zero).select("vec_id")
+                    .join(F.broadcast(
+                        book_j.agg(F.min("code").alias("cid")))))
         asg_j = assigned.select(
-            "vec_id", F.lit(j).alias("subspace"), "cid")
+            "vec_id", F.lit(j).alias("subspace"), "cid") \
+            .unionByName(zero_asg.select(
+                "vec_id", F.lit(j).alias("subspace"), "cid"))
         asg_all = asg_j if asg_all is None else asg_all.unionByName(asg_j)
     return books, asg_all
 

@@ -733,7 +733,8 @@ def stream_vector_index_upsert(emb_stream: DataFrame, index_path: str,
 def stream_vector_search(query_stream: DataFrame, index_path: str,
                          vectors: DataFrame, results_path: str,
                          checkpoint: str, k: int = 10,
-                         nprobe: int = 2):
+                         nprobe: int = 2,
+                         allowed_path: str | None = None):
     """foreachBatch ANN SERVING from a live query feed — the retrieval
     twin of ``stream_vector_index_upsert``: each micro-batch of
     ``(query_id, embedding)`` rows runs through the index's BATCH
@@ -753,7 +754,16 @@ def stream_vector_search(query_stream: DataFrame, index_path: str,
     rename is the only publication point).  Replay-idempotent: a
     batch_id at or below the results store's newest committed batch_id
     is skipped, so the crash window between the results commit and the
-    checkpoint commit cannot double-publish a batch."""
+    checkpoint commit cannot double-publish a batch.
+
+    ``allowed_path`` makes this FILTERED serving (the production
+    shape: a tenant/collection allow-list): a ``vec_id`` parquet
+    re-read per micro-batch — upstream changes to the allow-list are
+    picked up at the next batch boundary, same contract as the index
+    manifest — and passed to the kind's batch path, where it
+    semi-joins before the shortlist (with per-query adaptive probe
+    widening on the IVF kinds, so a restrictive list cannot starve
+    any query in the batch)."""
     from pyspark.sql import functions as F
 
     from ..jobs.versioned import commit_version
@@ -778,22 +788,29 @@ def stream_vector_search(query_stream: DataFrame, index_path: str,
                    .localCheckpoint(eager=True))
         if not queries.head(1):
             return
+        allowed = (spark.read.parquet(allowed_path).select("vec_id")
+                   if allowed_path is not None else None)
         kind = _index_manifest(spark, index_path).get("kind", "sq8")
         if kind == "ivf_sq8":
             res = ivf_sq8_index_topk_batch(
-                spark, index_path, queries, vectors, k=k, nprobe=nprobe)
+                spark, index_path, queries, vectors, k=k,
+                nprobe=nprobe, allowed=allowed)
         elif kind == "ivf_pq":
             res = ivf_pq_index_topk_batch(
-                spark, index_path, queries, vectors, k=k, nprobe=nprobe)
+                spark, index_path, queries, vectors, k=k,
+                nprobe=nprobe, allowed=allowed)
         elif kind == "pq":
             res = pq_index_topk_batch(
-                spark, index_path, queries, vectors, k=k)
+                spark, index_path, queries, vectors, k=k,
+                allowed=allowed)
         elif kind == "bq":
             res = bq_index_topk_batch(
-                spark, index_path, queries, vectors, k=k)
+                spark, index_path, queries, vectors, k=k,
+                allowed=allowed)
         else:
             res = sq8_index_topk_batch(
-                spark, index_path, queries, vectors, k=k)
+                spark, index_path, queries, vectors, k=k,
+                allowed=allowed)
         commit_version(
             res.select(F.lit(int(batch_id)).alias("batch_id"),
                        "query_id", "rank", "neighbor_id", "cos_sim"),
