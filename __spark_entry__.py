@@ -930,6 +930,38 @@ _EXTRA_QUERIES = {
     # r8 rotations: shape-duplicates displaced by _FLAGSHIP_R8 (see
     # that dict's comments for the per-row justification); all stay
     # oracle-checked here + in tests/test_driver_parity.py
+    # r11 second-wave displacements (see _FLAGSHIP_R11's rotation
+    # comment for the per-row justification); every one previously
+    # carried the driver hash gate and stays oracle-checked here
+    # hybrid retrieval: BM25 top-50 + dense-cosine top-50 fused by
+    # integer Reciprocal Rank Fusion (vec_id shares doc_id's key space)
+    "text_hybrid_search":
+        lambda s, d: ptext.hybrid_search(
+            _aug(s, d), _emb(s, d), ["spark", "window", "merge"]),
+    # batch kNN join: every 5th vector queries the whole corpus,
+    # neither side broadcast, multi-probe (Hamming-1) LSH blocking
+    "ann_knn_join":
+        lambda s, d: psim.knn_join_lsh(
+            _emb(s, d).filter("vec_id % 5 = 0"), _emb(s, d), k=5),
+    # sequential conversion funnel (view -> click -> purchase within 1h)
+    # — each transition is the as-of join run forward with tolerance
+    "events_funnel":
+        lambda s, d: ev.funnel_report(_events(s, d)),
+    # deep-k BFS twin: driver loop with per-level eager localCheckpoint
+    # (O(1) plan per level at any budget); oracle = the SAME generated
+    # level-unroll SQL at the deeper constant
+    "transit_reachable_deep":
+        lambda s, d: (lambda v: graphq.reachable_stops_deep(
+            v["stop_times"], v["trips"], "1", max_transfers=6))(
+            register_gtfs_views(s, d)),
+    # r9: KMV corpus-overlap screen between two planted, overlapping
+    # doc splits — exact set algebra on the shared md5 k-minima, every
+    # output an integer (the metadata-level contamination pre-screen
+    # that runs before the exact shingle-join decontamination)
+    "profile_overlap_kmv":
+        lambda s, d: pprof.kmv_overlap(
+            _aug(s, d).filter("doc_id % 3 != 0"),
+            _aug(s, d).filter("doc_id % 2 = 0"), "text"),
     "ann_lsh_topk":
         lambda s, d: psim.lsh_topk(_emb(s, d)),
     "curation_stratified_cap":
@@ -1006,45 +1038,16 @@ _EXTRA_QUERIES = {
     # (count DESC, token ASC) order so the limit boundary is stable
     "text_vocabulary":
         lambda s, d: ptext.vocabulary(_aug(s, d), top_k=100),
-    # intra-doc repetition collapse — the corpus's own repeated token
-    # runs ("batch batch batch") are the positives
-    "text_collapse_runs":
-        lambda s, d: pclean.collapse_token_runs(_aug(s, d)),
     # PII redaction over a deterministic injection (every 13th doc gets
     # a synthetic email/phone/IP footer via the SAME expression in both
     # engines — the raw synthetic corpus contains no PII, docs_aug-style)
     "text_scrub_pii":
         lambda s, d: pclean.scrub_pii(_pii_injected(_aug(s, d))),
-    # pre-flight join profile: per-user view x purchase pair counts,
-    # hottest keys first — the skew screening a 100-TB join runs before
-    # committing to a shuffle (null keys shown, not dropped)
-    "events_join_skew":
-        lambda s, d: pprof.join_key_profile(
-            _events(s, d).filter("event_type = 'view'"),
-            _events(s, d).filter("event_type = 'purchase'"),
-            "user_id", top_n=25),
     # corpus-level line dedup (C4-style boilerplate removal) over a
     # deterministic newsletter-footer injection
     "text_line_dedup":
         lambda s, d: pclean.drop_boilerplate_lines(
             _boiler_injected(_aug(s, d))),
-    # min-ride BFS over the stop-route bipartite graph (journey-planner
-    # reachability: which stops within 2 transfers of stop '1', and in
-    # how few rides) — per-level hash joins, frontier anti-join prune
-    "transit_reachable_stops":
-        lambda s, d: (lambda v: graphq.reachable_stops(
-            v["stop_times"], v["trips"], "1", max_transfers=2))(
-            register_gtfs_views(s, d)),
-    # the multimodal twin: one <= 2.2 km walk hop allowed before /
-    # between / after rides (geo walk edges composed into the BFS)
-    "transit_reachable_multimodal":
-        lambda s, d: (lambda v: graphq.reachable_stops_multimodal(
-            v["stop_times"], v["trips"], v["stops"], "1",
-            max_transfers=2))(register_gtfs_views(s, d)),
-    # per-(source, lang) curation dashboard: doc counts, emptiness,
-    # exact-dup pressure, token/char volume, integer-mean quality
-    "pipeline_corpus_report":
-        lambda s, d: pprof.corpus_report(_aug(s, d)),
     # feature-hashing text embeddings (the corpus -> vector-family
     # bridge the vector-pipeline CLI uses): one shuffle-free codegen'd
     # projection; first 8 dims projected as float32 scalars (driver
@@ -1132,20 +1135,6 @@ _FLAGSHIP_QUERIES = {
                     _aug(s, d).filter("doc_id % 11 != 0"),
                     _aug(s, d).filter("doc_id % 11 = 0"))),
             token_budget=160),
-    # hybrid retrieval: BM25 top-50 + dense-cosine top-50 fused by
-    # integer Reciprocal Rank Fusion (vec_id shares doc_id's key space)
-    "text_hybrid_search":
-        lambda s, d: ptext.hybrid_search(
-            _aug(s, d), _emb(s, d), ["spark", "window", "merge"]),
-    # batch kNN join: every 5th vector queries the whole corpus,
-    # neither side broadcast, multi-probe (Hamming-1) LSH blocking
-    "ann_knn_join":
-        lambda s, d: psim.knn_join_lsh(
-            _emb(s, d).filter("vec_id % 5 = 0"), _emb(s, d), k=5),
-    # sequential conversion funnel (view -> click -> purchase within 1h)
-    # — each transition is the as-of join run forward with tolerance
-    "events_funnel":
-        lambda s, d: ev.funnel_report(_events(s, d)),
     # geo x transit composition: close pairs sharing NO route (walkable
     # transfer candidates — the geo complement of Q3)
     "geo_transfer_walk":
@@ -1205,13 +1194,6 @@ _FLAGSHIP_R8 = {
     # blocklist stay oracle-checked below
     "web_url_dedup":
         lambda s, d: pweb.url_dedup(_web(s, d)),
-    # deep-k BFS twin: driver loop with per-level eager localCheckpoint
-    # (O(1) plan per level at any budget); oracle = the SAME generated
-    # level-unroll SQL at the deeper constant
-    "transit_reachable_deep":
-        lambda s, d: (lambda v: graphq.reachable_stops_deep(
-            v["stop_times"], v["trips"], "1", max_transfers=6))(
-            register_gtfs_views(s, d)),
 }
 
 # r9 rotation (tools/rotation_check.py enforces the cadence): five
@@ -1261,14 +1243,6 @@ _FLAGSHIP_R10 = {
     "profile_correlations":
         lambda s, d: pprof.numeric_correlations(
             _lineitem(s, d), _QUANTILE_COLS),
-    # r9: KMV corpus-overlap screen between two planted, overlapping
-    # doc splits — exact set algebra on the shared md5 k-minima, every
-    # output an integer (the metadata-level contamination pre-screen
-    # that runs before the exact shingle-join decontamination)
-    "profile_overlap_kmv":
-        lambda s, d: pprof.kmv_overlap(
-            _aug(s, d).filter("doc_id % 3 != 0"),
-            _aug(s, d).filter("doc_id % 2 = 0"), "text"),
     # BM25 full-text search over the corpus (integer-micro quantized
     # per-term scores so the per-doc sum is order-independent)
     "text_search_bm25":
@@ -1346,6 +1320,46 @@ _FLAGSHIP_R11 = {
     # gated _PIPELINE_QUERIES row).
     "ann_bq_topk":
         lambda s, d: psim.bq_topk(_emb(s, d)),
+    # second r11 rotation wave (5 more never-gated rows; backlog 10->5,
+    # on the <=r13 drain schedule).  Displacements, all annotated in
+    # _EXTRA_QUERIES: text_hybrid_search (its BM25 arm is the in-window
+    # text_search_bm25 row, its dense arm the ann rows; the RRF fusion
+    # stays pytest-parity-pinned), ann_knn_join (multi-probe LSH
+    # claim-once shape = out-of-window ann_lsh_topk's machinery, also
+    # exercised inside semantic_dedup's blocked join), events_funnel
+    # (as-of-with-tolerance shape = in-window events_asof_join),
+    # transit_reachable_deep (constant-deeper twin of the two reachable
+    # rows rotating IN), profile_overlap_kmv (gated green r10; same
+    # k-minima union algebra as the pytest-pinned profile_distinct_kmv).
+    # intra-doc repetition collapse — the corpus's own repeated token
+    # runs ("batch batch batch") are the positives
+    "text_collapse_runs":
+        lambda s, d: pclean.collapse_token_runs(_aug(s, d)),
+    # pre-flight join profile: per-user view x purchase pair counts,
+    # hottest keys first — the skew screening a 100-TB join runs before
+    # committing to a shuffle (null keys shown, not dropped)
+    "events_join_skew":
+        lambda s, d: pprof.join_key_profile(
+            _events(s, d).filter("event_type = 'view'"),
+            _events(s, d).filter("event_type = 'purchase'"),
+            "user_id", top_n=25),
+    # min-ride BFS over the stop-route bipartite graph (journey-planner
+    # reachability: which stops within 2 transfers of stop '1', and in
+    # how few rides) — per-level hash joins, frontier anti-join prune
+    "transit_reachable_stops":
+        lambda s, d: (lambda v: graphq.reachable_stops(
+            v["stop_times"], v["trips"], "1", max_transfers=2))(
+            register_gtfs_views(s, d)),
+    # the multimodal twin: one <= 2.2 km walk hop allowed before /
+    # between / after rides (geo walk edges composed into the BFS)
+    "transit_reachable_multimodal":
+        lambda s, d: (lambda v: graphq.reachable_stops_multimodal(
+            v["stop_times"], v["trips"], v["stops"], "1",
+            max_transfers=2))(register_gtfs_views(s, d)),
+    # per-(source, lang) curation dashboard: doc counts, emptiness,
+    # exact-dup pressure, token/char volume, integer-mean quality
+    "pipeline_corpus_report":
+        lambda s, d: pprof.corpus_report(_aug(s, d)),
 }
 
 
