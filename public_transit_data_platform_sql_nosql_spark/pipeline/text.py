@@ -355,6 +355,15 @@ def hybrid_search(docs: DataFrame, emb: DataFrame,
         "dense_rank",
     ).select("doc_id", "dense_rank")
 
+    return _rrf_fuse(bm_ranked, dense_ranked, k, rrf_k)
+
+
+def _rrf_fuse(bm_ranked: DataFrame, dense_ranked: DataFrame, k: int,
+              rrf_k: int) -> DataFrame:
+    """Reciprocal Rank Fusion of two bounded ranked lists (integer
+    micros — exact and order-independent): one full-outer join of two
+    pool-sized lists, top-``k`` by (rrf_micro DESC, doc_id ASC).
+    Shared by the in-flight and the stored-index hybrid retrievals."""
     rrf = (
         F.coalesce(
             F.expr(f"1000000 div ({int(rrf_k)} + bm25_rank)"), F.lit(0))
@@ -368,6 +377,66 @@ def hybrid_search(docs: DataFrame, emb: DataFrame,
         .orderBy(F.desc("rrf_micro"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def hybrid_index_search(spark, docs: DataFrame, index_path: str,
+                        vectors: DataFrame, query_terms: list[str],
+                        query_vec: list[float], k: int = 20,
+                        pool: int = 50, rrf_k: int = 60,
+                        nprobe: int = 2,
+                        allowed: DataFrame | None = None) -> DataFrame:
+    """Hybrid retrieval with the dense arm served from a STORED vector
+    index — the corpus-scale form of :func:`hybrid_search`: BM25 ranks
+    its top-``pool`` lexically, the index's kind-dispatched serving
+    path (any of the five layouts, resolved from the manifest) ranks
+    its top-``pool`` semantically with the exact-rerank contract, and
+    the two bounded lists fuse by the same integer RRF.  ``allowed``
+    restricts BOTH arms (semi-join on the BM25 side, the filtered
+    serving path with adaptive probe widening on the dense side) — the
+    tenant-scoped RAG shape.  ``vectors.vec_id`` must share
+    ``docs.doc_id``'s key space.
+
+    Scale: the BM25 arm is corpus-scan + TakeOrdered; the dense arm
+    reads nprobe partitions of byte codes (IVF kinds) or the flat code
+    column.  The fusion never touches the corpus again."""
+    from .similarity import (
+        _index_manifest,
+        bq_index_topk,
+        ivf_pq_index_topk,
+        ivf_sq8_index_topk,
+        pq_index_topk,
+        sq8_index_topk,
+    )
+
+    bm = search_bm25(docs, query_terms, top_k=pool)
+    if allowed is not None:
+        bm = bm.join(allowed.select(F.col("vec_id").alias("doc_id")),
+                     "doc_id", "left_semi")
+    bm_ranked = bounded_rank(
+        bm, [-F.col("score_micro"), F.col("doc_id")], "bm25_rank"
+    ).select("doc_id", "bm25_rank")
+    kind = _index_manifest(spark, index_path).get("kind", "sq8")
+    servers = {
+        "sq8": lambda: sq8_index_topk(
+            spark, index_path, query_vec, vectors, k=pool,
+            allowed=allowed),
+        "pq": lambda: pq_index_topk(
+            spark, index_path, query_vec, vectors, k=pool,
+            allowed=allowed),
+        "bq": lambda: bq_index_topk(
+            spark, index_path, query_vec, vectors, k=pool,
+            allowed=allowed),
+        "ivf_sq8": lambda: ivf_sq8_index_topk(
+            spark, index_path, query_vec, vectors, k=pool,
+            nprobe=nprobe, allowed=allowed),
+        "ivf_pq": lambda: ivf_pq_index_topk(
+            spark, index_path, query_vec, vectors, k=pool,
+            nprobe=nprobe, allowed=allowed),
+    }
+    dense_ranked = servers[kind]().select(
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").alias("dense_rank"))
+    return _rrf_fuse(bm_ranked, dense_ranked, k, rrf_k)
 
 
 def lm_transition_scores(docs: DataFrame) -> DataFrame:
