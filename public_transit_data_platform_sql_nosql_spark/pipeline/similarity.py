@@ -487,6 +487,13 @@ def sq8_index_topk_batch(spark, path: str, queries: DataFrame,
     if allowed is not None:
         cand = cand.join(allowed.select("vec_id"), "vec_id",
                          "left_semi")
+    # NOTE measured trade (r11): materializing the reconstruction
+    # once per candidate below the query join — the PQ hat placement —
+    # is 14x WORSE here (4.4 -> 60 s for a 16-query batch at sf0.1):
+    # SQ8's recon is a 64-double array whose UnsafeArrayData copy per
+    # joined pair costs more than re-running the codegen'd unpack over
+    # the 64-BYTE blob; PQ wins the same move only because its codes
+    # are m bytes against a huge shared literal.  Keep the recompute.
     scored = (
         cand.join(F.broadcast(stats))
         .withColumn("ucodes", _sq8_unpack(F.col("codes"), dim))
@@ -1395,6 +1402,11 @@ def ivf_sq8_index_topk_batch(spark, path: str, queries: DataFrame,
     cand = _batch_candidates(spark, q, cents, codes_all, nprobe, k,
                              allowed)
     stats = spark.read.parquet(f"{path}/{m['quantizer']}")
+    # recompute the dequantization per pair ON PURPOSE — see the
+    # measured trade note in sq8_index_topk_batch (the 64-double recon
+    # array is costlier to materialize and copy through the join than
+    # to re-derive from the 64-byte blob; PQ's hat takes the opposite
+    # placement for the opposite reason)
     scored = (
         cand.join(F.broadcast(q), "query_id")
         .join(F.broadcast(stats))
