@@ -99,3 +99,44 @@ def test_cli_stats_and_recall_curve(spark, emb, tmp_path, capsys):
                  "--emb", emb_path, "--k", "5"]) == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert [r["nprobe"] for r in out["curve"]] == [1, 2, 4, 8]
+
+
+def test_vacuum_new_kinds_round_trip(spark, emb, tmp_path):
+    """vacuum_index retains every artifact a LIVE manifest references
+    for the r11 kinds too: ivf_pq manifests carry BOTH centroids and
+    codebooks refs, bq manifests carry codes only — after upserts
+    push old versions out of the retention window, vacuum must
+    collect the superseded dirs and the index must still serve."""
+    from public_transit_data_platform_sql_nosql_spark.pipeline.similarity import (
+        bq_index_topk,
+        bq_index_upsert,
+        ivf_pq_index_topk,
+        ivf_pq_index_upsert,
+        vacuum_index,
+        write_bq_index,
+        write_ivf_pq_index,
+    )
+
+    qv = [float(x) for x in emb.filter("vec_id = 3")
+          .head()["embedding"]]
+    for kind, writer, upsert, topk, kw in (
+            ("ivf_pq", write_ivf_pq_index, ivf_pq_index_upsert,
+             ivf_pq_index_topk, {"nprobe": 8}),
+            ("bq", write_bq_index, bq_index_upsert,
+             bq_index_topk, {})):
+        path = str(tmp_path / kind)
+        writer(emb.select("vec_id", "embedding"), path)
+        new = spark.createDataFrame(
+            [(990000, qv)], "vec_id long, embedding array<double>")
+        upsert(spark, path, new)               # append (v1)
+        upsert(spark, path, new)               # replace (v2)
+        st = vacuum_index(spark, path, keep_last=1)
+        assert st["kept_versions"] == [2]
+        assert st["removed_manifests"] == [0, 1]
+        # superseded codes dirs are gone; referenced artifacts remain
+        assert len(st["removed_dirs"]) >= 1
+        res = topk(spark, path, qv,
+                   emb.select("vec_id", "embedding").unionByName(new),
+                   k=3, **kw)
+        ids = {r["neighbor_id"] for r in res.collect()}
+        assert 990000 in ids or 3 in ids
