@@ -327,6 +327,7 @@ def _vector_serving_section(spark) -> dict | None:
             "serve_batch_s": round(statistics.median(samples), 3),
             "recall_at10_permille": int(1000 * hits / max(total, 1)),
             "build_s": build_s,
+            **({"nprobe": 2} if kind.startswith("ivf_") else {}),
         }
         print(f"# vecserve {kind}: {out[kind]['serve_batch_s']}s "
               f"(recall@10 {out[kind]['recall_at10_permille']}permille"

@@ -418,6 +418,15 @@ def cmd_vector_index(args: argparse.Namespace) -> int:
         else:
             st = sim.sq8_index_upsert(spark, args.path, batch,
                                       dim=args.dim)
+        if args.auto_compact and st["decision"] in ("appended",
+                                                     "replaced"):
+            # the streaming maintainer's ops-loop closure, batch form:
+            # fold the codes list once it fragments past the threshold
+            # (vacuum stays an operator choice)
+            n_dirs = len(sim._index_manifest(spark, args.path)
+                         .get("codes", []))
+            if n_dirs >= args.compact_dirs:
+                st["compact"] = sim.compact_index(spark, args.path)
         print(json.dumps({"action": "upsert", "kind": kind, **st}))
         return 0 if st["decision"] not in ("rebuild", "wrong_kind") \
             else 3
@@ -780,6 +789,13 @@ def main(argv: list[str] | None = None) -> int:
     pv.add_argument("--keep-last", type=int, default=2)
     pv.add_argument("--recall-floor", type=int, default=600,
                     help="maintain: min sampled recall permille")
+    pv.add_argument("--auto-compact", action="store_true",
+                    help="upsert: fold the codes dirs when the "
+                         "manifest fragments past --compact-dirs "
+                         "(the streaming maintainer's auto_compact, "
+                         "batch form)")
+    pv.add_argument("--compact-dirs", type=int, default=8,
+                    help="upsert --auto-compact threshold")
     pv.set_defaults(fn=cmd_vector_index)
 
     pvp = sub.add_parser(

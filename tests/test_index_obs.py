@@ -140,3 +140,37 @@ def test_vacuum_new_kinds_round_trip(spark, emb, tmp_path):
                    k=3, **kw)
         ids = {r["neighbor_id"] for r in res.collect()}
         assert 990000 in ids or 3 in ids
+
+
+def test_cli_upsert_auto_compact(spark, emb, tmp_path, capsys):
+    """--auto-compact folds the codes dirs inside the upsert command
+    once the manifest fragments past --compact-dirs (the streaming
+    maintainer's auto_compact, batch form)."""
+    import json as _json
+
+    from public_transit_data_platform_sql_nosql_spark.__main__ import main
+    from public_transit_data_platform_sql_nosql_spark.pipeline.similarity import (
+        _index_manifest,
+        write_bq_index,
+    )
+
+    emb_path = str(tmp_path / "emb")
+    emb.select("vec_id", "embedding").write.parquet(emb_path)
+    path = str(tmp_path / "idx")
+    write_bq_index(spark.read.parquet(emb_path), path)
+    qv = [float(x) for x in emb.filter("vec_id = 3")
+          .head()["embedding"]]
+    for i, thresh_hit in ((0, False), (1, True)):
+        bsrc = str(tmp_path / f"batch{i}")
+        spark.createDataFrame(
+            [(995000 + i, qv)], "vec_id long, embedding array<double>"
+        ).write.parquet(bsrc)
+        assert main(["vector-index", "upsert", "--path", path,
+                     "--batch", bsrc, "--auto-compact",
+                     "--compact-dirs", "3"]) == 0
+        out = _json.loads(
+            capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["decision"] == "appended"
+        assert ("compact" in out) == thresh_hit, out
+    m = _index_manifest(spark, path)
+    assert len(m["codes"]) == 1            # folded back to one dir
