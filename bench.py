@@ -176,7 +176,12 @@ _SF1_QUERIES = ("q1_busiest_stops", "q2_route_stats_whole_week",
                 # tables)
                 "pipeline_training_chunks", "dedup_clusters",
                 "text_search_bm25",
-                "events_asof_join", "events_interval_join")
+                "events_asof_join", "events_interval_join",
+                # r11: the first matched-scale ANN trend line — bq is
+                # the one in-flight ANN op with NO training cost (sign
+                # bits are data-independent), so its sf1 number is
+                # pure scan + Hamming + rerank, the part that scales
+                "ann_bq_topk")
 
 
 def _sf1_section(spark, qs) -> dict | None:
