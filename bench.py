@@ -243,14 +243,14 @@ def _sf1_section(spark, qs) -> dict | None:
             "total": round(sum(times.values()), 3)}
 
 
-_SERVING_KINDS = ("bq", "sq8", "ivf_sq8", "pq", "ivf_pq")
+_SERVING_KINDS = ("bq", "ivf_bq", "sq8", "ivf_sq8", "pq", "ivf_pq")
 
 
 def _vector_serving_section(spark) -> dict | None:
     """The ANN SERVING trend line, measured every round: the headline
     set times the IN-FLIGHT operators (train + search in one plan),
     but the 100-TB vector story lives in the STORED layouts — build
-    once, serve many.  This section builds all five index kinds over
+    once, serve many.  This section builds all six index kinds over
     the headline SF's embeddings (cached under /tmp across rounds;
     build seconds recorded only when actually built), then measures
     each kind's BATCH serving path (16 queries as ONE distributed
@@ -278,6 +278,7 @@ def _vector_serving_section(spark) -> dict | None:
                           f"/tmp/spark_graft_bench/vecidx_{tag}")
     writers = {
         "bq": sim.write_bq_index,
+        "ivf_bq": sim.write_ivf_bq_index,
         "sq8": sim.write_sq8_index,
         "ivf_sq8": sim.write_ivf_sq8_index,
         "pq": sim.write_pq_index,
@@ -285,6 +286,7 @@ def _vector_serving_section(spark) -> dict | None:
     }
     batchers = {
         "bq": sim.bq_index_topk_batch,
+        "ivf_bq": sim.ivf_bq_index_topk_batch,
         "sq8": sim.sq8_index_topk_batch,
         "ivf_sq8": sim.ivf_sq8_index_topk_batch,
         "pq": sim.pq_index_topk_batch,

@@ -319,7 +319,10 @@ def cmd_vector_index(args: argparse.Namespace) -> int:
         emb = spark.read.parquet(args.emb)
         build_dim = args.dim if args.dim is not None else 64
         tf = args.train_fraction
-        if args.bq:
+        if args.bq and args.ivf:
+            sim.write_ivf_bq_index(emb, args.path, dim=build_dim,
+                                   train_fraction=tf)
+        elif args.bq:
             sim.write_bq_index(emb, args.path, dim=build_dim)
         elif args.pq and args.ivf:
             sim.write_ivf_pq_index(emb, args.path, dim=build_dim,
@@ -359,6 +362,9 @@ def cmd_vector_index(args: argparse.Namespace) -> int:
         elif kind == "bq":
             res = sim.bq_index_topk(spark, args.path, qvec, emb,
                                     k=args.k)
+        elif kind == "ivf_bq":
+            res = sim.ivf_bq_index_topk(spark, args.path, qvec, emb,
+                                        k=args.k, nprobe=args.nprobe)
         else:
             res = sim.sq8_index_topk(spark, args.path, qvec, emb,
                                      k=args.k, dim=args.dim)
@@ -389,6 +395,10 @@ def cmd_vector_index(args: argparse.Namespace) -> int:
         elif kind == "bq":
             res = sim.bq_index_topk_batch(spark, args.path, queries,
                                           emb, k=args.k)
+        elif kind == "ivf_bq":
+            res = sim.ivf_bq_index_topk_batch(
+                spark, args.path, queries, emb, k=args.k,
+                nprobe=args.nprobe)
         else:
             res = sim.sq8_index_topk_batch(spark, args.path, queries,
                                            emb, k=args.k)
@@ -415,6 +425,8 @@ def cmd_vector_index(args: argparse.Namespace) -> int:
             st = sim.ivf_pq_index_upsert(spark, args.path, batch)
         elif kind == "bq":
             st = sim.bq_index_upsert(spark, args.path, batch)
+        elif kind == "ivf_bq":
+            st = sim.ivf_bq_index_upsert(spark, args.path, batch)
         else:
             st = sim.sq8_index_upsert(spark, args.path, batch,
                                       dim=args.dim)
@@ -437,10 +449,10 @@ def cmd_vector_index(args: argparse.Namespace) -> int:
         # rebuild-in-place decision.  Flat sq8's guard lives in its
         # upsert; classic IVF's in maintain_ivf_index
         kind = sim._index_manifest(spark, args.path).get("kind", "sq8")
-        if kind not in ("pq", "ivf_sq8", "ivf_pq"):
+        if kind not in ("pq", "ivf_sq8", "ivf_pq", "ivf_bq"):
             print(json.dumps({"error": f"maintain drives pq/ivf_sq8/"
-                                       f"ivf_pq indexes; this one is "
-                                       f"{kind!r}"}))
+                                       f"ivf_pq/ivf_bq indexes; this "
+                                       f"one is {kind!r}"}))
             return 2
         batch = spark.read.parquet(args.batch)
         vectors = spark.read.parquet(args.emb)
@@ -451,6 +463,12 @@ def cmd_vector_index(args: argparse.Namespace) -> int:
                 train_fraction=args.train_fraction)
         elif kind == "ivf_pq":
             st = sim.maintain_ivf_pq_index(
+                spark, args.path, batch, vectors, k=args.k,
+                nprobe=args.nprobe,
+                recall_floor_permille=args.recall_floor,
+                train_fraction=args.train_fraction)
+        elif kind == "ivf_bq":
+            st = sim.maintain_ivf_bq_index(
                 spark, args.path, batch, vectors, k=args.k,
                 nprobe=args.nprobe,
                 recall_floor_permille=args.recall_floor,
@@ -590,6 +608,9 @@ def cmd_vector_pipeline(args: argparse.Namespace) -> int:
                            train_fraction=tf)
     elif kind == "bq":
         sim.write_bq_index(emb, f"{wd}/index", dim=args.dim)
+    elif kind == "ivf_bq":
+        sim.write_ivf_bq_index(emb, f"{wd}/index", dim=args.dim,
+                               train_fraction=tf)
     else:
         sim.write_sq8_index(emb, f"{wd}/index", dim=args.dim)
 
@@ -606,6 +627,9 @@ def cmd_vector_pipeline(args: argparse.Namespace) -> int:
             spark, f"{wd}/index", queries, emb, k=args.k),
         "bq": lambda: sim.bq_index_topk_batch(
             spark, f"{wd}/index", queries, emb, k=args.k),
+        "ivf_bq": lambda: sim.ivf_bq_index_topk_batch(
+            spark, f"{wd}/index", queries, emb, k=args.k,
+            nprobe=args.nprobe),
         "sq8": lambda: sim.sq8_index_topk_batch(
             spark, f"{wd}/index", queries, emb, k=args.k),
     }
@@ -747,8 +771,8 @@ def main(argv: list[str] | None = None) -> int:
         "vector-index",
         help="build/query/upsert/maintain/stats/recall-curve/vacuum "
              "a manifest-committed "
-             "ANN index (sq8 / ivf_sq8 / pq / ivf_pq / bq — ops "
-             "dispatch by the manifest's kind)")
+             "ANN index (sq8 / ivf_sq8 / pq / ivf_pq / bq / ivf_bq "
+             "— ops dispatch by the manifest's kind)")
     pv.add_argument("action",
                     choices=("build", "query", "query-batch", "upsert",
                              "maintain", "compact", "vacuum", "stats",
@@ -771,7 +795,8 @@ def main(argv: list[str] | None = None) -> int:
     pv.add_argument("--bq", action="store_true",
                     help="build: binary quantization (one sign bit per "
                          "dim, 8-byte codes, Hamming pre-filter; "
-                         "nothing trains)")
+                         "nothing trains); with --ivf: IVF x BQ "
+                         "(cluster-pruned sign codes)")
     pv.add_argument("--train-fraction", type=float, default=1.0,
                     help="build/maintain (--ivf/--pq): hash-sample "
                          "fraction for centroid/codebook training "
@@ -814,7 +839,8 @@ def main(argv: list[str] | None = None) -> int:
     pvp.add_argument("--n-queries", type=int, default=3)
     pvp.add_argument("--train-fraction", type=float, default=1.0)
     pvp.add_argument("--kind", default="ivf_sq8",
-                     choices=("sq8", "ivf_sq8", "pq", "ivf_pq", "bq"),
+                     choices=("sq8", "ivf_sq8", "pq", "ivf_pq", "bq",
+                              "ivf_bq"),
                      help="index layout for the end-to-end pipeline")
     pvp.set_defaults(fn=cmd_vector_pipeline)
 

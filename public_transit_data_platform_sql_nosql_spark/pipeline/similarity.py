@@ -351,8 +351,9 @@ def compact_index(spark, path: str, min_dirs: int = 2) -> dict:
     codes = _read_codes(spark, path, m["codes"])
     version = _next_index_version(spark, path)
     base = f"data/v{version:06d}"
-    if m.get("kind") in ("ivf_sq8", "ivf_pq"):
-        (codes.select("vec_id", "cluster_id", "codes")
+    if m.get("kind") in ("ivf_sq8", "ivf_pq", "ivf_bq"):
+        cols = [c for c in codes.columns if c != "cluster_id"]
+        (codes.select(*cols, "cluster_id")
          .repartition("cluster_id")
          .write.mode("error").partitionBy("cluster_id")
          .parquet(f"{path}/{base}/codes"))
@@ -3043,6 +3044,7 @@ def bq_index_upsert(spark, path: str, new_emb: DataFrame) -> dict:
 _CODE_BYTES = {
     # bytes of scannable code per vector, by layout kind
     "bq": 8,
+    "ivf_bq": 8,
 }
 
 
@@ -3120,6 +3122,8 @@ def index_recall_curve(spark, path: str, vectors: DataFrame,
             spark, path, qv, vectors, k=k, nprobe=np_),
         "ivf_pq": lambda qv, np_: ivf_pq_index_topk(
             spark, path, qv, vectors, k=k, nprobe=np_),
+        "ivf_bq": lambda qv, np_: ivf_bq_index_topk(
+            spark, path, qv, vectors, k=k, nprobe=np_),
     }
     serve = servers[kind]
     depths = list(nprobes) if kind.startswith("ivf_") else [None]
@@ -3157,3 +3161,296 @@ def index_recall_curve(spark, path: str, vectors: DataFrame,
                      "min_recall_permille": int(rec["mn"]),
                      "mean_recall_permille": int(rec["mean"])})
     return rows
+
+
+# ---------------------------------------------------------------------------
+# IVF x BQ — coarse partition pruning over the 8-byte sign codes: the
+# layout for when even byte codes are too much scan.  A query reads
+# nprobe/k of the corpus at 8 bytes/vector with pure-integer scoring —
+# the cheapest probed read on the matrix; the coarse centroids are the
+# only trained artifact (the sign quantizer never trains), so the
+# maintenance ladder has the bump_nprobe rung but its rebuild only
+# re-clusters.
+
+
+def write_ivf_bq_index(emb: DataFrame, path: str, k: int = KMEANS_K,
+                       dim: int = 64, n_iter: int = KMEANS_ITERS,
+                       train_fraction: float = 1.0) -> None:
+    """Persist the IVF x BQ serving layout: the two packed 32-bit
+    sign-bit halves hive-partitioned by coarse k-means cluster, the
+    centroid table beside them.  Same atomic manifest protocol as
+    every writer; ``train_fraction`` samples the coarse trainer (the
+    only training this layout has)."""
+    from ..jobs.versioned import _write_manifest
+
+    if dim != 64:
+        raise ValueError(
+            f"bq packs exactly 64 sign bits (got dim={dim})")
+    spark = emb.sparkSession
+    version = _next_index_version(spark, path)
+    base = f"data/v{version:06d}"
+    cents_t = _trained_centroids(emb, k, n_iter, train_fraction)
+    assigned = _assign(emb.select("vec_id", "embedding"), cents_t) \
+        .select("vec_id", F.col("cid").alias("cluster_id"))
+    (emb.select("vec_id",
+                _bq_half("embedding", 0).alias("lo"),
+                _bq_half("embedding", 32).alias("hi"))
+     .join(assigned, "vec_id")
+     .select("vec_id", "lo", "hi", "cluster_id")
+     .repartition("cluster_id")
+     .write.mode("error").partitionBy("cluster_id")
+     .parquet(f"{path}/{base}/codes"))
+    cents_t.select(F.col("cid").alias("cluster_id"), "centroid") \
+        .coalesce(1).write.mode("error") \
+        .parquet(f"{path}/{base}/centroids")
+    _write_manifest(spark, path, version, {
+        "version": version, "kind": "ivf_bq", "dim": dim,
+        "codes": [f"{base}/codes"], "centroids": f"{base}/centroids",
+    })
+
+
+def ivf_bq_index_topk(spark, path: str, query_vec: list[float],
+                      vectors: DataFrame, k: int = 10, nprobe: int = 2,
+                      rerank_mult: int = BQ_RERANK_MULT,
+                      allowed: DataFrame | None = None) -> DataFrame:
+    """Serve top-k from a ``write_ivf_bq_index`` layout: rank the
+    centroid table driver-side, partition-prune to the probed cluster
+    directories, integer-Hamming the 8-byte codes against the query's
+    inlined bit halves, exact-rerank the shortlist.  ``allowed`` gets
+    the cluster-partitioned family's adaptive probe widening."""
+    m_an = _index_manifest(spark, path)
+    if m_an.get("kind") != "ivf_bq":
+        raise ValueError(
+            f"vector index {path} is kind={m_an.get('kind')!r}, "
+            f"not ivf_bq")
+    ranked = _rank_clusters(spark, path, m_an, query_vec)
+    codes_all = _read_codes(spark, path, m_an["codes"])
+    if allowed is not None:
+        probe = _widen_filtered_probes(codes_all, allowed, ranked,
+                                       nprobe, k)
+    else:
+        probe = [cid for _, cid in ranked[:nprobe]]
+    qlo, qhi = _bq_query_bits(query_vec)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    cand = codes_all.filter(F.col("cluster_id").isin(probe))
+    if allowed is not None:
+        cand = cand.join(allowed.select("vec_id"), "vec_id",
+                         "left_semi")
+    shortlist = (
+        cand.select(
+            F.col("vec_id").alias("neighbor_id"),
+            _bq_hamming(F.col("lo"), F.col("hi"),
+                        F.lit(qlo).cast("long"),
+                        F.lit(qhi).cast("long")).alias("ham"))
+        .orderBy(F.asc("ham"), F.asc("neighbor_id"))
+        .limit(k * rerank_mult)
+        .select("neighbor_id")
+    )
+    pairs = (
+        shortlist.join(
+            vectors.select(F.col("vec_id").alias("neighbor_id"),
+                           F.col("embedding").alias("ne")),
+            "neighbor_id")
+        .select("neighbor_id",
+                F.round(cosine(q, F.col("ne")), 6).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+        .limit(k)
+    )
+    return bounded_rank(
+        pairs, [-F.col("cos_sim"), F.col("neighbor_id")], "rank",
+        start=1,
+    ).select("rank", "neighbor_id", "cos_sim")
+
+
+def ivf_bq_index_topk_batch(spark, path: str, queries: DataFrame,
+                            vectors: DataFrame, k: int = 10,
+                            nprobe: int = 2,
+                            rerank_mult: int = BQ_RERANK_MULT,
+                            allowed: DataFrame | None = None
+                            ) -> DataFrame:
+    """BATCH retrieval over a ``write_ivf_bq_index`` layout — ONE
+    distributed plan: shared probe resolution (``_batch_candidates``,
+    with per-query adaptive widening under ``allowed``), integer
+    Hamming against each query's bit halves computed once on the
+    broadcast side, per-query shortlist windows, exact re-rank."""
+    m_an = _index_manifest(spark, path)
+    if m_an.get("kind") != "ivf_bq":
+        raise ValueError(
+            f"vector index {path} is kind={m_an.get('kind')!r}, "
+            f"not ivf_bq")
+    cents = spark.read.parquet(f"{path}/{m_an['centroids']}")
+    q = queries.select(
+        "query_id", F.col("embedding").alias("qe"),
+        _bq_half("embedding", 0).alias("qlo"),
+        _bq_half("embedding", 32).alias("qhi"))
+    codes_all = _read_codes(spark, path, m_an["codes"])
+    cand = _batch_candidates(
+        spark, q.select("query_id", "qe"), cents, codes_all, nprobe,
+        k, allowed)
+    scored = (
+        cand.join(F.broadcast(q.select("query_id", "qlo", "qhi")),
+                  "query_id")
+        .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                _bq_hamming(F.col("lo"), F.col("hi"),
+                            F.col("qlo"), F.col("qhi")).alias("ham"))
+    )
+    ws = Window.partitionBy("query_id").orderBy(
+        F.asc("ham"), F.asc("neighbor_id"))
+    shortlist = (
+        scored.withColumn("rn", F.row_number().over(ws))
+        .filter(F.col("rn") <= k * rerank_mult)
+        .select("query_id", "neighbor_id")
+    )
+    pairs = (
+        shortlist.join(F.broadcast(q.select("query_id", "qe")),
+                       "query_id")
+        .join(vectors.select(F.col("vec_id").alias("neighbor_id"),
+                             F.col("embedding").alias("ne")),
+              "neighbor_id")
+        .select("query_id", "neighbor_id",
+                F.round(cosine(F.col("qe"), F.col("ne")), 6)
+                .alias("cos_sim"))
+    )
+    return _ranked(pairs, k)
+
+
+def ivf_bq_index_upsert(spark, path: str, new_emb: DataFrame) -> dict:
+    """Kind-true upsert for the IVF x BQ layout: sign-pack with the
+    writer's expression, assign against the STORED centroids, append
+    one cluster-partitioned dir or keyed-replace.  No drift screen —
+    sign bits never drift; centroid staleness is the maintain loop's
+    recall monitor's job."""
+    from ..jobs.upsert import _check_key_unique
+    from ..jobs.versioned import _write_manifest
+
+    _check_key_unique(new_emb, ["vec_id"])
+    man = _index_manifest(spark, path)
+    if man.get("kind") != "ivf_bq":
+        return {"decision": "wrong_kind", "kind": man.get("kind"),
+                "expected": "ivf_bq"}
+    cents = (
+        spark.read.parquet(f"{path}/{man['centroids']}")
+        .withColumnRenamed("cluster_id", "cid")
+    )
+    encoded = (
+        new_emb.select("vec_id",
+                       _bq_half("embedding", 0).alias("lo"),
+                       _bq_half("embedding", 32).alias("hi"))
+        .join(_assign(new_emb.select("vec_id", "embedding"), cents)
+              .select("vec_id", F.col("cid").alias("cluster_id")),
+              "vec_id")
+        .select("vec_id", "lo", "hi", "cluster_id")
+    )
+    current = _read_codes(spark, path, man["codes"])
+    batch_ids = new_emb.select("vec_id")
+    n_new = new_emb.count()
+    n_replaced = current.join(
+        F.broadcast(batch_ids), "vec_id", "left_semi").count()
+    version = _next_index_version(spark, path)
+    base = f"data/v{version:06d}"
+    if n_replaced == 0:
+        (encoded.repartition("cluster_id")
+         .write.mode("error").partitionBy("cluster_id")
+         .parquet(f"{path}/{base}/codes"))
+        dirs = man["codes"] + [f"{base}/codes"]
+        decision = "appended"
+    else:
+        survivors = current.join(
+            F.broadcast(batch_ids), "vec_id", "left_anti")
+        (survivors.select("vec_id", "lo", "hi", "cluster_id")
+         .unionByName(encoded)
+         .repartition("cluster_id")
+         .write.mode("error").partitionBy("cluster_id")
+         .parquet(f"{path}/{base}/codes"))
+        dirs = [f"{base}/codes"]
+        decision = "replaced"
+    _write_manifest(spark, path, version, {
+        "version": version, "kind": "ivf_bq", "dim": int(man["dim"]),
+        "codes": dirs, "centroids": man["centroids"],
+    })
+    return {"decision": decision, "n_new": n_new,
+            "n_replaced": n_replaced}
+
+
+def maintain_ivf_bq_index(spark, path: str, new_emb: DataFrame,
+                          vectors: DataFrame, *, k: int = 10,
+                          nprobe: int = 2,
+                          recall_floor_permille: int = 600,
+                          max_nprobe: int | None = None,
+                          sample_queries: int = 4,
+                          rebuild: bool = True,
+                          train_fraction: float = 1.0) -> dict:
+    """The IVF x BQ maintenance ladder: merge (``ivf_bq_index_upsert``),
+    measure MIN sampled recall vs brute force, decide as data — ``ok``
+    / ``bump_nprobe`` (pruning has the runtime knob) / ``rebuild``
+    (ONLY the coarse centroids re-cluster; the sign quantizer has
+    nothing to retrain).  Same primary-store contract as the other
+    maintainers."""
+    n_missing = (new_emb.select("vec_id")
+                 .join(vectors.select("vec_id"), "vec_id", "left_anti")
+                 .count())
+    if n_missing:
+        raise ValueError(
+            f"maintain_ivf_bq_index: {n_missing} batch vec_ids are "
+            f"absent from `vectors` — pass the POST-merge primary "
+            f"store (the probe and any rebuild read it as ground "
+            f"truth)")
+    st = dict(ivf_bq_index_upsert(spark, path, new_emb))
+    if st["decision"] == "wrong_kind":
+        return st
+    man = _index_manifest(spark, path)
+    n_clusters = spark.read.parquet(
+        f"{path}/{man['centroids']}").count()
+    cap = min(max_nprobe or n_clusters, n_clusters)
+    queries = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in new_emb.select("vec_id", "embedding")
+        .orderBy("vec_id").limit(sample_queries).collect()
+    ]
+    out = {**st, "n_queries": len(queries), "nprobe": nprobe,
+           "recall_floor_permille": recall_floor_permille}
+
+    def _min_recall(np_: int) -> int:
+        approx = exact = None
+        for qid, qv in queries:
+            a = ivf_bq_index_topk(
+                spark, path, qv, vectors, k=k, nprobe=np_).select(
+                F.lit(qid).cast("long").alias("query_id"),
+                F.col("neighbor_id"))
+            qcol = F.array(*[F.lit(float(x)) for x in qv])
+            e = (vectors.select(
+                    "vec_id",
+                    F.round(cosine(F.col("embedding"), qcol), 6)
+                    .alias("cos_sim"))
+                 .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+                 .limit(k)
+                 .select(F.lit(qid).cast("long").alias("query_id"),
+                         F.col("vec_id").alias("neighbor_id")))
+            approx = a if approx is None else approx.unionByName(a)
+            exact = e if exact is None else exact.unionByName(e)
+        row = (ann_recall(approx, exact)
+               .agg(F.min("recall_permille").alias("r")).collect()[0])
+        return int(row["r"])
+
+    if not queries:
+        out.update(decision="ok", recall_permille=None)
+        return out
+    r0 = _min_recall(nprobe)
+    out["recall_permille"] = r0
+    if r0 >= recall_floor_permille:
+        out["decision"] = "ok"
+        return out
+    bumped = min(max(nprobe * 2, nprobe + 1), cap)
+    if bumped > nprobe:
+        r1 = _min_recall(bumped)
+        out["recall_after_bump_permille"] = r1
+        if r1 >= recall_floor_permille:
+            out.update(decision="bump_nprobe", nprobe=bumped)
+            return out
+    out["decision"] = "rebuild"
+    if rebuild:
+        write_ivf_bq_index(vectors, path, k=n_clusters,
+                           dim=int(man["dim"]),
+                           train_fraction=train_fraction)
+        out["recall_after_rebuild_permille"] = _min_recall(nprobe)
+    return out

@@ -402,6 +402,7 @@ def hybrid_index_search(spark, docs: DataFrame, index_path: str,
     from .similarity import (
         _index_manifest,
         bq_index_topk,
+        ivf_bq_index_topk,
         ivf_pq_index_topk,
         ivf_sq8_index_topk,
         pq_index_topk,
@@ -430,6 +431,9 @@ def hybrid_index_search(spark, docs: DataFrame, index_path: str,
             spark, index_path, query_vec, vectors, k=pool,
             nprobe=nprobe, allowed=allowed),
         "ivf_pq": lambda: ivf_pq_index_topk(
+            spark, index_path, query_vec, vectors, k=pool,
+            nprobe=nprobe, allowed=allowed),
+        "ivf_bq": lambda: ivf_bq_index_topk(
             spark, index_path, query_vec, vectors, k=pool,
             nprobe=nprobe, allowed=allowed),
     }

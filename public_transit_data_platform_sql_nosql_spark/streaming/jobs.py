@@ -660,6 +660,7 @@ def stream_vector_index_upsert(emb_stream: DataFrame, index_path: str,
         SQ_DRIFT_TOL,
         _index_manifest,
         bq_index_upsert,
+        ivf_bq_index_upsert,
         ivf_pq_index_upsert,
         ivf_sq8_index_upsert,
         pq_index_upsert,
@@ -688,6 +689,8 @@ def stream_vector_index_upsert(emb_stream: DataFrame, index_path: str,
             st = pq_index_upsert(spark, index_path, batch)
         elif kind == "bq":
             st = bq_index_upsert(spark, index_path, batch)
+        elif kind == "ivf_bq":
+            st = ivf_bq_index_upsert(spark, index_path, batch)
         elif kind == "ivf_pq":
             st = ivf_pq_index_upsert(spark, index_path, batch)
         elif kind == "ivf_sq8":
@@ -770,6 +773,7 @@ def stream_vector_search(query_stream: DataFrame, index_path: str,
     from ..pipeline.similarity import (
         _index_manifest,
         bq_index_topk_batch,
+        ivf_bq_index_topk_batch,
         ivf_pq_index_topk_batch,
         ivf_sq8_index_topk_batch,
         pq_index_topk_batch,
@@ -807,6 +811,10 @@ def stream_vector_search(query_stream: DataFrame, index_path: str,
             res = bq_index_topk_batch(
                 spark, index_path, queries, vectors, k=k,
                 allowed=allowed)
+        elif kind == "ivf_bq":
+            res = ivf_bq_index_topk_batch(
+                spark, index_path, queries, vectors, k=k,
+                nprobe=nprobe, allowed=allowed)
         else:
             res = sq8_index_topk_batch(
                 spark, index_path, queries, vectors, k=k,

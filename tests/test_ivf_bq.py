@@ -1,0 +1,194 @@
+"""IVF x BQ index family (round 11): coarse partition pruning over the
+8-byte sign codes — the cheapest probed read on the serving matrix.
+Exercises the shared cluster-partitioned machinery (probe ranking,
+adaptive widening, batch candidates, compaction) over the bq scorer."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as E
+from public_transit_data_platform_sql_nosql_spark.pipeline.similarity import (
+    _index_manifest,
+    compact_index,
+    index_recall_curve,
+    index_stats,
+    ivf_bq_index_topk,
+    ivf_bq_index_topk_batch,
+    ivf_bq_index_upsert,
+    maintain_ivf_bq_index,
+    read_index_codes,
+    sq8_index_upsert,
+    write_ivf_bq_index,
+)
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return E._emb(spark, SF_DIR)
+
+
+@pytest.fixture(scope="module")
+def idx(spark, emb, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("ivfbq") / "idx")
+    write_ivf_bq_index(emb, path)
+    return path
+
+
+def _qvec(emb, vid):
+    return [float(x)
+            for x in emb.filter(f"vec_id = {vid}").head()["embedding"]]
+
+
+def _batch(rows, spark):
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>")
+
+
+def test_layout_topk_and_batch_parity(spark, emb, idx):
+    m = _index_manifest(spark, idx)
+    assert m["kind"] == "ivf_bq" and m["dim"] == 64
+    codes = read_index_codes(spark, idx)
+    assert set(codes.columns) == {"vec_id", "lo", "hi", "cluster_id"}
+    assert codes.count() == emb.count()
+    res = ivf_bq_index_topk(spark, idx, _qvec(emb, 3), emb, k=5,
+                            nprobe=8)
+    rows = res.collect()
+    assert rows[0]["neighbor_id"] == 3 and rows[0]["cos_sim"] == 1.0
+    qids = [3, 7]
+    queries = emb.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    batch = ivf_bq_index_topk_batch(spark, idx, queries, emb, k=5,
+                                    nprobe=2)
+    for qid in qids:
+        single = [(r["rank"], r["neighbor_id"], r["cos_sim"])
+                  for r in ivf_bq_index_topk(
+                      spark, idx, _qvec(emb, qid), emb, k=5,
+                      nprobe=2).collect()]
+        got = [(r["rank"], r["neighbor_id"], r["cos_sim"])
+               for r in batch.filter(F.col("query_id") == qid)
+               .orderBy("rank").collect()]
+        assert got == single, f"query {qid}"
+    # observability knows the kind
+    st = index_stats(spark, idx)
+    assert st["kind"] == "ivf_bq"
+    assert st["code_bytes_per_vector"] == 8
+    assert st["n_clusters"] >= 2
+
+
+def test_filtered_widening_single_and_batch(spark, emb, idx):
+    allow_ids = [r["vec_id"] for r in
+                 emb.orderBy(F.desc("vec_id")).limit(6).collect()]
+    allowed = emb.filter(F.col("vec_id").isin(allow_ids)) \
+        .select("vec_id")
+    qv = _qvec(emb, 3)
+    res = ivf_bq_index_topk(spark, idx, qv, emb, k=5, nprobe=1,
+                            allowed=allowed)
+    rows = res.collect()
+    assert len(rows) == 5
+    assert {r["neighbor_id"] for r in rows} <= set(allow_ids)
+    queries = emb.filter(F.col("vec_id").isin([3, 7])).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    batch = ivf_bq_index_topk_batch(spark, idx, queries, emb, k=5,
+                                    nprobe=1, allowed=allowed)
+    for qid in (3, 7):
+        single = [(r["rank"], r["neighbor_id"]) for r in
+                  ivf_bq_index_topk(spark, idx, _qvec(emb, qid), emb,
+                                    k=5, nprobe=1,
+                                    allowed=allowed).collect()]
+        got = [(r["rank"], r["neighbor_id"]) for r in
+               batch.filter(F.col("query_id") == qid)
+               .orderBy("rank").collect()]
+        assert got == single and len(got) == 5
+
+
+def test_upsert_maintain_compact(spark, emb, tmp_path):
+    path = str(tmp_path / "idx")
+    write_ivf_bq_index(emb, path)
+    qv = _qvec(emb, 5)
+    new = _batch([(870000, qv)], spark)
+    st = ivf_bq_index_upsert(spark, path, new)
+    assert st["decision"] == "appended" and st["n_new"] == 1
+    merged = emb.select("vec_id", "embedding").unionByName(new)
+    ids = {r["neighbor_id"] for r in ivf_bq_index_topk(
+        spark, path, qv, merged, k=3, nprobe=8).collect()}
+    assert 870000 in ids
+    st2 = ivf_bq_index_upsert(spark, path, new)
+    assert st2["decision"] == "replaced"
+    assert len(_index_manifest(spark, path)["codes"]) == 1
+    # foreign kinds refused
+    assert sq8_index_upsert(spark, path, new)["decision"] \
+        == "wrong_kind"
+    # full probe + self-query batch: maintain says ok
+    st3 = maintain_ivf_bq_index(spark, path, new, merged, k=5,
+                                nprobe=8, sample_queries=1,
+                                rebuild=False)
+    assert st3["decision"] == "ok", st3
+    # fragment + compact keeps the partitioned layout
+    for i in range(2):
+        ivf_bq_index_upsert(spark, path,
+                            _batch([(880000 + i, qv)], spark))
+    before = sorted((r["vec_id"], r["lo"], r["hi"], r["cluster_id"])
+                    for r in read_index_codes(spark, path).collect())
+    stc = compact_index(spark, path)
+    assert stc["decision"] == "compacted" and stc["dirs_before"] == 3
+    after = sorted((r["vec_id"], r["lo"], r["hi"], r["cluster_id"])
+                   for r in read_index_codes(spark, path).collect())
+    assert before == after
+    # recall curve sweeps nprobe for this kind; full probe is NOT
+    # necessarily 1000 permille here — BQ's Hamming shortlist is the
+    # recall ceiling (1 bit/dim), which is exactly what the curve is
+    # for an operator to see
+    curve = index_recall_curve(
+        spark, path, merged, num_queries=1, k=5, nprobes=(1, 8))
+    assert [r["nprobe"] for r in curve] == [1, 8]
+    assert curve[1]["min_recall_permille"] >= \
+        max(curve[0]["min_recall_permille"], 600)
+
+
+def test_cli_and_streaming_dispatch(spark, emb, tmp_path, capsys):
+    from public_transit_data_platform_sql_nosql_spark.__main__ import main
+    from public_transit_data_platform_sql_nosql_spark.jobs.versioned import (
+        read_version,
+    )
+    from public_transit_data_platform_sql_nosql_spark.streaming.jobs import (
+        stream_vector_search,
+    )
+
+    emb_path = str(tmp_path / "emb")
+    emb.select("vec_id", "embedding").write.parquet(emb_path)
+    path = str(tmp_path / "idx")
+    assert main(["vector-index", "build", "--path", path,
+                 "--emb", emb_path, "--ivf", "--bq"]) == 0
+    capsys.readouterr()
+    assert _index_manifest(spark, path)["kind"] == "ivf_bq"
+    assert main(["vector-index", "query", "--path", path,
+                 "--emb", emb_path, "--vec-id", "3", "--k", "5",
+                 "--nprobe", "8"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["kind"] == "ivf_bq"
+    assert out["topk"][0]["neighbor_id"] == 3
+    # streaming serving dispatches by the manifest kind
+    qsrc = str(tmp_path / "qsrc")
+    emb.filter(F.col("vec_id").isin([3, 7])).select(
+        F.col("vec_id").alias("query_id"), "embedding") \
+        .write.parquet(qsrc)
+    results = str(tmp_path / "results")
+    q = stream_vector_search(
+        spark.readStream.schema("query_id long, embedding "
+                                "array<double>").parquet(qsrc),
+        path, emb, results, str(tmp_path / "ck"), k=5, nprobe=2)
+    q.awaitTermination(120)
+    served = read_version(spark, results)
+    assert served.count() == 10
+    single = [(r["rank"], r["neighbor_id"]) for r in
+              ivf_bq_index_topk(spark, path, _qvec(emb, 3), emb, k=5,
+                                nprobe=2).collect()]
+    got = [(r["rank"], r["neighbor_id"]) for r in
+           served.filter(F.col("query_id") == 3)
+           .orderBy("rank").collect()]
+    assert got == single
