@@ -310,7 +310,10 @@ def cmd_vector_index(args: argparse.Namespace) -> int:
     vector's embedding, ``upsert`` appends / keyed-replaces a batch
     through the KIND-TRUE maintainer (foreign kinds are refused, never
     silently downgraded), ``maintain`` runs the closed recall loop
-    (pq / ivf_sq8), ``vacuum`` collects crash-orphaned data dirs and
+    (pq / ivf_sq8 / ivf_pq / ivf_bq), ``tune`` commits the smallest
+    probe depth meeting a recall target as the manifest's
+    ``default_nprobe`` (the operating point later serving calls
+    resolve), ``vacuum`` collects crash-orphaned data dirs and
     old manifests.  One JSON status line per action."""
     spark = _spark("vector-index")
     from .pipeline import similarity as sim
@@ -481,6 +484,17 @@ def cmd_vector_index(args: argparse.Namespace) -> int:
                 train_fraction=args.train_fraction)
         print(json.dumps({"action": "maintain", "kind": kind, **st}))
         return 0 if st["decision"] in ("ok", "bump_nprobe") else 3
+    if args.action == "tune":
+        # close the observability loop: measure the recall curve, pick
+        # the smallest probe depth meeting --target-recall, commit it
+        # to the manifest as default_nprobe — every later serving call
+        # without an explicit --nprobe probes at it
+        vectors = spark.read.parquet(args.emb)
+        st = sim.tune_index(spark, args.path, vectors, k=args.k,
+                            target_recall_permille=args.target_recall)
+        print(json.dumps({"action": "tune", **st}))
+        return 0 if st["decision"] in ("tuned", "noop",
+                                       "flat_kind") else 3
     if args.action == "compact":
         st = sim.compact_index(spark, args.path)
         print(json.dumps({"action": "compact", **st}))
@@ -769,14 +783,14 @@ def main(argv: list[str] | None = None) -> int:
 
     pv = sub.add_parser(
         "vector-index",
-        help="build/query/upsert/maintain/stats/recall-curve/vacuum "
-             "a manifest-committed "
+        help="build/query/upsert/maintain/tune/stats/recall-curve/"
+             "vacuum a manifest-committed "
              "ANN index (sq8 / ivf_sq8 / pq / ivf_pq / bq / ivf_bq "
              "— ops dispatch by the manifest's kind)")
     pv.add_argument("action",
                     choices=("build", "query", "query-batch", "upsert",
-                             "maintain", "compact", "vacuum", "stats",
-                             "recall-curve"))
+                             "maintain", "tune", "compact", "vacuum",
+                             "stats", "recall-curve"))
     pv.add_argument("--queries",
                     help="query-batch: parquet of (query_id, embedding)")
     pv.add_argument("--out",
@@ -810,7 +824,13 @@ def main(argv: list[str] | None = None) -> int:
     pv.add_argument("--vec-id", type=int, default=0,
                     help="query: id whose stored embedding is the query")
     pv.add_argument("--k", type=int, default=10)
-    pv.add_argument("--nprobe", type=int, default=2)
+    pv.add_argument("--nprobe", type=int, default=None,
+                    help="probe depth; default None = the manifest's "
+                         "tuned default_nprobe (see `tune`), falling "
+                         "back to 2 on an untuned index")
+    pv.add_argument("--target-recall", type=int, default=950,
+                    help="tune: min sampled recall permille the "
+                         "committed default_nprobe must meet")
     pv.add_argument("--keep-last", type=int, default=2)
     pv.add_argument("--recall-floor", type=int, default=600,
                     help="maintain: min sampled recall permille")

@@ -264,6 +264,46 @@ def _manifest_dim(m: dict, dim: int | None, path: str) -> int:
     return stored
 
 
+DEFAULT_NPROBE = 2
+
+
+def _resolve_nprobe(m: dict, nprobe: int | None) -> int:
+    """Serving probe depth, resolved like dim: an explicit caller value
+    always wins; ``None`` (the default everywhere) reads the manifest's
+    ``default_nprobe`` — the operating point :func:`tune_index` or a
+    maintainer's bump rung persisted — falling back to
+    ``DEFAULT_NPROBE`` on an untuned index.  This is what closes the
+    tuning loop: a measured setting committed to the manifest changes
+    how EVERY later serving call (single, batch, streaming, CLI)
+    probes, with no caller code threading the number around."""
+    if nprobe is not None:
+        return int(nprobe)
+    return int(m.get("default_nprobe", DEFAULT_NPROBE))
+
+
+def _persist_nprobe(spark, path: str, nprobe: int) -> int:
+    """Commit a manifest-only version bump carrying ``default_nprobe``
+    (the :func:`tune_index` commit shape, shared with the maintainers'
+    bump rung so a bumped setting actually changes how later serving
+    calls probe instead of riding home in a decision dict the caller
+    must remember to thread through).  Returns the committed version
+    (the current one when the setting is already in force)."""
+    from ..jobs.versioned import _write_manifest
+
+    m = _index_manifest(spark, path)
+    # skip only when the key is EXPLICITLY present and equal: an
+    # absent key merely falls back to DEFAULT_NPROBE today, and the
+    # point of persisting is to pin the measured operating point
+    # against constant drift, not to rely on the fallback
+    if "default_nprobe" in m and int(m["default_nprobe"]) == int(nprobe):
+        return int(m["version"])
+    version = _next_index_version(spark, path)
+    _write_manifest(spark, path, version, {
+        **m, "version": version, "default_nprobe": int(nprobe),
+    })
+    return version
+
+
 def vacuum_index(spark, path: str, keep_last: int = 2) -> dict:
     """Collect index garbage: delete (a) data dirs no RETAINED manifest
     references — including the orphans a crashed commit leaves, which
@@ -1293,7 +1333,7 @@ def _batch_candidates(spark, queries_q: DataFrame, cents: DataFrame,
 
 def ivf_sq8_index_topk(spark, path: str, query_vec: list[float],
                        vectors: DataFrame, k: int = 10,
-                       nprobe: int = 2,
+                       nprobe: int | None = None,
                        rerank_mult: int = SQ_RERANK_MULT,
                        dim: int | None = None,
                        allowed: DataFrame | None = None) -> DataFrame:
@@ -1316,9 +1356,12 @@ def ivf_sq8_index_topk(spark, path: str, query_vec: list[float],
     allowed candidates or every cluster is probed.  Each widening step
     costs one bounded count job; an unfiltered query never pays it.
 
-    ``dim`` is resolved from the manifest (pass it only to assert)."""
+    ``dim`` is resolved from the manifest (pass it only to assert);
+    ``nprobe=None`` serves at the manifest's tuned operating point
+    (see :func:`_resolve_nprobe`)."""
     m = _index_manifest(spark, path)
     dim = _manifest_dim(m, dim, path)
+    nprobe = _resolve_nprobe(m, nprobe)
     ranked = _rank_clusters(spark, path, m, query_vec)
     codes_all = _read_codes(spark, path, m["codes"])
     if allowed is not None:
@@ -1362,7 +1405,7 @@ def ivf_sq8_index_topk(spark, path: str, query_vec: list[float],
 
 def ivf_sq8_index_topk_batch(spark, path: str, queries: DataFrame,
                              vectors: DataFrame, k: int = 10,
-                             nprobe: int = 2,
+                             nprobe: int | None = None,
                              rerank_mult: int = SQ_RERANK_MULT,
                              allowed: DataFrame | None = None
                              ) -> DataFrame:
@@ -1396,6 +1439,7 @@ def ivf_sq8_index_topk_batch(spark, path: str, queries: DataFrame,
     (queries are the broadcast side by contract)."""
     m = _index_manifest(spark, path)
     dim = int(m["dim"])
+    nprobe = _resolve_nprobe(m, nprobe)
     cents = spark.read.parquet(f"{path}/{m['centroids']}")
     q = queries.select(F.col("query_id"),
                        F.col("embedding").alias("qe"))
@@ -1521,6 +1565,10 @@ def ivf_sq8_index_upsert(spark, path: str, new_emb: DataFrame,
         "version": version, "kind": "ivf_sq8", "dim": dim,
         "codes": dirs, "centroids": m["centroids"],
         "quantizer": m["quantizer"],
+        # carry the tuned operating point across upserts — only a
+        # REBUILD (new centroids) invalidates it
+        **({"default_nprobe": m["default_nprobe"]}
+           if "default_nprobe" in m else {}),
     })
     return {"decision": decision, "n_new": n_new,
             "n_replaced": n_replaced, "drifted_dims": []}
@@ -1528,7 +1576,7 @@ def ivf_sq8_index_upsert(spark, path: str, new_emb: DataFrame,
 
 def maintain_ivf_sq8_index(spark, path: str, new_emb: DataFrame,
                            vectors: DataFrame, *, k: int = 10,
-                           nprobe: int = 2,
+                           nprobe: int | None = None,
                            recall_floor_permille: int = 600,
                            max_nprobe: int | None = None,
                            sample_queries: int = 4,
@@ -1543,9 +1591,12 @@ def maintain_ivf_sq8_index(spark, path: str, new_emb: DataFrame,
     - ``"ok"``          — min sampled recall >= the floor.
     - ``"bump_nprobe"`` — recall recovered by probing more clusters
       (doubled, capped at the cluster count / ``max_nprobe``); the
-      returned ``nprobe`` is the setting to serve with.  This rung
-      exists here and not in PQ: partition pruning has a runtime knob,
-      codebooks don't.
+      new setting is COMMITTED to the manifest as ``default_nprobe``
+      (``_persist_nprobe`` — ``nprobe_version`` in the result), so
+      every later ``nprobe=None`` serving call probes at it without
+      the caller threading the number through.  This rung exists here
+      and not in PQ: partition pruning has a runtime knob, codebooks
+      don't.
     - ``"rebuild"``     — under the floor even at the probe cap, OR the
       upsert itself refused on quantizer drift: centroids AND quantizer
       retrain over ``vectors`` as a new committed version (the honest
@@ -1568,6 +1619,7 @@ def maintain_ivf_sq8_index(spark, path: str, new_emb: DataFrame,
     if st["decision"] == "wrong_kind":
         return st
     man = _index_manifest(spark, path)
+    nprobe = _resolve_nprobe(man, nprobe)
     n_clusters = spark.read.parquet(
         f"{path}/{man['centroids']}").count()
     cap = min(max_nprobe or n_clusters, n_clusters)
@@ -1629,6 +1681,8 @@ def maintain_ivf_sq8_index(spark, path: str, new_emb: DataFrame,
         out["recall_after_bump_permille"] = r1
         if r1 >= recall_floor_permille:
             out.update(decision="bump_nprobe", nprobe=bumped)
+            out["nprobe_version"] = _persist_nprobe(spark, path,
+                                                    bumped)
             return out
     out["decision"] = "rebuild"
     if rebuild:
@@ -2511,7 +2565,8 @@ def write_ivf_pq_index(emb: DataFrame, path: str, k: int = KMEANS_K,
 
 
 def ivf_pq_index_topk(spark, path: str, query_vec: list[float],
-                      vectors: DataFrame, k: int = 10, nprobe: int = 2,
+                      vectors: DataFrame, k: int = 10,
+                      nprobe: int | None = None,
                       rerank_mult: int = PQ_RERANK_MULT,
                       allowed: DataFrame | None = None) -> DataFrame:
     """Serve top-k from a ``write_ivf_pq_index`` layout: rank the
@@ -2525,6 +2580,7 @@ def ivf_pq_index_topk(spark, path: str, query_vec: list[float],
     allow-list whose survivors live outside the probed clusters widens
     the probe set instead of starving the shortlist)."""
     m_an = _index_manifest(spark, path)
+    nprobe = _resolve_nprobe(m_an, nprobe)
     ranked = _rank_clusters(spark, path, m_an, query_vec)
     codes_all = _read_codes(spark, path, m_an["codes"])
     if allowed is not None:
@@ -2564,7 +2620,7 @@ def ivf_pq_index_topk(spark, path: str, query_vec: list[float],
 
 def ivf_pq_index_topk_batch(spark, path: str, queries: DataFrame,
                             vectors: DataFrame, k: int = 10,
-                            nprobe: int = 2,
+                            nprobe: int | None = None,
                             rerank_mult: int = PQ_RERANK_MULT,
                             allowed: DataFrame | None = None
                             ) -> DataFrame:
@@ -2577,6 +2633,7 @@ def ivf_pq_index_topk_batch(spark, path: str, queries: DataFrame,
     gets the shared PER-QUERY adaptive probe widening
     (``_batch_candidates``)."""
     m_an = _index_manifest(spark, path)
+    nprobe = _resolve_nprobe(m_an, nprobe)
     cents = spark.read.parquet(f"{path}/{m_an['centroids']}")
     q = queries.select(F.col("query_id"),
                        F.col("embedding").alias("qe"))
@@ -2675,6 +2732,8 @@ def ivf_pq_index_upsert(spark, path: str, new_emb: DataFrame) -> dict:
         "k": int(man["k"]), "codes": dirs,
         "centroids": man["centroids"],
         "codebooks": man["codebooks"],
+        **({"default_nprobe": man["default_nprobe"]}
+           if "default_nprobe" in man else {}),
     })
     return {"decision": decision, "n_new": n_new,
             "n_replaced": n_replaced}
@@ -2682,7 +2741,7 @@ def ivf_pq_index_upsert(spark, path: str, new_emb: DataFrame) -> dict:
 
 def maintain_ivf_pq_index(spark, path: str, new_emb: DataFrame,
                           vectors: DataFrame, *, k: int = 10,
-                          nprobe: int = 2,
+                          nprobe: int | None = None,
                           recall_floor_permille: int = 600,
                           max_nprobe: int | None = None,
                           sample_queries: int = 4,
@@ -2694,9 +2753,10 @@ def maintain_ivf_pq_index(spark, path: str, new_emb: DataFrame,
     and stale codebooks, which only a rebuild fixes): merge a batch
     (``ivf_pq_index_upsert``), measure MIN sampled serving recall vs
     brute force over the primary store, and return the decision AS
-    DATA — ``"ok"`` / ``"bump_nprobe"`` (with the setting to serve
-    with) / ``"rebuild"`` (centroids AND codebooks retrain over
-    ``vectors`` as a new committed version, then recall re-measures).
+    DATA — ``"ok"`` / ``"bump_nprobe"`` (the new setting is committed
+    to the manifest as ``default_nprobe``, like ``tune_index``) /
+    ``"rebuild"`` (centroids AND codebooks retrain over ``vectors`` as
+    a new committed version, then recall re-measures).
 
     Same primary-store CONTRACT as the other maintainers: ``vectors``
     must already contain the batch; violations raise before anything
@@ -2714,6 +2774,7 @@ def maintain_ivf_pq_index(spark, path: str, new_emb: DataFrame,
     if st["decision"] == "wrong_kind":
         return st
     man = _index_manifest(spark, path)
+    nprobe = _resolve_nprobe(man, nprobe)
     n_clusters = spark.read.parquet(
         f"{path}/{man['centroids']}").count()
     cap = min(max_nprobe or n_clusters, n_clusters)
@@ -2761,6 +2822,8 @@ def maintain_ivf_pq_index(spark, path: str, new_emb: DataFrame,
         out["recall_after_bump_permille"] = r1
         if r1 >= recall_floor_permille:
             out.update(decision="bump_nprobe", nprobe=bumped)
+            out["nprobe_version"] = _persist_nprobe(spark, path,
+                                                    bumped)
             return out
     out["decision"] = "rebuild"
     if rebuild:
@@ -3163,6 +3226,71 @@ def index_recall_curve(spark, path: str, vectors: DataFrame,
     return rows
 
 
+def tune_index(spark, path: str, vectors: DataFrame,
+               target_recall_permille: int = 950,
+               num_queries: int = 4, k: int = 10,
+               nprobes: tuple = (1, 2, 4, 8)) -> dict:
+    """Close the observability loop: measure the recall curve
+    (:func:`index_recall_curve`), pick the SMALLEST probe depth whose
+    MIN sampled recall meets the target, and commit it to the manifest
+    as ``default_nprobe`` — the operating point every later serving
+    call (single, batch, streaming, CLI) resolves when the caller
+    passes ``nprobe=None`` (see :func:`_resolve_nprobe`).  Min, not
+    mean: one drifted region is exactly what a mean averages away.
+
+    The commit is a manifest-only version bump (no data write — the
+    cheapest possible commit under the same single-rename crash
+    protocol; an interrupted tune leaves the previous operating point
+    fully served).  Decisions AS DATA, like the maintainers:
+
+    - ``{"decision": "flat_kind"}``    — sq8/pq/bq have one operating
+      point; nothing to tune.
+    - ``{"decision": "noop"}``         — the measured pick equals the
+      manifest's current default; no version written.
+    - ``{"decision": "tuned", "nprobe": N, "version": v}`` — committed.
+    - ``{"decision": "target_unreachable"}`` — no measured depth meets
+      the target; NOTHING is written (serving deeper than the deepest
+      measured point is a guess, and the honest lever is the
+      maintainer's rebuild rung).  The measured curve rides along in
+      every non-flat outcome for the operator to inspect.
+
+    Cost: the recall curve's bounded top-k jobs plus at most one
+    manifest rename — an operator action per maintenance window or
+    after bulk upserts, never per serving query."""
+    from ..jobs.versioned import _write_manifest
+
+    m = _index_manifest(spark, path)
+    kind = m.get("kind", "sq8")
+    if not kind.startswith("ivf_"):
+        return {"decision": "flat_kind", "kind": kind}
+    if not 0 < target_recall_permille <= 1000:
+        raise ValueError(
+            f"target_recall_permille must be in (0, 1000] "
+            f"(got {target_recall_permille})")
+    curve = index_recall_curve(spark, path, vectors,
+                               num_queries=num_queries, k=k,
+                               nprobes=tuple(sorted(set(nprobes))))
+    current = int(m.get("default_nprobe", DEFAULT_NPROBE))
+    out = {"kind": kind, "curve": curve,
+           "target_recall_permille": target_recall_permille,
+           "previous_nprobe": current}
+    pick = next((r["nprobe"] for r in curve
+                 if r["min_recall_permille"] >= target_recall_permille),
+                None)
+    if pick is None:
+        out["decision"] = "target_unreachable"
+        return out
+    if pick == current:
+        out.update(decision="noop", nprobe=current)
+        return out
+    version = _next_index_version(spark, path)
+    _write_manifest(spark, path, version, {
+        **m, "version": version, "default_nprobe": int(pick),
+    })
+    out.update(decision="tuned", nprobe=int(pick), version=version)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # IVF x BQ — coarse partition pruning over the 8-byte sign codes: the
 # layout for when even byte codes are too much scan.  A query reads
@@ -3210,7 +3338,8 @@ def write_ivf_bq_index(emb: DataFrame, path: str, k: int = KMEANS_K,
 
 
 def ivf_bq_index_topk(spark, path: str, query_vec: list[float],
-                      vectors: DataFrame, k: int = 10, nprobe: int = 2,
+                      vectors: DataFrame, k: int = 10,
+                      nprobe: int | None = None,
                       rerank_mult: int = BQ_RERANK_MULT,
                       allowed: DataFrame | None = None) -> DataFrame:
     """Serve top-k from a ``write_ivf_bq_index`` layout: rank the
@@ -3223,6 +3352,7 @@ def ivf_bq_index_topk(spark, path: str, query_vec: list[float],
         raise ValueError(
             f"vector index {path} is kind={m_an.get('kind')!r}, "
             f"not ivf_bq")
+    nprobe = _resolve_nprobe(m_an, nprobe)
     ranked = _rank_clusters(spark, path, m_an, query_vec)
     codes_all = _read_codes(spark, path, m_an["codes"])
     if allowed is not None:
@@ -3264,7 +3394,7 @@ def ivf_bq_index_topk(spark, path: str, query_vec: list[float],
 
 def ivf_bq_index_topk_batch(spark, path: str, queries: DataFrame,
                             vectors: DataFrame, k: int = 10,
-                            nprobe: int = 2,
+                            nprobe: int | None = None,
                             rerank_mult: int = BQ_RERANK_MULT,
                             allowed: DataFrame | None = None
                             ) -> DataFrame:
@@ -3279,6 +3409,7 @@ def ivf_bq_index_topk_batch(spark, path: str, queries: DataFrame,
             f"vector index {path} is kind={m_an.get('kind')!r}, "
             f"not ivf_bq")
     cents = spark.read.parquet(f"{path}/{m_an['centroids']}")
+    nprobe = _resolve_nprobe(m_an, nprobe)
     q = queries.select(
         "query_id", F.col("embedding").alias("qe"),
         _bq_half("embedding", 0).alias("qlo"),
@@ -3367,6 +3498,8 @@ def ivf_bq_index_upsert(spark, path: str, new_emb: DataFrame) -> dict:
     _write_manifest(spark, path, version, {
         "version": version, "kind": "ivf_bq", "dim": int(man["dim"]),
         "codes": dirs, "centroids": man["centroids"],
+        **({"default_nprobe": man["default_nprobe"]}
+           if "default_nprobe" in man else {}),
     })
     return {"decision": decision, "n_new": n_new,
             "n_replaced": n_replaced}
@@ -3374,7 +3507,7 @@ def ivf_bq_index_upsert(spark, path: str, new_emb: DataFrame) -> dict:
 
 def maintain_ivf_bq_index(spark, path: str, new_emb: DataFrame,
                           vectors: DataFrame, *, k: int = 10,
-                          nprobe: int = 2,
+                          nprobe: int | None = None,
                           recall_floor_permille: int = 600,
                           max_nprobe: int | None = None,
                           sample_queries: int = 4,
@@ -3382,7 +3515,9 @@ def maintain_ivf_bq_index(spark, path: str, new_emb: DataFrame,
                           train_fraction: float = 1.0) -> dict:
     """The IVF x BQ maintenance ladder: merge (``ivf_bq_index_upsert``),
     measure MIN sampled recall vs brute force, decide as data — ``ok``
-    / ``bump_nprobe`` (pruning has the runtime knob) / ``rebuild``
+    / ``bump_nprobe`` (pruning has the runtime knob; the bumped
+    setting commits to the manifest as ``default_nprobe``) /
+    ``rebuild``
     (ONLY the coarse centroids re-cluster; the sign quantizer has
     nothing to retrain).  Same primary-store contract as the other
     maintainers."""
@@ -3399,6 +3534,7 @@ def maintain_ivf_bq_index(spark, path: str, new_emb: DataFrame,
     if st["decision"] == "wrong_kind":
         return st
     man = _index_manifest(spark, path)
+    nprobe = _resolve_nprobe(man, nprobe)
     n_clusters = spark.read.parquet(
         f"{path}/{man['centroids']}").count()
     cap = min(max_nprobe or n_clusters, n_clusters)
@@ -3446,6 +3582,8 @@ def maintain_ivf_bq_index(spark, path: str, new_emb: DataFrame,
         out["recall_after_bump_permille"] = r1
         if r1 >= recall_floor_permille:
             out.update(decision="bump_nprobe", nprobe=bumped)
+            out["nprobe_version"] = _persist_nprobe(spark, path,
+                                                    bumped)
             return out
     out["decision"] = "rebuild"
     if rebuild:

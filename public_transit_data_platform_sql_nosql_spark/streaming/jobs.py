@@ -736,7 +736,7 @@ def stream_vector_index_upsert(emb_stream: DataFrame, index_path: str,
 def stream_vector_search(query_stream: DataFrame, index_path: str,
                          vectors: DataFrame, results_path: str,
                          checkpoint: str, k: int = 10,
-                         nprobe: int = 2,
+                         nprobe: int | None = None,
                          allowed_path: str | None = None):
     """foreachBatch ANN SERVING from a live query feed — the retrieval
     twin of ``stream_vector_index_upsert``: each micro-batch of
@@ -766,7 +766,12 @@ def stream_vector_search(query_stream: DataFrame, index_path: str,
     manifest — and passed to the kind's batch path, where it
     semi-joins before the shortlist (with per-query adaptive probe
     widening on the IVF kinds, so a restrictive list cannot starve
-    any query in the batch)."""
+    any query in the batch).
+
+    ``nprobe=None`` (the default) serves every micro-batch at the
+    manifest's tuned operating point — a ``tune_index`` commit or a
+    maintainer's persisted bump takes effect at the next batch
+    boundary with no stream restart, exactly like an upsert."""
     from pyspark.sql import functions as F
 
     from ..jobs.versioned import commit_version
