@@ -484,6 +484,17 @@ def cmd_vector_index(args: argparse.Namespace) -> int:
                 train_fraction=args.train_fraction)
         print(json.dumps({"action": "maintain", "kind": kind, **st}))
         return 0 if st["decision"] in ("ok", "bump_nprobe") else 3
+    if args.action == "rebalance":
+        # targeted skew repair: split the hottest cluster in two
+        # (O(hot list), codes unchanged — only list membership moves);
+        # exits 0 on balanced/split so cron loops can just re-run it
+        vectors = spark.read.parquet(args.emb)
+        st = sim.rebalance_index(
+            spark, args.path, vectors,
+            max_imbalance_permille=args.max_imbalance,
+            train_fraction=args.train_fraction)
+        print(json.dumps({"action": "rebalance", **st}))
+        return 0 if st["decision"] in ("split", "balanced") else 2
     if args.action == "tune":
         # close the observability loop: measure the recall curve, pick
         # the smallest probe depth meeting --target-recall, commit it
@@ -789,7 +800,8 @@ def main(argv: list[str] | None = None) -> int:
              "— ops dispatch by the manifest's kind)")
     pv.add_argument("action",
                     choices=("build", "query", "query-batch", "upsert",
-                             "maintain", "tune", "compact", "vacuum",
+                             "maintain", "tune", "rebalance",
+                             "compact", "vacuum",
                              "stats", "recall-curve"))
     pv.add_argument("--queries",
                     help="query-batch: parquet of (query_id, embedding)")
@@ -831,6 +843,9 @@ def main(argv: list[str] | None = None) -> int:
     pv.add_argument("--target-recall", type=int, default=950,
                     help="tune: min sampled recall permille the "
                          "committed default_nprobe must meet")
+    pv.add_argument("--max-imbalance", type=int, default=2000,
+                    help="rebalance: split the hottest cluster when "
+                         "max/mean list size exceeds this permille")
     pv.add_argument("--keep-last", type=int, default=2)
     pv.add_argument("--recall-floor", type=int, default=600,
                     help="maintain: min sampled recall permille")

@@ -352,18 +352,36 @@ def vacuum_index(spark, path: str, keep_last: int = 2) -> dict:
             "kept_versions": keep}
 
 
-def _read_codes(spark, path: str, dirs: list[str]) -> DataFrame:
+def _read_codes(spark, path: str, dirs: list[str],
+                exclude: list[int] | None = None) -> DataFrame:
     """Union-read a manifest's codes dirs ONE ROOT AT A TIME: Spark
     refuses multiple root directories in a single partitioned read
     (partition discovery would be ambiguous), and an upserted ivf_sq8
     manifest legitimately references several cluster-partitioned dirs.
     Per-dir reads keep per-dir partition pruning; the union is a plan
-    node, not a materialization."""
+    node, not a materialization.
+
+    ``exclude`` masks RETIRED cluster ids (a ``rebalance_index`` split
+    rewrote their rows under new ids into a later dir, but the old
+    dirs are immutable) — a static NOT-IN partition filter, so pruning
+    survives and the masked partitions are never opened."""
     out = None
     for d in dirs:
         part = spark.read.parquet(f"{path}/{d}")
         out = part if out is None else out.unionByName(part)
+    if exclude:
+        out = out.filter(
+            ~F.col("cluster_id").isin([int(c) for c in exclude]))
     return out
+
+
+def _manifest_codes(spark, path: str, m: dict) -> DataFrame:
+    """THE way to read a manifest's codes table: its dirs, minus the
+    clusters a rebalance retired.  Every consumer (serving, upsert
+    survivors, stats, compaction, recall probes) must come through
+    here — reading the dirs raw would resurrect retired rows."""
+    return _read_codes(spark, path, m["codes"],
+                       m.get("excluded_clusters"))
 
 
 def compact_index(spark, path: str, min_dirs: int = 2) -> dict:
@@ -388,7 +406,7 @@ def compact_index(spark, path: str, min_dirs: int = 2) -> dict:
     m = _index_manifest(spark, path)
     if len(m["codes"]) < min_dirs:
         return {"decision": "noop", "dirs_before": len(m["codes"])}
-    codes = _read_codes(spark, path, m["codes"])
+    codes = _manifest_codes(spark, path, m)
     version = _next_index_version(spark, path)
     base = f"data/v{version:06d}"
     if m.get("kind") in ("ivf_sq8", "ivf_pq", "ivf_bq"):
@@ -399,9 +417,11 @@ def compact_index(spark, path: str, min_dirs: int = 2) -> dict:
          .parquet(f"{path}/{base}/codes"))
     else:
         codes.write.mode("error").parquet(f"{path}/{base}/codes")
-    _write_manifest(spark, path, version, {
-        **m, "version": version, "codes": [f"{base}/codes"],
-    })
+    new_m = {**m, "version": version, "codes": [f"{base}/codes"]}
+    # the fold physically drops rebalance-retired rows (the read above
+    # is exclusion-filtered), so the mask has nothing left to mask
+    new_m.pop("excluded_clusters", None)
+    _write_manifest(spark, path, version, new_m)
     return {"decision": "compacted", "dirs_before": len(m["codes"]),
             "version": version}
 
@@ -411,7 +431,7 @@ def read_index_codes(spark, path: str) -> DataFrame:
     IVF-SQ8 index — what a maintenance job or audit reads; uncommitted
     (crash-orphaned) data dirs are invisible by construction."""
     m = _index_manifest(spark, path)
-    return _read_codes(spark, path, m["codes"])
+    return _manifest_codes(spark, path, m)
 
 
 def write_sq8_index(emb: DataFrame, path: str, dim: int = 64) -> None:
@@ -478,7 +498,7 @@ def sq8_index_topk(spark, path: str, query_vec: list[float],
     dim = _manifest_dim(m, dim, path)
     stats = spark.read.parquet(f"{path}/{m['quantizer']}")
     q = F.array(*[F.lit(float(x)) for x in query_vec])
-    cand = _read_codes(spark, path, m["codes"])
+    cand = _manifest_codes(spark, path, m)
     if allowed is not None:
         cand = cand.join(allowed.select("vec_id"), "vec_id",
                          "left_semi")
@@ -524,7 +544,7 @@ def sq8_index_topk_batch(spark, path: str, queries: DataFrame,
     dim = int(m["dim"])
     stats = spark.read.parquet(f"{path}/{m['quantizer']}")
     q = queries.select("query_id", F.col("embedding").alias("qe"))
-    cand = _read_codes(spark, path, m["codes"])
+    cand = _manifest_codes(spark, path, m)
     if allowed is not None:
         cand = cand.join(allowed.select("vec_id"), "vec_id",
                          "left_semi")
@@ -1120,7 +1140,7 @@ def sq8_index_upsert(spark, path: str, new_emb: DataFrame,
                 _sq8_pack(_sq8_codes(F.col("embedding"), F.col("mns"),
                                      F.col("mxs"), dim)).alias("codes"))
     )
-    current = _read_codes(spark, path, m["codes"])
+    current = _manifest_codes(spark, path, m)
     batch_ids = new_emb.select("vec_id")
     n_replaced = current.join(
         F.broadcast(batch_ids), "vec_id", "left_semi").count()
@@ -1363,7 +1383,7 @@ def ivf_sq8_index_topk(spark, path: str, query_vec: list[float],
     dim = _manifest_dim(m, dim, path)
     nprobe = _resolve_nprobe(m, nprobe)
     ranked = _rank_clusters(spark, path, m, query_vec)
-    codes_all = _read_codes(spark, path, m["codes"])
+    codes_all = _manifest_codes(spark, path, m)
     if allowed is not None:
         probe = _widen_filtered_probes(codes_all, allowed, ranked,
                                        nprobe, k)
@@ -1443,7 +1463,7 @@ def ivf_sq8_index_topk_batch(spark, path: str, queries: DataFrame,
     cents = spark.read.parquet(f"{path}/{m['centroids']}")
     q = queries.select(F.col("query_id"),
                        F.col("embedding").alias("qe"))
-    codes_all = _read_codes(spark, path, m["codes"])
+    codes_all = _manifest_codes(spark, path, m)
     cand = _batch_candidates(spark, q, cents, codes_all, nprobe, k,
                              allowed)
     stats = spark.read.parquet(f"{path}/{m['quantizer']}")
@@ -1539,7 +1559,7 @@ def ivf_sq8_index_upsert(spark, path: str, new_emb: DataFrame,
                 _sq8_pack(_sq8_codes(F.col("embedding"), F.col("mns"),
                                      F.col("mxs"), dim)).alias("codes"))
     )
-    current = _read_codes(spark, path, m["codes"])
+    current = _manifest_codes(spark, path, m)
     batch_ids = new_emb.select("vec_id")
     n_replaced = current.join(
         F.broadcast(batch_ids), "vec_id", "left_semi").count()
@@ -1569,6 +1589,11 @@ def ivf_sq8_index_upsert(spark, path: str, new_emb: DataFrame,
         # REBUILD (new centroids) invalidates it
         **({"default_nprobe": m["default_nprobe"]}
            if "default_nprobe" in m else {}),
+        # an APPEND keeps the old dirs, so rebalance-retired clusters
+        # stay masked; a REPLACE rewrote survivors exclusion-filtered
+        **({"excluded_clusters": m["excluded_clusters"]}
+           if (decision == "appended" and "excluded_clusters" in m)
+           else {}),
     })
     return {"decision": decision, "n_new": n_new,
             "n_replaced": n_replaced, "drifted_dims": []}
@@ -1740,6 +1765,16 @@ def _pq_books_and_assignments(emb: DataFrame, m: int, k: int,
                         lambda x: x / F.nullif(norm, F.lit(0.0)))
                     .alias("centroid"))
         )
+        # an ENTIRELY-zero training subspace (every slice filtered by
+        # the sparse guard above) trains NO codewords at all — without
+        # a book the encoder would drop the subspace and pack SHORT
+        # codes that the serving hat later indexes past
+        # (element_at out of bounds).  Pin ONE zero codeword at code 0:
+        # the byte layout stays m-wide and the reconstruction of the
+        # degenerate subspace is exactly its true (zero) slice.
+        if not book_j.head(1):
+            book_j = emb.sparkSession.createDataFrame(
+                [(j, 0, [0.0] * sub)], book_j.schema)
         books = book_j if books is None else books.unionByName(book_j)
         # zero slices take the LOWEST code the subspace's book carries
         # (a 1-row broadcast aggregate) — the same argmax _pq_encode
@@ -1902,13 +1937,17 @@ def _pq_encode(emb: DataFrame, books: DataFrame, m: int,
             F.slice("embedding", j * sub + 1, sub).alias("embedding"))
         cents = (books.filter(F.col("subspace") == j)
                  .select(F.col("code").alias("cid"), "centroid"))
-        # _assign's argmax with one extra guard the trainer never
-        # needs: an upserted vector CAN be all-zero in a subspace
-        # (cosine undefined — ANSI division by zero); it scores -1
-        # everywhere and lands on the lowest code deterministically
+        # _assign's argmax with two extra guards the trainer never
+        # needs: an upserted vector CAN be all-zero in a subspace, and
+        # a degenerate subspace's pinned codeword IS zero (see the
+        # trainer) — either side makes cosine NaN (0/0), and NaN sorts
+        # HIGHEST in Spark's double ordering, so an unguarded score
+        # would hijack the argmax.  Both score -1 and the cid-ASC
+        # tie-break lands them on the lowest code deterministically.
         scored = sub_emb.join(F.broadcast(cents)).select(
             "vec_id", "cid",
-            F.when(dot(F.col("embedding"), F.col("embedding")) == 0,
+            F.when((dot(F.col("embedding"), F.col("embedding")) == 0)
+                   | (dot(F.col("centroid"), F.col("centroid")) == 0),
                    F.lit(-1.0))
             .otherwise(F.round(cosine(F.col("embedding"),
                                       F.col("centroid")), 6))
@@ -1959,7 +1998,7 @@ def pq_index_upsert(spark, path: str, new_emb: DataFrame) -> dict:
     sub = dim // m
     books = spark.read.parquet(f"{path}/{man['codebooks']}")
     encoded = _pq_encode(new_emb, books, m, sub)
-    current = _read_codes(spark, path, man["codes"])
+    current = _manifest_codes(spark, path, man)
     batch_ids = new_emb.select("vec_id")
     n_new = new_emb.count()
     n_replaced = current.join(
@@ -2119,7 +2158,7 @@ def pq_index_topk_batch(spark, path: str, queries: DataFrame,
     m_an = _index_manifest(spark, path)
     hat = _pq_codebook_hat(spark, path, m_an)
     q = queries.select("query_id", F.col("embedding").alias("qe"))
-    cand = _read_codes(spark, path, m_an["codes"])
+    cand = _manifest_codes(spark, path, m_an)
     if allowed is not None:
         cand = cand.join(allowed.select("vec_id"), "vec_id",
                          "left_semi")
@@ -2172,7 +2211,7 @@ def pq_index_topk(spark, path: str, query_vec: list[float],
     m_an = _index_manifest(spark, path)
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     hat = _pq_codebook_hat(spark, path, m_an)
-    cand = _read_codes(spark, path, m_an["codes"])
+    cand = _manifest_codes(spark, path, m_an)
     if allowed is not None:
         cand = cand.join(allowed.select("vec_id"), "vec_id",
                          "left_semi")
@@ -2582,7 +2621,7 @@ def ivf_pq_index_topk(spark, path: str, query_vec: list[float],
     m_an = _index_manifest(spark, path)
     nprobe = _resolve_nprobe(m_an, nprobe)
     ranked = _rank_clusters(spark, path, m_an, query_vec)
-    codes_all = _read_codes(spark, path, m_an["codes"])
+    codes_all = _manifest_codes(spark, path, m_an)
     if allowed is not None:
         probe = _widen_filtered_probes(codes_all, allowed, ranked,
                                        nprobe, k)
@@ -2637,7 +2676,7 @@ def ivf_pq_index_topk_batch(spark, path: str, queries: DataFrame,
     cents = spark.read.parquet(f"{path}/{m_an['centroids']}")
     q = queries.select(F.col("query_id"),
                        F.col("embedding").alias("qe"))
-    codes_all = _read_codes(spark, path, m_an["codes"])
+    codes_all = _manifest_codes(spark, path, m_an)
     hat = _pq_codebook_hat(spark, path, m_an)
     # hat once per STORED row, below the probes fan-out (the
     # pq_index_topk_batch note, one level deeper: the probes join
@@ -2704,7 +2743,7 @@ def ivf_pq_index_upsert(spark, path: str, new_emb: DataFrame) -> dict:
               "vec_id")
         .select("vec_id", "cluster_id", "codes")
     )
-    current = _read_codes(spark, path, man["codes"])
+    current = _manifest_codes(spark, path, man)
     batch_ids = new_emb.select("vec_id")
     n_new = new_emb.count()
     n_replaced = current.join(
@@ -2734,6 +2773,9 @@ def ivf_pq_index_upsert(spark, path: str, new_emb: DataFrame) -> dict:
         "codebooks": man["codebooks"],
         **({"default_nprobe": man["default_nprobe"]}
            if "default_nprobe" in man else {}),
+        **({"excluded_clusters": man["excluded_clusters"]}
+           if (decision == "appended" and "excluded_clusters" in man)
+           else {}),
     })
     return {"decision": decision, "n_new": n_new,
             "n_replaced": n_replaced}
@@ -2973,7 +3015,7 @@ def bq_index_topk(spark, path: str, query_vec: list[float],
             f"not bq")
     qlo, qhi = _bq_query_bits(query_vec)
     q = F.array(*[F.lit(float(x)) for x in query_vec])
-    cand = _read_codes(spark, path, m_an["codes"])
+    cand = _manifest_codes(spark, path, m_an)
     if allowed is not None:
         cand = cand.join(allowed.select("vec_id"), "vec_id",
                          "left_semi")
@@ -3022,7 +3064,7 @@ def bq_index_topk_batch(spark, path: str, queries: DataFrame,
         "query_id", F.col("embedding").alias("qe"),
         _bq_half("embedding", 0).alias("qlo"),
         _bq_half("embedding", 32).alias("qhi"))
-    cand = _read_codes(spark, path, m_an["codes"])
+    cand = _manifest_codes(spark, path, m_an)
     if allowed is not None:
         cand = cand.join(allowed.select("vec_id"), "vec_id",
                          "left_semi")
@@ -3072,7 +3114,7 @@ def bq_index_upsert(spark, path: str, new_emb: DataFrame) -> dict:
         "vec_id",
         _bq_half("embedding", 0).alias("lo"),
         _bq_half("embedding", 32).alias("hi"))
-    current = _read_codes(spark, path, man["codes"])
+    current = _manifest_codes(spark, path, man)
     batch_ids = new_emb.select("vec_id")
     n_new = new_emb.count()
     n_replaced = current.join(
@@ -3128,7 +3170,7 @@ def index_stats(spark, path: str) -> dict:
 
     m = _index_manifest(spark, path)
     kind = m.get("kind", "sq8")
-    codes = _read_codes(spark, path, m["codes"])
+    codes = _manifest_codes(spark, path, m)
     dim = int(m["dim"])
     if kind in _CODE_BYTES:
         bpv = _CODE_BYTES[kind]
@@ -3142,6 +3184,7 @@ def index_stats(spark, path: str) -> dict:
         "n_vectors": codes.count(),
         "n_codes_dirs": len(m["codes"]),
         "code_bytes_per_vector": bpv,
+        "n_retired_clusters": len(m.get("excluded_clusters", [])),
     }
     if "cluster_id" in codes.columns:
         sizes = [int(r["n"]) for r in
@@ -3291,6 +3334,117 @@ def tune_index(spark, path: str, vectors: DataFrame,
     return out
 
 
+def rebalance_index(spark, path: str, vectors: DataFrame, *,
+                    max_imbalance_permille: int = 2000,
+                    n_iter: int = KMEANS_ITERS,
+                    train_fraction: float = 1.0) -> dict:
+    """Split the HOTTEST cluster of a cluster-partitioned index in two
+    — the O(hot cluster) answer to IVF list skew, between the bump
+    rung (which papers over skew by probing more) and a full rebuild
+    (which re-trains everything over the whole corpus).  At 100 TB an
+    upsert feed concentrated in one embedding region grows one list
+    until every probe that ranks it pays max-list-size scan cost;
+    ``index_stats`` measures that as ``cluster_imbalance_permille``,
+    and this is the targeted repair its docstring promises.
+
+    Shape: the hot cluster's CODES DO NOT CHANGE — quantized codes
+    depend on the quantizer/codebooks/signs, not on list membership —
+    so the split rewrites only (vec_id, <codes cols>) under two new
+    cluster ids: 2-means over the hot cluster's true embeddings (read
+    from ``vectors``, the primary-store contract the maintainers use),
+    assignment, one partitioned write of the MOVED rows, a k-row
+    centroid table swap (old centroid out, two sub-centroids in), one
+    manifest rename.  Old dirs are immutable, so the retired cluster
+    id is masked via the manifest's ``excluded_clusters`` list — a
+    static partition filter every codes reader applies
+    (``_manifest_codes``); ``compact_index`` later drops the masked
+    rows physically and clears the list.  Serving never probes the
+    retired id anyway (it is gone from the centroid table), the tuned
+    ``default_nprobe`` survives (cluster GEOMETRY is refined, not
+    retrained), and the same crash protocol holds: an interrupted
+    split leaves the previous version fully served.
+
+    Decisions as data: ``flat_kind`` (nothing is cluster-partitioned),
+    ``balanced`` (max/mean size <= the threshold — nothing to split),
+    ``split`` (with the retired id, the two new ids, and the sizes).
+    One split per call — cost stays bounded by the one hot list; call
+    again (or let the maintenance job loop) if the next-hottest still
+    crosses the threshold."""
+    from ..jobs.versioned import _write_manifest
+
+    m = _index_manifest(spark, path)
+    kind = m.get("kind", "sq8")
+    if kind not in ("ivf_sq8", "ivf_pq", "ivf_bq"):
+        return {"decision": "flat_kind", "kind": kind}
+    codes = _manifest_codes(spark, path, m)
+    sizes = {int(r["cluster_id"]): int(r["n"])
+             for r in codes.groupBy("cluster_id")
+             .agg(F.count(F.lit(1)).alias("n")).collect()}
+    mean = sum(sizes.values()) / len(sizes)
+    hot_cid = max(sorted(sizes), key=lambda c: sizes[c])
+    imb = int(1000 * sizes[hot_cid] / mean)
+    out = {"kind": kind, "n_clusters": len(sizes),
+           "imbalance_permille": imb,
+           "max_imbalance_permille": max_imbalance_permille,
+           "cluster_id": hot_cid, "cluster_size": sizes[hot_cid]}
+    if imb <= max_imbalance_permille or sizes[hot_cid] < 2:
+        out["decision"] = "balanced"
+        return out
+    hot_ids = codes.filter(F.col("cluster_id") == hot_cid) \
+        .select("vec_id")
+    hot_emb = (vectors.select("vec_id", "embedding")
+               .join(hot_ids, "vec_id", "left_semi")
+               .localCheckpoint(eager=True))
+    n_found = hot_emb.count()
+    if n_found != sizes[hot_cid]:
+        raise ValueError(
+            f"rebalance_index: {sizes[hot_cid] - n_found} of cluster "
+            f"{hot_cid}'s vec_ids are absent from `vectors` — pass "
+            f"the full primary store (the split trains and assigns "
+            f"on true embeddings)")
+    cents2 = _trained_centroids(hot_emb, 2, n_iter, train_fraction)
+    stored_cents = spark.read.parquet(f"{path}/{m['centroids']}")
+    new_base = int(stored_cents.agg(
+        F.max("cluster_id").alias("mx")).collect()[0]["mx"]) + 1
+    asg = (
+        _assign(hot_emb, cents2)
+        .select("vec_id", "embedding",
+                (F.col("cid") + F.lit(new_base)).alias("cid"))
+        .localCheckpoint(eager=True)
+    )
+    version = _next_index_version(spark, path)
+    base = f"data/v{version:06d}"
+    code_cols = [c for c in codes.columns if c != "cluster_id"]
+    moved = (
+        codes.filter(F.col("cluster_id") == hot_cid)
+        .drop("cluster_id")
+        .join(asg.select("vec_id", F.col("cid").alias("cluster_id")),
+              "vec_id")
+        .select(*code_cols, "cluster_id")
+    )
+    (moved.repartition("cluster_id")
+     .write.mode("error").partitionBy("cluster_id")
+     .parquet(f"{path}/{base}/codes"))
+    sub_cents = _quantized_centroids(asg.select("cid", "embedding"))
+    (stored_cents.filter(F.col("cluster_id") != hot_cid)
+     .unionByName(sub_cents.select(
+         F.col("cid").alias("cluster_id"), "centroid"))
+     .coalesce(1).write.mode("error")
+     .parquet(f"{path}/{base}/centroids"))
+    excluded = sorted(set(m.get("excluded_clusters", []))
+                      | {int(hot_cid)})
+    _write_manifest(spark, path, version, {
+        **m, "version": version,
+        "codes": m["codes"] + [f"{base}/codes"],
+        "centroids": f"{base}/centroids",
+        "excluded_clusters": excluded,
+    })
+    out.update(decision="split", version=version,
+               new_cluster_ids=[new_base, new_base + 1],
+               n_vectors_moved=n_found)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # IVF x BQ — coarse partition pruning over the 8-byte sign codes: the
 # layout for when even byte codes are too much scan.  A query reads
@@ -3354,7 +3508,7 @@ def ivf_bq_index_topk(spark, path: str, query_vec: list[float],
             f"not ivf_bq")
     nprobe = _resolve_nprobe(m_an, nprobe)
     ranked = _rank_clusters(spark, path, m_an, query_vec)
-    codes_all = _read_codes(spark, path, m_an["codes"])
+    codes_all = _manifest_codes(spark, path, m_an)
     if allowed is not None:
         probe = _widen_filtered_probes(codes_all, allowed, ranked,
                                        nprobe, k)
@@ -3414,7 +3568,7 @@ def ivf_bq_index_topk_batch(spark, path: str, queries: DataFrame,
         "query_id", F.col("embedding").alias("qe"),
         _bq_half("embedding", 0).alias("qlo"),
         _bq_half("embedding", 32).alias("qhi"))
-    codes_all = _read_codes(spark, path, m_an["codes"])
+    codes_all = _manifest_codes(spark, path, m_an)
     cand = _batch_candidates(
         spark, q.select("query_id", "qe"), cents, codes_all, nprobe,
         k, allowed)
@@ -3472,7 +3626,7 @@ def ivf_bq_index_upsert(spark, path: str, new_emb: DataFrame) -> dict:
               "vec_id")
         .select("vec_id", "lo", "hi", "cluster_id")
     )
-    current = _read_codes(spark, path, man["codes"])
+    current = _manifest_codes(spark, path, man)
     batch_ids = new_emb.select("vec_id")
     n_new = new_emb.count()
     n_replaced = current.join(
@@ -3500,6 +3654,9 @@ def ivf_bq_index_upsert(spark, path: str, new_emb: DataFrame) -> dict:
         "codes": dirs, "centroids": man["centroids"],
         **({"default_nprobe": man["default_nprobe"]}
            if "default_nprobe" in man else {}),
+        **({"excluded_clusters": man["excluded_clusters"]}
+           if (decision == "appended" and "excluded_clusters" in man)
+           else {}),
     })
     return {"decision": decision, "n_new": n_new,
             "n_replaced": n_replaced}

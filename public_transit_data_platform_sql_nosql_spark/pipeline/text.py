@@ -383,7 +383,7 @@ def hybrid_index_search(spark, docs: DataFrame, index_path: str,
                         vectors: DataFrame, query_terms: list[str],
                         query_vec: list[float], k: int = 20,
                         pool: int = 50, rrf_k: int = 60,
-                        nprobe: int = 2,
+                        nprobe: int | None = None,
                         allowed: DataFrame | None = None) -> DataFrame:
     """Hybrid retrieval with the dense arm served from a STORED vector
     index — the corpus-scale form of :func:`hybrid_search`: BM25 ranks

@@ -613,7 +613,9 @@ def stream_vector_index_upsert(emb_stream: DataFrame, index_path: str,
                                checkpoint: str, dim: int | None = None,
                                tol: float | None = None,
                                compact_hint_dirs: int = 8,
-                               auto_compact: bool = False):
+                               auto_compact: bool = False,
+                               rebalance_hint_permille: int | None
+                               = None):
     """foreachBatch maintenance of a manifest-committed vector index
     (``write_sq8_index``, ``write_ivf_sq8_index``, ``write_pq_index``
     or ``write_ivf_pq_index``
@@ -654,6 +656,13 @@ def stream_vector_index_upsert(emb_stream: DataFrame, index_path: str,
     ``compact_index`` itself inside the same micro-batch and records a
     ``compacted`` row instead (retention stays an operator choice:
     ``vacuum_index`` is never run automatically).
+
+    ``rebalance_hint_permille`` (opt-in) adds the skew watch on the
+    IVF kinds: when the post-upsert max/mean list size crosses the
+    threshold, a ``rebalance`` hint row (n_new = imbalance permille)
+    points the operator at ``rebalance_index``'s O(hot cluster) split
+    — the hint costs one k-row groupBy per micro-batch, the split
+    itself stays an operator action.
     """
     from ..jobs.versioned import commit_version
     from ..pipeline.similarity import (
@@ -718,6 +727,24 @@ def stream_vector_index_upsert(emb_stream: DataFrame, index_path: str,
             else:
                 rows.append((int(batch_id), "compact",
                              int(n_dirs), 0, 0))
+        # skew watch (opt-in: one k-row groupBy per batch): a feed
+        # concentrated in one embedding region grows one IVF list —
+        # emit a `rebalance` hint (n_new carries the hot list's
+        # imbalance permille) pointing the operator at
+        # rebalance_index's O(hot cluster) split
+        if rebalance_hint_permille is not None and \
+                kind.startswith("ivf_"):
+            from ..pipeline.similarity import _manifest_codes
+
+            m_now = _index_manifest(spark, index_path)
+            ns = [int(r["n"]) for r in
+                  _manifest_codes(spark, index_path, m_now)
+                  .groupBy("cluster_id").agg(
+                      F.count(F.lit(1)).alias("n")).collect()]
+            imb = int(1000 * max(ns) / (sum(ns) / len(ns)))
+            if imb > rebalance_hint_permille:
+                rows.append((int(batch_id), "rebalance",
+                             int(imb), 0, 0))
         decision = spark.createDataFrame(
             rows,
             "batch_id long, decision string, n_new long, "

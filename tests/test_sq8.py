@@ -369,9 +369,25 @@ def test_index_scan_reads_only_codes_columns(spark, emb, tmp_path):
     write_sq8_index(emb, path)
     qvec = [float(x) for x in
             emb.filter("vec_id = 0").head()["embedding"]]
-    plan = executed_plan(sq8_index_topk(spark, path, qvec, emb, k=5))
-    # the codes-table file scans must not carry an embedding column
+    # Location strings truncate at spark.sql.maxMetadataStringLength
+    # (default 100) — a tmp_path long enough to cut exactly at
+    # ".../sq8" made this assertion order/run-number dependent; widen
+    # the cap while reading the plan
+    prev = spark.conf.get("spark.sql.maxMetadataStringLength")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    try:
+        plan = executed_plan(
+            sq8_index_topk(spark, path, qvec, emb, k=5))
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", prev)
+    # No scan under the index path may read a full-precision embedding
+    # column, and the codes table must actually be scanned.  (The
+    # quantizer-stats scan — struct<mns,mxs> only — legitimately
+    # appears as its own file scan under the path.)
+    saw_codes = False
     for chunk in plan.split("Location:")[1:]:
         if "/sq8/" in chunk.split("\n")[0]:
             schema = chunk.split("ReadSchema:")[-1].split("\n")[0]
-            assert "codes" in schema and "embedding" not in schema
+            assert "embedding" not in schema
+            saw_codes = saw_codes or "codes" in schema
+    assert saw_codes
