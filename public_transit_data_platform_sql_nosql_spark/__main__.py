@@ -639,8 +639,20 @@ def cmd_vector_pipeline(args: argparse.Namespace) -> int:
     else:
         sim.write_sq8_index(emb, f"{wd}/index", dim=args.dim)
 
+    # optional tune step: measure the recall curve and commit the
+    # smallest nprobe meeting --target-recall as the manifest's
+    # default_nprobe; the serving pass below (and every later
+    # query/stream against this index) then runs at the MEASURED
+    # operating point instead of a guessed one
+    tune = None
+    if args.target_recall is not None and kind.startswith("ivf_"):
+        tune = sim.tune_index(spark, f"{wd}/index", emb, k=args.k,
+                              target_recall_permille=args.target_recall)
+
     queries = (emb.orderBy("vec_id").limit(args.n_queries)
                .select(F.col("vec_id").alias("query_id"), "embedding"))
+    # nprobe=None on the IVF kinds = the manifest's (possibly just
+    # tuned) operating point; an explicit --nprobe still overrides
     batchers = {
         "ivf_sq8": lambda: sim.ivf_sq8_index_topk_batch(
             spark, f"{wd}/index", queries, emb, k=args.k,
@@ -664,6 +676,8 @@ def cmd_vector_pipeline(args: argparse.Namespace) -> int:
         "workdir": wd, "n_docs": n_docs, "n_quarantined": n_bad,
         "index_kind": kind, "dim": args.dim,
         "n_queries": int(args.n_queries), "n_results": n_results,
+        **({"tune": {k_: v for k_, v in tune.items() if k_ != "curve"}}
+           if tune is not None else {}),
     }))
     return 0
 
@@ -870,7 +884,14 @@ def main(argv: list[str] | None = None) -> int:
                           "results/)")
     pvp.add_argument("--dim", type=int, default=64)
     pvp.add_argument("--k", type=int, default=5)
-    pvp.add_argument("--nprobe", type=int, default=2)
+    pvp.add_argument("--nprobe", type=int, default=None,
+                     help="probe depth; default None = the index's "
+                          "default_nprobe (set by --target-recall)")
+    pvp.add_argument("--target-recall", type=int, default=None,
+                     help="IVF kinds: tune_index after the build — "
+                          "commit the smallest nprobe whose MIN "
+                          "sampled recall meets this permille as the "
+                          "serving default")
     pvp.add_argument("--n-queries", type=int, default=3)
     pvp.add_argument("--train-fraction", type=float, default=1.0)
     pvp.add_argument("--kind", default="ivf_sq8",

@@ -565,3 +565,41 @@ def test_hash_embeddings_properties(spark):
     again = {r["vec_id"]: list(r["embedding"])
              for r in hash_embeddings(docs, dim=32).collect()}
     assert all(list(r["embedding"]) == again[r["vec_id"]] for r in rows)
+
+
+def test_cli_vector_pipeline_tune_step(spark, tmp_path, capsys):
+    """--target-recall closes the loop inside the one-command demo:
+    the build is followed by tune_index, the committed default_nprobe
+    serves the results pass (no explicit --nprobe), and the status
+    line carries the tune decision."""
+    import json as _json
+
+    from public_transit_data_platform_sql_nosql_spark.__main__ import (
+        main,
+    )
+    from public_transit_data_platform_sql_nosql_spark.pipeline.similarity import (  # noqa: E501
+        _index_manifest,
+    )
+
+    src = tmp_path / "in.jsonl"
+    src.write_text("\n".join(
+        _json.dumps({"doc_id": i, "text": t, "lang": "en",
+                     "source": "s0", "n_chars": len(t)})
+        for i, t in enumerate(
+            ["spark batch window merge", "filter scan join order",
+             "vector table stream hash", "group agg sort key value",
+             "broadcast shuffle skew plan"])) + "\n")
+
+    wd = str(tmp_path / "wd")
+    # target 1 permille is met at the smallest measured depth, so the
+    # tune outcome is deterministic: nprobe=1 commits (or noop if 1
+    # were already the default — it is not; DEFAULT_NPROBE is 2)
+    assert main(["vector-pipeline", "--docs", str(src),
+                 "--workdir", wd, "--k", "2", "--n-queries", "1",
+                 "--target-recall", "1"]) == 0
+    st = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert st["tune"]["decision"] == "tuned"
+    assert st["tune"]["nprobe"] == 1
+    assert "curve" not in st["tune"]            # status line stays slim
+    assert _index_manifest(spark, f"{wd}/index")["default_nprobe"] == 1
+    assert st["n_results"] >= 1

@@ -118,6 +118,29 @@ def main() -> int:
               f"Swap backlog entries in for in-window shape-duplicates "
               f"(README 'Driver-window rotation').")
         return 1
+    if not backlog:
+        # STEADY STATE (every registered query has been gated at least
+        # once): round-robin re-gating is the standing encouragement —
+        # surface the most-stale candidates so each round's swap is a
+        # copy-paste, not an archaeology dig.  last-gated = the newest
+        # recorded round that hashed the query; never-in-hist entries
+        # (gated only by the pytest sweep so far this round) sort
+        # freshest.
+        last_gated = {
+            n: max((r for r in rounds if n in hist[r]), default=None)
+            for n in registered
+        }
+        stale = sorted(
+            (n for n in registered if n not in current_window),
+            key=lambda n: (last_gated[n] is None,
+                           last_gated[n] if last_gated[n] is not None
+                           else 0, n))
+        oldest = [f"{n} (r{last_gated[n]})" for n in stale[:8]
+                  if last_gated[n] is not None]
+        if oldest:
+            print("  steady state: backlog empty — next round's "
+                  "round-robin candidates (stalest first): "
+                  + ", ".join(oldest))
     print("rotation-check OK")
     return 0
 
