@@ -355,7 +355,7 @@ def cmd_vector_index(args: argparse.Namespace) -> int:
         if kind == "ivf_sq8":
             res = sim.ivf_sq8_index_topk(
                 spark, args.path, qvec, emb, k=args.k,
-                nprobe=args.nprobe, dim=args.dim)
+                nprobe=args.nprobe, dim=args.dim, where=args.where)
         elif kind == "ivf_pq":
             res = sim.ivf_pq_index_topk(spark, args.path, qvec, emb,
                                         k=args.k, nprobe=args.nprobe)
@@ -387,7 +387,7 @@ def cmd_vector_index(args: argparse.Namespace) -> int:
         if kind == "ivf_sq8":
             res = sim.ivf_sq8_index_topk_batch(
                 spark, args.path, queries, emb, k=args.k,
-                nprobe=args.nprobe)
+                nprobe=args.nprobe, where=args.where)
         elif kind == "ivf_pq":
             res = sim.ivf_pq_index_topk_batch(
                 spark, args.path, queries, emb, k=args.k,
@@ -857,6 +857,11 @@ def main(argv: list[str] | None = None) -> int:
     pv.add_argument("--target-recall", type=int, default=950,
                     help="tune: min sampled recall permille the "
                          "committed default_nprobe must meet")
+    pv.add_argument("--where", default=None,
+                    help="query/query-batch (ivf_sq8): SQL predicate "
+                         "over the index's stored attribute columns — "
+                         "pushed to the codes scan as a parquet "
+                         "filter")
     pv.add_argument("--max-imbalance", type=int, default=2000,
                     help="rebalance: split the hottest cluster when "
                          "max/mean list size exceeds this permille")

@@ -1168,7 +1168,8 @@ def sq8_index_upsert(spark, path: str, new_emb: DataFrame,
 def write_ivf_sq8_index(emb: DataFrame, path: str, k: int = KMEANS_K,
                         n_iter: int = KMEANS_ITERS,
                         dim: int = 64,
-                        train_fraction: float = 1.0) -> None:
+                        train_fraction: float = 1.0,
+                        attrs: DataFrame | None = None) -> None:
     """Pruning AND compression in one layout — the full 100-TB vector
     serving stack: SQ8 codes hive-partitioned by k-means cluster
     (``cluster_id=NN/`` directories), with the centroid table at
@@ -1187,7 +1188,18 @@ def write_ivf_sq8_index(emb: DataFrame, path: str, k: int = KMEANS_K,
     (assignment and encoding still cover every vector); the SQ8
     quantizer stats stay full-corpus regardless — min/max on a sample
     would under-cover the range and clamp real values, and the stats
-    aggregation is one map-side-combinable pass, not a scale cost."""
+    aggregation is one map-side-combinable pass, not a scale cost.
+
+    ``attrs`` (a ``(vec_id, <scalar cols>)`` DataFrame — tenant, lang,
+    license, collection...) stores filterable attributes WITH the
+    codes, making attribute-filtered serving a PushedFilters parquet
+    predicate on the codes scan (``where=`` on the topk paths) instead
+    of a semi-join against an id list: the multi-tenant / corpus-facet
+    serving shape at 100 TB, where the filter must cost a scan
+    predicate, not a join.  Left join — vectors without an attrs row
+    carry NULLs (a ``where`` predicate then excludes them, standard
+    SQL three-valued logic); the manifest records the attr columns and
+    upserts must supply the same ones."""
     from ..jobs.versioned import _write_manifest
 
     spark = emb.sparkSession
@@ -1204,11 +1216,18 @@ def write_ivf_sq8_index(emb: DataFrame, path: str, k: int = KMEANS_K,
             .select("vec_id", F.col("cid").alias("cluster_id")),
             "vec_id")
     stats = _sq8_stats(emb, dim)
-    (
+    attr_cols = [c for c in (attrs.columns if attrs is not None else [])
+                 if c != "vec_id"]
+    encoded = (
         assigned.join(F.broadcast(stats))
         .select("vec_id", "cluster_id",
                 _sq8_pack(_sq8_codes(F.col("embedding"), F.col("mns"),
                                      F.col("mxs"), dim)).alias("codes"))
+    )
+    if attrs is not None:
+        encoded = encoded.join(attrs, "vec_id", "left")
+    (
+        encoded.select("vec_id", "codes", *attr_cols, "cluster_id")
         .repartition("cluster_id")
         .write.mode("error").partitionBy("cluster_id")
         .parquet(f"{path}/{base}/codes")
@@ -1224,6 +1243,7 @@ def write_ivf_sq8_index(emb: DataFrame, path: str, k: int = KMEANS_K,
         "version": version, "kind": "ivf_sq8", "dim": dim,
         "codes": [f"{base}/codes"], "centroids": f"{base}/centroids",
         "quantizer": f"{base}/quantizer",
+        **({"attrs": attr_cols} if attr_cols else {}),
     })
 
 
@@ -1248,23 +1268,29 @@ def _rank_clusters(spark, path: str, m: dict,
         key=lambda t: (-t[0], t[1]))
 
 
-def _widen_filtered_probes(codes_all: DataFrame, allowed: DataFrame,
+def _widen_filtered_probes(codes_all: DataFrame,
+                           allowed: DataFrame | None,
                            ranked: list, nprobe: int,
                            k: int) -> list[int]:
-    """Adaptive probe widening under a restrictive ``allowed=`` filter
-    (single-query form, shared by the cluster-partitioned layouts): the
-    allowed vectors may live OUTSIDE the ``nprobe`` best clusters, and
-    a fixed probe set would then starve the shortlist no matter how the
-    filter is applied — so probe, count the reachable allowed
-    candidates (one partition-pruned semi-join count), and double until
-    >= ``k`` are reachable or every cluster is probed.  Returns the
-    widened probe list."""
-    allow_ids = allowed.select("vec_id")
+    """Adaptive probe widening under a restrictive filter (single-query
+    form, shared by the cluster-partitioned layouts): the surviving
+    vectors may live OUTSIDE the ``nprobe`` best clusters, and a fixed
+    probe set would then starve the shortlist no matter how the filter
+    is applied — so probe, count the reachable candidates (one
+    partition-pruned count), and double until >= ``k`` are reachable or
+    every cluster is probed.  Returns the widened probe list.
+
+    Two filter forms share this loop: ``allowed`` (an id list —
+    semi-join count) and attribute predicates already APPLIED to
+    ``codes_all`` by the caller (``where=`` pushdown — the count then
+    runs under the pushed scan predicate, ``allowed=None``)."""
+    allow_ids = allowed.select("vec_id") if allowed is not None else None
     while nprobe < len(ranked):
         probe = [cid for _, cid in ranked[:nprobe]]
-        n_reachable = (
-            codes_all.filter(F.col("cluster_id").isin(probe))
-            .join(allow_ids, "vec_id", "left_semi").count())
+        reach = codes_all.filter(F.col("cluster_id").isin(probe))
+        if allow_ids is not None:
+            reach = reach.join(allow_ids, "vec_id", "left_semi")
+        n_reachable = reach.count()
         if n_reachable >= k:
             break
         # max(..., nprobe + 1) keeps the step positive when a caller
@@ -1277,7 +1303,8 @@ def _widen_filtered_probes(codes_all: DataFrame, allowed: DataFrame,
 def _batch_candidates(spark, queries_q: DataFrame, cents: DataFrame,
                       codes_all: DataFrame, nprobe: int, k: int,
                       allowed: DataFrame | None,
-                      code_proj=None) -> DataFrame:
+                      code_proj=None,
+                      widen: bool | None = None) -> DataFrame:
     """Batch probe resolution shared by the cluster-partitioned
     layouts: per-query cluster ranking (queries x the broadcast
     centroid table, bounded window), the UNION of probed clusters
@@ -1321,7 +1348,9 @@ def _batch_candidates(spark, queries_q: DataFrame, cents: DataFrame,
             c = c.join(allowed.select("vec_id"), "vec_id", "left_semi")
         return c
 
-    if allowed is None:
+    if widen is None:
+        widen = allowed is not None
+    if not widen:
         return _cand(ranked.filter(F.col("rn") <= nprobe)
                      .select("query_id", "cluster_id"))
     ranked = ranked.localCheckpoint(eager=True)      # rank ONCE, reuse
@@ -1356,7 +1385,8 @@ def ivf_sq8_index_topk(spark, path: str, query_vec: list[float],
                        nprobe: int | None = None,
                        rerank_mult: int = SQ_RERANK_MULT,
                        dim: int | None = None,
-                       allowed: DataFrame | None = None) -> DataFrame:
+                       allowed: DataFrame | None = None,
+                       where: str | None = None) -> DataFrame:
     """Serve top-k from a ``write_ivf_sq8_index`` layout: rank the
     k-row centroid table driver-side, partition-prune to the ``nprobe``
     best cluster directories, score ONLY those clusters' codes against
@@ -1378,13 +1408,22 @@ def ivf_sq8_index_topk(spark, path: str, query_vec: list[float],
 
     ``dim`` is resolved from the manifest (pass it only to assert);
     ``nprobe=None`` serves at the manifest's tuned operating point
-    (see :func:`_resolve_nprobe`)."""
+    (see :func:`_resolve_nprobe`).
+
+    ``where`` (a SQL predicate over the index's STORED attribute
+    columns — ``write_ivf_sq8_index(attrs=...)``) is the PUSHDOWN form
+    of filtered search: the predicate reaches the codes scan as a
+    parquet filter (no id-list join at all — the multi-tenant serving
+    shape), with the same adaptive probe widening, its counts running
+    under the pushed predicate."""
     m = _index_manifest(spark, path)
     dim = _manifest_dim(m, dim, path)
     nprobe = _resolve_nprobe(m, nprobe)
     ranked = _rank_clusters(spark, path, m, query_vec)
     codes_all = _manifest_codes(spark, path, m)
-    if allowed is not None:
+    if where is not None:
+        codes_all = codes_all.filter(where)
+    if allowed is not None or where is not None:
         probe = _widen_filtered_probes(codes_all, allowed, ranked,
                                        nprobe, k)
     else:
@@ -1427,7 +1466,8 @@ def ivf_sq8_index_topk_batch(spark, path: str, queries: DataFrame,
                              vectors: DataFrame, k: int = 10,
                              nprobe: int | None = None,
                              rerank_mult: int = SQ_RERANK_MULT,
-                             allowed: DataFrame | None = None
+                             allowed: DataFrame | None = None,
+                             where: str | None = None
                              ) -> DataFrame:
     """BATCH retrieval over a ``write_ivf_sq8_index`` layout — the
     production serving shape: ``queries`` is a ``(query_id,
@@ -1464,8 +1504,15 @@ def ivf_sq8_index_topk_batch(spark, path: str, queries: DataFrame,
     q = queries.select(F.col("query_id"),
                        F.col("embedding").alias("qe"))
     codes_all = _manifest_codes(spark, path, m)
+    if where is not None:
+        # attribute pushdown: the predicate lands on the codes scan
+        # (PushedFilters), and the per-query widening below counts
+        # under it — `widen` forces the loop even with no id list
+        codes_all = codes_all.filter(where)
     cand = _batch_candidates(spark, q, cents, codes_all, nprobe, k,
-                             allowed)
+                             allowed,
+                             widen=(allowed is not None
+                                    or where is not None) or None)
     stats = spark.read.parquet(f"{path}/{m['quantizer']}")
     # recompute the dequantization per pair ON PURPOSE — see the
     # measured trade note in sq8_index_topk_batch (the 64-double recon
@@ -1501,7 +1548,8 @@ def ivf_sq8_index_topk_batch(spark, path: str, queries: DataFrame,
 
 
 def ivf_sq8_index_upsert(spark, path: str, new_emb: DataFrame,
-                         tol: float = SQ_DRIFT_TOL) -> dict:
+                         tol: float = SQ_DRIFT_TOL,
+                         attrs: DataFrame | None = None) -> dict:
     """Maintain a ``write_ivf_sq8_index`` layout under batches — the
     kind-true upsert the pruning x compression flagship needs
     (``sq8_index_upsert`` refuses this kind: flat-encoding an ivf_sq8
@@ -1540,6 +1588,25 @@ def ivf_sq8_index_upsert(spark, path: str, new_emb: DataFrame,
         return {"decision": "wrong_kind", "kind": m.get("kind"),
                 "expected": "ivf_sq8"}
     dim = int(m["dim"])
+    # attribute contract: an attrs-bearing index (write_ivf_sq8_index
+    # attrs=) requires every upserted row to carry the SAME columns —
+    # from the `attrs` frame, or directly as extra columns on
+    # `new_emb` (how a streaming feed ships them); a bare batch would
+    # silently serve NULL attrs that every `where=` filter drops
+    m_attrs = list(m.get("attrs", []))
+    if m_attrs:
+        src = attrs if attrs is not None else new_emb
+        missing = [c for c in m_attrs if c not in src.columns]
+        if missing:
+            raise ValueError(
+                f"vector index {path} stores attribute columns "
+                f"{m_attrs}; the batch is missing {missing} — pass "
+                f"them via attrs= or as columns on the batch")
+        attr_rows = src.select("vec_id", *m_attrs)
+    elif attrs is not None:
+        raise ValueError(
+            f"vector index {path} stores no attribute columns; "
+            f"rebuild with write_ivf_sq8_index(attrs=...) first")
     stats = spark.read.parquet(f"{path}/{m['quantizer']}")
     drifted = _sq8_drifted_dims(stats, new_emb, dim, tol)
     n_new = new_emb.count()
@@ -1559,6 +1626,8 @@ def ivf_sq8_index_upsert(spark, path: str, new_emb: DataFrame,
                 _sq8_pack(_sq8_codes(F.col("embedding"), F.col("mns"),
                                      F.col("mxs"), dim)).alias("codes"))
     )
+    if m_attrs:
+        encoded = encoded.join(attr_rows, "vec_id", "left")             .select("vec_id", "codes", *m_attrs, "cluster_id")
     current = _manifest_codes(spark, path, m)
     batch_ids = new_emb.select("vec_id")
     n_replaced = current.join(
@@ -1574,7 +1643,7 @@ def ivf_sq8_index_upsert(spark, path: str, new_emb: DataFrame,
     else:
         survivors = current.join(
             F.broadcast(batch_ids), "vec_id", "left_anti")
-        (survivors.select("vec_id", "cluster_id", "codes")
+        (survivors.select("vec_id", "codes", *m_attrs, "cluster_id")
          .unionByName(encoded)
          .repartition("cluster_id")
          .write.mode("error").partitionBy("cluster_id")
@@ -1583,6 +1652,7 @@ def ivf_sq8_index_upsert(spark, path: str, new_emb: DataFrame,
         decision = "replaced"
     _write_manifest(spark, path, version, {
         "version": version, "kind": "ivf_sq8", "dim": dim,
+        **({"attrs": m_attrs} if m_attrs else {}),
         "codes": dirs, "centroids": m["centroids"],
         "quantizer": m["quantizer"],
         # carry the tuned operating point across upserts — only a
@@ -1681,10 +1751,28 @@ def maintain_ivf_sq8_index(spark, path: str, new_emb: DataFrame,
     def _rebuild_and_remeasure():
         # the rebuild is the maintenance loop's expensive rung — at
         # 100 TB it runs with the writer's sampled trainer (the same
-        # train_fraction= contract; 1.0 keeps the full-corpus default)
+        # train_fraction= contract; 1.0 keeps the full-corpus default).
+        # An attrs-bearing index SELF-CARRIES its attribute columns
+        # through the rebuild (read back from the committed codes), so
+        # a retrain never silently strips filterability.  On the
+        # drift-refusal path the batch never reached the codes — its
+        # attrs ride on new_emb (the upsert contract), so batch ids
+        # take theirs from the batch and everyone else from the store.
+        m_attrs = list(man.get("attrs", []))
+        attrs_df = None
+        if m_attrs:
+            attrs_df = _manifest_codes(spark, path, man).select(
+                "vec_id", *m_attrs)
+            if all(c in new_emb.columns for c in m_attrs):
+                attrs_df = new_emb.select("vec_id", *m_attrs) \
+                    .unionByName(attrs_df.join(
+                        new_emb.select("vec_id"), "vec_id",
+                        "left_anti"))
+            attrs_df = attrs_df.localCheckpoint(eager=True)
         write_ivf_sq8_index(vectors, path, k=n_clusters,
                             dim=int(man["dim"]),
-                            train_fraction=train_fraction)
+                            train_fraction=train_fraction,
+                            attrs=attrs_df)
         if queries:
             out["recall_after_rebuild_permille"] = _min_recall(nprobe)
 
@@ -3185,6 +3273,7 @@ def index_stats(spark, path: str) -> dict:
         "n_codes_dirs": len(m["codes"]),
         "code_bytes_per_vector": bpv,
         "n_retired_clusters": len(m.get("excluded_clusters", [])),
+        "attrs": list(m.get("attrs", [])),
     }
     if "cluster_id" in codes.columns:
         sizes = [int(r["n"]) for r in

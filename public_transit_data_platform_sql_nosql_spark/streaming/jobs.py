@@ -764,7 +764,8 @@ def stream_vector_search(query_stream: DataFrame, index_path: str,
                          vectors: DataFrame, results_path: str,
                          checkpoint: str, k: int = 10,
                          nprobe: int | None = None,
-                         allowed_path: str | None = None):
+                         allowed_path: str | None = None,
+                         where: str | None = None):
     """foreachBatch ANN SERVING from a live query feed — the retrieval
     twin of ``stream_vector_index_upsert``: each micro-batch of
     ``(query_id, embedding)`` rows runs through the index's BATCH
@@ -828,9 +829,12 @@ def stream_vector_search(query_stream: DataFrame, index_path: str,
                    if allowed_path is not None else None)
         kind = _index_manifest(spark, index_path).get("kind", "sq8")
         if kind == "ivf_sq8":
+            # `where` = stored-attribute pushdown (flagship layout
+            # only): the predicate lands on every micro-batch's codes
+            # scan as a parquet filter
             res = ivf_sq8_index_topk_batch(
                 spark, index_path, queries, vectors, k=k,
-                nprobe=nprobe, allowed=allowed)
+                nprobe=nprobe, allowed=allowed, where=where)
         elif kind == "ivf_pq":
             res = ivf_pq_index_topk_batch(
                 spark, index_path, queries, vectors, k=k,

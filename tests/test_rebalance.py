@@ -225,3 +225,36 @@ def test_streaming_maintainer_emits_rebalance_hint(spark, corpus,
     assert "appended" in kinds and "rebalance" in kinds
     hint = [d for d in decisions if d["decision"] == "rebalance"][0]
     assert hint["n_new"] > 1500                 # the measured permille
+
+
+def test_rebalance_hot_read_partition_prunes(spark, corpus, tmp_path):
+    """The split's cost claim, plan-asserted: the hot cluster's rows
+    are read through a PartitionFilters-pruned scan (cluster_id is the
+    hive partition column), and a retired cluster's mask is ALSO a
+    partition filter — excluded partitions are never opened."""
+    from public_transit_data_platform_sql_nosql_spark.plans import (
+        executed_plan,
+    )
+
+    path = str(tmp_path / "ivfsq8_plan")
+    sim.write_ivf_sq8_index(corpus, path, k=2, dim=8)
+    m = sim._index_manifest(spark, path)
+    codes = sim._manifest_codes(spark, path, m)
+    plan = executed_plan(
+        codes.filter(F.col("cluster_id") == 1).select("vec_id"))
+    pf = [ln for ln in plan.split("\n") if "PartitionFilters" in ln]
+    assert pf and "cluster_id" in pf[0].split("PartitionFilters:")[1]
+
+    st = sim.rebalance_index(spark, path, corpus,
+                             max_imbalance_permille=1500)
+    assert st["decision"] == "split"
+    m2 = sim._index_manifest(spark, path)
+    plan2 = executed_plan(
+        sim._manifest_codes(spark, path, m2).select("vec_id"))
+    # the exclusion mask reaches every referenced dir's scan as a
+    # partition filter (NOT isin / not-equal on the partition column)
+    pf2 = [ln for ln in plan2.split("\n") if "PartitionFilters" in ln]
+    assert pf2
+    masked = [ln for ln in pf2
+              if "cluster_id" in ln.split("PartitionFilters:")[1]]
+    assert masked, plan2
