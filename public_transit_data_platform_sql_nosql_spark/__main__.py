@@ -358,7 +358,8 @@ def cmd_vector_index(args: argparse.Namespace) -> int:
                 nprobe=args.nprobe, dim=args.dim, where=args.where)
         elif kind == "ivf_pq":
             res = sim.ivf_pq_index_topk(spark, args.path, qvec, emb,
-                                        k=args.k, nprobe=args.nprobe)
+                                        k=args.k, nprobe=args.nprobe,
+                                        where=args.where)
         elif kind == "pq":
             res = sim.pq_index_topk(spark, args.path, qvec, emb,
                                     k=args.k)
@@ -367,7 +368,8 @@ def cmd_vector_index(args: argparse.Namespace) -> int:
                                     k=args.k)
         elif kind == "ivf_bq":
             res = sim.ivf_bq_index_topk(spark, args.path, qvec, emb,
-                                        k=args.k, nprobe=args.nprobe)
+                                        k=args.k, nprobe=args.nprobe,
+                                        where=args.where)
         else:
             res = sim.sq8_index_topk(spark, args.path, qvec, emb,
                                      k=args.k, dim=args.dim)
@@ -391,7 +393,7 @@ def cmd_vector_index(args: argparse.Namespace) -> int:
         elif kind == "ivf_pq":
             res = sim.ivf_pq_index_topk_batch(
                 spark, args.path, queries, emb, k=args.k,
-                nprobe=args.nprobe)
+                nprobe=args.nprobe, where=args.where)
         elif kind == "pq":
             res = sim.pq_index_topk_batch(spark, args.path, queries,
                                           emb, k=args.k)
@@ -401,7 +403,7 @@ def cmd_vector_index(args: argparse.Namespace) -> int:
         elif kind == "ivf_bq":
             res = sim.ivf_bq_index_topk_batch(
                 spark, args.path, queries, emb, k=args.k,
-                nprobe=args.nprobe)
+                nprobe=args.nprobe, where=args.where)
         else:
             res = sim.sq8_index_topk_batch(spark, args.path, queries,
                                            emb, k=args.k)
@@ -858,7 +860,7 @@ def main(argv: list[str] | None = None) -> int:
                     help="tune: min sampled recall permille the "
                          "committed default_nprobe must meet")
     pv.add_argument("--where", default=None,
-                    help="query/query-batch (ivf_sq8): SQL predicate "
+                    help="query/query-batch (IVF kinds): SQL predicate "
                          "over the index's stored attribute columns — "
                          "pushed to the codes scan as a parquet "
                          "filter")

@@ -1547,6 +1547,31 @@ def ivf_sq8_index_topk_batch(spark, path: str, queries: DataFrame,
     return _ranked(pairs, k)
 
 
+def _upsert_attr_rows(m: dict, new_emb: DataFrame,
+                      attrs: DataFrame | None, path: str):
+    """Shared attrs contract for the cluster-partitioned upserts: an
+    attrs-bearing index requires every upserted row to carry the SAME
+    columns — from the ``attrs`` frame, or directly as extra columns
+    on the batch (how a streaming feed ships them); a bare batch would
+    silently serve NULL attrs that every ``where=`` filter drops.
+    Returns ``(attr_col_names, attr_rows_or_None)``."""
+    m_attrs = list(m.get("attrs", []))
+    if m_attrs:
+        src = attrs if attrs is not None else new_emb
+        missing = [c for c in m_attrs if c not in src.columns]
+        if missing:
+            raise ValueError(
+                f"vector index {path} stores attribute columns "
+                f"{m_attrs}; the batch is missing {missing} — pass "
+                f"them via attrs= or as columns on the batch")
+        return m_attrs, src.select("vec_id", *m_attrs)
+    if attrs is not None:
+        raise ValueError(
+            f"vector index {path} stores no attribute columns; "
+            f"rebuild with attrs= first")
+    return [], None
+
+
 def ivf_sq8_index_upsert(spark, path: str, new_emb: DataFrame,
                          tol: float = SQ_DRIFT_TOL,
                          attrs: DataFrame | None = None) -> dict:
@@ -1588,25 +1613,7 @@ def ivf_sq8_index_upsert(spark, path: str, new_emb: DataFrame,
         return {"decision": "wrong_kind", "kind": m.get("kind"),
                 "expected": "ivf_sq8"}
     dim = int(m["dim"])
-    # attribute contract: an attrs-bearing index (write_ivf_sq8_index
-    # attrs=) requires every upserted row to carry the SAME columns —
-    # from the `attrs` frame, or directly as extra columns on
-    # `new_emb` (how a streaming feed ships them); a bare batch would
-    # silently serve NULL attrs that every `where=` filter drops
-    m_attrs = list(m.get("attrs", []))
-    if m_attrs:
-        src = attrs if attrs is not None else new_emb
-        missing = [c for c in m_attrs if c not in src.columns]
-        if missing:
-            raise ValueError(
-                f"vector index {path} stores attribute columns "
-                f"{m_attrs}; the batch is missing {missing} — pass "
-                f"them via attrs= or as columns on the batch")
-        attr_rows = src.select("vec_id", *m_attrs)
-    elif attrs is not None:
-        raise ValueError(
-            f"vector index {path} stores no attribute columns; "
-            f"rebuild with write_ivf_sq8_index(attrs=...) first")
+    m_attrs, attr_rows = _upsert_attr_rows(m, new_emb, attrs, path)
     stats = spark.read.parquet(f"{path}/{m['quantizer']}")
     drifted = _sq8_drifted_dims(stats, new_emb, dim, tol)
     n_new = new_emb.count()
@@ -2634,7 +2641,8 @@ def ivf_pq_topk(emb: DataFrame, num_queries: int = 8, k: int = 10,
 def write_ivf_pq_index(emb: DataFrame, path: str, k: int = KMEANS_K,
                        m: int = PQ_M, ksub: int = PQ_K, dim: int = 64,
                        n_iter: int = KMEANS_ITERS,
-                       train_fraction: float = 1.0) -> None:
+                       train_fraction: float = 1.0,
+                       attrs: DataFrame | None = None) -> None:
     """Persist the IVF x PQ serving layout: ``m``-byte PQ codes
     hive-partitioned by coarse k-means cluster (``cluster_id=NN/``
     directories), the coarse centroid table and the ``m * ksub``
@@ -2670,10 +2678,13 @@ def write_ivf_pq_index(emb: DataFrame, path: str, k: int = KMEANS_K,
     books, _ = _pq_books_and_assignments(
         _train_sample(emb, train_fraction), m, ksub, dim, n_iter)
     books = books.localCheckpoint(eager=True)
-    encoded = _pq_encode(emb, books, m, dim // m)
+    encoded = _pq_encode(emb, books, m, dim // m).join(assigned, "vec_id")
+    attr_cols = [c for c in (attrs.columns if attrs is not None else [])
+                 if c != "vec_id"]
+    if attrs is not None:
+        encoded = encoded.join(attrs, "vec_id", "left")
     (
-        encoded.join(assigned, "vec_id")
-        .select("vec_id", "cluster_id", "codes")
+        encoded.select("vec_id", "codes", *attr_cols, "cluster_id")
         .repartition("cluster_id")
         .write.mode("error").partitionBy("cluster_id")
         .parquet(f"{path}/{base}/codes")
@@ -2688,6 +2699,7 @@ def write_ivf_pq_index(emb: DataFrame, path: str, k: int = KMEANS_K,
         "k": ksub, "codes": [f"{base}/codes"],
         "centroids": f"{base}/centroids",
         "codebooks": f"{base}/codebooks",
+        **({"attrs": attr_cols} if attr_cols else {}),
     })
 
 
@@ -2695,7 +2707,8 @@ def ivf_pq_index_topk(spark, path: str, query_vec: list[float],
                       vectors: DataFrame, k: int = 10,
                       nprobe: int | None = None,
                       rerank_mult: int = PQ_RERANK_MULT,
-                      allowed: DataFrame | None = None) -> DataFrame:
+                      allowed: DataFrame | None = None,
+                      where: str | None = None) -> DataFrame:
     """Serve top-k from a ``write_ivf_pq_index`` layout: rank the
     centroid table driver-side, partition-prune to the ``nprobe`` best
     cluster directories, score only those clusters' m-byte codes by
@@ -2710,7 +2723,9 @@ def ivf_pq_index_topk(spark, path: str, query_vec: list[float],
     nprobe = _resolve_nprobe(m_an, nprobe)
     ranked = _rank_clusters(spark, path, m_an, query_vec)
     codes_all = _manifest_codes(spark, path, m_an)
-    if allowed is not None:
+    if where is not None:
+        codes_all = codes_all.filter(where)
+    if allowed is not None or where is not None:
         probe = _widen_filtered_probes(codes_all, allowed, ranked,
                                        nprobe, k)
     else:
@@ -2749,7 +2764,8 @@ def ivf_pq_index_topk_batch(spark, path: str, queries: DataFrame,
                             vectors: DataFrame, k: int = 10,
                             nprobe: int | None = None,
                             rerank_mult: int = PQ_RERANK_MULT,
-                            allowed: DataFrame | None = None
+                            allowed: DataFrame | None = None,
+                            where: str | None = None
                             ) -> DataFrame:
     """BATCH retrieval over a ``write_ivf_pq_index`` layout — ONE
     distributed plan for the whole ``(query_id, embedding)`` batch:
@@ -2765,6 +2781,8 @@ def ivf_pq_index_topk_batch(spark, path: str, queries: DataFrame,
     q = queries.select(F.col("query_id"),
                        F.col("embedding").alias("qe"))
     codes_all = _manifest_codes(spark, path, m_an)
+    if where is not None:
+        codes_all = codes_all.filter(where)        # PushedFilters
     hat = _pq_codebook_hat(spark, path, m_an)
     # hat once per STORED row, below the probes fan-out (the
     # pq_index_topk_batch note, one level deeper: the probes join
@@ -2772,7 +2790,8 @@ def ivf_pq_index_topk_batch(spark, path: str, queries: DataFrame,
     # placed above it re-evaluates the codeword literal walk per pair)
     cand = _batch_candidates(
         spark, q, cents, codes_all, nprobe, k, allowed,
-        code_proj=lambda df: df.withColumn("nhat", hat))
+        code_proj=lambda df: df.withColumn("nhat", hat),
+        widen=(allowed is not None or where is not None) or None)
     scored = (
         cand.join(F.broadcast(q), "query_id")
         .select("query_id", F.col("vec_id").alias("neighbor_id"),
@@ -2797,7 +2816,8 @@ def ivf_pq_index_topk_batch(spark, path: str, queries: DataFrame,
     return _ranked(pairs, k)
 
 
-def ivf_pq_index_upsert(spark, path: str, new_emb: DataFrame) -> dict:
+def ivf_pq_index_upsert(spark, path: str, new_emb: DataFrame,
+                        attrs: DataFrame | None = None) -> dict:
     """Maintain a ``write_ivf_pq_index`` layout under batches — the
     kind-true upsert (foreign kinds are refused as data, the uniform
     contract): new vectors are assigned against the STORED centroids
@@ -2819,6 +2839,7 @@ def ivf_pq_index_upsert(spark, path: str, new_emb: DataFrame) -> dict:
         return {"decision": "wrong_kind", "kind": man.get("kind"),
                 "expected": "ivf_pq"}
     m, dim = int(man["m"]), int(man["dim"])
+    m_attrs, attr_rows = _upsert_attr_rows(man, new_emb, attrs, path)
     books = spark.read.parquet(f"{path}/{man['codebooks']}")
     cents = (
         spark.read.parquet(f"{path}/{man['centroids']}")
@@ -2831,6 +2852,9 @@ def ivf_pq_index_upsert(spark, path: str, new_emb: DataFrame) -> dict:
               "vec_id")
         .select("vec_id", "cluster_id", "codes")
     )
+    if m_attrs:
+        encoded = encoded.join(attr_rows, "vec_id", "left") \
+            .select("vec_id", "codes", *m_attrs, "cluster_id")
     current = _manifest_codes(spark, path, man)
     batch_ids = new_emb.select("vec_id")
     n_new = new_emb.count()
@@ -2847,7 +2871,7 @@ def ivf_pq_index_upsert(spark, path: str, new_emb: DataFrame) -> dict:
     else:
         survivors = current.join(
             F.broadcast(batch_ids), "vec_id", "left_anti")
-        (survivors.select("vec_id", "cluster_id", "codes")
+        (survivors.select("vec_id", "codes", *m_attrs, "cluster_id")
          .unionByName(encoded)
          .repartition("cluster_id")
          .write.mode("error").partitionBy("cluster_id")
@@ -2859,6 +2883,7 @@ def ivf_pq_index_upsert(spark, path: str, new_emb: DataFrame) -> dict:
         "k": int(man["k"]), "codes": dirs,
         "centroids": man["centroids"],
         "codebooks": man["codebooks"],
+        **({"attrs": m_attrs} if m_attrs else {}),
         **({"default_nprobe": man["default_nprobe"]}
            if "default_nprobe" in man else {}),
         **({"excluded_clusters": man["excluded_clusters"]}
@@ -3546,12 +3571,15 @@ def rebalance_index(spark, path: str, vectors: DataFrame, *,
 
 def write_ivf_bq_index(emb: DataFrame, path: str, k: int = KMEANS_K,
                        dim: int = 64, n_iter: int = KMEANS_ITERS,
-                       train_fraction: float = 1.0) -> None:
+                       train_fraction: float = 1.0,
+                       attrs: DataFrame | None = None) -> None:
     """Persist the IVF x BQ serving layout: the two packed 32-bit
     sign-bit halves hive-partitioned by coarse k-means cluster, the
     centroid table beside them.  Same atomic manifest protocol as
     every writer; ``train_fraction`` samples the coarse trainer (the
-    only training this layout has)."""
+    only training this layout has).  ``attrs`` stores filterable
+    columns with the codes for ``where=`` pushdown serving (the
+    ``write_ivf_sq8_index`` contract)."""
     from ..jobs.versioned import _write_manifest
 
     if dim != 64:
@@ -3563,11 +3591,16 @@ def write_ivf_bq_index(emb: DataFrame, path: str, k: int = KMEANS_K,
     cents_t = _trained_centroids(emb, k, n_iter, train_fraction)
     assigned = _assign(emb.select("vec_id", "embedding"), cents_t) \
         .select("vec_id", F.col("cid").alias("cluster_id"))
-    (emb.select("vec_id",
-                _bq_half("embedding", 0).alias("lo"),
-                _bq_half("embedding", 32).alias("hi"))
-     .join(assigned, "vec_id")
-     .select("vec_id", "lo", "hi", "cluster_id")
+    attr_cols = [c for c in (attrs.columns if attrs is not None else [])
+                 if c != "vec_id"]
+    encoded = (emb.select("vec_id",
+                          _bq_half("embedding", 0).alias("lo"),
+                          _bq_half("embedding", 32).alias("hi"))
+               .join(assigned, "vec_id"))
+    if attrs is not None:
+        encoded = encoded.join(attrs, "vec_id", "left")
+    (encoded
+     .select("vec_id", "lo", "hi", *attr_cols, "cluster_id")
      .repartition("cluster_id")
      .write.mode("error").partitionBy("cluster_id")
      .parquet(f"{path}/{base}/codes"))
@@ -3577,6 +3610,7 @@ def write_ivf_bq_index(emb: DataFrame, path: str, k: int = KMEANS_K,
     _write_manifest(spark, path, version, {
         "version": version, "kind": "ivf_bq", "dim": dim,
         "codes": [f"{base}/codes"], "centroids": f"{base}/centroids",
+        **({"attrs": attr_cols} if attr_cols else {}),
     })
 
 
@@ -3584,7 +3618,8 @@ def ivf_bq_index_topk(spark, path: str, query_vec: list[float],
                       vectors: DataFrame, k: int = 10,
                       nprobe: int | None = None,
                       rerank_mult: int = BQ_RERANK_MULT,
-                      allowed: DataFrame | None = None) -> DataFrame:
+                      allowed: DataFrame | None = None,
+                      where: str | None = None) -> DataFrame:
     """Serve top-k from a ``write_ivf_bq_index`` layout: rank the
     centroid table driver-side, partition-prune to the probed cluster
     directories, integer-Hamming the 8-byte codes against the query's
@@ -3598,7 +3633,9 @@ def ivf_bq_index_topk(spark, path: str, query_vec: list[float],
     nprobe = _resolve_nprobe(m_an, nprobe)
     ranked = _rank_clusters(spark, path, m_an, query_vec)
     codes_all = _manifest_codes(spark, path, m_an)
-    if allowed is not None:
+    if where is not None:
+        codes_all = codes_all.filter(where)
+    if allowed is not None or where is not None:
         probe = _widen_filtered_probes(codes_all, allowed, ranked,
                                        nprobe, k)
     else:
@@ -3639,7 +3676,8 @@ def ivf_bq_index_topk_batch(spark, path: str, queries: DataFrame,
                             vectors: DataFrame, k: int = 10,
                             nprobe: int | None = None,
                             rerank_mult: int = BQ_RERANK_MULT,
-                            allowed: DataFrame | None = None
+                            allowed: DataFrame | None = None,
+                            where: str | None = None
                             ) -> DataFrame:
     """BATCH retrieval over a ``write_ivf_bq_index`` layout — ONE
     distributed plan: shared probe resolution (``_batch_candidates``,
@@ -3658,9 +3696,12 @@ def ivf_bq_index_topk_batch(spark, path: str, queries: DataFrame,
         _bq_half("embedding", 0).alias("qlo"),
         _bq_half("embedding", 32).alias("qhi"))
     codes_all = _manifest_codes(spark, path, m_an)
+    if where is not None:
+        codes_all = codes_all.filter(where)        # PushedFilters
     cand = _batch_candidates(
         spark, q.select("query_id", "qe"), cents, codes_all, nprobe,
-        k, allowed)
+        k, allowed,
+        widen=(allowed is not None or where is not None) or None)
     scored = (
         cand.join(F.broadcast(q.select("query_id", "qlo", "qhi")),
                   "query_id")
@@ -3688,7 +3729,8 @@ def ivf_bq_index_topk_batch(spark, path: str, queries: DataFrame,
     return _ranked(pairs, k)
 
 
-def ivf_bq_index_upsert(spark, path: str, new_emb: DataFrame) -> dict:
+def ivf_bq_index_upsert(spark, path: str, new_emb: DataFrame,
+                        attrs: DataFrame | None = None) -> dict:
     """Kind-true upsert for the IVF x BQ layout: sign-pack with the
     writer's expression, assign against the STORED centroids, append
     one cluster-partitioned dir or keyed-replace.  No drift screen —
@@ -3702,6 +3744,7 @@ def ivf_bq_index_upsert(spark, path: str, new_emb: DataFrame) -> dict:
     if man.get("kind") != "ivf_bq":
         return {"decision": "wrong_kind", "kind": man.get("kind"),
                 "expected": "ivf_bq"}
+    m_attrs, attr_rows = _upsert_attr_rows(man, new_emb, attrs, path)
     cents = (
         spark.read.parquet(f"{path}/{man['centroids']}")
         .withColumnRenamed("cluster_id", "cid")
@@ -3715,6 +3758,9 @@ def ivf_bq_index_upsert(spark, path: str, new_emb: DataFrame) -> dict:
               "vec_id")
         .select("vec_id", "lo", "hi", "cluster_id")
     )
+    if m_attrs:
+        encoded = encoded.join(attr_rows, "vec_id", "left") \
+            .select("vec_id", "lo", "hi", *m_attrs, "cluster_id")
     current = _manifest_codes(spark, path, man)
     batch_ids = new_emb.select("vec_id")
     n_new = new_emb.count()
@@ -3731,7 +3777,7 @@ def ivf_bq_index_upsert(spark, path: str, new_emb: DataFrame) -> dict:
     else:
         survivors = current.join(
             F.broadcast(batch_ids), "vec_id", "left_anti")
-        (survivors.select("vec_id", "lo", "hi", "cluster_id")
+        (survivors.select("vec_id", "lo", "hi", *m_attrs, "cluster_id")
          .unionByName(encoded)
          .repartition("cluster_id")
          .write.mode("error").partitionBy("cluster_id")
@@ -3741,6 +3787,7 @@ def ivf_bq_index_upsert(spark, path: str, new_emb: DataFrame) -> dict:
     _write_manifest(spark, path, version, {
         "version": version, "kind": "ivf_bq", "dim": int(man["dim"]),
         "codes": dirs, "centroids": man["centroids"],
+        **({"attrs": m_attrs} if m_attrs else {}),
         **({"default_nprobe": man["default_nprobe"]}
            if "default_nprobe" in man else {}),
         **({"excluded_clusters": man["excluded_clusters"]}

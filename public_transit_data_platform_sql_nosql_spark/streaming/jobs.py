@@ -829,16 +829,16 @@ def stream_vector_search(query_stream: DataFrame, index_path: str,
                    if allowed_path is not None else None)
         kind = _index_manifest(spark, index_path).get("kind", "sq8")
         if kind == "ivf_sq8":
-            # `where` = stored-attribute pushdown (flagship layout
-            # only): the predicate lands on every micro-batch's codes
-            # scan as a parquet filter
+            # `where` = stored-attribute pushdown (cluster-
+            # partitioned layouts): the predicate lands on every
+            # micro-batch's codes scan as a parquet filter
             res = ivf_sq8_index_topk_batch(
                 spark, index_path, queries, vectors, k=k,
                 nprobe=nprobe, allowed=allowed, where=where)
         elif kind == "ivf_pq":
             res = ivf_pq_index_topk_batch(
                 spark, index_path, queries, vectors, k=k,
-                nprobe=nprobe, allowed=allowed)
+                nprobe=nprobe, allowed=allowed, where=where)
         elif kind == "pq":
             res = pq_index_topk_batch(
                 spark, index_path, queries, vectors, k=k,
@@ -850,7 +850,7 @@ def stream_vector_search(query_stream: DataFrame, index_path: str,
         elif kind == "ivf_bq":
             res = ivf_bq_index_topk_batch(
                 spark, index_path, queries, vectors, k=k,
-                nprobe=nprobe, allowed=allowed)
+                nprobe=nprobe, allowed=allowed, where=where)
         else:
             res = sq8_index_topk_batch(
                 spark, index_path, queries, vectors, k=k,

@@ -221,3 +221,51 @@ def test_maintain_rebuild_preserves_attrs(spark, tmp_path):
     assert codes.count() == 27
     assert codes.filter("lang IS NULL").count() == 0
     assert codes.filter("lang = 'de'").count() == 3   # from the batch
+
+
+@pytest.mark.parametrize("kind", ["ivf_pq", "ivf_bq"])
+def test_where_pushdown_other_ivf_kinds(spark, tmp_path, kind):
+    """The pushdown contract is uniform across the cluster-partitioned
+    layouts: where == allowed-form results, upsert carries attrs
+    (batch-column shape), bare batches refused."""
+    from tests.test_rebalance import _skewed_corpus
+
+    dim = 8 if kind == "ivf_pq" else 64
+    corpus = _skewed_corpus(spark, dim=dim).localCheckpoint(eager=True)
+    attrs = corpus.select(
+        "vec_id",
+        F.when(F.element_at("embedding", 1) > 0.5, "a")
+        .otherwise("b").alias("lang"))
+    path = str(tmp_path / kind)
+    if kind == "ivf_pq":
+        sim.write_ivf_pq_index(corpus, path, k=2, dim=dim, attrs=attrs)
+        serve, upsert = sim.ivf_pq_index_topk, sim.ivf_pq_index_upsert
+    else:
+        sim.write_ivf_bq_index(corpus, path, k=2, dim=dim, attrs=attrs)
+        serve, upsert = sim.ivf_bq_index_topk, sim.ivf_bq_index_upsert
+    assert sim._index_manifest(spark, path)["attrs"] == ["lang"]
+
+    qv = [1.0, 0.015] + [0.0] * (dim - 2)
+    by_where = serve(spark, path, qv, corpus, k=3, nprobe=1,
+                     where="lang = 'b'").collect()
+    by_allowed = serve(spark, path, qv, corpus, k=3, nprobe=1,
+                       allowed=attrs.filter("lang = 'b'")
+                       .select("vec_id")).collect()
+    assert len(by_where) == 3               # widened past the hot cluster
+    assert [tuple(r) for r in by_where] == \
+        [tuple(r) for r in by_allowed]
+
+    batch = spark.createDataFrame(
+        [(970001, qv, "b")],
+        "vec_id long, embedding array<double>, lang string")
+    st = upsert(spark, path, batch)
+    assert st["decision"] == "appended"
+    m = sim._index_manifest(spark, path)
+    assert m["attrs"] == ["lang"]
+    assert sim._manifest_codes(spark, path, m) \
+        .filter("lang = 'b'").count() == 5  # 4 cold + the upsert
+
+    bare = spark.createDataFrame(
+        [(970002, qv)], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="missing"):
+        upsert(spark, path, bare)
