@@ -977,23 +977,34 @@ _EXTRA_QUERIES = {
     "timetable_get_timetable": _get_timetable_flat,
     "events_windowed_counts":
         lambda s, d: ev.windowed_counts(_events(s, d)),
-    "events_daily_active_users":
-        lambda s, d: ev.daily_active_users(_events(s, d)),
-    # keep-canonical's left-anti-vs-drop-set signal is carried in-cap by
-    # BOTH pipeline_curated_corpus and pipeline_training_chunks (each
-    # applies keep-one inside its composition); the standalone row moved
-    # here when training_chunks took its driver slot (r6)
-    "dedup_keep_one":
-        lambda s, d: pdedup.keep_canonical(
-            _aug(s, d),
-            pdedup.dedup_clusters(pdedup.minhash_lsh_pairs(_aug(s, d)))),
-    "text_chunk_dedup":
-        lambda s, d: pcur.chunk_dedup(pcur.chunk_tokens(_aug(s, d))),
-    "multimodal_resize":
-        lambda s, d: pmm.resize_payloads(pmm.media_table(_aug(s, d)))
-        .select("media_id", "kind", "out_len", "checksum", "head_hex"),
-    "multimodal_frames":
-        lambda s, d: pmm.sample_frames(pmm.media_table(_aug(s, d))),
+    # r12 round-robin displacements (all first-gated green r11; the
+    # text family keeps text_search_bm25 / text_tfidf_keywords /
+    # text_hash_embeddings / text_profile in-window — see
+    # _FLAGSHIP_R12's rotation comment):
+    #
+    # corpus token-frequency top-k (tokenizer-training input); total
+    # (count DESC, token ASC) order so the limit boundary is stable
+    "text_vocabulary":
+        lambda s, d: ptext.vocabulary(_aug(s, d), top_k=100),
+    # PII redaction over a deterministic injection (every 13th doc gets
+    # a synthetic email/phone/IP footer via the SAME expression in both
+    # engines — the raw synthetic corpus contains no PII, docs_aug-style)
+    "text_scrub_pii":
+        lambda s, d: pclean.scrub_pii(_pii_injected(_aug(s, d))),
+    # corpus-level line dedup (C4-style boilerplate removal) over a
+    # deterministic newsletter-footer injection
+    "text_line_dedup":
+        lambda s, d: pclean.drop_boilerplate_lines(
+            _boiler_injected(_aug(s, d))),
+    # intra-doc repetition collapse — the corpus's own repeated token
+    # runs ("batch batch batch") are the positives
+    "text_collapse_runs":
+        lambda s, d: pclean.collapse_token_runs(_aug(s, d)),
+    # self-supervised bigram-LM fluency scoring (integer micro transition
+    # mass, add-V smoothing — the log-free perplexity-style quality
+    # signal beside the heuristic quality_scores)
+    "text_lm_score":
+        lambda s, d: ptext.lm_transition_scores(_aug(s, d)),
     # r11 rotations: shape-duplicates displaced by _FLAGSHIP_R11 —
     # every hash-signal class stays in-window via the row named here,
     # and each displaced row stays oracle-checked (pytest parity sweep):
@@ -1321,10 +1332,8 @@ _FLAGSHIP_R11 = {
     # transit_reachable_deep (constant-deeper twin of the two reachable
     # rows rotating IN), profile_overlap_kmv (gated green r10; same
     # k-minima union algebra as the pytest-pinned profile_distinct_kmv).
-    # intra-doc repetition collapse — the corpus's own repeated token
-    # runs ("batch batch batch") are the positives
-    "text_collapse_runs":
-        lambda s, d: pclean.collapse_token_runs(_aug(s, d)),
+    # (text_collapse_runs sat here until the r12 round-robin moved it
+    # to _EXTRA_QUERIES.)
     # pre-flight join profile: per-user view x purchase pair counts,
     # hottest keys first — the skew screening a 100-TB join runs before
     # committing to a shuffle (null keys shown, not dropped)
@@ -1361,20 +1370,11 @@ _FLAGSHIP_R11 = {
     # family keeps seven in-window rows, the dedup family keeps
     # dedup_clusters / dedup_repeated_spans / semantic_dedup).
     #
-    # corpus token-frequency top-k (tokenizer-training input); total
-    # (count DESC, token ASC) order so the limit boundary is stable
-    "text_vocabulary":
-        lambda s, d: ptext.vocabulary(_aug(s, d), top_k=100),
-    # PII redaction over a deterministic injection (every 13th doc gets
-    # a synthetic email/phone/IP footer via the SAME expression in both
-    # engines — the raw synthetic corpus contains no PII, docs_aug-style)
-    "text_scrub_pii":
-        lambda s, d: pclean.scrub_pii(_pii_injected(_aug(s, d))),
-    # corpus-level line dedup (C4-style boilerplate removal) over a
-    # deterministic newsletter-footer injection
-    "text_line_dedup":
-        lambda s, d: pclean.drop_boilerplate_lines(
-            _boiler_injected(_aug(s, d))),
+    # (r12 round-robin: text_vocabulary / text_scrub_pii /
+    # text_line_dedup / text_collapse_runs / text_lm_score — all gated
+    # green on their first r11 window — moved to _EXTRA_QUERIES to
+    # make room for the five stalest rows; see _FLAGSHIP_R12.)
+    #
     # feature-hashing text embeddings (the corpus -> vector-family
     # bridge the vector-pipeline CLI uses): shuffle-free narrow
     # projections; first 8 dims projected as float32 scalars (driver
@@ -1385,11 +1385,41 @@ _FLAGSHIP_R11 = {
         lambda s, d: ptext.hash_embeddings(_aug(s, d)).select(
             "vec_id", *[F.element_at("embedding", i + 1).alias(f"f{i}")
                         for i in range(8)]),
-    # self-supervised bigram-LM fluency scoring (integer micro transition
-    # mass, add-V smoothing — the log-free perplexity-style quality
-    # signal beside the heuristic quality_scores)
-    "text_lm_score":
-        lambda s, d: ptext.lm_transition_scores(_aug(s, d)),
+}
+
+
+_FLAGSHIP_R12 = {
+    # r12 steady-state round-robin (the rotation_check advisory's five
+    # stalest windows, all last gated r4/r5): every one previously
+    # carried the driver hash gate and has stayed oracle-checked in the
+    # pytest parity sweep since.  Displacements (annotated in
+    # _EXTRA_QUERIES): text_vocabulary, text_scrub_pii, text_line_dedup,
+    # text_collapse_runs, text_lm_score — all first-gated r11, and the
+    # text family keeps four in-window rows (text_search_bm25,
+    # text_tfidf_keywords, text_hash_embeddings, text_profile).
+    #
+    # per-day exact distinct users (the exact twin of the HLL
+    # daily_active_sketch path; last gated r4)
+    "events_daily_active_users":
+        lambda s, d: ev.daily_active_users(_events(s, d)),
+    # deterministic frame sampling over AVI payloads (real codec) +
+    # fake-kind fallbacks; last gated r4
+    "multimodal_frames":
+        lambda s, d: pmm.sample_frames(pmm.media_table(_aug(s, d))),
+    # decode -> resize -> re-encode summary per media row (BMP/WAV real
+    # codecs, checksum + head_hex projections); last gated r4
+    "multimodal_resize":
+        lambda s, d: pmm.resize_payloads(pmm.media_table(_aug(s, d)))
+        .select("media_id", "kind", "out_len", "checksum", "head_hex"),
+    # chunk-level exact dedup over the token chunk table; last gated r4
+    "text_chunk_dedup":
+        lambda s, d: pcur.chunk_dedup(pcur.chunk_tokens(_aug(s, d))),
+    # keep-one-canonical-per-cluster over the MinHash CC clusters;
+    # last gated r5
+    "dedup_keep_one":
+        lambda s, d: pdedup.keep_canonical(
+            _aug(s, d),
+            pdedup.dedup_clusters(pdedup.minhash_lsh_pairs(_aug(s, d)))),
 }
 
 
@@ -1418,6 +1448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **_FLAGSHIP_R9,
         **_FLAGSHIP_R10,
         **_FLAGSHIP_R11,
+        **_FLAGSHIP_R12,
         **_EVENTS_QUERIES,
         **_PIPELINE_QUERIES,
         # keep last: beyond the harness's 50-entry window by design

@@ -301,6 +301,20 @@ def cmd_web_curate(args: argparse.Namespace) -> int:
     return 0
 
 
+def _refuse_where_without_attrs(where: str | None, man: dict,
+                                path: str) -> dict | None:
+    """A ``--where`` against an index that stores NO attribute columns
+    cannot push down anywhere — silently dropping it would return
+    unfiltered (cross-tenant!) results with exit 0, so refuse loudly
+    (every kind SUPPORTS where= now; what's missing is the attrs)."""
+    if where is not None and not man.get("attrs"):
+        return {"error": f"vector index {path} stores no attribute "
+                         f"columns — --where has nothing to push down; "
+                         f"rebuild with attrs= or filter via an "
+                         f"allowed= id-list"}
+    return None
+
+
 def cmd_vector_index(args: argparse.Namespace) -> int:
     """Manage a manifest-committed vector index
     (pipeline/similarity.py): ``build`` trains the quantizer/centroids/
@@ -322,22 +336,26 @@ def cmd_vector_index(args: argparse.Namespace) -> int:
         emb = spark.read.parquet(args.emb)
         build_dim = args.dim if args.dim is not None else 64
         tf = args.train_fraction
+        attrs = (spark.read.parquet(args.attrs)
+                 if getattr(args, "attrs", None) is not None else None)
         if args.bq and args.ivf:
             sim.write_ivf_bq_index(emb, args.path, dim=build_dim,
-                                   train_fraction=tf)
+                                   train_fraction=tf, attrs=attrs)
         elif args.bq:
-            sim.write_bq_index(emb, args.path, dim=build_dim)
+            sim.write_bq_index(emb, args.path, dim=build_dim,
+                               attrs=attrs)
         elif args.pq and args.ivf:
             sim.write_ivf_pq_index(emb, args.path, dim=build_dim,
-                                   train_fraction=tf)
+                                   train_fraction=tf, attrs=attrs)
         elif args.pq:
             sim.write_pq_index(emb, args.path, dim=build_dim,
-                               train_fraction=tf)
+                               train_fraction=tf, attrs=attrs)
         elif args.ivf:
             sim.write_ivf_sq8_index(emb, args.path, dim=build_dim,
-                                    train_fraction=tf)
+                                    train_fraction=tf, attrs=attrs)
         else:
-            sim.write_sq8_index(emb, args.path, dim=build_dim)
+            sim.write_sq8_index(emb, args.path, dim=build_dim,
+                                attrs=attrs)
         n = sim.read_index_codes(spark, args.path).count()
         print(json.dumps({"action": "build", "path": args.path,
                           "ivf": bool(args.ivf), "pq": bool(args.pq),
@@ -351,7 +369,12 @@ def cmd_vector_index(args: argparse.Namespace) -> int:
                                        f"{args.emb}"}))
             return 2
         qvec = [float(x) for x in row["embedding"]]
-        kind = sim._index_manifest(spark, args.path).get("kind", "sq8")
+        man = sim._index_manifest(spark, args.path)
+        kind = man.get("kind", "sq8")
+        err = _refuse_where_without_attrs(args.where, man, args.path)
+        if err:
+            print(json.dumps(err))
+            return 2
         if kind == "ivf_sq8":
             res = sim.ivf_sq8_index_topk(
                 spark, args.path, qvec, emb, k=args.k,
@@ -362,17 +385,18 @@ def cmd_vector_index(args: argparse.Namespace) -> int:
                                         where=args.where)
         elif kind == "pq":
             res = sim.pq_index_topk(spark, args.path, qvec, emb,
-                                    k=args.k)
+                                    k=args.k, where=args.where)
         elif kind == "bq":
             res = sim.bq_index_topk(spark, args.path, qvec, emb,
-                                    k=args.k)
+                                    k=args.k, where=args.where)
         elif kind == "ivf_bq":
             res = sim.ivf_bq_index_topk(spark, args.path, qvec, emb,
                                         k=args.k, nprobe=args.nprobe,
                                         where=args.where)
         else:
             res = sim.sq8_index_topk(spark, args.path, qvec, emb,
-                                     k=args.k, dim=args.dim)
+                                     k=args.k, dim=args.dim,
+                                     where=args.where)
         out = [{"rank": r["rank"], "neighbor_id": r["neighbor_id"],
                 "cos_sim": r["cos_sim"]}
                for r in res.orderBy("rank").collect()]
@@ -385,7 +409,12 @@ def cmd_vector_index(args: argparse.Namespace) -> int:
         # distributed plan; ranked results land as parquet at --out
         queries = spark.read.parquet(args.queries)
         emb = spark.read.parquet(args.emb)
-        kind = sim._index_manifest(spark, args.path).get("kind", "sq8")
+        man = sim._index_manifest(spark, args.path)
+        kind = man.get("kind", "sq8")
+        err = _refuse_where_without_attrs(args.where, man, args.path)
+        if err:
+            print(json.dumps(err))
+            return 2
         if kind == "ivf_sq8":
             res = sim.ivf_sq8_index_topk_batch(
                 spark, args.path, queries, emb, k=args.k,
@@ -396,17 +425,20 @@ def cmd_vector_index(args: argparse.Namespace) -> int:
                 nprobe=args.nprobe, where=args.where)
         elif kind == "pq":
             res = sim.pq_index_topk_batch(spark, args.path, queries,
-                                          emb, k=args.k)
+                                          emb, k=args.k,
+                                          where=args.where)
         elif kind == "bq":
             res = sim.bq_index_topk_batch(spark, args.path, queries,
-                                          emb, k=args.k)
+                                          emb, k=args.k,
+                                          where=args.where)
         elif kind == "ivf_bq":
             res = sim.ivf_bq_index_topk_batch(
                 spark, args.path, queries, emb, k=args.k,
                 nprobe=args.nprobe, where=args.where)
         else:
             res = sim.sq8_index_topk_batch(spark, args.path, queries,
-                                           emb, k=args.k)
+                                           emb, k=args.k,
+                                           where=args.where)
         res.write.mode("overwrite").parquet(args.out)
         n_q = queries.select("query_id").distinct().count()
         n_r = spark.read.parquet(args.out).count()
@@ -684,6 +716,37 @@ def cmd_vector_pipeline(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_hybrid_search(args: argparse.Namespace) -> int:
+    """Batched hybrid retrieval from a STORED index — the RAG serving
+    command: ``--queries`` is a parquet of ``(query_id,
+    terms array<string>, embedding)`` rows, the BM25 arm runs over
+    ``--docs`` and the dense arm over the index at ``--path`` (any of
+    the six layouts, kind-dispatched), fused per query by integer RRF
+    as ONE distributed plan (``hybrid_index_search_batch``).  Ranked
+    results land as parquet at ``--out``; ``--allowed`` (a vec_id
+    parquet) restricts both arms.  One JSON status line."""
+    spark = _spark("hybrid-search")
+    from .pipeline import similarity as sim
+    from .pipeline.text import hybrid_index_search_batch
+
+    docs = spark.read.parquet(args.docs)
+    emb = spark.read.parquet(args.emb)
+    queries = spark.read.parquet(args.queries)
+    allowed = (spark.read.parquet(args.allowed).select("vec_id")
+               if args.allowed is not None else None)
+    res = hybrid_index_search_batch(
+        spark, docs, args.path, emb, queries, k=args.k,
+        pool=args.pool, nprobe=args.nprobe, allowed=allowed)
+    res.write.mode("overwrite").parquet(args.out)
+    n_q = queries.select("query_id").distinct().count()
+    n_r = spark.read.parquet(args.out).count()
+    kind = sim._index_manifest(spark, args.path).get("kind", "sq8")
+    print(json.dumps({"action": "hybrid-search", "kind": kind,
+                      "n_queries": n_q, "n_results": n_r,
+                      "out": args.out}))
+    return 0
+
+
 def cmd_serve(args: argparse.Namespace) -> int:  # pragma: no cover
     spark = _spark("serve")
     app = build_serve_app(spark, args.sf_dir, args.precompute_dir,
@@ -828,6 +891,11 @@ def main(argv: list[str] | None = None) -> int:
     pv.add_argument("--emb", help="primary vector parquet "
                                   "(vec_id, embedding)")
     pv.add_argument("--batch", help="upsert batch parquet")
+    pv.add_argument("--attrs", default=None,
+                    help="build: (vec_id, <scalar cols>) parquet of "
+                         "filterable attributes stored WITH the codes "
+                         "— --where then pushes predicates to the "
+                         "codes scan on every kind")
     pv.add_argument("--ivf", action="store_true",
                     help="build: compose k-means partition pruning")
     pv.add_argument("--pq", action="store_true",
@@ -860,10 +928,11 @@ def main(argv: list[str] | None = None) -> int:
                     help="tune: min sampled recall permille the "
                          "committed default_nprobe must meet")
     pv.add_argument("--where", default=None,
-                    help="query/query-batch (IVF kinds): SQL predicate "
+                    help="query/query-batch (every kind): SQL predicate "
                          "over the index's stored attribute columns — "
                          "pushed to the codes scan as a parquet "
-                         "filter")
+                         "filter; refused (exit 2) when the index "
+                         "stores no attrs")
     pv.add_argument("--max-imbalance", type=int, default=2000,
                     help="rebalance: split the hottest cluster when "
                          "max/mean list size exceeds this permille")
@@ -906,6 +975,27 @@ def main(argv: list[str] | None = None) -> int:
                               "ivf_bq"),
                      help="index layout for the end-to-end pipeline")
     pvp.set_defaults(fn=cmd_vector_pipeline)
+
+    ph = sub.add_parser(
+        "hybrid-search",
+        help="batched hybrid retrieval: BM25 over --docs + dense arm "
+             "from the stored index, per-query RRF fusion")
+    ph.add_argument("--docs", required=True,
+                    help="documents parquet (doc_id, text, ...)")
+    ph.add_argument("--emb", required=True,
+                    help="primary vector store parquet (vec_id, "
+                         "embedding) for the exact rerank")
+    ph.add_argument("--path", required=True, help="stored index root")
+    ph.add_argument("--queries", required=True,
+                    help="parquet of (query_id, terms array<string>, "
+                         "embedding)")
+    ph.add_argument("--out", required=True, help="results parquet dir")
+    ph.add_argument("--k", type=int, default=20)
+    ph.add_argument("--pool", type=int, default=50)
+    ph.add_argument("--nprobe", type=int, default=None)
+    ph.add_argument("--allowed", default=None,
+                    help="optional vec_id parquet restricting BOTH arms")
+    ph.set_defaults(fn=cmd_hybrid_search)
 
     pl = sub.add_parser(
         "plan", help="scale-screen a query's physical plan")

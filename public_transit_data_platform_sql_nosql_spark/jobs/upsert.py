@@ -156,7 +156,8 @@ def _swap(fs, jvm, target: str, tmp: str) -> None:
 
 def upsert_parquet_dir(spark: SparkSession, path: str, updates: DataFrame,
                        key_cols: list[str],
-                       partition_col: str | None = None) -> dict:
+                       partition_col: str | None = None,
+                       extra_partition_values: list | None = None) -> dict:
     """MERGE ``updates`` into the parquet directory ``path`` on
     ``key_cols``: matching keys replaced, new keys appended, all other
     rows untouched.  Returns a stats dict.
@@ -167,7 +168,15 @@ def upsert_parquet_dir(spark: SparkSession, path: str, updates: DataFrame,
     The column must functionally determine the row's partition (a key
     whose partition value CHANGES between versions would leave the old
     copy stranded in the untouched partition; merge on a stable
-    partition column such as ingest date or bucket).
+    partition column such as ingest date or bucket) — OR the caller
+    must name the keys' PREVIOUS partition values via
+    ``extra_partition_values``: those partitions join the scoped
+    read/rewrite so moved keys' stale copies are dropped, and a
+    partition emptied by its only key moving away is deleted, not left
+    stranded (``ivf_index_upsert`` is the caller with this shape — a
+    re-submitted vector can legitimately re-assign to a different
+    cluster once the stored centroids have drifted from the write-time
+    assignment).
     """
     _check_key_unique(updates, key_cols)
     fs, hpath, jvm = _fs(spark, path)
@@ -195,11 +204,15 @@ def upsert_parquet_dir(spark: SparkSession, path: str, updates: DataFrame,
     # touched partition values: a bounded collect (one row per touched
     # partition, not per updated row)
     touched = _touched_values(updates, partition_col)
-    if not touched:
+    extra = [v for v in (extra_partition_values or [])
+             if v not in set(touched)]
+    if not touched and not extra:
         return {"created": False, "rows_upserted": 0, "partitions": []}
 
     _recover_all_strands(fs, jvm, path)
     sink_exists = fs.exists(hpath) and _has_data(fs, hpath)
+    if not sink_exists:
+        extra = []                 # nothing stored to drop moved keys from
 
     tmp = path + _TMP_SUFFIX
     htmp = jvm.org.apache.hadoop.fs.Path(tmp)
@@ -211,7 +224,7 @@ def upsert_parquet_dir(spark: SparkSession, path: str, updates: DataFrame,
         # prunes directories at plan time — untouched partitions are
         # never opened
         store = spark.read.parquet(path).filter(
-            F.col(partition_col).isin(*touched))
+            F.col(partition_col).isin(*touched, *extra))
         survivors = store.join(
             updates.select(*key_cols).distinct(), key_cols, "left_anti")
         merged = survivors.unionByName(
@@ -230,6 +243,19 @@ def upsert_parquet_dir(spark: SparkSession, path: str, updates: DataFrame,
             continue  # updates had the value but wrote no rows (empty df)
         _swap(fs, jvm, f"{path}/{part_dir}", src)
         swapped.append(v)
+    for v in extra:
+        # a moved key's PREVIOUS partition: swap in its rewritten
+        # survivors — or, when the move emptied it (no dir in tmp),
+        # delete the live dir instead of leaving the stale copy
+        part_dir = f"{partition_col}={v}"
+        src = f"{tmp}/{part_dir}"
+        live = jvm.org.apache.hadoop.fs.Path(f"{path}/{part_dir}")
+        if fs.exists(jvm.org.apache.hadoop.fs.Path(src)):
+            _swap(fs, jvm, f"{path}/{part_dir}", src)
+            swapped.append(v)
+        elif fs.exists(live):
+            fs.delete(live, True)
+            swapped.append(v)
     fs.delete(htmp, True)
     return {"created": not sink_exists, "rows_upserted": n_up,
             "partitions": swapped}

@@ -434,7 +434,8 @@ def read_index_codes(spark, path: str) -> DataFrame:
     return _manifest_codes(spark, path, m)
 
 
-def write_sq8_index(emb: DataFrame, path: str, dim: int = 64) -> None:
+def write_sq8_index(emb: DataFrame, path: str, dim: int = 64,
+                    attrs: DataFrame | None = None) -> None:
     """Persist the COMPRESSED vector serving layout: ``(vec_id,
     codes)`` with the dim-byte packed blob per row plus the 1-row
     quantizer — the on-disk twin of ``sq8_topk``'s in-flight
@@ -450,25 +451,38 @@ def write_sq8_index(emb: DataFrame, path: str, dim: int = 64) -> None:
     dirs but never a reader-visible index whose codes and quantizer
     disagree (the torn-write failure an index rebuilt over hours at
     100 TB cannot afford).  Single-writer: a concurrent commit of the
-    same version number fails on the manifest create."""
+    same version number fails on the manifest create.
+
+    ``attrs`` (a ``(vec_id, <scalar cols>)`` DataFrame) stores
+    filterable attribute columns WITH the codes — the
+    ``write_ivf_sq8_index`` contract on the flat layout: serving
+    ``where=`` predicates reach the codes scan as parquet filters
+    before the shortlist TakeOrdered.  Flat scans see every row, so no
+    probe widening is needed — the filter just shrinks the scan."""
     from ..jobs.versioned import _write_manifest
 
     spark = emb.sparkSession
     version = _next_index_version(spark, path)
     base = f"data/v{version:06d}"
     stats = _sq8_stats(emb, dim)
-    (
+    attr_cols = [c for c in (attrs.columns if attrs is not None else [])
+                 if c != "vec_id"]
+    encoded = (
         emb.join(F.broadcast(stats))
         .select("vec_id",
                 _sq8_pack(_sq8_codes(F.col("embedding"), F.col("mns"),
                                      F.col("mxs"), dim)).alias("codes"))
-        .write.mode("error").parquet(f"{path}/{base}/codes")
     )
+    if attrs is not None:
+        encoded = encoded.join(attrs, "vec_id", "left")
+    encoded.select("vec_id", "codes", *attr_cols) \
+        .write.mode("error").parquet(f"{path}/{base}/codes")
     stats.coalesce(1).write.mode("error").parquet(
         f"{path}/{base}/quantizer")
     _write_manifest(spark, path, version, {
         "version": version, "kind": "sq8", "dim": dim,
         "codes": [f"{base}/codes"], "quantizer": f"{base}/quantizer",
+        **({"attrs": attr_cols} if attr_cols else {}),
     })
 
 
@@ -476,7 +490,8 @@ def sq8_index_topk(spark, path: str, query_vec: list[float],
                    vectors: DataFrame, k: int = 10,
                    rerank_mult: int = SQ_RERANK_MULT,
                    dim: int | None = None,
-                   allowed: DataFrame | None = None) -> DataFrame:
+                   allowed: DataFrame | None = None,
+                   where: str | None = None) -> DataFrame:
     """Serve top-k from a ``write_sq8_index`` layout: resolve the
     newest committed manifest, scan ONLY its codes dirs, score each
     candidate's reconstruction against the full-precision query
@@ -493,12 +508,24 @@ def sq8_index_topk(spark, path: str, query_vec: list[float],
     post-filtering the top-k would (the caller computes the allow-list
     from the metadata store, where its predicate pushes down).
 
+    ``where`` (a SQL predicate over the index's STORED attribute
+    columns — ``write_sq8_index(attrs=...)``) is the PUSHDOWN form:
+    the predicate reaches the codes scan as a parquet filter before
+    the shortlist TakeOrdered.  Trust boundary: the predicate is
+    CALLER-TRUSTED SQL over the stored attr columns — a filtering
+    convenience, not a tenant-isolation mechanism (a caller-controlled
+    string can reference any stored column); when the filter itself is
+    untrusted input, compute an ``allowed=`` id-list from a store the
+    caller is authorized on instead.
+
     ``dim`` is resolved from the manifest (pass it only to assert)."""
     m = _index_manifest(spark, path)
     dim = _manifest_dim(m, dim, path)
     stats = spark.read.parquet(f"{path}/{m['quantizer']}")
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     cand = _manifest_codes(spark, path, m)
+    if where is not None:
+        cand = cand.filter(where)                  # PushedFilters
     if allowed is not None:
         cand = cand.join(allowed.select("vec_id"), "vec_id",
                          "left_semi")
@@ -532,19 +559,24 @@ def sq8_index_topk(spark, path: str, query_vec: list[float],
 def sq8_index_topk_batch(spark, path: str, queries: DataFrame,
                          vectors: DataFrame, k: int = 10,
                          rerank_mult: int = SQ_RERANK_MULT,
-                         allowed: DataFrame | None = None) -> DataFrame:
+                         allowed: DataFrame | None = None,
+                         where: str | None = None) -> DataFrame:
     """BATCH retrieval over a ``write_sq8_index`` layout: the codes
     table is scanned ONCE and scored against every query in the
     broadcast ``(query_id, embedding)`` batch — one distributed plan,
     per-query windows for the ``k * rerank_mult`` shortlist and the
     exact re-rank, the in-flight operators' ``(query_id, rank,
     neighbor_id, cos_sim)`` contract out.  ``allowed`` semi-joins the
-    candidate set before scoring, as everywhere."""
+    candidate set before scoring, as everywhere; ``where`` pushes an
+    attribute predicate into the codes scan (caller-trusted SQL — see
+    the :func:`sq8_index_topk` trust-boundary note)."""
     m = _index_manifest(spark, path)
     dim = int(m["dim"])
     stats = spark.read.parquet(f"{path}/{m['quantizer']}")
     q = queries.select("query_id", F.col("embedding").alias("qe"))
     cand = _manifest_codes(spark, path, m)
+    if where is not None:
+        cand = cand.filter(where)                  # PushedFilters
     if allowed is not None:
         cand = cand.join(allowed.select("vec_id"), "vec_id",
                          "left_semi")
@@ -750,6 +782,27 @@ def ivf_topk(emb: DataFrame, num_queries: int = 8, k: int = 10,
 KMEANS_SALT = "km-v1"
 KMEANS_K = 8
 KMEANS_ITERS = 2
+IVF_K_MAX = 4096
+
+
+def _default_ivf_k(emb: DataFrame) -> int:
+    """Corpus-size-derived IVF cluster count: ~sqrt(N), clamped to
+    [KMEANS_K, IVF_K_MAX].  A FIXED cluster count does not scale — at
+    k=8, nprobe=2 every probe scans 1/4 of the corpus no matter how
+    big it grows, and recall is geometry-limited because each list
+    covers too wide a region.  sqrt(N) keeps both sides of the trade
+    moving with the data (the FAISS/IVF sizing rule): list size ~
+    sqrt(N) rows, so a fixed-nprobe probe scans nprobe*sqrt(N) rows —
+    a SHRINKING fraction as the corpus grows — while the centroid
+    table stays a k-row broadcast.  The IVF writers use this when the
+    caller passes ``k=None``; an explicit ``k=`` always wins (tests
+    pin small geometries; operators can oversize for a growing
+    corpus).  Cost: one count over the input — noise next to the
+    k-means training passes."""
+    import math
+
+    n = emb.count()
+    return max(KMEANS_K, min(IVF_K_MAX, int(round(math.sqrt(n)))))
 
 
 def _quantized_centroids(assigned: DataFrame) -> DataFrame:
@@ -933,7 +986,7 @@ def _trained_centroids(emb: DataFrame, k: int, n_iter: int,
     return _quantized_centroids(sasg)
 
 
-def write_ivf_index(emb: DataFrame, path: str, k: int = KMEANS_K,
+def write_ivf_index(emb: DataFrame, path: str, k: int | None = None,
                     n_iter: int = KMEANS_ITERS,
                     train_fraction: float = 1.0) -> None:
     """Persist an IVF layout: vectors written hive-partitioned by their
@@ -965,7 +1018,13 @@ def write_ivf_index(emb: DataFrame, path: str, k: int = KMEANS_K,
     n_iter full passes of centroid training are the dominant build
     cost and a sample preserves the geometry; 1.0 (default) keeps the
     exact full-corpus oracle behavior.
+
+    ``k=None`` (default) derives the cluster count from the corpus
+    size (:func:`_default_ivf_k` — ~sqrt(N)); pass an explicit ``k``
+    to pin a geometry.
     """
+    if k is None:
+        k = _default_ivf_k(emb)
     if train_fraction >= 1.0:
         assigned = emb.join(
             embedding_kmeans(emb, k, n_iter)
@@ -1077,7 +1136,8 @@ def _sq8_drifted_dims(stats: DataFrame, new_emb: DataFrame, dim: int,
 
 def sq8_index_upsert(spark, path: str, new_emb: DataFrame,
                      dim: int | None = None,
-                     tol: float = SQ_DRIFT_TOL) -> dict:
+                     tol: float = SQ_DRIFT_TOL,
+                     attrs: DataFrame | None = None) -> dict:
     """Maintain a ``write_sq8_index`` layout under batches, returning
     the operational decision AS DATA (the ``maintain_ivf_index``
     pattern): a scalar quantizer is trained on the corpus min/max, so
@@ -1128,6 +1188,7 @@ def sq8_index_upsert(spark, path: str, new_emb: DataFrame,
         return {"decision": "wrong_kind", "kind": m.get("kind"),
                 "expected": "sq8"}
     dim = _manifest_dim(m, dim, path)
+    m_attrs, attr_rows = _upsert_attr_rows(m, new_emb, attrs, path)
     stats = spark.read.parquet(f"{path}/{m['quantizer']}")
     drifted = _sq8_drifted_dims(stats, new_emb, dim, tol)
     n_new = new_emb.count()
@@ -1140,6 +1201,9 @@ def sq8_index_upsert(spark, path: str, new_emb: DataFrame,
                 _sq8_pack(_sq8_codes(F.col("embedding"), F.col("mns"),
                                      F.col("mxs"), dim)).alias("codes"))
     )
+    if m_attrs:
+        encoded = encoded.join(attr_rows, "vec_id", "left") \
+            .select("vec_id", "codes", *m_attrs)
     current = _manifest_codes(spark, path, m)
     batch_ids = new_emb.select("vec_id")
     n_replaced = current.join(
@@ -1160,12 +1224,13 @@ def sq8_index_upsert(spark, path: str, new_emb: DataFrame,
     _write_manifest(spark, path, version, {
         "version": version, "kind": "sq8", "dim": dim,
         "codes": dirs, "quantizer": m["quantizer"],
+        **({"attrs": m_attrs} if m_attrs else {}),
     })
     return {"decision": decision, "n_new": n_new,
             "n_replaced": n_replaced, "drifted_dims": []}
 
 
-def write_ivf_sq8_index(emb: DataFrame, path: str, k: int = KMEANS_K,
+def write_ivf_sq8_index(emb: DataFrame, path: str, k: int | None = None,
                         n_iter: int = KMEANS_ITERS,
                         dim: int = 64,
                         train_fraction: float = 1.0,
@@ -1199,10 +1264,15 @@ def write_ivf_sq8_index(emb: DataFrame, path: str, k: int = KMEANS_K,
     predicate, not a join.  Left join — vectors without an attrs row
     carry NULLs (a ``where`` predicate then excludes them, standard
     SQL three-valued logic); the manifest records the attr columns and
-    upserts must supply the same ones."""
+    upserts must supply the same ones.
+
+    ``k=None`` (default) derives the cluster count from the corpus
+    size (:func:`_default_ivf_k` — ~sqrt(N)); pass ``k=`` to pin."""
     from ..jobs.versioned import _write_manifest
 
     spark = emb.sparkSession
+    if k is None:
+        k = _default_ivf_k(emb)
     version = _next_index_version(spark, path)
     base = f"data/v{version:06d}"
     if train_fraction >= 1.0:
@@ -1415,7 +1485,12 @@ def ivf_sq8_index_topk(spark, path: str, query_vec: list[float],
     of filtered search: the predicate reaches the codes scan as a
     parquet filter (no id-list join at all — the multi-tenant serving
     shape), with the same adaptive probe widening, its counts running
-    under the pushed predicate."""
+    under the pushed predicate.  Trust boundary: the predicate is
+    CALLER-TRUSTED SQL over the stored attr columns — a filtering
+    convenience, not a tenant-isolation mechanism (a caller-controlled
+    string can reference any stored column); when the filter itself is
+    untrusted input, compute an ``allowed=`` id-list from a store the
+    caller is authorized on instead."""
     m = _index_manifest(spark, path)
     dim = _manifest_dim(m, dim, path)
     nprobe = _resolve_nprobe(m, nprobe)
@@ -1572,6 +1647,33 @@ def _upsert_attr_rows(m: dict, new_emb: DataFrame,
     return [], None
 
 
+def _attrs_self_carry(spark, path: str, man: dict,
+                      new_emb: DataFrame) -> DataFrame | None:
+    """The rebuild rung's attrs contract, shared by every maintainer:
+    an attrs-bearing index SELF-CARRIES its attribute columns through
+    a retrain (read back from the committed codes), so a routine
+    rebuild never silently strips filterability — the stripped index
+    would raise AnalysisException on the next ``where=`` query and
+    silently drop attr columns on later upserts.  On the drift-refusal
+    path the batch never reached the codes, so batch ids take their
+    attrs from ``new_emb``'s columns when present (the upsert
+    contract: a streaming feed ships them on the batch) and everyone
+    else from the store.  Returns the ``attrs=`` frame for the
+    rebuild writer, or None for an attrs-less index."""
+    m_attrs = list(man.get("attrs", []))
+    if not m_attrs:
+        return None
+    attrs_df = _manifest_codes(spark, path, man).select(
+        "vec_id", *m_attrs)
+    if all(c in new_emb.columns for c in m_attrs):
+        attrs_df = new_emb.select("vec_id", *m_attrs) \
+            .unionByName(attrs_df.join(
+                new_emb.select("vec_id"), "vec_id", "left_anti"))
+    # localCheckpoint: the rebuild DELETES/replaces the codes dirs this
+    # frame reads from (next-version reclaim), so cut the lineage now
+    return attrs_df.localCheckpoint(eager=True)
+
+
 def ivf_sq8_index_upsert(spark, path: str, new_emb: DataFrame,
                          tol: float = SQ_DRIFT_TOL,
                          attrs: DataFrame | None = None) -> dict:
@@ -1634,7 +1736,8 @@ def ivf_sq8_index_upsert(spark, path: str, new_emb: DataFrame,
                                      F.col("mxs"), dim)).alias("codes"))
     )
     if m_attrs:
-        encoded = encoded.join(attr_rows, "vec_id", "left")             .select("vec_id", "codes", *m_attrs, "cluster_id")
+        encoded = encoded.join(attr_rows, "vec_id", "left") \
+            .select("vec_id", "codes", *m_attrs, "cluster_id")
     current = _manifest_codes(spark, path, m)
     batch_ids = new_emb.select("vec_id")
     n_replaced = current.join(
@@ -1759,27 +1862,13 @@ def maintain_ivf_sq8_index(spark, path: str, new_emb: DataFrame,
         # the rebuild is the maintenance loop's expensive rung — at
         # 100 TB it runs with the writer's sampled trainer (the same
         # train_fraction= contract; 1.0 keeps the full-corpus default).
-        # An attrs-bearing index SELF-CARRIES its attribute columns
-        # through the rebuild (read back from the committed codes), so
-        # a retrain never silently strips filterability.  On the
-        # drift-refusal path the batch never reached the codes — its
-        # attrs ride on new_emb (the upsert contract), so batch ids
-        # take theirs from the batch and everyone else from the store.
-        m_attrs = list(man.get("attrs", []))
-        attrs_df = None
-        if m_attrs:
-            attrs_df = _manifest_codes(spark, path, man).select(
-                "vec_id", *m_attrs)
-            if all(c in new_emb.columns for c in m_attrs):
-                attrs_df = new_emb.select("vec_id", *m_attrs) \
-                    .unionByName(attrs_df.join(
-                        new_emb.select("vec_id"), "vec_id",
-                        "left_anti"))
-            attrs_df = attrs_df.localCheckpoint(eager=True)
+        # Attrs self-carry through the retrain (_attrs_self_carry —
+        # the shared rebuild contract).
         write_ivf_sq8_index(vectors, path, k=n_clusters,
                             dim=int(man["dim"]),
                             train_fraction=train_fraction,
-                            attrs=attrs_df)
+                            attrs=_attrs_self_carry(
+                                spark, path, man, new_emb))
         if queries:
             out["recall_after_rebuild_permille"] = _min_recall(nprobe)
 
@@ -1959,7 +2048,8 @@ def pq_topk(emb: DataFrame, num_queries: int = 8, k: int = 10,
 def write_pq_index(emb: DataFrame, path: str, m: int = PQ_M,
                    k: int = PQ_K, dim: int = 64,
                    n_iter: int = KMEANS_ITERS,
-                   train_fraction: float = 1.0) -> None:
+                   train_fraction: float = 1.0,
+                   attrs: DataFrame | None = None) -> None:
     """Persist a PRODUCT-QUANTIZATION serving layout — the third
     compression point on the ANN spectrum (full vectors -> SQ8's
     byte-per-dim -> PQ's byte-per-SUBSPACE): the vector splits into
@@ -2008,13 +2098,21 @@ def write_pq_index(emb: DataFrame, path: str, m: int = PQ_M,
         _train_sample(emb, train_fraction), m, k, dim, n_iter)
     books = books.localCheckpoint(eager=True)
     sub = dim // m
-    _pq_encode(emb, books, m, sub).write.mode("error").parquet(
-        f"{path}/{base}/codes")
+    attr_cols = [c for c in (attrs.columns if attrs is not None else [])
+                 if c != "vec_id"]
+    encoded = _pq_encode(emb, books, m, sub)
+    if attrs is not None:
+        # attrs stored WITH the codes for where= pushdown serving (the
+        # write_sq8_index contract, same left-join NULL semantics)
+        encoded = encoded.join(attrs, "vec_id", "left") \
+            .select("vec_id", "codes", *attr_cols)
+    encoded.write.mode("error").parquet(f"{path}/{base}/codes")
     books.coalesce(1).write.mode("error").parquet(
         f"{path}/{base}/codebooks")
     _write_manifest(spark, path, version, {
         "version": version, "kind": "pq", "dim": dim, "m": m, "k": k,
         "codes": [f"{base}/codes"], "codebooks": f"{base}/codebooks",
+        **({"attrs": attr_cols} if attr_cols else {}),
     })
 
 
@@ -2069,7 +2167,8 @@ def _pq_encode(emb: DataFrame, books: DataFrame, m: int,
     )
 
 
-def pq_index_upsert(spark, path: str, new_emb: DataFrame) -> dict:
+def pq_index_upsert(spark, path: str, new_emb: DataFrame,
+                    attrs: DataFrame | None = None) -> dict:
     """Maintain a ``write_pq_index`` layout under batches: new vectors
     are encoded against the STORED codebooks (nearest codeword per
     subspace by round-6 cosine with the trainer's tie-break — cosine is
@@ -2091,8 +2190,12 @@ def pq_index_upsert(spark, path: str, new_emb: DataFrame) -> dict:
                 "expected": "pq"}
     m, dim = int(man["m"]), int(man["dim"])
     sub = dim // m
+    m_attrs, attr_rows = _upsert_attr_rows(man, new_emb, attrs, path)
     books = spark.read.parquet(f"{path}/{man['codebooks']}")
     encoded = _pq_encode(new_emb, books, m, sub)
+    if m_attrs:
+        encoded = encoded.join(attr_rows, "vec_id", "left") \
+            .select("vec_id", "codes", *m_attrs)
     current = _manifest_codes(spark, path, man)
     batch_ids = new_emb.select("vec_id")
     n_new = new_emb.count()
@@ -2115,6 +2218,7 @@ def pq_index_upsert(spark, path: str, new_emb: DataFrame) -> dict:
         "version": version, "kind": "pq", "dim": dim, "m": m,
         "k": int(man["k"]), "codes": dirs,
         "codebooks": man["codebooks"],
+        **({"attrs": m_attrs} if m_attrs else {}),
     })
     return {"decision": decision, "n_new": n_new,
             "n_replaced": n_replaced}
@@ -2201,7 +2305,9 @@ def maintain_pq_index(spark, path: str, new_emb: DataFrame,
         man = _index_manifest(spark, path)
         write_pq_index(vectors, path, m=int(man["m"]),
                        k=int(man["k"]), dim=int(man["dim"]),
-                       train_fraction=train_fraction)
+                       train_fraction=train_fraction,
+                       attrs=_attrs_self_carry(
+                           spark, path, man, new_emb))
         out["recall_after_rebuild_permille"] = _min_recall()
     return out
 
@@ -2243,17 +2349,22 @@ def _pq_codebook_hat(spark, path: str, m_an: dict) -> F.Column:
 def pq_index_topk_batch(spark, path: str, queries: DataFrame,
                         vectors: DataFrame, k: int = 10,
                         rerank_mult: int = PQ_RERANK_MULT,
-                        allowed: DataFrame | None = None) -> DataFrame:
+                        allowed: DataFrame | None = None,
+                        where: str | None = None) -> DataFrame:
     """BATCH retrieval over a ``write_pq_index`` layout: the m-byte
     codes are scanned ONCE, each candidate's codebook reconstruction is
     computed once per (candidate, query) against the broadcast query
     batch, and per-query windows take the shortlist and exact re-rank —
     one distributed plan with the in-flight ``(query_id, rank,
-    neighbor_id, cos_sim)`` contract."""
+    neighbor_id, cos_sim)`` contract.  ``where`` pushes an attribute
+    predicate into the codes scan (caller-trusted SQL — the
+    :func:`sq8_index_topk` trust-boundary note)."""
     m_an = _index_manifest(spark, path)
     hat = _pq_codebook_hat(spark, path, m_an)
     q = queries.select("query_id", F.col("embedding").alias("qe"))
     cand = _manifest_codes(spark, path, m_an)
+    if where is not None:
+        cand = cand.filter(where)                  # PushedFilters
     if allowed is not None:
         cand = cand.join(allowed.select("vec_id"), "vec_id",
                          "left_semi")
@@ -2291,7 +2402,8 @@ def pq_index_topk_batch(spark, path: str, queries: DataFrame,
 def pq_index_topk(spark, path: str, query_vec: list[float],
                   vectors: DataFrame, k: int = 10,
                   rerank_mult: int = PQ_RERANK_MULT,
-                  allowed: DataFrame | None = None) -> DataFrame:
+                  allowed: DataFrame | None = None,
+                  where: str | None = None) -> DataFrame:
     """Serve top-k from a ``write_pq_index`` layout: the m*k codeword
     table is collected driver-side (tiny by construction, like the IVF
     centroid table) and inlined as a nested array literal, so candidate
@@ -2302,11 +2414,15 @@ def pq_index_topk(spark, path: str, query_vec: list[float],
     store.  No shuffle before the bounded shortlist; the scan reads
     m bytes per row.  ``allowed`` (a ``vec_id`` DataFrame) restricts
     the search to a metadata-filtered candidate set BEFORE the
-    shortlist, exactly as in :func:`sq8_index_topk`."""
+    shortlist, exactly as in :func:`sq8_index_topk`; ``where`` pushes
+    an attribute predicate into the codes scan (caller-trusted SQL —
+    the :func:`sq8_index_topk` trust-boundary note)."""
     m_an = _index_manifest(spark, path)
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     hat = _pq_codebook_hat(spark, path, m_an)
     cand = _manifest_codes(spark, path, m_an)
+    if where is not None:
+        cand = cand.filter(where)                  # PushedFilters
     if allowed is not None:
         cand = cand.join(allowed.select("vec_id"), "vec_id",
                          "left_semi")
@@ -2375,13 +2491,23 @@ def ivf_index_upsert(spark, path: str, new_emb: DataFrame) -> dict:
     """Incremental IVF maintenance: assign ``new_emb`` vectors to the
     STORED centroids (one broadcast of the k-row table — the index's
     geometry is not recomputed) and MERGE them into the partitioned
-    layout via jobs/upsert — only the receiving cluster directories are
-    read and rewritten, so adding a daily batch of vectors costs the
-    touched partitions, not an index rebuild.  Re-cluster periodically
-    (write_ivf_index) when drift accumulates; ``cluster_id`` is a
-    stable function of (vector, stored centroids), satisfying the
-    upsert's stable-partition-column contract.
-    """
+    layout via jobs/upsert — the receiving cluster directories plus any
+    re-submitted key's PREVIOUS directory are read and rewritten, so
+    adding a daily batch of vectors costs the touched partitions, not
+    an index rebuild.  Re-cluster periodically (write_ivf_index) when
+    drift accumulates.
+
+    Moved-key contract: the stored rows' cluster_id came from the
+    WRITE's assignment, which is one centroid-update step STALER than
+    the stored ``_centroids`` table (the writer persists the refined
+    centroids — see write_ivf_index), so a re-submitted identical
+    vector CAN legitimately re-assign to a different cluster.  The
+    batch keys' current locations are looked up first (one
+    column-pruned scan of (vec_id, cluster_id) + a broadcast
+    semi-join) and passed as ``extra_partition_values`` — the merge
+    then drops the stale copy from the old directory (deleting the
+    directory outright if the move emptied it) instead of leaving a
+    duplicate vec_id behind."""
     from ..jobs.upsert import upsert_parquet_dir
 
     cents = (
@@ -2393,14 +2519,23 @@ def ivf_index_upsert(spark, path: str, new_emb: DataFrame) -> dict:
         .select("vec_id", "embedding",
                 F.col("cid").alias("cluster_id"))
     )
-    stored_cols = spark.read.parquet(path).columns
+    stored = spark.read.parquet(path)
+    stored_cols = stored.columns
+    old_parts = [
+        r["cluster_id"] for r in
+        stored.select("vec_id", "cluster_id")
+        .join(F.broadcast(new_emb.select("vec_id")), "vec_id",
+              "left_semi")
+        .select("cluster_id").distinct().collect()
+    ]
     extra = new_emb.drop("vec_id", "embedding")
     if extra.columns:
         assigned = assigned.join(
             new_emb.drop("embedding"), "vec_id")
     return upsert_parquet_dir(
         spark, path, assigned.select(*stored_cols), ["vec_id"],
-        partition_col="cluster_id")
+        partition_col="cluster_id",
+        extra_partition_values=old_parts)
 
 
 def ann_recall(approx: DataFrame, exact: DataFrame) -> DataFrame:
@@ -2638,7 +2773,7 @@ def ivf_pq_topk(emb: DataFrame, num_queries: int = 8, k: int = 10,
     return _ranked(pairs, k)
 
 
-def write_ivf_pq_index(emb: DataFrame, path: str, k: int = KMEANS_K,
+def write_ivf_pq_index(emb: DataFrame, path: str, k: int | None = None,
                        m: int = PQ_M, ksub: int = PQ_K, dim: int = 64,
                        n_iter: int = KMEANS_ITERS,
                        train_fraction: float = 1.0,
@@ -2664,10 +2799,13 @@ def write_ivf_pq_index(emb: DataFrame, path: str, k: int = KMEANS_K,
 
     Same commit protocol as every index writer: codes + centroids +
     codebooks land under ``data/v<N>/`` first, ONE manifest rename
-    publishes all three."""
+    publishes all three.  ``k=None`` derives the coarse cluster count
+    from the corpus size (:func:`_default_ivf_k`)."""
     from ..jobs.versioned import _write_manifest
 
     spark = emb.sparkSession
+    if k is None:
+        k = _default_ivf_k(emb)
     version = _next_index_version(spark, path)
     base = f"data/v{version:06d}"
     cents_t = _trained_centroids(emb, k, n_iter, train_fraction)
@@ -2718,7 +2856,9 @@ def ivf_pq_index_topk(spark, path: str, query_vec: list[float],
     FILTERED search with the cluster-partitioned family's adaptive
     probe widening (``_widen_filtered_probes`` — a restrictive
     allow-list whose survivors live outside the probed clusters widens
-    the probe set instead of starving the shortlist)."""
+    the probe set instead of starving the shortlist); ``where`` is the
+    pushdown form over stored attrs (caller-trusted SQL — the
+    :func:`ivf_sq8_index_topk` trust-boundary note)."""
     m_an = _index_manifest(spark, path)
     nprobe = _resolve_nprobe(m_an, nprobe)
     ranked = _rank_clusters(spark, path, m_an, query_vec)
@@ -2985,7 +3125,9 @@ def maintain_ivf_pq_index(spark, path: str, new_emb: DataFrame,
         write_ivf_pq_index(vectors, path, k=n_clusters,
                            m=int(man["m"]), ksub=int(man["k"]),
                            dim=int(man["dim"]),
-                           train_fraction=train_fraction)
+                           train_fraction=train_fraction,
+                           attrs=_attrs_self_carry(
+                               spark, path, man, new_emb))
         out["recall_after_rebuild_permille"] = _min_recall(nprobe)
     return out
 
@@ -3081,12 +3223,15 @@ def bq_topk(emb: DataFrame, num_queries: int = 8, k: int = 10,
     return _ranked(pairs, k)
 
 
-def write_bq_index(emb: DataFrame, path: str, dim: int = 64) -> None:
+def write_bq_index(emb: DataFrame, path: str, dim: int = 64,
+                   attrs: DataFrame | None = None) -> None:
     """Persist the binary-quantization serving layout: ``(vec_id, lo,
     hi)`` — two packed 32-bit sign-bit halves per vector, 8 bytes of
     scannable code.  NOTHING trains (the sign quantizer is the data-
     independent function x > 0), so the manifest carries only the
-    codes reference; same atomic commit protocol as every writer."""
+    codes reference; same atomic commit protocol as every writer.
+    ``attrs`` stores filterable attribute columns with the codes for
+    ``where=`` pushdown serving (the ``write_sq8_index`` contract)."""
     from ..jobs.versioned import _write_manifest
 
     if dim != 64:
@@ -3095,13 +3240,19 @@ def write_bq_index(emb: DataFrame, path: str, dim: int = 64) -> None:
     spark = emb.sparkSession
     version = _next_index_version(spark, path)
     base = f"data/v{version:06d}"
-    (emb.select("vec_id",
-                _bq_half("embedding", 0).alias("lo"),
-                _bq_half("embedding", 32).alias("hi"))
-     .write.mode("error").parquet(f"{path}/{base}/codes"))
+    attr_cols = [c for c in (attrs.columns if attrs is not None else [])
+                 if c != "vec_id"]
+    encoded = emb.select("vec_id",
+                         _bq_half("embedding", 0).alias("lo"),
+                         _bq_half("embedding", 32).alias("hi"))
+    if attrs is not None:
+        encoded = encoded.join(attrs, "vec_id", "left")
+    encoded.select("vec_id", "lo", "hi", *attr_cols) \
+        .write.mode("error").parquet(f"{path}/{base}/codes")
     _write_manifest(spark, path, version, {
         "version": version, "kind": "bq", "dim": dim,
         "codes": [f"{base}/codes"],
+        **({"attrs": attr_cols} if attr_cols else {}),
     })
 
 
@@ -3114,13 +3265,16 @@ def _bq_query_bits(query_vec: list[float]) -> tuple[int, int]:
 def bq_index_topk(spark, path: str, query_vec: list[float],
                   vectors: DataFrame, k: int = 10,
                   rerank_mult: int = BQ_RERANK_MULT,
-                  allowed: DataFrame | None = None) -> DataFrame:
+                  allowed: DataFrame | None = None,
+                  where: str | None = None) -> DataFrame:
     """Serve top-k from a ``write_bq_index`` layout: the query's sign
     bits are two Python ints inlined as literals, candidate scoring is
     two xors + two popcounts over the 8-byte codes scan, TakeOrdered
     the ``k * rerank_mult`` shortlist (Hamming ASC), exact-cosine
     re-rank against the primary store.  ``allowed`` semi-joins the
-    candidate set before the shortlist, as everywhere."""
+    candidate set before the shortlist, as everywhere; ``where``
+    pushes an attribute predicate into the codes scan (caller-trusted
+    SQL — the :func:`sq8_index_topk` trust-boundary note)."""
     m_an = _index_manifest(spark, path)
     if m_an.get("kind") != "bq":
         raise ValueError(
@@ -3129,6 +3283,8 @@ def bq_index_topk(spark, path: str, query_vec: list[float],
     qlo, qhi = _bq_query_bits(query_vec)
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     cand = _manifest_codes(spark, path, m_an)
+    if where is not None:
+        cand = cand.filter(where)                  # PushedFilters
     if allowed is not None:
         cand = cand.join(allowed.select("vec_id"), "vec_id",
                          "left_semi")
@@ -3161,13 +3317,16 @@ def bq_index_topk(spark, path: str, query_vec: list[float],
 def bq_index_topk_batch(spark, path: str, queries: DataFrame,
                         vectors: DataFrame, k: int = 10,
                         rerank_mult: int = BQ_RERANK_MULT,
-                        allowed: DataFrame | None = None) -> DataFrame:
+                        allowed: DataFrame | None = None,
+                        where: str | None = None) -> DataFrame:
     """BATCH retrieval over a ``write_bq_index`` layout: the 8-byte
     codes are scanned once, each query's sign bits computed once on
     the broadcast side, Hamming scored per pair (two xors + two
     popcounts), per-query shortlist windows, exact re-rank — ONE
     distributed plan with the shared ``(query_id, rank, neighbor_id,
-    cos_sim)`` contract."""
+    cos_sim)`` contract.  ``where`` pushes an attribute predicate into
+    the codes scan (caller-trusted SQL — the :func:`sq8_index_topk`
+    trust-boundary note)."""
     m_an = _index_manifest(spark, path)
     if m_an.get("kind") != "bq":
         raise ValueError(
@@ -3178,6 +3337,8 @@ def bq_index_topk_batch(spark, path: str, queries: DataFrame,
         _bq_half("embedding", 0).alias("qlo"),
         _bq_half("embedding", 32).alias("qhi"))
     cand = _manifest_codes(spark, path, m_an)
+    if where is not None:
+        cand = cand.filter(where)                  # PushedFilters
     if allowed is not None:
         cand = cand.join(allowed.select("vec_id"), "vec_id",
                          "left_semi")
@@ -3207,7 +3368,8 @@ def bq_index_topk_batch(spark, path: str, queries: DataFrame,
     return _ranked(pairs, k)
 
 
-def bq_index_upsert(spark, path: str, new_emb: DataFrame) -> dict:
+def bq_index_upsert(spark, path: str, new_emb: DataFrame,
+                    attrs: DataFrame | None = None) -> dict:
     """Maintain a ``write_bq_index`` layout under batches — the
     kind-true upsert: new vectors are sign-packed with the writer's
     own expression (data-independent, so there is no drift screen and
@@ -3223,10 +3385,14 @@ def bq_index_upsert(spark, path: str, new_emb: DataFrame) -> dict:
     if man.get("kind") != "bq":
         return {"decision": "wrong_kind", "kind": man.get("kind"),
                 "expected": "bq"}
+    m_attrs, attr_rows = _upsert_attr_rows(man, new_emb, attrs, path)
     encoded = new_emb.select(
         "vec_id",
         _bq_half("embedding", 0).alias("lo"),
         _bq_half("embedding", 32).alias("hi"))
+    if m_attrs:
+        encoded = encoded.join(attr_rows, "vec_id", "left") \
+            .select("vec_id", "lo", "hi", *m_attrs)
     current = _manifest_codes(spark, path, man)
     batch_ids = new_emb.select("vec_id")
     n_new = new_emb.count()
@@ -3248,6 +3414,7 @@ def bq_index_upsert(spark, path: str, new_emb: DataFrame) -> dict:
     _write_manifest(spark, path, version, {
         "version": version, "kind": "bq", "dim": int(man["dim"]),
         "codes": dirs,
+        **({"attrs": m_attrs} if m_attrs else {}),
     })
     return {"decision": decision, "n_new": n_new,
             "n_replaced": n_replaced}
@@ -3402,8 +3569,11 @@ def tune_index(spark, path: str, vectors: DataFrame,
 
     - ``{"decision": "flat_kind"}``    — sq8/pq/bq have one operating
       point; nothing to tune.
-    - ``{"decision": "noop"}``         — the measured pick equals the
-      manifest's current default; no version written.
+    - ``{"decision": "noop"}``         — the measured pick is already
+      EXPLICITLY pinned in the manifest; no version written.  A pick
+      that merely equals the ``DEFAULT_NPROBE`` fallback on an untuned
+      manifest still commits (the ``_persist_nprobe`` rationale: pin
+      the measured point against constant drift).
     - ``{"decision": "tuned", "nprobe": N, "version": v}`` — committed.
     - ``{"decision": "target_unreachable"}`` — no measured depth meets
       the target; NOTHING is written (serving deeper than the deepest
@@ -3414,8 +3584,6 @@ def tune_index(spark, path: str, vectors: DataFrame,
     Cost: the recall curve's bounded top-k jobs plus at most one
     manifest rename — an operator action per maintenance window or
     after bulk upserts, never per serving query."""
-    from ..jobs.versioned import _write_manifest
-
     m = _index_manifest(spark, path)
     kind = m.get("kind", "sq8")
     if not kind.startswith("ivf_"):
@@ -3437,14 +3605,16 @@ def tune_index(spark, path: str, vectors: DataFrame,
     if pick is None:
         out["decision"] = "target_unreachable"
         return out
-    if pick == current:
-        out.update(decision="noop", nprobe=current)
-        return out
-    version = _next_index_version(spark, path)
-    _write_manifest(spark, path, version, {
-        **m, "version": version, "default_nprobe": int(pick),
-    })
-    out.update(decision="tuned", nprobe=int(pick), version=version)
+    # commit via _persist_nprobe (the one shared commit shape): it
+    # skips ONLY when default_nprobe is explicitly present and equal —
+    # a pick equal to the constant fallback on an untuned manifest
+    # still pins, so a later DEFAULT_NPROBE change can't silently move
+    # a tuned index's operating point
+    version = _persist_nprobe(spark, path, int(pick))
+    if version == int(m["version"]):
+        out.update(decision="noop", nprobe=int(pick))
+    else:
+        out.update(decision="tuned", nprobe=int(pick), version=version)
     return out
 
 
@@ -3480,7 +3650,10 @@ def rebalance_index(spark, path: str, vectors: DataFrame, *,
 
     Decisions as data: ``flat_kind`` (nothing is cluster-partitioned),
     ``balanced`` (max/mean size <= the threshold — nothing to split),
-    ``split`` (with the retired id, the two new ids, and the sizes).
+    ``split`` (with the retired id, the two new ids, and the sizes),
+    ``unsplittable`` (2-means over a degenerate hot list collapsed to
+    one sub-cluster — NOTHING committed; the hot list is
+    near-identical vectors and splitting cannot reduce it).
     One split per call — cost stays bounded by the one hot list; call
     again (or let the maintenance job loop) if the next-hottest still
     crosses the threshold."""
@@ -3526,6 +3699,15 @@ def rebalance_index(spark, path: str, vectors: DataFrame, *,
                 (F.col("cid") + F.lit(new_base)).alias("cid"))
         .localCheckpoint(eager=True)
     )
+    # a degenerate hot list (near-identical embeddings) can collapse
+    # 2-means into ONE sub-cluster — committing that would report a
+    # phantom new id, leave the imbalance unreduced, and spin a cron
+    # loop re-splitting the same cluster forever.  Refuse as data.
+    sub_ids = sorted(int(r["cid"]) for r in
+                     asg.select("cid").distinct().collect())
+    if len(sub_ids) < 2:
+        out.update(decision="unsplittable", n_sub_clusters=len(sub_ids))
+        return out
     version = _next_index_version(spark, path)
     base = f"data/v{version:06d}"
     code_cols = [c for c in codes.columns if c != "cluster_id"]
@@ -3554,7 +3736,7 @@ def rebalance_index(spark, path: str, vectors: DataFrame, *,
         "excluded_clusters": excluded,
     })
     out.update(decision="split", version=version,
-               new_cluster_ids=[new_base, new_base + 1],
+               new_cluster_ids=sub_ids,
                n_vectors_moved=n_found)
     return out
 
@@ -3569,7 +3751,7 @@ def rebalance_index(spark, path: str, vectors: DataFrame, *,
 # re-clusters.
 
 
-def write_ivf_bq_index(emb: DataFrame, path: str, k: int = KMEANS_K,
+def write_ivf_bq_index(emb: DataFrame, path: str, k: int | None = None,
                        dim: int = 64, n_iter: int = KMEANS_ITERS,
                        train_fraction: float = 1.0,
                        attrs: DataFrame | None = None) -> None:
@@ -3579,13 +3761,16 @@ def write_ivf_bq_index(emb: DataFrame, path: str, k: int = KMEANS_K,
     every writer; ``train_fraction`` samples the coarse trainer (the
     only training this layout has).  ``attrs`` stores filterable
     columns with the codes for ``where=`` pushdown serving (the
-    ``write_ivf_sq8_index`` contract)."""
+    ``write_ivf_sq8_index`` contract).  ``k=None`` derives the coarse
+    cluster count from the corpus size (:func:`_default_ivf_k`)."""
     from ..jobs.versioned import _write_manifest
 
     if dim != 64:
         raise ValueError(
             f"bq packs exactly 64 sign bits (got dim={dim})")
     spark = emb.sparkSession
+    if k is None:
+        k = _default_ivf_k(emb)
     version = _next_index_version(spark, path)
     base = f"data/v{version:06d}"
     cents_t = _trained_centroids(emb, k, n_iter, train_fraction)
@@ -3624,7 +3809,9 @@ def ivf_bq_index_topk(spark, path: str, query_vec: list[float],
     centroid table driver-side, partition-prune to the probed cluster
     directories, integer-Hamming the 8-byte codes against the query's
     inlined bit halves, exact-rerank the shortlist.  ``allowed`` gets
-    the cluster-partitioned family's adaptive probe widening."""
+    the cluster-partitioned family's adaptive probe widening;
+    ``where`` is the pushdown form over stored attrs (caller-trusted
+    SQL — the :func:`ivf_sq8_index_topk` trust-boundary note)."""
     m_an = _index_manifest(spark, path)
     if m_an.get("kind") != "ivf_bq":
         raise ValueError(
@@ -3882,6 +4069,8 @@ def maintain_ivf_bq_index(spark, path: str, new_emb: DataFrame,
     if rebuild:
         write_ivf_bq_index(vectors, path, k=n_clusters,
                            dim=int(man["dim"]),
-                           train_fraction=train_fraction)
+                           train_fraction=train_fraction,
+                           attrs=_attrs_self_carry(
+                               spark, path, man, new_emb))
         out["recall_after_rebuild_permille"] = _min_recall(nprobe)
     return out

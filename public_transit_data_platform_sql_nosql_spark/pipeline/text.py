@@ -443,6 +443,179 @@ def hybrid_index_search(spark, docs: DataFrame, index_path: str,
     return _rrf_fuse(bm_ranked, dense_ranked, k, rrf_k)
 
 
+def hybrid_index_search_batch(spark, docs: DataFrame, index_path: str,
+                              vectors: DataFrame, queries: DataFrame,
+                              k: int = 20, pool: int = 50,
+                              rrf_k: int = 60,
+                              nprobe: int | None = None,
+                              allowed: DataFrame | None = None
+                              ) -> DataFrame:
+    """BATCH hybrid retrieval — the RAG serving shape: ``queries`` is a
+    ``(query_id, terms array<string>, embedding array<double>)``
+    DataFrame and the whole batch runs as ONE distributed plan
+    (``(query_id, doc_id, bm25_rank, dense_rank, rrf_micro)`` out,
+    top-``k`` per query), per-query identical to
+    :func:`hybrid_index_search` — never a driver loop over single
+    calls.
+
+    The BM25 arm batches by construction: the doc token stream is
+    exploded ONCE, pruned by a broadcast join against the UNION of all
+    queries' terms (the batch twin of the single path's pre-shuffle
+    ``token IN (...)`` literal filter), per-(doc, token) tf and
+    per-token df aggregate once for the whole batch (both are
+    query-independent, so the batch computes exactly the single path's
+    numbers), and only then does the bounded (query_id, token) table
+    fan scores out to the queries that asked — per-query top-``pool``
+    via bounded windows.  The dense arm is the index's kind-dispatched
+    ``*_index_topk_batch`` path (any of the six layouts, one probe
+    resolution for the batch); fusion is the per-query integer RRF.
+
+    ``allowed`` restricts BOTH arms, as in the single path: the BM25
+    pool semi-joins it AFTER the top-``pool`` cut (single-path parity
+    — ranks recompute densely over the survivors), the dense arm gets
+    it with per-query adaptive probe widening on the IVF kinds."""
+    from .similarity import (
+        _index_manifest,
+        bq_index_topk_batch,
+        ivf_bq_index_topk_batch,
+        ivf_pq_index_topk_batch,
+        ivf_sq8_index_topk_batch,
+        pq_index_topk_batch,
+        sq8_index_topk_batch,
+    )
+
+    n_bad = queries.filter(
+        F.col("terms").isNull() | (F.size("terms") == 0)).count()
+    if n_bad:
+        raise ValueError(
+            f"hybrid_index_search_batch: {n_bad} queries have "
+            f"NULL/empty terms — a silent dense-only result would "
+            f"masquerade as hybrid (the single-path contract)")
+    # (query_id, token): lowercased, DEDUPED per query — the single
+    # path's isin() is a set test, so duplicate terms must not
+    # double-count
+    qt = (
+        queries.select("query_id", F.explode("terms").alias("t"))
+        .select("query_id",
+                F.lower(F.col("t").cast("string")).alias("token"))
+        .distinct()
+        .localCheckpoint(eager=True)       # bounded; reused 2x below
+    )
+    tok_union = qt.select("token").distinct()
+    toks = tokens(F.col("text"))
+    base = docs.select(
+        "doc_id", F.size(toks).cast("long").alias("dl"),
+        toks.alias("_t"))
+    term_rows = (
+        base.select("doc_id", "dl", F.explode("_t").alias("token"))
+        .join(F.broadcast(tok_union), "token")
+    )
+    # tf and df are QUERY-INDEPENDENT — aggregate once over the pruned
+    # stream, before any per-query fan-out
+    tf = (
+        term_rows.groupBy("doc_id", "dl", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dfc = tf.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("df"))
+    stats = (
+        docs.agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.size(tokens(F.col("text"))).cast("long"))
+            .cast("long").alias("total_len"),
+        )
+        .withColumn("_k", F.lit(1))
+    )
+    scored = (
+        tf.join(F.broadcast(dfc), "token")
+        .join(F.broadcast(qt), "token")    # fan out to asking queries
+        .withColumn("_k", F.lit(1))
+        .join(F.broadcast(stats), "_k")
+    )
+    # identical scoring expressions to search_bm25 (k1/b defaults) —
+    # per-term micros, exact order-independent int64 sums
+    k1, b = 1.2, 0.75
+    avgdl = (F.col("total_len").cast("double")
+             / F.col("n_docs").cast("double"))
+    idf = (
+        ((F.col("n_docs") - F.col("df")).cast("double") + F.lit(0.5))
+        / (F.col("df").cast("double") + F.lit(0.5))
+    )
+    tfd = F.col("tf").cast("double")
+    denom = tfd + F.lit(k1) * (
+        F.lit(1.0) - F.lit(b)
+        + F.lit(b) * (F.col("dl").cast("double") / avgdl)
+    )
+    term_score = idf * (tfd * F.lit(k1 + 1.0)) / denom
+    per_q = (
+        scored
+        .withColumn(
+            "score_micro",
+            F.floor(term_score * F.lit(1000000.0)).cast("long"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("score_micro").cast("long").alias("score_micro"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc("score_micro"), F.asc("doc_id"))
+    pool_rows = (
+        per_q.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= pool).drop("rn")
+    )
+    if allowed is not None:
+        # single-path parity: the allow-list filters the already-cut
+        # pool (fewer than `pool` may survive), then ranks recompute
+        # densely over the survivors
+        pool_rows = pool_rows.join(
+            allowed.select(F.col("vec_id").alias("doc_id")),
+            "doc_id", "left_semi")
+    bm_ranked = (
+        pool_rows.withColumn("bm25_rank", F.row_number().over(wq))
+        .select("query_id", "doc_id", "bm25_rank")
+    )
+    kind = _index_manifest(spark, index_path).get("kind", "sq8")
+    q_emb = queries.select("query_id", "embedding")
+    batchers = {
+        "sq8": lambda: sq8_index_topk_batch(
+            spark, index_path, q_emb, vectors, k=pool,
+            allowed=allowed),
+        "pq": lambda: pq_index_topk_batch(
+            spark, index_path, q_emb, vectors, k=pool,
+            allowed=allowed),
+        "bq": lambda: bq_index_topk_batch(
+            spark, index_path, q_emb, vectors, k=pool,
+            allowed=allowed),
+        "ivf_sq8": lambda: ivf_sq8_index_topk_batch(
+            spark, index_path, q_emb, vectors, k=pool,
+            nprobe=nprobe, allowed=allowed),
+        "ivf_pq": lambda: ivf_pq_index_topk_batch(
+            spark, index_path, q_emb, vectors, k=pool,
+            nprobe=nprobe, allowed=allowed),
+        "ivf_bq": lambda: ivf_bq_index_topk_batch(
+            spark, index_path, q_emb, vectors, k=pool,
+            nprobe=nprobe, allowed=allowed),
+    }
+    dense_ranked = batchers[kind]().select(
+        "query_id", F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").alias("dense_rank"))
+    rrf = (
+        F.coalesce(
+            F.expr(f"1000000 div ({int(rrf_k)} + bm25_rank)"), F.lit(0))
+        + F.coalesce(
+            F.expr(f"1000000 div ({int(rrf_k)} + dense_rank)"),
+            F.lit(0))
+    ).cast("long")
+    wf = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_micro"), F.asc("doc_id"))
+    return (
+        bm_ranked.join(dense_ranked, ["query_id", "doc_id"],
+                       "full_outer")
+        .select("query_id", "doc_id", "bm25_rank", "dense_rank",
+                rrf.alias("rrf_micro"))
+        .withColumn("rn", F.row_number().over(wf))
+        .filter(F.col("rn") <= k).drop("rn")
+    )
+
+
 def lm_transition_scores(docs: DataFrame) -> DataFrame:
     """Bigram language-model fluency scoring — the perplexity-style
     quality signal corpus filters run beside the heuristic

@@ -615,7 +615,10 @@ def stream_vector_index_upsert(emb_stream: DataFrame, index_path: str,
                                compact_hint_dirs: int = 8,
                                auto_compact: bool = False,
                                rebalance_hint_permille: int | None
-                               = None):
+                               = None,
+                               auto_rebalance: bool = False,
+                               vectors_path: str | None = None,
+                               max_rebalance_splits: int = 4):
     """foreachBatch maintenance of a manifest-committed vector index
     (``write_sq8_index``, ``write_ivf_sq8_index``, ``write_pq_index``
     or ``write_ivf_pq_index``
@@ -662,7 +665,17 @@ def stream_vector_index_upsert(emb_stream: DataFrame, index_path: str,
     threshold, a ``rebalance`` hint row (n_new = imbalance permille)
     points the operator at ``rebalance_index``'s O(hot cluster) split
     — the hint costs one k-row groupBy per micro-batch, the split
-    itself stays an operator action.
+    itself stays an operator action unless ``auto_rebalance=True``:
+    then the maintainer ACTS on its own hint inside the same
+    micro-batch, calling ``rebalance_index`` (which needs the true
+    embeddings — ``vectors_path`` is re-read per batch, the
+    ``allowed_path`` contract) and looping while the NEXT-hottest
+    list still crosses the threshold, capped at
+    ``max_rebalance_splits`` per batch so one skewed feed can't stall
+    the stream.  Each split commits a ``rebalanced`` row (n_new = the
+    imbalance it repaired); a degenerate hot list (``unsplittable``)
+    or a now-balanced index ends the loop with its decision recorded,
+    so the audit trail shows exactly what the maintainer did.
     """
     from ..jobs.versioned import commit_version
     from ..pipeline.similarity import (
@@ -677,6 +690,12 @@ def stream_vector_index_upsert(emb_stream: DataFrame, index_path: str,
     )
 
     t = SQ_DRIFT_TOL if tol is None else tol
+    if auto_rebalance and (vectors_path is None
+                           or rebalance_hint_permille is None):
+        raise ValueError(
+            "auto_rebalance=True needs vectors_path (rebalance_index "
+            "splits on TRUE embeddings) and rebalance_hint_permille "
+            "(the threshold it acts on)")
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -742,9 +761,33 @@ def stream_vector_index_upsert(emb_stream: DataFrame, index_path: str,
                   .groupBy("cluster_id").agg(
                       F.count(F.lit(1)).alias("n")).collect()]
             imb = int(1000 * max(ns) / (sum(ns) / len(ns)))
-            if imb > rebalance_hint_permille:
+            if imb > rebalance_hint_permille and not auto_rebalance:
                 rows.append((int(batch_id), "rebalance",
                              int(imb), 0, 0))
+            elif imb > rebalance_hint_permille:
+                # act on the hint: O(hot cluster) splits, looping
+                # while the NEXT-hottest still crosses the threshold,
+                # capped per batch so a skewed feed can't stall the
+                # stream.  rebalance_index re-measures each round, so
+                # the loop's exit conditions are its own decisions.
+                from ..pipeline.similarity import rebalance_index
+
+                vecs = spark.read.parquet(vectors_path)
+                for _ in range(max_rebalance_splits):
+                    rst = rebalance_index(
+                        spark, index_path, vecs,
+                        max_imbalance_permille=rebalance_hint_permille)
+                    if rst["decision"] == "split":
+                        rows.append((int(batch_id), "rebalanced",
+                                     int(rst["imbalance_permille"]),
+                                     int(rst["n_vectors_moved"]), 0))
+                        continue
+                    # balanced / unsplittable / flat_kind: record and
+                    # stop — re-running cannot make progress
+                    rows.append((int(batch_id), rst["decision"],
+                                 int(rst.get("imbalance_permille", 0)),
+                                 0, 0))
+                    break
         decision = spark.createDataFrame(
             rows,
             "batch_id long, decision string, n_new long, "
@@ -829,9 +872,10 @@ def stream_vector_search(query_stream: DataFrame, index_path: str,
                    if allowed_path is not None else None)
         kind = _index_manifest(spark, index_path).get("kind", "sq8")
         if kind == "ivf_sq8":
-            # `where` = stored-attribute pushdown (cluster-
-            # partitioned layouts): the predicate lands on every
-            # micro-batch's codes scan as a parquet filter
+            # `where` = stored-attribute pushdown (every kind since
+            # r12): the predicate lands on every micro-batch's codes
+            # scan as a parquet filter; the IVF kinds add adaptive
+            # probe widening under it
             res = ivf_sq8_index_topk_batch(
                 spark, index_path, queries, vectors, k=k,
                 nprobe=nprobe, allowed=allowed, where=where)
@@ -842,11 +886,11 @@ def stream_vector_search(query_stream: DataFrame, index_path: str,
         elif kind == "pq":
             res = pq_index_topk_batch(
                 spark, index_path, queries, vectors, k=k,
-                allowed=allowed)
+                allowed=allowed, where=where)
         elif kind == "bq":
             res = bq_index_topk_batch(
                 spark, index_path, queries, vectors, k=k,
-                allowed=allowed)
+                allowed=allowed, where=where)
         elif kind == "ivf_bq":
             res = ivf_bq_index_topk_batch(
                 spark, index_path, queries, vectors, k=k,
@@ -854,7 +898,7 @@ def stream_vector_search(query_stream: DataFrame, index_path: str,
         else:
             res = sq8_index_topk_batch(
                 spark, index_path, queries, vectors, k=k,
-                allowed=allowed)
+                allowed=allowed, where=where)
         commit_version(
             res.select(F.lit(int(batch_id)).alias("batch_id"),
                        "query_id", "rank", "neighbor_id", "cos_sim"),

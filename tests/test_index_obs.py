@@ -58,12 +58,19 @@ def test_stats_cluster_balance(spark, emb, tmp_path):
 
 
 def test_recall_curve_monotone_in_nprobe(spark, emb, tmp_path):
+    from public_transit_data_platform_sql_nosql_spark.pipeline.similarity import (  # noqa: E501
+        _index_manifest,
+    )
+
     path = str(tmp_path / "ivfsq8")
     write_ivf_sq8_index(emb, path)
+    # full probe = the DERIVED cluster count (k ~ sqrt(N) since r12)
+    n_clusters = spark.read.parquet(
+        f"{path}/{_index_manifest(spark, path)['centroids']}").count()
     vectors = emb.select("vec_id", "embedding")
     curve = index_recall_curve(spark, path, vectors, num_queries=2,
-                               k=5, nprobes=(1, 8))
-    assert [r["nprobe"] for r in curve] == [1, 8]
+                               k=5, nprobes=(1, n_clusters))
+    assert [r["nprobe"] for r in curve] == [1, n_clusters]
     # probing everything cannot recall less than probing one cluster
     assert curve[1]["min_recall_permille"] >= \
         curve[0]["min_recall_permille"]

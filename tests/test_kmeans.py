@@ -169,9 +169,11 @@ def test_ivf_index_write_query_roundtrip(spark, tmp_path):
         key=lambda t: (-t[0], t[1]))[:5]
     assert [(r["cos_sim"], r["vec_id"]) for r in rows] == cand
 
-    # probing every cluster recovers the global exact top-k
+    # probing every cluster recovers the global exact top-k ("every" =
+    # the DERIVED cluster count, k ~ sqrt(N) since r12)
+    n_clusters = spark.read.parquet(f"{path}/_centroids").count()
     full = sim.ivf_index_topk(spark, path, qvec, k=5,
-                              nprobe=sim.KMEANS_K).collect()
+                              nprobe=n_clusters).collect()
     allc = sorted(((cos(r["embedding"]), r["vec_id"]) for r in stored),
                   key=lambda t: (-t[0], t[1]))[:5]
     assert [(r["cos_sim"], r["vec_id"]) for r in full] == allc
@@ -193,27 +195,36 @@ def test_kmeans_iterate_matches_unrolled(spark):
 def test_ivf_index_upsert_touches_only_receiving_partitions(spark,
                                                             tmp_path):
     """New vectors merge into the stored IVF layout through the
-    partition-scoped upsert: assignments use the STORED centroids, only
-    receiving cluster dirs rewrite, and queries see the new vectors."""
+    partition-scoped upsert: assignments use the STORED centroids,
+    only receiving (and moved-from) cluster dirs rewrite, and queries
+    see the new vectors.  Re-submitted keys may legitimately MOVE
+    cluster: the stored rows carry the write-time assignment, one
+    centroid-update step staler than the stored centroids the upsert
+    assigns against — the moved-key contract drops the stale copy."""
     emb = _emb(spark)
     path = str(tmp_path / "ivf")
     sim.write_ivf_index(emb, path)
     n0 = spark.read.parquet(path).count()
 
-    # re-insert two existing vectors (update path) + one new vector that
-    # duplicates vec 0's embedding (must land in vec 0's cluster)
+    # re-insert three existing vectors (update path, vec 0 included) +
+    # one new vector duplicating vec 0's embedding — identical
+    # embeddings assigned in the same upsert MUST colocate
     base = {r["vec_id"]: r for r in emb.collect()}
     v0 = base[0]["embedding"]
     newbie = [(999999, v0, base[0]["label"])]
     updates = spark.createDataFrame(
-        [(1, base[1]["embedding"], base[1]["label"]),
+        [(0, v0, base[0]["label"]),
+         (1, base[1]["embedding"], base[1]["label"]),
          (2, base[2]["embedding"], base[2]["label"])] + newbie,
         emb.schema)
     st = sim.ivf_index_upsert(spark, path, updates)
-    assert st["rows_upserted"] == 3
+    assert st["rows_upserted"] == 4
 
     after = spark.read.parquet(path)
     assert after.count() == n0 + 1
+    # every re-submitted key appears exactly once (a moved key's stale
+    # copy is dropped from its previous directory)
+    assert after.select("vec_id").distinct().count() == n0 + 1
     got = {r["vec_id"]: r["cluster_id"] for r in after.collect()
            if r["vec_id"] in (0, 999999)}
     assert got[999999] == got[0]

@@ -145,7 +145,7 @@ def test_ivf_sq8_composed_layout(spark, emb, tmp_path):
     serves exact-cosine-ordered ranks, and at full probe (nprobe = k)
     agrees with the flat SQ8 index for the same query."""
     from public_transit_data_platform_sql_nosql_spark.pipeline.similarity import (  # noqa: E501
-        KMEANS_K,
+        _index_manifest,
         ivf_sq8_index_topk,
         sq8_index_topk,
         write_ivf_sq8_index,
@@ -172,11 +172,14 @@ def test_ivf_sq8_composed_layout(spark, emb, tmp_path):
         ivf_sq8_index_topk(spark, path, qvec, emb, k=5, nprobe=1))
     assert "PartitionFilters" in probe_plan
 
-    # full probe == flat SQ8 index (same quantizer, same arithmetic)
+    # full probe == flat SQ8 index (same quantizer, same arithmetic);
+    # "full" = the DERIVED cluster count (k ~ sqrt(N) since r12)
     flat = str(tmp_path / "flat")
     write_sq8_index(emb, flat)
+    n_clusters = spark.read.parquet(
+        f"{path}/{_index_manifest(spark, path)['centroids']}").count()
     a = sorted(map(tuple, ivf_sq8_index_topk(
-        spark, path, qvec, emb, k=5, nprobe=KMEANS_K).collect()))
+        spark, path, qvec, emb, k=5, nprobe=n_clusters).collect()))
     b = sorted(map(tuple, sq8_index_topk(
         spark, flat, qvec, emb, k=5).collect()))
     assert a == b
