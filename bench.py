@@ -14,6 +14,19 @@ set (dedup_clusters — the full connected-components fixpoint,
 pipeline_curated_corpus, text_profile replacing the narrower
 text_quality), so compare BENCH_r4+ totals per-query, not by the sum.
 
+NOTE r12 vector-serving rebaseline: the serving sections changed
+instrument AND code paths this round — (a) IVF kinds are now TUNED
+(tune_index at 950 permille) and served at the committed operating
+point instead of hard-coded nprobe=2, over derived k~sqrt(N)
+geometries instead of fixed k=8, with the 20k-vector sf1 corpus added
+(vector_serving_sf1); (b) a plan-shape fix in ivf_sq8_index_topk_batch
+(the ucodes projection collapsing into the reconstruct lambda
+re-evaluated the hex/split unpack dim x per pair — 20.7 s -> ~2 s for
+a 16-query batch at sf1 nprobe=16), a once-per-row _sq8_unpack, a
+per-manifest-version driver-side centroid cache, and probed-directory
+reads (no full partition listing per serve).  vector_serving numbers
+are NOT comparable to r11's; the r12 values are the new baseline.
+
 NOTE r7->r8 drift triage (r9): the r8 regressions on untouched queries
 (q2 +77%, q3 +54%, q4 +56%, ann_lsh_topk +146%) were re-measured in r9
 with BOTH protocols in solo sessions (tools/abtest.py interleaved
@@ -336,9 +349,10 @@ def _vector_serving_section(spark, emb_dir: str) -> dict | None:
                 # meeting the target — the manifest caches it across
                 # rounds like the build itself
                 t0 = time.monotonic()
+                # nprobes=None sweeps the geometric ladder up to the
+                # index's own (derived) cluster count
                 tuned = sim.tune_index(
-                    spark, path, emb, target_recall_permille=950,
-                    nprobes=(1, 2, 4, 8, 16, 32, 64))
+                    spark, path, emb, target_recall_permille=950)
                 tune_s = round(time.monotonic() - t0, 3)
         # k=11 so dropping the self-hit still leaves 10 candidates;
         # nprobe=None = the manifest's tuned operating point

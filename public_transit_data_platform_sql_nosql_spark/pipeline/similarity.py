@@ -195,12 +195,18 @@ def _sq8_pack(codes: F.Column) -> F.Column:
 def _sq8_unpack(blob: F.Column, dim: int) -> F.Column:
     """array<int> of 0..255 codes back out of a ``_sq8_pack`` blob:
     hex, split into 2-char chunks, base-16 conv — exact inverse for
-    every byte value (pytest round-trips all 256).  The split's
-    trailing empty chunk is never indexed (element_at stops at dim)."""
-    pairs = F.split(F.hex(blob), r"(?<=\G..)")
+    every byte value (pytest round-trips all 256).
+
+    The transform iterates the SPLIT ARRAY itself (sliced to dim —
+    dropping the split's trailing empty chunk), not an index sequence
+    whose lambda re-derives the split: a HigherOrderFunction evaluates
+    its lambda per element, so `element_at(split(hex(blob)), d)` in the
+    lambda body would hex + regex-split the whole blob dim times per
+    row (measured r12: the dominant cost of every SQ8 scoring scan).
+    As the transform's INPUT, the split runs once per row."""
+    pairs = F.slice(F.split(F.hex(blob), r"(?<=\G..)"), 1, dim)
     return F.transform(
-        F.sequence(F.lit(1), F.lit(dim)),
-        lambda d: F.conv(F.element_at(pairs, d), 16, 10).cast("int"))
+        pairs, lambda p: F.conv(p, 16, 10).cast("int"))
 
 
 def _sq8_reconstruct(ucodes: F.Column, dim: int) -> F.Column:
@@ -382,6 +388,41 @@ def _manifest_codes(spark, path: str, m: dict) -> DataFrame:
     here — reading the dirs raw would resurrect retired rows."""
     return _read_codes(spark, path, m["codes"],
                        m.get("excluded_clusters"))
+
+
+def _probed_codes(spark, path: str, m: dict,
+                  probed: list[int]) -> DataFrame:
+    """Codes read that LISTS only the probed cluster directories: a
+    partitioned read of the whole table enumerates EVERY partition dir
+    before pruning (141 listings to read 16 at the sf1 geometry; on an
+    object store at k ~ sqrt(N) that is thousands of prefix listings
+    per serve), while reading the probed subdirectories directly costs
+    one existence check + one listing each.  ``basePath`` keeps the
+    ``cluster_id`` partition column in the schema, so the result is
+    row-identical to ``_manifest_codes(...).filter(isin(probed))``.
+
+    Retired (rebalance-excluded) cluster ids never appear in ``probed``
+    — they are absent from the centroid table the ranking reads — but
+    the mask is re-applied anyway: correctness here must not depend on
+    the caller's probe source."""
+    from ..jobs.compact import _fs
+
+    fs, _, jvm = _fs(spark, path)
+    excluded = {int(c) for c in m.get("excluded_clusters", [])}
+    want = [int(c) for c in probed if int(c) not in excluded]
+    out = None
+    for d in m["codes"]:
+        subs = [f"{path}/{d}/cluster_id={c}" for c in want
+                if fs.exists(jvm.org.apache.hadoop.fs.Path(
+                    f"{path}/{d}/cluster_id={c}"))]
+        if not subs:
+            continue
+        part = (spark.read.option("basePath", f"{path}/{d}")
+                .parquet(*subs))
+        out = part if out is None else out.unionByName(part)
+    if out is None:                          # nothing probed exists
+        return _manifest_codes(spark, path, m).filter(F.lit(False))
+    return out
 
 
 def compact_index(spark, path: str, min_dirs: int = 2) -> dict:
@@ -1317,6 +1358,28 @@ def write_ivf_sq8_index(emb: DataFrame, path: str, k: int | None = None,
     })
 
 
+_CENTS_CACHE: dict = {}
+
+
+def _centroid_rows(spark, path: str, m: dict) -> list[tuple[int, list]]:
+    """The stored centroid table as driver-side ``[(cluster_id,
+    centroid), ...]``, cached per (path, manifest version): centroids
+    are immutable once a version is committed (every writer/maintainer
+    bumps the version), so a serving process pays the k-row read ONCE
+    per index version instead of one Spark job per query — the fixed
+    cost that dominated small-batch serving latency."""
+    key = (path, int(m["version"]), m["centroids"])
+    hit = _CENTS_CACHE.get(key)
+    if hit is None:
+        hit = [(int(r["cluster_id"]), [float(x) for x in r["centroid"]])
+               for r in spark.read.parquet(
+                   f"{path}/{m['centroids']}").collect()]
+        if len(_CENTS_CACHE) >= 64:        # bound a long-lived server
+            _CENTS_CACHE.clear()
+        _CENTS_CACHE[key] = hit
+    return hit
+
+
 def _rank_clusters(spark, path: str, m: dict,
                    query_vec: list[float]) -> list[tuple[float, int]]:
     """Driver-side cluster ranking for a single query against a stored
@@ -1325,7 +1388,7 @@ def _rank_clusters(spark, path: str, m: dict,
     order every cluster-partitioned layout (ivf_sq8, ivf_pq) shares."""
     import math
 
-    cents = spark.read.parquet(f"{path}/{m['centroids']}").collect()
+    cents = _centroid_rows(spark, path, m)
     qn = math.sqrt(sum(x * x for x in query_vec))
 
     def cos(c):
@@ -1334,7 +1397,7 @@ def _rank_clusters(spark, path: str, m: dict,
         return d / n / qn if n else -1.0
 
     return sorted(
-        ((round(cos(r["centroid"]), 6), r["cluster_id"]) for r in cents),
+        ((round(cos(c), 6), cid) for cid, c in cents),
         key=lambda t: (-t[0], t[1]))
 
 
@@ -1370,73 +1433,90 @@ def _widen_filtered_probes(codes_all: DataFrame,
     return [cid for _, cid in ranked[:nprobe]]
 
 
-def _batch_candidates(spark, queries_q: DataFrame, cents: DataFrame,
-                      codes_all: DataFrame, nprobe: int, k: int,
+def _batch_candidates(spark, queries_q: DataFrame,
+                      c_rows: list[tuple[int, list]],
+                      codes_src, nprobe: int, k: int,
                       allowed: DataFrame | None,
                       code_proj=None,
                       widen: bool | None = None) -> DataFrame:
     """Batch probe resolution shared by the cluster-partitioned
-    layouts: per-query cluster ranking (queries x the broadcast
-    centroid table, bounded window), the UNION of probed clusters
-    pushed as a static IN-filter so the codes scan partition-prunes,
-    and — under ``allowed=`` — PER-QUERY adaptive probe widening: each
-    round counts every query's reachable allowed candidates in ONE
-    partition-pruned aggregate and only the STARVED queries (< ``k``
-    reachable) double their depth, at most O(log n_clusters) bounded
-    count jobs.  Returns the candidate rows ``(query_id, vec_id,
-    codes, ...)`` ready for layout-specific scoring."""
+    layouts: per-query cluster ranking DRIVER-SIDE (the batch is the
+    bounded broadcast side by contract and the centroid table is k
+    rows — ranking |batch| x k cosines in Python replaces a window
+    stage plus a distinct-collect job per serve, the fixed overhead
+    that dominated small-batch serving; it is also the single-query
+    path's ``_rank_clusters`` arithmetic VERBATIM, so batch and single
+    probe SETS agree exactly instead of modulo JVM-vs-Python rounding),
+    the UNION of probed clusters pushed as a static IN-filter so the
+    codes scan partition-prunes, and — under ``allowed=`` — PER-QUERY
+    adaptive probe widening: each round counts every query's reachable
+    allowed candidates in ONE partition-pruned aggregate and only the
+    STARVED queries (< ``k`` reachable) double their depth, at most
+    O(log n_clusters) bounded count jobs.  Returns the candidate rows
+    ``(query_id, vec_id, codes, ...)`` ready for layout-specific
+    scoring.
+
+    Driver cost is |batch| x k x dim multiply-adds — ~100 ms for a
+    1,000-query batch over 4,096 clusters; batches beyond that should
+    shard (the contract already caps the batch at broadcast size).
+    ``c_rows`` is the driver-side centroid table
+    (:func:`_centroid_rows` — cached per manifest version);
+    ``codes_src`` is a ``probed_ids -> DataFrame`` callable (the
+    layout's :func:`_probed_codes` read plus any ``where=`` pushdown
+    the caller composes onto it)."""
+    import math
+
     from pyspark.sql import types as T
 
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("c_sim"), F.asc("cluster_id"))
-    ranked = (
-        queries_q.join(F.broadcast(cents))
-        .select("query_id", "cluster_id",
-                F.round(cosine(F.col("qe"), F.col("centroid")), 6)
-                .alias("c_sim"))
-        .withColumn("rn", F.row_number().over(w))
-        .select("query_id", "cluster_id", "rn")
-    )
+    n_clusters = len(c_rows)
 
-    def _cand(probes: DataFrame) -> DataFrame:
-        # UNION of probed clusters as a static IN-filter (bounded by
-        # the cluster count) so the codes scan partition-prunes; the
-        # probes join fans rows out only to the queries that probed
-        # each cluster.  ``code_proj`` (a DataFrame -> DataFrame
-        # projection) applies to the pruned codes BEFORE the fan-out:
-        # a per-candidate expression placed here runs once per stored
-        # row instead of once per (candidate x probing-query) pair —
-        # the ivf_pq hat reconstruction's placement (and the widening
-        # loop's counts still prune it away via column pruning)
-        probed = [r["cluster_id"] for r in
-                  probes.select("cluster_id").distinct().collect()]
-        base = codes_all.filter(F.col("cluster_id").isin(probed))
+    def _rank(qe):
+        qn = math.sqrt(sum(x * x for x in qe))
+
+        def cos(c):
+            d = sum(a * b for a, b in zip(qe, c))
+            n = math.sqrt(sum(x * x for x in c))
+            return d / n / qn if n else -1.0
+
+        return [cid for _, cid in sorted(
+            ((round(cos(c), 6), cid) for cid, c in c_rows),
+            key=lambda t: (-t[0], t[1]))]
+
+    ranked = {r["query_id"]: _rank([float(x) for x in r["qe"]])
+              for r in queries_q.select("query_id", "qe").collect()}
+    pschema = T.StructType([queries_q.schema["query_id"],
+                            T.StructField("cluster_id", T.IntegerType())])
+
+    def _cand(depths: dict) -> DataFrame:
+        # UNION of probed clusters listed/read directly (codes_src —
+        # only the probed directories are touched); the probes join
+        # fans rows out only to the queries that probed each cluster.
+        # ``code_proj`` (a DataFrame -> DataFrame projection) applies
+        # to the pruned codes BEFORE the fan-out: a per-candidate
+        # expression placed here runs once per stored row instead of
+        # once per (candidate x probing-query) pair — the ivf_pq hat
+        # reconstruction's placement (and the widening loop's counts
+        # still prune it away via column pruning)
+        rows = [(qid, int(cid)) for qid, order in ranked.items()
+                for cid in order[:depths[qid]]]
+        probed = sorted({cid for _, cid in rows})
+        probes = spark.createDataFrame(rows, pschema)
+        base = codes_src(probed)
         if code_proj is not None:
             base = code_proj(base)
-        c = base.join(probes, "cluster_id")
+        c = base.join(F.broadcast(probes), "cluster_id")
         if allowed is not None:
             c = c.join(allowed.select("vec_id"), "vec_id", "left_semi")
         return c
 
+    depths = {qid: min(max(nprobe, 0), n_clusters) for qid in ranked}
     if widen is None:
         widen = allowed is not None
     if not widen:
-        return _cand(ranked.filter(F.col("rn") <= nprobe)
-                     .select("query_id", "cluster_id"))
-    ranked = ranked.localCheckpoint(eager=True)      # rank ONCE, reuse
-    n_clusters = cents.count()                       # k-row table
-    depths = {r["query_id"]: min(max(nprobe, 0), n_clusters)
-              for r in queries_q.select("query_id").collect()}
-    dschema = T.StructType([queries_q.schema["query_id"],
-                            T.StructField("depth", T.IntegerType())])
+        return _cand(depths)
     while True:
-        depth_df = spark.createDataFrame(
-            [(qid, int(d)) for qid, d in depths.items()], dschema)
-        probes = (ranked.join(F.broadcast(depth_df), "query_id")
-                  .filter(F.col("rn") <= F.col("depth"))
-                  .select("query_id", "cluster_id"))
         counts = {r["query_id"]: r["n"]
-                  for r in _cand(probes).groupBy("query_id")
+                  for r in _cand(depths).groupBy("query_id")
                   .agg(F.count(F.lit(1)).alias("n")).collect()}
         starved = [qid for qid, d in depths.items()
                    if counts.get(qid, 0) < k and d < n_clusters]
@@ -1447,7 +1527,7 @@ def _batch_candidates(spark, queries_q: DataFrame, cents: DataFrame,
             # nprobe <= 0 callers (the single-query guard)
             depths[qid] = min(max(depths[qid] * 2, depths[qid] + 1),
                               n_clusters)
-    return _cand(probes)
+    return _cand(depths)
 
 
 def ivf_sq8_index_topk(spark, path: str, query_vec: list[float],
@@ -1495,10 +1575,10 @@ def ivf_sq8_index_topk(spark, path: str, query_vec: list[float],
     dim = _manifest_dim(m, dim, path)
     nprobe = _resolve_nprobe(m, nprobe)
     ranked = _rank_clusters(spark, path, m, query_vec)
-    codes_all = _manifest_codes(spark, path, m)
-    if where is not None:
-        codes_all = codes_all.filter(where)
     if allowed is not None or where is not None:
+        codes_all = _manifest_codes(spark, path, m)
+        if where is not None:
+            codes_all = codes_all.filter(where)
         probe = _widen_filtered_probes(codes_all, allowed, ranked,
                                        nprobe, k)
     else:
@@ -1506,7 +1586,10 @@ def ivf_sq8_index_topk(spark, path: str, query_vec: list[float],
 
     stats = spark.read.parquet(f"{path}/{m['quantizer']}")
     q = F.array(*[F.lit(float(x)) for x in query_vec])
-    cand = codes_all.filter(F.col("cluster_id").isin(probe))
+    # read ONLY the probed directories (no full partition listing)
+    cand = _probed_codes(spark, path, m, probe)
+    if where is not None:
+        cand = cand.filter(where)
     if allowed is not None:
         cand = cand.join(allowed.select("vec_id"), "vec_id",
                          "left_semi")
@@ -1575,29 +1658,37 @@ def ivf_sq8_index_topk_batch(spark, path: str, queries: DataFrame,
     m = _index_manifest(spark, path)
     dim = int(m["dim"])
     nprobe = _resolve_nprobe(m, nprobe)
-    cents = spark.read.parquet(f"{path}/{m['centroids']}")
+    c_rows = _centroid_rows(spark, path, m)
     q = queries.select(F.col("query_id"),
                        F.col("embedding").alias("qe"))
-    codes_all = _manifest_codes(spark, path, m)
-    if where is not None:
-        # attribute pushdown: the predicate lands on the codes scan
-        # (PushedFilters), and the per-query widening below counts
-        # under it — `widen` forces the loop even with no id list
-        codes_all = codes_all.filter(where)
-    cand = _batch_candidates(spark, q, cents, codes_all, nprobe, k,
+
+    def codes_src(probed):
+        df = _probed_codes(spark, path, m, probed)
+        if where is not None:
+            # attribute pushdown: the predicate lands on the codes
+            # scan (PushedFilters), and the per-query widening counts
+            # under it — `widen` forces the loop even with no id list
+            df = df.filter(where)
+        return df
+
+    cand = _batch_candidates(spark, q, c_rows, codes_src, nprobe, k,
                              allowed,
                              widen=(allowed is not None
                                     or where is not None) or None)
     stats = spark.read.parquet(f"{path}/{m['quantizer']}")
-    # recompute the dequantization per pair ON PURPOSE — see the
-    # measured trade note in sq8_index_topk_batch (the 64-double recon
-    # array is costlier to materialize and copy through the join than
-    # to re-derive from the 64-byte blob; PQ's hat takes the opposite
-    # placement for the opposite reason)
+    # PLAN-SHAPE-CRITICAL: the ucodes projection must sit BELOW a join
+    # so it cannot collapse into the reconstruct/cosine projection —
+    # adjacent Projects let CollapseProject inline the hex/split/conv
+    # unpack into the per-dimension transform lambda, re-evaluating it
+    # dim x per pair (measured r12 at sf1: 20.7 s -> sub-second for a
+    # 16-query batch at nprobe=16; the flat sq8 path gets the same
+    # barrier for free from its broadcast-q join order).  cand already
+    # carries query_id (the probes fan-out), so the q join can land
+    # ABOVE the unpack with identical semantics.
     scored = (
-        cand.join(F.broadcast(q), "query_id")
-        .join(F.broadcast(stats))
+        cand.join(F.broadcast(stats))
         .withColumn("ucodes", _sq8_unpack(F.col("codes"), dim))
+        .join(F.broadcast(q), "query_id")
         .select("query_id", F.col("vec_id").alias("neighbor_id"),
                 cosine(F.col("qe"),
                        _sq8_reconstruct(F.col("ucodes"), dim))
@@ -2862,17 +2953,20 @@ def ivf_pq_index_topk(spark, path: str, query_vec: list[float],
     m_an = _index_manifest(spark, path)
     nprobe = _resolve_nprobe(m_an, nprobe)
     ranked = _rank_clusters(spark, path, m_an, query_vec)
-    codes_all = _manifest_codes(spark, path, m_an)
-    if where is not None:
-        codes_all = codes_all.filter(where)
     if allowed is not None or where is not None:
+        codes_all = _manifest_codes(spark, path, m_an)
+        if where is not None:
+            codes_all = codes_all.filter(where)
         probe = _widen_filtered_probes(codes_all, allowed, ranked,
                                        nprobe, k)
     else:
         probe = [cid for _, cid in ranked[:nprobe]]
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     hat = _pq_codebook_hat(spark, path, m_an)
-    cand = codes_all.filter(F.col("cluster_id").isin(probe))
+    # read ONLY the probed directories (no full partition listing)
+    cand = _probed_codes(spark, path, m_an, probe)
+    if where is not None:
+        cand = cand.filter(where)
     if allowed is not None:
         cand = cand.join(allowed.select("vec_id"), "vec_id",
                          "left_semi")
@@ -2917,19 +3011,23 @@ def ivf_pq_index_topk_batch(spark, path: str, queries: DataFrame,
     (``_batch_candidates``)."""
     m_an = _index_manifest(spark, path)
     nprobe = _resolve_nprobe(m_an, nprobe)
-    cents = spark.read.parquet(f"{path}/{m_an['centroids']}")
+    c_rows = _centroid_rows(spark, path, m_an)
     q = queries.select(F.col("query_id"),
                        F.col("embedding").alias("qe"))
-    codes_all = _manifest_codes(spark, path, m_an)
-    if where is not None:
-        codes_all = codes_all.filter(where)        # PushedFilters
+
+    def codes_src(probed):
+        df = _probed_codes(spark, path, m_an, probed)
+        if where is not None:
+            df = df.filter(where)                  # PushedFilters
+        return df
+
     hat = _pq_codebook_hat(spark, path, m_an)
     # hat once per STORED row, below the probes fan-out (the
     # pq_index_topk_batch note, one level deeper: the probes join
     # duplicates each candidate per probing query, so an expression
     # placed above it re-evaluates the codeword literal walk per pair)
     cand = _batch_candidates(
-        spark, q, cents, codes_all, nprobe, k, allowed,
+        spark, q, c_rows, codes_src, nprobe, k, allowed,
         code_proj=lambda df: df.withColumn("nhat", hat),
         widen=(allowed is not None or where is not None) or None)
     scored = (
@@ -3481,9 +3579,23 @@ def index_stats(spark, path: str) -> dict:
     return out
 
 
+def _nprobe_ladder(n_clusters: int) -> tuple:
+    """Geometric probe-depth grid 1, 2, 4, ... capped by (and always
+    including) the cluster count — the default sweep for
+    ``index_recall_curve``/``tune_index`` now that the IVF writers
+    derive k from the corpus (a fixed (1,2,4,8) grid can't even reach
+    full probe on a 141-cluster index)."""
+    depths, d = [], 1
+    while d < n_clusters:
+        depths.append(d)
+        d *= 2
+    depths.append(int(n_clusters))
+    return tuple(depths)
+
+
 def index_recall_curve(spark, path: str, vectors: DataFrame,
                        num_queries: int = 4, k: int = 10,
-                       nprobes: tuple = (1, 2, 4, 8)) -> list[dict]:
+                       nprobes: tuple | None = None) -> list[dict]:
     """Recall-vs-probe-depth sweep for a stored index — the data an
     operator reads to PICK nprobe instead of guessing: for each probe
     depth (IVF kinds; the flat kinds measure their single operating
@@ -3493,11 +3605,20 @@ def index_recall_curve(spark, path: str, vectors: DataFrame,
     "mean_recall_permille": ...}`` — min AND mean, because one drifted
     region is exactly what a mean averages away.
 
+    ``nprobes=None`` (default) sweeps the geometric ladder 1, 2, 4,
+    ... up to the index's own cluster count (:func:`_nprobe_ladder`),
+    so the sweep always reaches full probe at any geometry.
+
     Cost: num_queries x len(nprobes) bounded top-k jobs plus one exact
     pass per query — a monitor you run per maintenance batch or from
     the CLI, never per serving query."""
     m = _index_manifest(spark, path)
     kind = m.get("kind", "sq8")
+    if nprobes is None and kind.startswith("ivf_"):
+        nprobes = _nprobe_ladder(spark.read.parquet(
+            f"{path}/{m['centroids']}").count())
+    elif nprobes is None:
+        nprobes = ()                       # flat kinds ignore the grid
     servers = {
         "sq8": lambda qv, np_: sq8_index_topk(
             spark, path, qv, vectors, k=k),
@@ -3553,7 +3674,7 @@ def index_recall_curve(spark, path: str, vectors: DataFrame,
 def tune_index(spark, path: str, vectors: DataFrame,
                target_recall_permille: int = 950,
                num_queries: int = 4, k: int = 10,
-               nprobes: tuple = (1, 2, 4, 8)) -> dict:
+               nprobes: tuple | None = None) -> dict:
     """Close the observability loop: measure the recall curve
     (:func:`index_recall_curve`), pick the SMALLEST probe depth whose
     MIN sampled recall meets the target, and commit it to the manifest
@@ -3594,7 +3715,9 @@ def tune_index(spark, path: str, vectors: DataFrame,
             f"(got {target_recall_permille})")
     curve = index_recall_curve(spark, path, vectors,
                                num_queries=num_queries, k=k,
-                               nprobes=tuple(sorted(set(nprobes))))
+                               nprobes=(tuple(sorted(set(nprobes)))
+                                        if nprobes is not None
+                                        else None))
     current = int(m.get("default_nprobe", DEFAULT_NPROBE))
     out = {"kind": kind, "curve": curve,
            "target_recall_permille": target_recall_permille,
@@ -3819,17 +3942,20 @@ def ivf_bq_index_topk(spark, path: str, query_vec: list[float],
             f"not ivf_bq")
     nprobe = _resolve_nprobe(m_an, nprobe)
     ranked = _rank_clusters(spark, path, m_an, query_vec)
-    codes_all = _manifest_codes(spark, path, m_an)
-    if where is not None:
-        codes_all = codes_all.filter(where)
     if allowed is not None or where is not None:
+        codes_all = _manifest_codes(spark, path, m_an)
+        if where is not None:
+            codes_all = codes_all.filter(where)
         probe = _widen_filtered_probes(codes_all, allowed, ranked,
                                        nprobe, k)
     else:
         probe = [cid for _, cid in ranked[:nprobe]]
     qlo, qhi = _bq_query_bits(query_vec)
     q = F.array(*[F.lit(float(x)) for x in query_vec])
-    cand = codes_all.filter(F.col("cluster_id").isin(probe))
+    # read ONLY the probed directories (no full partition listing)
+    cand = _probed_codes(spark, path, m_an, probe)
+    if where is not None:
+        cand = cand.filter(where)
     if allowed is not None:
         cand = cand.join(allowed.select("vec_id"), "vec_id",
                          "left_semi")
@@ -3876,17 +4002,21 @@ def ivf_bq_index_topk_batch(spark, path: str, queries: DataFrame,
         raise ValueError(
             f"vector index {path} is kind={m_an.get('kind')!r}, "
             f"not ivf_bq")
-    cents = spark.read.parquet(f"{path}/{m_an['centroids']}")
+    c_rows = _centroid_rows(spark, path, m_an)
     nprobe = _resolve_nprobe(m_an, nprobe)
     q = queries.select(
         "query_id", F.col("embedding").alias("qe"),
         _bq_half("embedding", 0).alias("qlo"),
         _bq_half("embedding", 32).alias("qhi"))
-    codes_all = _manifest_codes(spark, path, m_an)
-    if where is not None:
-        codes_all = codes_all.filter(where)        # PushedFilters
+
+    def codes_src(probed):
+        df = _probed_codes(spark, path, m_an, probed)
+        if where is not None:
+            df = df.filter(where)                  # PushedFilters
+        return df
+
     cand = _batch_candidates(
-        spark, q.select("query_id", "qe"), cents, codes_all, nprobe,
+        spark, q.select("query_id", "qe"), c_rows, codes_src, nprobe,
         k, allowed,
         widen=(allowed is not None or where is not None) or None)
     scored = (

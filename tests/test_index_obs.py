@@ -105,7 +105,11 @@ def test_cli_stats_and_recall_curve(spark, emb, tmp_path, capsys):
     assert main(["vector-index", "recall-curve", "--path", path,
                  "--emb", emb_path, "--k", "5"]) == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    assert [r["nprobe"] for r in out["curve"]] == [1, 2, 4, 8]
+    # default grid = the geometric ladder up to the index's own
+    # (derived) cluster count — always reaches full probe (r12)
+    depths = [r["nprobe"] for r in out["curve"]]
+    assert depths == sorted(depths) and depths[0] == 1
+    assert depths[-1] == st["n_clusters"]
 
 
 def test_vacuum_new_kinds_round_trip(spark, emb, tmp_path):
