@@ -138,6 +138,17 @@ def main() -> None:
         print(f"# {name}: {times[name]}s ({n} rows; "
               f"samples {[round(s, 3) for s in samples]})", file=sys.stderr)
 
+    print("# drift-note r12 (sf1 trend, second point): "
+          "pipeline_training_chunks 14.83 -> 17.84 s, dedup_clusters "
+          "7.18 -> 8.91, text_search_bm25 1.65 -> 2.54 at sf1 with "
+          "ZERO code change in curation/dedup/text this round — "
+          "triaged per the house discipline the same day: "
+          "tools/abtest.py --sf-dir sf1 (6-rep interleaved, identical "
+          "code) measured medians 16.2 / 8.4 / 2.8 s — today's box "
+          "reproduces the NEW numbers under both protocols and all "
+          "three moved UP together, the box-drift signature (r9/r10/"
+          "r11 triages); not a plan regression, compare per-query at "
+          "r13", file=sys.stderr)
     print("# drift-note r11: the FOUR-round monotone climb on the "
           "heavyweight pipeline queries (pipeline_curated_corpus "
           "6.09 -> 8.80 s r7-r10, pipeline_training_chunks 8.78 -> "
