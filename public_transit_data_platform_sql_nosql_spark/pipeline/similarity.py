@@ -3564,6 +3564,11 @@ def index_stats(spark, path: str) -> dict:
         "code_bytes_per_vector": bpv,
         "n_retired_clusters": len(m.get("excluded_clusters", [])),
         "attrs": list(m.get("attrs", [])),
+        # the serving operating point: the committed default_nprobe
+        # (tune_index / a maintainer's bump), or the constant fallback
+        # an UNTUNED index serves at — `tuned` says which
+        "default_nprobe": int(m.get("default_nprobe", DEFAULT_NPROBE)),
+        "tuned": "default_nprobe" in m,
     }
     if "cluster_id" in codes.columns:
         sizes = [int(r["n"]) for r in

@@ -251,10 +251,14 @@ def test_tune_pins_pick_equal_to_default(spark, tmp_path):
     # nprobes=(2,) makes the measured pick exactly DEFAULT_NPROBE on an
     # UNTUNED manifest — the r11 defect declared 'noop' and wrote
     # nothing, leaving the operating point riding the constant
+    ix0 = sim.index_stats(spark, path)
+    assert ix0["tuned"] is False and ix0["default_nprobe"] == 2
     st = sim.tune_index(spark, path, corpus, target_recall_permille=1,
                         nprobes=(2,))
     assert st["decision"] == "tuned" and st["nprobe"] == 2
     assert sim._index_manifest(spark, path)["default_nprobe"] == 2
+    ix1 = sim.index_stats(spark, path)
+    assert ix1["tuned"] is True and ix1["default_nprobe"] == 2
     # now EXPLICITLY pinned and equal -> noop, no version bump
     v = sim._index_manifest(spark, path)["version"]
     st2 = sim.tune_index(spark, path, corpus,
