@@ -184,20 +184,44 @@ def main() -> None:
     if sf1:
         out["sf1"] = sf1
     vecserve = _vector_serving_section(spark, SF_DIR)
-    if vecserve:
-        out["vector_serving"] = vecserve
     # the corpus where pruning can WIN: 20k vectors (sf1 fixture) —
     # the sf0.1 section's 2,000 vectors are ~100x too small for probe
     # savings to beat per-probe overhead, so the pruned kinds' trend
     # line lives here (r11 verdict weak mark)
     sf1_dir = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/sfgen/sf1")
+    vs1 = None
     if (os.environ.get("SPARK_GRAFT_VECSERVE_SF1", "1") != "0"
             and os.path.exists(f"{sf1_dir}/embeddings.parquet")):
         vs1 = _vector_serving_section(spark, sf1_dir)
-        if vs1:
-            out["vector_serving_sf1"] = vs1
-    print(json.dumps(out))
+    # the RECORD carries ONE vector section — the sf1 frontier when
+    # the fixture exists (the corpus where the pruning claim lives),
+    # else the headline-SF one; both always print full per-kind
+    # stderr '#' lines, so nothing is lost, and the final stdout line
+    # stays inside the driver's tail capture (the BENCH_r12 lesson)
+    if vs1:
+        out["vector_serving_sf1"] = vs1
+    elif vecserve:
+        out["vector_serving"] = vecserve
+    print(json.dumps(compact_record(out)))
     spark.stop()
+
+
+def compact_record(out: dict) -> dict:
+    """The LAST stdout line IS the official record, and the driver
+    captures only its tail (~2000 chars) — BENCH_r12 lost the round's
+    headline numbers when two ``tune_curve`` arrays pushed the line
+    past that (``parsed: null``).  Curves and any other list-valued
+    diagnostics belong on the stderr ``#`` lines (where the
+    drift-notes live); this strips them recursively so the printed
+    record stays parseable no matter what a future section adds.
+    Scalar-valued keys (timings, recalls, decisions) pass through
+    untouched.  Pinned by tests/test_bench_record.py: a worst-case
+    record must stay under 1800 chars."""
+    def strip(d):
+        return {k: (strip(v) if isinstance(v, dict) else v)
+                for k, v in d.items()
+                if not isinstance(v, (list, tuple))}
+    return strip(out)
 
 
 _SF1_QUERIES = ("q1_busiest_stops", "q2_route_stats_whole_week",
@@ -271,9 +295,9 @@ def _sf1_section(spark, qs) -> dict | None:
         print(f"# sf1 {name}: {times[name]}s "
               f"(samples {[round(s, 3) for s in samples]})",
               file=sys.stderr)
-    return {"sf_dir": sf1_dir, "sf": 1.0,
-            "reference_envelope_sec": 6.0,
-            "queries": times,
+    # sf_dir and the 6 s reference envelope are constants documented
+    # in the docstring above — kept off the record line for size
+    return {"sf": 1.0, "queries": times,
             "total": round(sum(times.values()), 3)}
 
 
@@ -384,30 +408,36 @@ def _vector_serving_section(spark, emb_dir: str) -> dict | None:
             top = [n for _, n in sorted(got) if n != qid][:10]
             hits += len(set(top) & exact.get(qid, set()))
             total += len(exact.get(qid, set()))
+        # the RECORD keeps only the operating point — serve_s (median
+        # batch-serve seconds), recall10 (recall@10 in PERMILLE),
+        # nprobe, tuned: the final stdout line must fit the driver's
+        # ~2000-char tail capture (BENCH_r12 lost its round to curve
+        # arrays landing here), so build/tune costs, cluster counts,
+        # decisions, and curves all ride on the stderr '#' lines
+        # below, beside the drift-notes
         out[kind] = {
-            "serve_batch_s": round(statistics.median(samples), 3),
-            "recall_at10_permille": int(1000 * hits / max(total, 1)),
-            "build_s": build_s,
+            "serve_s": round(statistics.median(samples), 3),
+            "recall10": int(1000 * hits / max(total, 1)),
         }
+        detail: dict = {"build_s": build_s}
         if kind.startswith("ivf_"):
             man = sim._index_manifest(spark, path)
-            out[kind]["n_clusters"] = spark.read.parquet(
+            detail["n_clusters"] = spark.read.parquet(
                 f"{path}/{man['centroids']}").count()
             out[kind]["nprobe"] = int(
                 man.get("default_nprobe", sim.DEFAULT_NPROBE))
             out[kind]["tuned"] = "default_nprobe" in man
             if tuned is not None:
-                out[kind]["tune_s"] = tune_s
-                out[kind]["tune_decision"] = tuned["decision"]
-                if tuned["decision"] == "target_unreachable":
-                    # honesty: serving stays at the fallback; record
-                    # the measured curve so the miss is diagnosable
-                    out[kind]["tune_curve"] = tuned["curve"]
+                detail["tune_s"] = tune_s
+                detail["tune_decision"] = tuned["decision"]
+                print(f"# vecserve-curve[{tag}] {kind}: "
+                      f"{json.dumps(tuned.get('curve', []))}",
+                      file=sys.stderr)
         print(f"# vecserve[{tag}] {kind}: "
-              f"{out[kind]['serve_batch_s']}s "
-              f"(recall@10 {out[kind]['recall_at10_permille']}permille"
+              f"{out[kind]['serve_s']}s "
+              f"(recall@10 {out[kind]['recall10']}permille"
               f"{', nprobe ' + str(out[kind].get('nprobe')) if kind.startswith('ivf_') else ''}"
-              f"{', built ' + str(build_s) + 's' if build_s else ''})",
+              f") detail={json.dumps(detail)}",
               file=sys.stderr)
     return out
 
