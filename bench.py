@@ -338,9 +338,11 @@ def _vector_serving_section(spark, emb_dir: str) -> dict | None:
     emb = (spark.read.parquet(f"{emb_dir}/embeddings.parquet")
            .select("vec_id", "embedding"))
     tag = pathlib.Path(emb_dir).name
-    # r12 dir (vecidx2): the r11 caches hold the fixed-k=8 geometry
+    # r13 dir (vecidx3): the r12 caches hold ksub=16 PQ codebooks —
+    # the pre-ADC resolution; this round's writers default to
+    # PQ_INDEX_KSUB=256 (r12's vecidx2 held the fixed-k=8 geometry)
     root = os.environ.get("SPARK_GRAFT_VECIDX_DIR",
-                          f"/tmp/spark_graft_bench/vecidx2_{tag}")
+                          f"/tmp/spark_graft_bench/vecidx3_{tag}")
     writers = {
         "bq": sim.write_bq_index,
         "ivf_bq": sim.write_ivf_bq_index,

@@ -177,6 +177,23 @@ def upsert_parquet_dir(spark: SparkSession, path: str, updates: DataFrame,
     re-submitted vector can legitimately re-assign to a different
     cluster once the stored centroids have drifted from the write-time
     assignment).
+
+    MOVED-KEY CRASH WINDOW (documented, not atomic): per-partition
+    swaps commit independently, and the touched partitions (carrying a
+    moved key's NEW copy) swap before the extra partitions (dropping
+    its STALE copy) — a crash between the two leaves BOTH copies
+    visible until the batch is REPLAYED (the repair: the merge is
+    idempotent by key, so re-running the same batch re-scopes both
+    partitions and drops the stale copy; this is the same
+    replay-to-repair contract every crash shape here resolves to).
+    This ordering is chosen deliberately: the reverse order would make
+    a mid-crash key transiently DISAPPEAR — a lost row masquerading as
+    clean data — while a transient duplicate is at least visible to
+    downstream dedup.  The empty-partition ``fs.delete`` is likewise
+    outside the ``._upsert_old`` strand protocol on purpose: a
+    rename-then-delete strand would be indistinguishable from an
+    interrupted swap and the recovery sweep would RESURRECT the stale
+    copy; replay closes that window too.
     """
     _check_key_unique(updates, key_cols)
     fs, hpath, jvm = _fs(spark, path)
@@ -246,7 +263,10 @@ def upsert_parquet_dir(spark: SparkSession, path: str, updates: DataFrame,
     for v in extra:
         # a moved key's PREVIOUS partition: swap in its rewritten
         # survivors — or, when the move emptied it (no dir in tmp),
-        # delete the live dir instead of leaving the stale copy
+        # delete the live dir instead of leaving the stale copy.
+        # Runs AFTER the touched swaps by design — see the moved-key
+        # crash-window note in the docstring (crash here => transient
+        # duplicate, repaired by replaying the batch)
         part_dir = f"{partition_col}={v}"
         src = f"{tmp}/{part_dir}"
         live = jvm.org.apache.hadoop.fs.Path(f"{path}/{part_dir}")

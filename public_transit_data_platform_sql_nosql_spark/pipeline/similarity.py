@@ -253,6 +253,26 @@ def _index_manifest(spark, path: str) -> dict:
     return _read_manifest(spark, path, versions[-1])
 
 
+def _manifest_fingerprint(spark, path: str, version: int) -> tuple:
+    """Content fingerprint for driver-side caches keyed on (path,
+    version): ``(mtime, len)`` of the manifest FILE.  Version numbers
+    restart at 0 when an index directory is deleted and rebuilt at the
+    same path, so (path, version) alone would let a long-lived driver
+    serve the OLD index's cached centroids/codebooks against the new
+    index's codes — wrong cluster ranking, silent recall collapse,
+    with no invalidation hook.  The manifest is rewritten on every
+    commit (tmp + rename), so its file status changes whenever the
+    snapshot does; one filesystem stat per cache probe, no Spark
+    job."""
+    from ..jobs.compact import _fs
+    from ..jobs.versioned import _manifest_path
+
+    fs, _, jvm = _fs(spark, path)
+    st = fs.getFileStatus(jvm.org.apache.hadoop.fs.Path(
+        _manifest_path(path, version)))
+    return (st.getModificationTime(), st.getLen())
+
+
 def _manifest_dim(m: dict, dim: int | None, path: str) -> int:
     """The index's true dimensionality is recorded in its manifest; a
     caller-passed dim that disagrees would silently corrupt results
@@ -1367,8 +1387,13 @@ def _centroid_rows(spark, path: str, m: dict) -> list[tuple[int, list]]:
     are immutable once a version is committed (every writer/maintainer
     bumps the version), so a serving process pays the k-row read ONCE
     per index version instead of one Spark job per query — the fixed
-    cost that dominated small-batch serving latency."""
-    key = (path, int(m["version"]), m["centroids"])
+    cost that dominated small-batch serving latency.  The key carries
+    the manifest-file fingerprint too: versions restart at 0 after a
+    delete-and-rebuild at the same path, and without it a long-lived
+    driver would keep serving the OLD index's centroids against the
+    new codes (see :func:`_manifest_fingerprint`)."""
+    key = (path, int(m["version"]), m["centroids"],
+           _manifest_fingerprint(spark, path, int(m["version"])))
     hit = _CENTS_CACHE.get(key)
     if hit is None:
         hit = [(int(r["cluster_id"]), [float(x) for x in r["centroid"]])
@@ -1380,25 +1405,45 @@ def _centroid_rows(spark, path: str, m: dict) -> list[tuple[int, list]]:
     return hit
 
 
+def _rank_centroids(query_vec: list[float],
+                    cents: list[tuple[int, list]]
+                    ) -> list[tuple[float, int]]:
+    """THE driver-side centroid ranking — ``[(round-6 cosine,
+    cluster_id), ...]`` sorted (sim DESC, cluster_id ASC) — shared
+    VERBATIM by the single-query path (:func:`_rank_clusters`) and the
+    batch path (:func:`_batch_candidates`), so their probe sets agree
+    exactly by construction.  numpy computes the cosine matrix: the
+    pure-Python zip/sum fold is |centroids| * dim interpreted ops per
+    query — at 4,096 clusters x dim 64 that is ~0.26M multiply-adds
+    per query, tens of seconds in CPython for a 1,000-query batch —
+    while one vectorized matmul is ~milliseconds; round-6 then
+    absorbs the fold-order ulps before the sort, exactly as it always
+    absorbed JVM-vs-Python ones."""
+    import numpy as np
+
+    if not cents:
+        return []
+    q = np.asarray(query_vec, dtype=np.float64)
+    C = np.asarray([c for _, c in cents], dtype=np.float64)
+    qn = float(np.sqrt(q @ q))
+    norms = np.sqrt(np.einsum("kd,kd->k", C, C))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        sims = C @ q / norms / (qn if qn else np.inf)
+    sims = np.where(norms == 0, -1.0, sims)
+    sims = np.where(np.isnan(sims), -1.0, sims)
+    return sorted(
+        ((float(round(s, 6)), cid)
+         for s, (cid, _) in zip(sims, cents)),
+        key=lambda t: (-t[0], t[1]))
+
+
 def _rank_clusters(spark, path: str, m: dict,
                    query_vec: list[float]) -> list[tuple[float, int]]:
     """Driver-side cluster ranking for a single query against a stored
-    index's centroid table (tiny by construction): ``[(round-6 cosine,
-    cluster_id), ...]`` sorted (sim DESC, cluster_id ASC) — the probe
-    order every cluster-partitioned layout (ivf_sq8, ivf_pq) shares."""
-    import math
-
-    cents = _centroid_rows(spark, path, m)
-    qn = math.sqrt(sum(x * x for x in query_vec))
-
-    def cos(c):
-        d = sum(a * b for a, b in zip(query_vec, c))
-        n = math.sqrt(sum(x * x for x in c))
-        return d / n / qn if n else -1.0
-
-    return sorted(
-        ((round(cos(c), 6), cid) for cid, c in cents),
-        key=lambda t: (-t[0], t[1]))
+    index's centroid table (tiny by construction) — the probe order
+    every cluster-partitioned layout (ivf_sq8, ivf_pq, ivf_bq) shares
+    (:func:`_rank_centroids`)."""
+    return _rank_centroids(query_vec, _centroid_rows(spark, path, m))
 
 
 def _widen_filtered_probes(codes_all: DataFrame,
@@ -1442,47 +1487,33 @@ def _batch_candidates(spark, queries_q: DataFrame,
     """Batch probe resolution shared by the cluster-partitioned
     layouts: per-query cluster ranking DRIVER-SIDE (the batch is the
     bounded broadcast side by contract and the centroid table is k
-    rows — ranking |batch| x k cosines in Python replaces a window
+    rows — ranking |batch| x k cosines on the driver replaces a window
     stage plus a distinct-collect job per serve, the fixed overhead
-    that dominated small-batch serving; it is also the single-query
-    path's ``_rank_clusters`` arithmetic VERBATIM, so batch and single
-    probe SETS agree exactly instead of modulo JVM-vs-Python rounding),
-    the UNION of probed clusters pushed as a static IN-filter so the
-    codes scan partition-prunes, and — under ``allowed=`` — PER-QUERY
-    adaptive probe widening: each round counts every query's reachable
-    allowed candidates in ONE partition-pruned aggregate and only the
-    STARVED queries (< ``k`` reachable) double their depth, at most
+    that dominated small-batch serving; it is THE single-query path's
+    :func:`_rank_centroids` — one shared function, so batch and single
+    probe SETS agree exactly by construction), the UNION of probed
+    clusters pushed as a static IN-filter so the codes scan
+    partition-prunes, and — under ``allowed=`` — PER-QUERY adaptive
+    probe widening: each round counts every query's reachable allowed
+    candidates in ONE partition-pruned aggregate and only the STARVED
+    queries (< ``k`` reachable) double their depth, at most
     O(log n_clusters) bounded count jobs.  Returns the candidate rows
     ``(query_id, vec_id, codes, ...)`` ready for layout-specific
     scoring.
 
-    Driver cost is |batch| x k x dim multiply-adds — ~100 ms for a
-    1,000-query batch over 4,096 clusters; batches beyond that should
-    shard (the contract already caps the batch at broadcast size).
-    ``c_rows`` is the driver-side centroid table
-    (:func:`_centroid_rows` — cached per manifest version);
-    ``codes_src`` is a ``probed_ids -> DataFrame`` callable (the
-    layout's :func:`_probed_codes` read plus any ``where=`` pushdown
-    the caller composes onto it)."""
-    import math
-
+    Driver cost is |batch| numpy matmuls of (n_clusters x dim) —
+    ~2 ms per query at 4,096 clusters x dim 64, ~2 s for a
+    1,000-query batch; batches beyond that should shard (the contract
+    already caps the batch at broadcast size).  ``c_rows`` is the
+    driver-side centroid table (:func:`_centroid_rows` — cached per
+    manifest fingerprint); ``codes_src`` is a ``probed_ids ->
+    DataFrame`` callable (the layout's :func:`_probed_codes` read plus
+    any ``where=`` pushdown the caller composes onto it)."""
     from pyspark.sql import types as T
 
     n_clusters = len(c_rows)
-
-    def _rank(qe):
-        qn = math.sqrt(sum(x * x for x in qe))
-
-        def cos(c):
-            d = sum(a * b for a, b in zip(qe, c))
-            n = math.sqrt(sum(x * x for x in c))
-            return d / n / qn if n else -1.0
-
-        return [cid for _, cid in sorted(
-            ((round(cos(c), 6), cid) for cid, c in c_rows),
-            key=lambda t: (-t[0], t[1]))]
-
-    ranked = {r["query_id"]: _rank([float(x) for x in r["qe"]])
+    ranked = {r["query_id"]: [cid for _, cid in _rank_centroids(
+                  [float(x) for x in r["qe"]], c_rows)]
               for r in queries_q.select("query_id", "qe").collect()}
     pschema = T.StructType([queries_q.schema["query_id"],
                             T.StructField("cluster_id", T.IntegerType())])
@@ -1992,6 +2023,23 @@ def maintain_ivf_sq8_index(spark, path: str, new_emb: DataFrame,
 
 PQ_M = 8           # subspaces (dim must divide evenly)
 PQ_K = 16          # codebook entries per subspace -> 4-bit codes
+#                    (the IN-FLIGHT ops' resolution: their DuckDB
+#                    oracles unroll one k-means chain per codeword, so
+#                    ksub stays small where the differential runs)
+PQ_INDEX_KSUB = 256  # STORED-layout default resolution: codes are
+#                    packed one byte per subspace regardless, so
+#                    ksub=256 uses the byte fully — zero storage cost
+#                    — and ADC serving (_pq_adc_frame/_pq_adc_score)
+#                    is ksub-independent, so the extra resolution is
+#                    free at serve time too.  The cost lives ONLY in
+#                    the build (m per-subspace k-means chains scale
+#                    with ksub; train_fraction is the lever).  ksub=16
+#                    was the r12 default because the literal-walk hat
+#                    scaled serving linearly with ksub (measured
+#                    20-43 s at 64/256); the planted-cluster sf1
+#                    corpus then measured 100-175 permille recall@10 —
+#                    code-resolution-limited, unusable as a final
+#                    server.
 PQ_RERANK_MULT = 8  # PQ quantizes coarser than SQ8 (m bytes vs dim), so
 #                     its exact-rerank shortlist defaults 2x deeper —
 #                     measured mean recall@10 0.8 at 8x vs 0.6 at 4x on
@@ -2137,7 +2185,7 @@ def pq_topk(emb: DataFrame, num_queries: int = 8, k: int = 10,
 
 
 def write_pq_index(emb: DataFrame, path: str, m: int = PQ_M,
-                   k: int = PQ_K, dim: int = 64,
+                   k: int = PQ_INDEX_KSUB, dim: int = 64,
                    n_iter: int = KMEANS_ITERS,
                    train_fraction: float = 1.0,
                    attrs: DataFrame | None = None) -> None:
@@ -2148,9 +2196,11 @@ def write_pq_index(emb: DataFrame, path: str, m: int = PQ_M,
     deterministic k-means codebook (``embedding_kmeans`` per slice —
     same integer-quantized, engine-deterministic machinery), and every
     vector stores just its ``m`` nearest-codeword ids, packed into an
-    ``m``-byte blob.  Effective grid = k^m cells (16^8 ~ 4.3e9 here)
-    from m*k stored codewords; on-disk codes are dim/m of SQ8's and
-    1/(4*dim/m) of float32.
+    ``m``-byte blob.  Effective grid = k^m cells from m*k stored
+    codewords; on-disk codes are dim/m of SQ8's and 1/(4*dim/m) of
+    float32.  The default resolution is ``PQ_INDEX_KSUB`` = 256 — the
+    full byte each code already occupies (see the constant's note; a
+    corpus smaller than k simply trains fewer codewords).
 
     Codebooks are stored UNIT-NORMALIZED: ``_quantized_centroids``
     emits integer milli-SUMS whose magnitude carries cluster size, and
@@ -2394,8 +2444,18 @@ def maintain_pq_index(spark, path: str, new_emb: DataFrame,
     out["decision"] = "rebuild"
     if rebuild:
         man = _index_manifest(spark, path)
+        # rebuild-at-higher-RESOLUTION rung: a recall floor the stored
+        # codebooks cannot reach is often code-resolution-limited, not
+        # staleness-limited (the r12 sf1 frontier: ksub=16 topped out
+        # at 100 permille recall@10 no matter the training) — and with
+        # ADC serving ksub-independent and codes already a byte per
+        # subspace, retraining at PQ_INDEX_KSUB costs only build time.
+        # An index built at or above the default keeps its resolution.
+        new_ksub = max(int(man["k"]), PQ_INDEX_KSUB)
+        out["ksub"] = new_ksub
+        out["ksub_escalated"] = new_ksub > int(man["k"])
         write_pq_index(vectors, path, m=int(man["m"]),
-                       k=int(man["k"]), dim=int(man["dim"]),
+                       k=new_ksub, dim=int(man["dim"]),
                        train_fraction=train_fraction,
                        attrs=_attrs_self_carry(
                            spark, path, man, new_emb))
@@ -2403,38 +2463,104 @@ def maintain_pq_index(spark, path: str, new_emb: DataFrame,
     return out
 
 
-def _pq_codebook_hat(spark, path: str, m_an: dict) -> F.Column:
-    """The PQ reconstruction EXPRESSION for a stored index: the m*k
-    codeword table is collected driver-side (tiny by construction, like
-    the IVF centroid table) and inlined as a nested array literal, so a
-    candidate's reconstruction — its m codewords concatenated in
-    subspace order, indexed by the unpacked ``codes`` column — is one
-    pure expression over m bytes/row.  Shared by the single-query and
-    batch serving paths (one literal, bit-identical scoring)."""
+_PQ_BOOKS_CACHE: dict = {}
+
+
+def _pq_books(spark, path: str, m_an: dict):
+    """Driver-side codebook tensor for a stored PQ index, cached per
+    committed manifest (the ``_CENTS_CACHE`` pattern, WITH the content
+    fingerprint): ``(books, pnorm)`` where ``books[j][c]`` is the
+    codeword (zero-filled for codes k-means lost) and ``pnorm[j][c]``
+    its squared norm.  m*k*sub floats — tiny by construction, one
+    parquet read per index version per process."""
+    key = (path, int(m_an["version"]), m_an["codebooks"],
+           _manifest_fingerprint(spark, path, int(m_an["version"])))
+    hit = _PQ_BOOKS_CACHE.get(key)
+    if hit is not None:
+        return hit
+    import numpy as np
+
     m, dim = int(m_an["m"]), int(m_an["dim"])
     kk = int(m_an["k"])
     sub = dim // m
     rows = spark.read.parquet(f"{path}/{m_an['codebooks']}").collect()
-    table: dict = {}
+    books = np.zeros((m, kk, sub), dtype=np.float64)
     for r in rows:
-        table[(int(r["subspace"]), int(r["code"]))] = [
+        books[int(r["subspace"]), int(r["code"])] = [
             float(x) for x in r["centroid"]]
-    zero = [0.0] * sub
-    cb_lit = F.array(*[
-        F.array(*[
-            F.array(*[F.lit(v) for v in table.get((j, c), zero)])
-            for c in range(kk)])
-        for j in range(m)])
-    ucodes = _sq8_unpack(F.col("codes"), m)
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda d: F.element_at(
-            F.element_at(
-                F.element_at(cb_lit, (d / F.lit(sub)).cast("int") + 1),
-                F.element_at(ucodes,
-                             (d / F.lit(sub)).cast("int") + 1) + 1),
-            F.pmod(d, F.lit(sub)).cast("int") + 1),
-    )
+    pnorm = np.einsum("jcd,jcd->jc", books, books)
+    if len(_PQ_BOOKS_CACHE) >= 64:             # bound a long-lived server
+        _PQ_BOOKS_CACHE.clear()
+    hit = (books, pnorm)
+    _PQ_BOOKS_CACHE[key] = hit
+    return hit
+
+
+def _pq_adc_frame(spark, path: str, m_an: dict,
+                  queries: list[tuple]) -> DataFrame:
+    """Per-query ADC (asymmetric-distance) lookup tables as a SMALL
+    DataFrame ``(query_id, pdot, pnorm, qn)`` — one row per query,
+    ``pdot[j][c]`` = dot(query slice j, codeword (j, c)), ``pnorm`` the
+    query-independent squared codeword norms, ``qn`` the query norm.
+    Broadcast-joined to the candidate codes, candidate scoring becomes
+    m array lookups per row — decoupling serving cost from the
+    codebook resolution ``ksub`` (the r12 inlined-codeword-literal hat
+    put m*ksub*sub literals in the plan and serving scaled LINEARLY
+    with ksub: measured 20-43 s at ksub=64/256 vs ~3 s at 16; the
+    table-in-a-column form is flat — see ``_pq_adc_score``).
+
+    numpy computes the tables (|batch| * m * ksub * sub multiply-adds
+    — ~0.1 ms per query at m=8, ksub=256, dim=64; deterministic for a
+    given input, and the decomposed score feeds only the SHORTLIST —
+    the returned cos_sim always comes from the exact full-precision
+    re-rank, so ulp-level association differences vs the in-flight
+    fold cannot reach the contract surface)."""
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    books, pnorm = _pq_books(spark, path, m_an)
+    m, dim = int(m_an["m"]), int(m_an["dim"])
+    sub = dim // m
+    pn = [[float(v) for v in row] for row in pnorm]
+    rows = []
+    for qid, qv in queries:
+        q = np.asarray(qv, dtype=np.float64)
+        pdot = np.einsum("jd,jcd->jc", q.reshape(m, sub), books)
+        rows.append((qid, [[float(v) for v in r] for r in pdot], pn,
+                     float(np.sqrt(q @ q))))
+    return spark.createDataFrame(rows, T.StructType([
+        T.StructField("query_id", T.LongType()),
+        T.StructField("pdot", T.ArrayType(T.ArrayType(T.DoubleType()))),
+        T.StructField("pnorm", T.ArrayType(T.ArrayType(T.DoubleType()))),
+        T.StructField("qn", T.DoubleType()),
+    ]))
+
+
+def _pq_adc_score(m: int) -> F.Column:
+    """Candidate PQ score from the broadcast-joined ADC row: unpack the
+    m-byte codes ONCE (as the zip_with INPUT — the ``_sq8_unpack``
+    placement note), fold m (code, subspace) pairs through two lookup
+    sums, finish with the decomposed cosine
+    ``sum(pdot) / qn / sqrt(sum(pnorm))`` — algebraically
+    dot(q, hat)/|q|/|hat| for hat = the concatenated codewords, i.e.
+    the retired literal-walk hat's score without materializing hat.
+    Per row: m element_at lookups, independent of ksub.  The divide
+    inherits the old path's zero-norm semantics (an all-zero-codeword
+    candidate scores NULL and sorts out of the shortlist)."""
+    zipped = F.zip_with(
+        _sq8_unpack(F.col("codes"), m),
+        F.sequence(F.lit(1), F.lit(m)),
+        lambda c, j: F.struct(c.alias("c"), j.alias("j")))
+    return F.aggregate(
+        zipped,
+        F.struct(F.lit(0.0).alias("nm"), F.lit(0.0).alias("dn")),
+        lambda a, x: F.struct(
+            (a["nm"] + F.element_at(F.element_at("pdot", x["j"]),
+                                    x["c"] + 1)).alias("nm"),
+            (a["dn"] + F.element_at(F.element_at("pnorm", x["j"]),
+                                    x["c"] + 1)).alias("dn")),
+        lambda a: a["nm"] / F.col("qn") / F.sqrt(a["dn"]))
 
 
 def pq_index_topk_batch(spark, path: str, queries: DataFrame,
@@ -2443,33 +2569,35 @@ def pq_index_topk_batch(spark, path: str, queries: DataFrame,
                         allowed: DataFrame | None = None,
                         where: str | None = None) -> DataFrame:
     """BATCH retrieval over a ``write_pq_index`` layout: the m-byte
-    codes are scanned ONCE, each candidate's codebook reconstruction is
-    computed once per (candidate, query) against the broadcast query
-    batch, and per-query windows take the shortlist and exact re-rank —
-    one distributed plan with the in-flight ``(query_id, rank,
-    neighbor_id, cos_sim)`` contract.  ``where`` pushes an attribute
-    predicate into the codes scan (caller-trusted SQL — the
-    :func:`sq8_index_topk` trust-boundary note)."""
+    codes are scanned ONCE, each (candidate, query) pair scored by m
+    ADC lookups against the broadcast per-query tables
+    (``_pq_adc_frame`` — the query batch is the bounded broadcast side
+    by contract, collected once to build them), and per-query windows
+    take the shortlist and exact re-rank — one distributed plan with
+    the in-flight ``(query_id, rank, neighbor_id, cos_sim)`` contract.
+    ``where`` pushes an attribute predicate into the codes scan
+    (caller-trusted SQL — the :func:`sq8_index_topk` trust-boundary
+    note)."""
     m_an = _index_manifest(spark, path)
-    hat = _pq_codebook_hat(spark, path, m_an)
     q = queries.select("query_id", F.col("embedding").alias("qe"))
+    adc = _pq_adc_frame(spark, path, m_an, [
+        (int(r["query_id"]), [float(x) for x in r["embedding"]])
+        for r in queries.select("query_id", "embedding").collect()])
     cand = _manifest_codes(spark, path, m_an)
     if where is not None:
         cand = cand.filter(where)                  # PushedFilters
     if allowed is not None:
         cand = cand.join(allowed.select("vec_id"), "vec_id",
                          "left_semi")
-    # materialize the reconstruction ONCE PER CANDIDATE before the
-    # query join: hat depends only on the codes column, and leaving it
-    # inside the per-(candidate x query) cosine re-evaluates the m*k
-    # codeword literal walk |queries| times per row (measured 41 s ->
-    # ~3 s for a 16-query batch at sf0.01)
+    # score in the SAME select as the keyless broadcast fan-out: the
+    # per-pair work is m element_at lookups on the build-side row (no
+    # per-pair reconstruction — the r12 literal hat needed an explicit
+    # per-candidate materialization barrier here; ADC does not)
     scored = (
-        cand.select(F.col("vec_id").alias("neighbor_id"),
-                    hat.alias("nhat"))
-        .join(F.broadcast(q))
+        cand.select(F.col("vec_id").alias("neighbor_id"), "codes")
+        .join(F.broadcast(adc))
         .select("query_id", "neighbor_id",
-                cosine(F.col("qe"), F.col("nhat")).alias("approx_sim"))
+                _pq_adc_score(int(m_an["m"])).alias("approx_sim"))
     )
     ws = Window.partitionBy("query_id").orderBy(
         F.desc("approx_sim"), F.asc("neighbor_id"))
@@ -2495,22 +2623,22 @@ def pq_index_topk(spark, path: str, query_vec: list[float],
                   rerank_mult: int = PQ_RERANK_MULT,
                   allowed: DataFrame | None = None,
                   where: str | None = None) -> DataFrame:
-    """Serve top-k from a ``write_pq_index`` layout: the m*k codeword
-    table is collected driver-side (tiny by construction, like the IVF
-    centroid table) and inlined as a nested array literal, so candidate
-    scoring is ONE pure-expression pass over the m-byte codes column —
-    reconstruct each candidate as the concatenation of its codewords,
-    cosine against the full-precision query, TakeOrdered the
-    ``k * rerank_mult`` shortlist, exact-rerank against the primary
-    store.  No shuffle before the bounded shortlist; the scan reads
-    m bytes per row.  ``allowed`` (a ``vec_id`` DataFrame) restricts
-    the search to a metadata-filtered candidate set BEFORE the
-    shortlist, exactly as in :func:`sq8_index_topk`; ``where`` pushes
-    an attribute predicate into the codes scan (caller-trusted SQL —
-    the :func:`sq8_index_topk` trust-boundary note)."""
+    """Serve top-k from a ``write_pq_index`` layout: the query's ADC
+    lookup tables (``_pq_adc_frame`` — one tiny broadcast row) score
+    the m-byte codes column with m element_at lookups per candidate —
+    cost independent of the codebook resolution ``ksub`` — then
+    TakeOrdered the ``k * rerank_mult`` shortlist, exact-rerank
+    against the primary store.  No shuffle before the bounded
+    shortlist; the scan reads m bytes per row.  ``allowed`` (a
+    ``vec_id`` DataFrame) restricts the search to a metadata-filtered
+    candidate set BEFORE the shortlist, exactly as in
+    :func:`sq8_index_topk`; ``where`` pushes an attribute predicate
+    into the codes scan (caller-trusted SQL — the
+    :func:`sq8_index_topk` trust-boundary note)."""
     m_an = _index_manifest(spark, path)
     q = F.array(*[F.lit(float(x)) for x in query_vec])
-    hat = _pq_codebook_hat(spark, path, m_an)
+    adc = _pq_adc_frame(spark, path, m_an, [
+        (0, [float(x) for x in query_vec])]).drop("query_id")
     cand = _manifest_codes(spark, path, m_an)
     if where is not None:
         cand = cand.filter(where)                  # PushedFilters
@@ -2518,9 +2646,10 @@ def pq_index_topk(spark, path: str, query_vec: list[float],
         cand = cand.join(allowed.select("vec_id"), "vec_id",
                          "left_semi")
     shortlist = (
-        cand
-        .select(F.col("vec_id").alias("neighbor_id"),
-                cosine(q, hat).alias("approx_sim"))
+        cand.select(F.col("vec_id").alias("neighbor_id"), "codes")
+        .join(F.broadcast(adc))                    # one-row build side
+        .select("neighbor_id",
+                _pq_adc_score(int(m_an["m"])).alias("approx_sim"))
         .orderBy(F.desc("approx_sim"), F.asc("neighbor_id"))
         .limit(k * rerank_mult)
         .select("neighbor_id")
@@ -2865,7 +2994,8 @@ def ivf_pq_topk(emb: DataFrame, num_queries: int = 8, k: int = 10,
 
 
 def write_ivf_pq_index(emb: DataFrame, path: str, k: int | None = None,
-                       m: int = PQ_M, ksub: int = PQ_K, dim: int = 64,
+                       m: int = PQ_M, ksub: int = PQ_INDEX_KSUB,
+                       dim: int = 64,
                        n_iter: int = KMEANS_ITERS,
                        train_fraction: float = 1.0,
                        attrs: DataFrame | None = None) -> None:
@@ -2940,10 +3070,10 @@ def ivf_pq_index_topk(spark, path: str, query_vec: list[float],
                       where: str | None = None) -> DataFrame:
     """Serve top-k from a ``write_ivf_pq_index`` layout: rank the
     centroid table driver-side, partition-prune to the ``nprobe`` best
-    cluster directories, score only those clusters' m-byte codes by
-    codebook reconstruction (one pure expression — ``pq_index_topk``'s
-    inlined-literal hat), exact-cosine re-rank the ``k * rerank_mult``
-    shortlist against the primary store.  ``allowed`` makes this a
+    cluster directories, score only those clusters' m-byte codes by m
+    ADC lookups against the query's broadcast table
+    (``_pq_adc_frame`` — ksub-independent), exact-cosine re-rank the
+    ``k * rerank_mult`` shortlist against the primary store.  ``allowed`` makes this a
     FILTERED search with the cluster-partitioned family's adaptive
     probe widening (``_widen_filtered_probes`` — a restrictive
     allow-list whose survivors live outside the probed clusters widens
@@ -2962,7 +3092,8 @@ def ivf_pq_index_topk(spark, path: str, query_vec: list[float],
     else:
         probe = [cid for _, cid in ranked[:nprobe]]
     q = F.array(*[F.lit(float(x)) for x in query_vec])
-    hat = _pq_codebook_hat(spark, path, m_an)
+    adc = _pq_adc_frame(spark, path, m_an, [
+        (0, [float(x) for x in query_vec])]).drop("query_id")
     # read ONLY the probed directories (no full partition listing)
     cand = _probed_codes(spark, path, m_an, probe)
     if where is not None:
@@ -2971,9 +3102,10 @@ def ivf_pq_index_topk(spark, path: str, query_vec: list[float],
         cand = cand.join(allowed.select("vec_id"), "vec_id",
                          "left_semi")
     shortlist = (
-        cand
-        .select(F.col("vec_id").alias("neighbor_id"),
-                cosine(q, hat).alias("approx_sim"))
+        cand.select(F.col("vec_id").alias("neighbor_id"), "codes")
+        .join(F.broadcast(adc))                    # one-row build side
+        .select("neighbor_id",
+                _pq_adc_score(int(m_an["m"])).alias("approx_sim"))
         .orderBy(F.desc("approx_sim"), F.asc("neighbor_id"))
         .limit(k * rerank_mult)
         .select("neighbor_id")
@@ -3005,9 +3137,12 @@ def ivf_pq_index_topk_batch(spark, path: str, queries: DataFrame,
     distributed plan for the whole ``(query_id, embedding)`` batch:
     per-query cluster ranking against the broadcast centroid table,
     the probed-cluster UNION pushed as a partition IN-filter (each
-    probed directory read once for the batch), codebook-reconstruction
-    scoring, per-query shortlist windows, exact re-rank.  ``allowed``
-    gets the shared PER-QUERY adaptive probe widening
+    probed directory read once for the batch), per-pair ADC-lookup
+    scoring (``_pq_adc_frame`` joined on query_id — m element_at
+    lookups per pair, ksub-independent; the r12 literal hat needed a
+    per-candidate materialization below the fan-out, ADC does not),
+    per-query shortlist windows, exact re-rank.  ``allowed`` gets the
+    shared PER-QUERY adaptive probe widening
     (``_batch_candidates``)."""
     m_an = _index_manifest(spark, path)
     nprobe = _resolve_nprobe(m_an, nprobe)
@@ -3021,19 +3156,17 @@ def ivf_pq_index_topk_batch(spark, path: str, queries: DataFrame,
             df = df.filter(where)                  # PushedFilters
         return df
 
-    hat = _pq_codebook_hat(spark, path, m_an)
-    # hat once per STORED row, below the probes fan-out (the
-    # pq_index_topk_batch note, one level deeper: the probes join
-    # duplicates each candidate per probing query, so an expression
-    # placed above it re-evaluates the codeword literal walk per pair)
+    adc = _pq_adc_frame(spark, path, m_an, [
+        (int(r["query_id"]), [float(x) for x in r["qe"]])
+        for r in q.select("query_id", "qe").collect()])
     cand = _batch_candidates(
         spark, q, c_rows, codes_src, nprobe, k, allowed,
-        code_proj=lambda df: df.withColumn("nhat", hat),
         widen=(allowed is not None or where is not None) or None)
     scored = (
-        cand.join(F.broadcast(q), "query_id")
+        cand.select("query_id", "vec_id", "codes")
+        .join(F.broadcast(adc), "query_id")
         .select("query_id", F.col("vec_id").alias("neighbor_id"),
-                cosine(F.col("qe"), F.col("nhat")).alias("approx_sim"))
+                _pq_adc_score(int(m_an["m"])).alias("approx_sim"))
     )
     ws = Window.partitionBy("query_id").orderBy(
         F.desc("approx_sim"), F.asc("neighbor_id"))
@@ -3220,8 +3353,20 @@ def maintain_ivf_pq_index(spark, path: str, new_emb: DataFrame,
             return out
     out["decision"] = "rebuild"
     if rebuild:
+        # the rebuild-at-higher-resolution rung (the maintain_pq_index
+        # note): bump_nprobe failing above means probing deeper cannot
+        # recover the floor — the remaining lever is code resolution,
+        # so the retrain escalates ksub to the PQ_INDEX_KSUB default
+        # (kept when the index is already at or above it).  This is
+        # the wire from tune_index's `target_unreachable`: its honest
+        # refusal names this rung as the fix, and the rung now
+        # actually raises the resolution instead of retraining the
+        # same ceiling.
+        new_ksub = max(int(man["k"]), PQ_INDEX_KSUB)
+        out["ksub"] = new_ksub
+        out["ksub_escalated"] = new_ksub > int(man["k"])
         write_ivf_pq_index(vectors, path, k=n_clusters,
-                           m=int(man["m"]), ksub=int(man["k"]),
+                           m=int(man["m"]), ksub=new_ksub,
                            dim=int(man["dim"]),
                            train_fraction=train_fraction,
                            attrs=_attrs_self_carry(
@@ -3564,12 +3709,18 @@ def index_stats(spark, path: str) -> dict:
         "code_bytes_per_vector": bpv,
         "n_retired_clusters": len(m.get("excluded_clusters", [])),
         "attrs": list(m.get("attrs", [])),
+    }
+    if kind.startswith("ivf_"):
         # the serving operating point: the committed default_nprobe
         # (tune_index / a maintainer's bump), or the constant fallback
-        # an UNTUNED index serves at — `tuned` says which
-        "default_nprobe": int(m.get("default_nprobe", DEFAULT_NPROBE)),
-        "tuned": "default_nprobe" in m,
-    }
+        # an UNTUNED index serves at — `tuned` says which.  Emitted
+        # for the IVF kinds ONLY (matching tune_index's flat_kind
+        # decision): a flat sq8/pq/bq layout has no probe knob, and
+        # reporting default_nprobe/tuned=False there reads as an
+        # untuned operating point an operator should go fix
+        out["default_nprobe"] = int(
+            m.get("default_nprobe", DEFAULT_NPROBE))
+        out["tuned"] = "default_nprobe" in m
     if "cluster_id" in codes.columns:
         sizes = [int(r["n"]) for r in
                  codes.groupBy("cluster_id")
@@ -3703,9 +3854,14 @@ def tune_index(spark, path: str, vectors: DataFrame,
     - ``{"decision": "tuned", "nprobe": N, "version": v}`` — committed.
     - ``{"decision": "target_unreachable"}`` — no measured depth meets
       the target; NOTHING is written (serving deeper than the deepest
-      measured point is a guess, and the honest lever is the
-      maintainer's rebuild rung).  The measured curve rides along in
-      every non-flat outcome for the operator to inspect.
+      measured point is a guess).  The honest lever is the
+      maintainers' rebuild rung — for the PQ kinds that rung now
+      RAISES CODE RESOLUTION (``maintain_pq_index`` /
+      ``maintain_ivf_pq_index`` retrain at ``PQ_INDEX_KSUB`` when the
+      stored ksub is below it), because an unreachable target on a
+      probe sweep that reached full probe is resolution-limited, not
+      probe-limited.  The measured curve rides along in every
+      non-flat outcome for the operator to inspect.
 
     Cost: the recall curve's bounded top-k jobs plus at most one
     manifest rename — an operator action per maintenance window or

@@ -60,7 +60,9 @@ def _batch(new_rows, spark):
 def test_layout_and_manifest(spark, emb, idx):
     m = _index_manifest(spark, idx)
     assert m["kind"] == "ivf_pq"
-    assert m["dim"] == 64 and m["m"] == 8 and m["k"] == 16
+    # stored-layout default resolution is PQ_INDEX_KSUB (=256; the
+    # corpus trains at most min(ksub, cluster size) codewords/subspace)
+    assert m["dim"] == 64 and m["m"] == 8 and m["k"] == 256
     codes = read_index_codes(spark, idx)
     assert codes.count() == emb.count()
     # m-byte blobs, cluster-partitioned on disk

@@ -11,7 +11,7 @@ import pytest
 
 import __spark_entry__ as E
 from public_transit_data_platform_sql_nosql_spark.pipeline.similarity import (
-    PQ_K,
+    PQ_INDEX_KSUB,
     PQ_M,
     brute_force_topk,
     pq_index_topk,
@@ -53,9 +53,10 @@ def test_layout_and_compression(spark, emb, pq_path, tmp_path):
         _index_manifest,
     )
     man = _index_manifest(spark, pq_path)
-    assert man["kind"] == "pq" and man["m"] == PQ_M and man["k"] == PQ_K
+    assert (man["kind"] == "pq" and man["m"] == PQ_M
+            and man["k"] == PQ_INDEX_KSUB)
     books = spark.read.parquet(f"{pq_path}/{man['codebooks']}")
-    assert books.count() <= PQ_M * PQ_K
+    assert books.count() <= PQ_M * PQ_INDEX_KSUB
     norms = books.select(
         F.round(F.sqrt(F.aggregate(
             "centroid", F.lit(0.0), lambda a, x: a + x * x)), 6)
@@ -134,11 +135,13 @@ def test_dim_must_divide(spark, emb, tmp_path):
 
 
 def test_inflight_pq_topk_contract_and_index_agreement(spark, emb,
-                                                       pq_path):
+                                                       tmp_path):
     """The in-flight pq_topk (the oracle-checked operator form) serves
-    the usual ANN contract and agrees with the served index for the
-    same query: identical codebook machinery, so the shortlists match
-    modulo the in-flight operator's self-exclusion."""
+    the usual ANN contract and agrees with a served index built AT THE
+    SAME RESOLUTION (k=PQ_K — the stored default is PQ_INDEX_KSUB=256
+    since r13, a different codebook): identical codebook machinery, so
+    the shortlists match modulo the in-flight operator's
+    self-exclusion."""
     from public_transit_data_platform_sql_nosql_spark.pipeline.similarity import (  # noqa: E501
         pq_topk,
     )
@@ -160,8 +163,10 @@ def test_inflight_pq_topk_contract_and_index_agreement(spark, emb,
     # different sizes (k*8 each at their own k), so the approx boundary
     # can admit/drop one candidate — require >= 4/5 agreement, which the
     # deterministic training makes a stable, not flaky, bound
+    matched = str(tmp_path / "k16")
+    write_pq_index(emb, matched, k=16)             # in-flight PQ_K
     served = {r["neighbor_id"]
-              for r in pq_index_topk(spark, pq_path, _qvec(emb, 0),
+              for r in pq_index_topk(spark, matched, _qvec(emb, 0),
                                      emb, k=6).collect()}
     inflight = {nid for _, _, nid in by_q[0]}
     assert len(inflight & (served - {0})) >= 4
