@@ -724,11 +724,19 @@ def cmd_hybrid_search(args: argparse.Namespace) -> int:
     the six layouts, kind-dispatched), fused per query by integer RRF
     as ONE distributed plan (``hybrid_index_search_batch``).  Ranked
     results land as parquet at ``--out``; ``--allowed`` (a vec_id
-    parquet) restricts both arms.  One JSON status line."""
+    parquet) restricts both arms; ``--where`` (an attrs predicate the
+    index stores columns for) restricts both arms by pushdown —
+    refused with rc=2 on an attr-less index, exactly as in the
+    vector-index serving commands.  One JSON status line."""
     spark = _spark("hybrid-search")
     from .pipeline import similarity as sim
     from .pipeline.text import hybrid_index_search_batch
 
+    man = sim._index_manifest(spark, args.path)
+    err = _refuse_where_without_attrs(args.where, man, args.path)
+    if err:
+        print(json.dumps(err))
+        return 2
     docs = spark.read.parquet(args.docs)
     emb = spark.read.parquet(args.emb)
     queries = spark.read.parquet(args.queries)
@@ -736,11 +744,12 @@ def cmd_hybrid_search(args: argparse.Namespace) -> int:
                if args.allowed is not None else None)
     res = hybrid_index_search_batch(
         spark, docs, args.path, emb, queries, k=args.k,
-        pool=args.pool, nprobe=args.nprobe, allowed=allowed)
+        pool=args.pool, nprobe=args.nprobe, allowed=allowed,
+        where=args.where)
     res.write.mode("overwrite").parquet(args.out)
     n_q = queries.select("query_id").distinct().count()
     n_r = spark.read.parquet(args.out).count()
-    kind = sim._index_manifest(spark, args.path).get("kind", "sq8")
+    kind = man.get("kind", "sq8")
     print(json.dumps({"action": "hybrid-search", "kind": kind,
                       "n_queries": n_q, "n_results": n_r,
                       "out": args.out}))
@@ -995,6 +1004,10 @@ def main(argv: list[str] | None = None) -> int:
     ph.add_argument("--nprobe", type=int, default=None)
     ph.add_argument("--allowed", default=None,
                     help="optional vec_id parquet restricting BOTH arms")
+    ph.add_argument("--where", default=None,
+                    help="attrs predicate restricting BOTH arms by "
+                         "pushdown (requires an attrs-bearing index; "
+                         "refused otherwise)")
     ph.set_defaults(fn=cmd_hybrid_search)
 
     pl = sub.add_parser(

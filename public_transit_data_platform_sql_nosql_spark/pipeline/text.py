@@ -379,12 +379,38 @@ def _rrf_fuse(bm_ranked: DataFrame, dense_ranked: DataFrame, k: int,
     )
 
 
+def _where_doc_ids(spark, index_path: str, where: str) -> DataFrame:
+    """The BM25 arm's twin of the dense arm's attrs pushdown: the
+    stored index's attribute columns ARE the hybrid filter surface, so
+    the lexical pool semi-joins the ``vec_id``s whose attrs satisfy
+    ``where`` — read from the committed CODES table (bytes + attrs;
+    the primary vectors are never touched).  Refuses an attr-less
+    index up front: ``.filter(where)`` over a frame without the column
+    would raise an opaque AnalysisException deep in the plan, and a
+    silently-dropped predicate would serve unfiltered (cross-tenant!)
+    rows — the CLI's ``_refuse_where_without_attrs`` contract, at the
+    library boundary.  ``where`` is caller-trusted SQL (the
+    :func:`~..similarity.sq8_index_topk` trust-boundary note)."""
+    from .similarity import _index_manifest, _manifest_codes
+
+    m = _index_manifest(spark, index_path)
+    if not m.get("attrs"):
+        raise ValueError(
+            f"hybrid where=: vector index {index_path} (kind "
+            f"{m.get('kind', 'sq8')}) stores no attribute columns — "
+            f"the predicate has nothing to push down to; rebuild with "
+            f"attrs= or filter via an allowed= id-list")
+    return (_manifest_codes(spark, index_path, m)
+            .filter(where).select("vec_id"))
+
+
 def hybrid_index_search(spark, docs: DataFrame, index_path: str,
                         vectors: DataFrame, query_terms: list[str],
                         query_vec: list[float], k: int = 20,
                         pool: int = 50, rrf_k: int = 60,
                         nprobe: int | None = None,
-                        allowed: DataFrame | None = None) -> DataFrame:
+                        allowed: DataFrame | None = None,
+                        where: str | None = None) -> DataFrame:
     """Hybrid retrieval with the dense arm served from a STORED vector
     index — the corpus-scale form of :func:`hybrid_search`: BM25 ranks
     its top-``pool`` lexically, the index's kind-dispatched serving
@@ -393,7 +419,10 @@ def hybrid_index_search(spark, docs: DataFrame, index_path: str,
     the two bounded lists fuse by the same integer RRF.  ``allowed``
     restricts BOTH arms (semi-join on the BM25 side, the filtered
     serving path with adaptive probe widening on the dense side) — the
-    tenant-scoped RAG shape.  ``vectors.vec_id`` must share
+    tenant-scoped RAG shape.  ``where`` is the attrs-pushdown form of
+    the same scope: the dense arm pushes it into the codes scan, the
+    BM25 arm semi-joins the attr-matching ids (:func:`_where_doc_ids`;
+    requires an attrs-bearing index).  ``vectors.vec_id`` must share
     ``docs.doc_id``'s key space.
 
     Scale: the BM25 arm is corpus-scan + TakeOrdered; the dense arm
@@ -413,6 +442,12 @@ def hybrid_index_search(spark, docs: DataFrame, index_path: str,
     if allowed is not None:
         bm = bm.join(allowed.select(F.col("vec_id").alias("doc_id")),
                      "doc_id", "left_semi")
+    if where is not None:
+        # same placement as allowed=: the predicate filters the
+        # already-cut pool, then ranks recompute densely
+        bm = bm.join(_where_doc_ids(spark, index_path, where)
+                     .select(F.col("vec_id").alias("doc_id")),
+                     "doc_id", "left_semi")
     bm_ranked = bounded_rank(
         bm, [-F.col("score_micro"), F.col("doc_id")], "bm25_rank"
     ).select("doc_id", "bm25_rank")
@@ -420,22 +455,22 @@ def hybrid_index_search(spark, docs: DataFrame, index_path: str,
     servers = {
         "sq8": lambda: sq8_index_topk(
             spark, index_path, query_vec, vectors, k=pool,
-            allowed=allowed),
+            allowed=allowed, where=where),
         "pq": lambda: pq_index_topk(
             spark, index_path, query_vec, vectors, k=pool,
-            allowed=allowed),
+            allowed=allowed, where=where),
         "bq": lambda: bq_index_topk(
             spark, index_path, query_vec, vectors, k=pool,
-            allowed=allowed),
+            allowed=allowed, where=where),
         "ivf_sq8": lambda: ivf_sq8_index_topk(
             spark, index_path, query_vec, vectors, k=pool,
-            nprobe=nprobe, allowed=allowed),
+            nprobe=nprobe, allowed=allowed, where=where),
         "ivf_pq": lambda: ivf_pq_index_topk(
             spark, index_path, query_vec, vectors, k=pool,
-            nprobe=nprobe, allowed=allowed),
+            nprobe=nprobe, allowed=allowed, where=where),
         "ivf_bq": lambda: ivf_bq_index_topk(
             spark, index_path, query_vec, vectors, k=pool,
-            nprobe=nprobe, allowed=allowed),
+            nprobe=nprobe, allowed=allowed, where=where),
     }
     dense_ranked = servers[kind]().select(
         F.col("neighbor_id").alias("doc_id"),
@@ -448,7 +483,8 @@ def hybrid_index_search_batch(spark, docs: DataFrame, index_path: str,
                               k: int = 20, pool: int = 50,
                               rrf_k: int = 60,
                               nprobe: int | None = None,
-                              allowed: DataFrame | None = None
+                              allowed: DataFrame | None = None,
+                              where: str | None = None
                               ) -> DataFrame:
     """BATCH hybrid retrieval — the RAG serving shape: ``queries`` is a
     ``(query_id, terms array<string>, embedding array<double>)``
@@ -473,7 +509,11 @@ def hybrid_index_search_batch(spark, docs: DataFrame, index_path: str,
     ``allowed`` restricts BOTH arms, as in the single path: the BM25
     pool semi-joins it AFTER the top-``pool`` cut (single-path parity
     — ranks recompute densely over the survivors), the dense arm gets
-    it with per-query adaptive probe widening on the IVF kinds."""
+    it with per-query adaptive probe widening on the IVF kinds.
+    ``where`` (an attrs predicate over the index's stored attribute
+    columns) restricts both arms the same way — pushed into the dense
+    codes scan, semi-joined into the BM25 pool via
+    :func:`_where_doc_ids`; requires an attrs-bearing index."""
     from .similarity import (
         _index_manifest,
         bq_index_topk_batch,
@@ -568,6 +608,11 @@ def hybrid_index_search_batch(spark, docs: DataFrame, index_path: str,
         pool_rows = pool_rows.join(
             allowed.select(F.col("vec_id").alias("doc_id")),
             "doc_id", "left_semi")
+    if where is not None:
+        pool_rows = pool_rows.join(
+            _where_doc_ids(spark, index_path, where)
+            .select(F.col("vec_id").alias("doc_id")),
+            "doc_id", "left_semi")
     bm_ranked = (
         pool_rows.withColumn("bm25_rank", F.row_number().over(wq))
         .select("query_id", "doc_id", "bm25_rank")
@@ -577,22 +622,22 @@ def hybrid_index_search_batch(spark, docs: DataFrame, index_path: str,
     batchers = {
         "sq8": lambda: sq8_index_topk_batch(
             spark, index_path, q_emb, vectors, k=pool,
-            allowed=allowed),
+            allowed=allowed, where=where),
         "pq": lambda: pq_index_topk_batch(
             spark, index_path, q_emb, vectors, k=pool,
-            allowed=allowed),
+            allowed=allowed, where=where),
         "bq": lambda: bq_index_topk_batch(
             spark, index_path, q_emb, vectors, k=pool,
-            allowed=allowed),
+            allowed=allowed, where=where),
         "ivf_sq8": lambda: ivf_sq8_index_topk_batch(
             spark, index_path, q_emb, vectors, k=pool,
-            nprobe=nprobe, allowed=allowed),
+            nprobe=nprobe, allowed=allowed, where=where),
         "ivf_pq": lambda: ivf_pq_index_topk_batch(
             spark, index_path, q_emb, vectors, k=pool,
-            nprobe=nprobe, allowed=allowed),
+            nprobe=nprobe, allowed=allowed, where=where),
         "ivf_bq": lambda: ivf_bq_index_topk_batch(
             spark, index_path, q_emb, vectors, k=pool,
-            nprobe=nprobe, allowed=allowed),
+            nprobe=nprobe, allowed=allowed, where=where),
     }
     dense_ranked = batchers[kind]().select(
         "query_id", F.col("neighbor_id").alias("doc_id"),
