@@ -1106,15 +1106,28 @@ _EXTRA_QUERIES = {
     "pipeline_pack_sequences":
         lambda s, d: pcur.pack_sequences(pcur.chunk_tokens(_aug(s, d)),
                                          token_budget=160),
-    # r7 rotation: the rows below left the 50-entry driver window to make
-    # room for _FLAGSHIP_QUERIES; each is a shape-duplicate of an
-    # in-window row (precompute_q* of q1-q4; arrivals_flat of
-    # arrivals_grouped) and stays fully oracle-checked here
-    "precompute_q1_table": _precompute_q1,
-    "precompute_q2_table": _precompute_q2,
-    "precompute_q3_table": _precompute_q3,
-    "precompute_q4_table": _precompute_q4,
-    "timetable_arrivals_flat": _arrivals_flat,
+    # r13 round-robin displacements (all first-gated green r12, every
+    # signal class still carried in-window): events_daily_active_users
+    # (exact twin of the in-window DAU-HLL sketch path's aggregation
+    # shape; countDistinct carried by q1), multimodal_frames /
+    # multimodal_resize (the codec + Arrow-batch machinery stays
+    # pinned by the pytest golden checks in test_multimodal),
+    # text_chunk_dedup (exact-dedup shape carried by in-window
+    # dedup_keep_one's cluster input and pipeline_training_chunks),
+    # dedup_keep_one's MinHash-CC input carried by dedup_clusters.
+    "events_daily_active_users":
+        lambda s, d: ev.daily_active_users(_events(s, d)),
+    "multimodal_frames":
+        lambda s, d: pmm.sample_frames(pmm.media_table(_aug(s, d))),
+    "multimodal_resize":
+        lambda s, d: pmm.resize_payloads(pmm.media_table(_aug(s, d)))
+        .select("media_id", "kind", "out_len", "checksum", "head_hex"),
+    "text_chunk_dedup":
+        lambda s, d: pcur.chunk_dedup(pcur.chunk_tokens(_aug(s, d))),
+    "dedup_keep_one":
+        lambda s, d: pdedup.keep_canonical(
+            _aug(s, d),
+            pdedup.dedup_clusters(pdedup.minhash_lsh_pairs(_aug(s, d)))),
 }
 
 
@@ -1388,38 +1401,26 @@ _FLAGSHIP_R11 = {
 }
 
 
-_FLAGSHIP_R12 = {
-    # r12 steady-state round-robin (the rotation_check advisory's five
-    # stalest windows, all last gated r4/r5): every one previously
-    # carried the driver hash gate and has stayed oracle-checked in the
-    # pytest parity sweep since.  Displacements (annotated in
-    # _EXTRA_QUERIES): text_vocabulary, text_scrub_pii, text_line_dedup,
-    # text_collapse_runs, text_lm_score — all first-gated r11, and the
-    # text family keeps four in-window rows (text_search_bm25,
-    # text_tfidf_keywords, text_hash_embeddings, text_profile).
+_FLAGSHIP_R13 = {
+    # r13 steady-state round-robin (the rotation_check advisory's five
+    # stalest windows, all last gated r6): every one previously
+    # carried the driver hash gate (r6 and earlier) and has stayed
+    # oracle-checked in the pytest parity sweep since.  Displacements
+    # (annotated in _EXTRA_QUERIES): events_daily_active_users,
+    # multimodal_frames, multimodal_resize, text_chunk_dedup,
+    # dedup_keep_one — all first-gated green r12.
     #
-    # per-day exact distinct users (the exact twin of the HLL
-    # daily_active_sketch path; last gated r4)
-    "events_daily_active_users":
-        lambda s, d: ev.daily_active_users(_events(s, d)),
-    # deterministic frame sampling over AVI payloads (real codec) +
-    # fake-kind fallbacks; last gated r4
-    "multimodal_frames":
-        lambda s, d: pmm.sample_frames(pmm.media_table(_aug(s, d))),
-    # decode -> resize -> re-encode summary per media row (BMP/WAV real
-    # codecs, checksum + head_hex projections); last gated r4
-    "multimodal_resize":
-        lambda s, d: pmm.resize_payloads(pmm.media_table(_aug(s, d)))
-        .select("media_id", "kind", "out_len", "checksum", "head_hex"),
-    # chunk-level exact dedup over the token chunk table; last gated r4
-    "text_chunk_dedup":
-        lambda s, d: pcur.chunk_dedup(pcur.chunk_tokens(_aug(s, d))),
-    # keep-one-canonical-per-cluster over the MinHash CC clusters;
-    # last gated r5
-    "dedup_keep_one":
-        lambda s, d: pdedup.keep_canonical(
-            _aug(s, d),
-            pdedup.dedup_clusters(pdedup.minhash_lsh_pairs(_aug(s, d)))),
+    # the result-cache write+read round trips for q1-q4 (the reference
+    # SQL app's precompute fast path, SQL/app.py:61-65), incl. the
+    # '4'-sentinel synthesized weekly rows (A13) and the fixed /3.0
+    # weekly average (A15); all last gated r6
+    "precompute_q1_table": _precompute_q1,
+    "precompute_q2_table": _precompute_q2,
+    "precompute_q3_table": _precompute_q3,
+    "precompute_q4_table": _precompute_q4,
+    # flat ungrouped arrivals listing (P9/P10 optional time filters,
+    # NaT parity); last gated r6
+    "timetable_arrivals_flat": _arrivals_flat,
 }
 
 
@@ -1448,7 +1449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **_FLAGSHIP_R9,
         **_FLAGSHIP_R10,
         **_FLAGSHIP_R11,
-        **_FLAGSHIP_R12,
+        **_FLAGSHIP_R13,
         **_EVENTS_QUERIES,
         **_PIPELINE_QUERIES,
         # keep last: beyond the harness's 50-entry window by design
