@@ -379,18 +379,20 @@ def _vector_serving_section(spark, emb_dir: str) -> dict | None:
             writers[kind](emb, path)
             build_s = round(time.monotonic() - t0, 3)
         tune_s = tuned = None
-        if kind.startswith("ivf_"):
-            m = sim._index_manifest(spark, path)
-            if "default_nprobe" not in m:
-                # measure the recall curve, commit the smallest depth
-                # meeting the target — the manifest caches it across
-                # rounds like the build itself
-                t0 = time.monotonic()
-                # nprobes=None sweeps the geometric ladder up to the
-                # index's own (derived) cluster count
-                tuned = sim.tune_index(
-                    spark, path, emb, target_recall_permille=950)
-                tune_s = round(time.monotonic() - t0, 3)
+        m = sim._index_manifest(spark, path)
+        want = ("default_nprobe" if kind.startswith("ivf_")
+                else "default_rerank_mult")
+        if want not in m:
+            # measure the recall curve, commit the cheapest operating
+            # point meeting the target — nprobe for the IVF kinds,
+            # rerank depth for the flat kinds (r13: every kind tunes)
+            # — the manifest caches it across rounds like the build
+            t0 = time.monotonic()
+            # the default grids sweep to full probe / the corpus-
+            # covering rerank depth, so the target is reachable
+            tuned = sim.tune_index(
+                spark, path, emb, target_recall_permille=950)
+            tune_s = round(time.monotonic() - t0, 3)
         # k=11 so dropping the self-hit still leaves 10 candidates;
         # nprobe=None = the manifest's tuned operating point
         batchers[kind](spark, path, queries, emb, k=11).count()
@@ -422,23 +424,29 @@ def _vector_serving_section(spark, emb_dir: str) -> dict | None:
             "recall10": int(1000 * hits / max(total, 1)),
         }
         detail: dict = {"build_s": build_s}
+        man = sim._index_manifest(spark, path)
         if kind.startswith("ivf_"):
-            man = sim._index_manifest(spark, path)
             detail["n_clusters"] = spark.read.parquet(
                 f"{path}/{man['centroids']}").count()
             out[kind]["nprobe"] = int(
                 man.get("default_nprobe", sim.DEFAULT_NPROBE))
             out[kind]["tuned"] = "default_nprobe" in man
-            if tuned is not None:
-                detail["tune_s"] = tune_s
-                detail["tune_decision"] = tuned["decision"]
-                print(f"# vecserve-curve[{tag}] {kind}: "
-                      f"{json.dumps(tuned.get('curve', []))}",
-                      file=sys.stderr)
+        # the rerank operating point (r13: every kind's exact-rerank
+        # depth tunes; it is the flat kinds' ONLY quality knob)
+        out[kind]["rerank"] = sim._resolve_rerank(man, None)
+        if tuned is not None:
+            detail["tune_s"] = tune_s
+            detail["tune_decision"] = tuned["decision"]
+            for ck in ("curve", "rerank_curve"):
+                if tuned.get(ck):
+                    print(f"# vecserve-{ck}[{tag}] {kind}: "
+                          f"{json.dumps(tuned[ck])}",
+                          file=sys.stderr)
         print(f"# vecserve[{tag}] {kind}: "
               f"{out[kind]['serve_s']}s "
               f"(recall@10 {out[kind]['recall10']}permille"
               f"{', nprobe ' + str(out[kind].get('nprobe')) if kind.startswith('ivf_') else ''}"
+              f", rerank {out[kind]['rerank']}"
               f") detail={json.dumps(detail)}",
               file=sys.stderr)
     return out

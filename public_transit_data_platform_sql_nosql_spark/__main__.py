@@ -531,15 +531,16 @@ def cmd_vector_index(args: argparse.Namespace) -> int:
         return 0 if st["decision"] in ("split", "balanced") else 2
     if args.action == "tune":
         # close the observability loop: measure the recall curve, pick
-        # the smallest probe depth meeting --target-recall, commit it
-        # to the manifest as default_nprobe — every later serving call
-        # without an explicit --nprobe probes at it
+        # the cheapest operating point meeting --target-recall, commit
+        # it to the manifest — default_nprobe (IVF kinds) and/or
+        # default_rerank_mult (every kind; the flat kinds' one knob) —
+        # every later serving call without explicit overrides runs at
+        # it
         vectors = spark.read.parquet(args.emb)
         st = sim.tune_index(spark, args.path, vectors, k=args.k,
                             target_recall_permille=args.target_recall)
         print(json.dumps({"action": "tune", **st}))
-        return 0 if st["decision"] in ("tuned", "noop",
-                                       "flat_kind") else 3
+        return 0 if st["decision"] in ("tuned", "noop") else 3
     if args.action == "compact":
         st = sim.compact_index(spark, args.path)
         print(json.dumps({"action": "compact", **st}))
@@ -674,12 +675,13 @@ def cmd_vector_pipeline(args: argparse.Namespace) -> int:
         sim.write_sq8_index(emb, f"{wd}/index", dim=args.dim)
 
     # optional tune step: measure the recall curve and commit the
-    # smallest nprobe meeting --target-recall as the manifest's
-    # default_nprobe; the serving pass below (and every later
+    # cheapest operating point meeting --target-recall — nprobe for
+    # the IVF kinds, rerank depth for the flat kinds (their one
+    # quality knob); the serving pass below (and every later
     # query/stream against this index) then runs at the MEASURED
     # operating point instead of a guessed one
     tune = None
-    if args.target_recall is not None and kind.startswith("ivf_"):
+    if args.target_recall is not None:
         tune = sim.tune_index(spark, f"{wd}/index", emb, k=args.k,
                               target_recall_permille=args.target_recall)
 
@@ -710,7 +712,8 @@ def cmd_vector_pipeline(args: argparse.Namespace) -> int:
         "workdir": wd, "n_docs": n_docs, "n_quarantined": n_bad,
         "index_kind": kind, "dim": args.dim,
         "n_queries": int(args.n_queries), "n_results": n_results,
-        **({"tune": {k_: v for k_, v in tune.items() if k_ != "curve"}}
+        **({"tune": {k_: v for k_, v in tune.items()
+                     if not isinstance(v, list)}}  # curves stay off
            if tune is not None else {}),
     }))
     return 0

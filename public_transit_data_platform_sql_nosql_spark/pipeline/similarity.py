@@ -307,27 +307,70 @@ def _resolve_nprobe(m: dict, nprobe: int | None) -> int:
     return int(m.get("default_nprobe", DEFAULT_NPROBE))
 
 
-def _persist_nprobe(spark, path: str, nprobe: int) -> int:
-    """Commit a manifest-only version bump carrying ``default_nprobe``
+def _kind_rerank_default(kind: str) -> int:
+    """The constant fallback rerank depth per layout kind — what an
+    UNTUNED index serves at (coarser codes default deeper, see the
+    constants' notes)."""
+    return {"sq8": SQ_RERANK_MULT, "ivf_sq8": SQ_RERANK_MULT,
+            "pq": PQ_RERANK_MULT, "ivf_pq": PQ_RERANK_MULT,
+            "bq": BQ_RERANK_MULT, "ivf_bq": BQ_RERANK_MULT}[kind]
+
+
+def _resolve_rerank(m: dict, rerank_mult: int | None) -> int:
+    """Serving exact-rerank depth, resolved exactly like nprobe: an
+    explicit caller value wins; ``None`` (the default everywhere)
+    reads the manifest's ``default_rerank_mult`` — the operating point
+    :func:`tune_index` commits — falling back to the kind's constant.
+    Rerank depth is THE quality knob of the flat kinds (a flat scan
+    ranks every code; what recall it reaches is decided by how many
+    shortlist rows the exact re-rank sees) and the second knob of the
+    IVF kinds after probe depth."""
+    if rerank_mult is not None:
+        return int(rerank_mult)
+    if "default_rerank_mult" in m:
+        return int(m["default_rerank_mult"])
+    return _kind_rerank_default(m.get("kind", "sq8"))
+
+
+def _persist_operating_point(spark, path: str, *,
+                             nprobe: int | None = None,
+                             rerank_mult: int | None = None) -> int:
+    """Commit a manifest-only version bump carrying the serving
+    operating point — ``default_nprobe`` and/or ``default_rerank_mult``
     (the :func:`tune_index` commit shape, shared with the maintainers'
     bump rung so a bumped setting actually changes how later serving
-    calls probe instead of riding home in a decision dict the caller
+    calls run instead of riding home in a decision dict the caller
     must remember to thread through).  Returns the committed version
-    (the current one when the setting is already in force)."""
+    (the current one when every passed setting is already in force).
+
+    A setting is skipped only when its key is EXPLICITLY present and
+    equal: an absent key merely falls back to the constant today, and
+    the point of persisting is to pin the measured operating point
+    against constant drift, not to rely on the fallback."""
     from ..jobs.versioned import _write_manifest
 
     m = _index_manifest(spark, path)
-    # skip only when the key is EXPLICITLY present and equal: an
-    # absent key merely falls back to DEFAULT_NPROBE today, and the
-    # point of persisting is to pin the measured operating point
-    # against constant drift, not to rely on the fallback
-    if "default_nprobe" in m and int(m["default_nprobe"]) == int(nprobe):
+    patch: dict = {}
+    if nprobe is not None and not (
+            "default_nprobe" in m
+            and int(m["default_nprobe"]) == int(nprobe)):
+        patch["default_nprobe"] = int(nprobe)
+    if rerank_mult is not None and not (
+            "default_rerank_mult" in m
+            and int(m["default_rerank_mult"]) == int(rerank_mult)):
+        patch["default_rerank_mult"] = int(rerank_mult)
+    if not patch:
         return int(m["version"])
     version = _next_index_version(spark, path)
-    _write_manifest(spark, path, version, {
-        **m, "version": version, "default_nprobe": int(nprobe),
-    })
+    _write_manifest(spark, path, version,
+                    {**m, "version": version, **patch})
     return version
+
+
+def _persist_nprobe(spark, path: str, nprobe: int) -> int:
+    """The maintainers' bump-rung commit: ``default_nprobe`` only
+    (:func:`_persist_operating_point`)."""
+    return _persist_operating_point(spark, path, nprobe=nprobe)
 
 
 def vacuum_index(spark, path: str, keep_last: int = 2) -> dict:
@@ -549,7 +592,7 @@ def write_sq8_index(emb: DataFrame, path: str, dim: int = 64,
 
 def sq8_index_topk(spark, path: str, query_vec: list[float],
                    vectors: DataFrame, k: int = 10,
-                   rerank_mult: int = SQ_RERANK_MULT,
+                   rerank_mult: int | None = None,
                    dim: int | None = None,
                    allowed: DataFrame | None = None,
                    where: str | None = None) -> DataFrame:
@@ -579,9 +622,12 @@ def sq8_index_topk(spark, path: str, query_vec: list[float],
     untrusted input, compute an ``allowed=`` id-list from a store the
     caller is authorized on instead.
 
-    ``dim`` is resolved from the manifest (pass it only to assert)."""
+    ``dim`` is resolved from the manifest (pass it only to assert);
+    ``rerank_mult=None`` resolves the committed operating point
+    (:func:`_resolve_rerank`)."""
     m = _index_manifest(spark, path)
     dim = _manifest_dim(m, dim, path)
+    rerank_mult = _resolve_rerank(m, rerank_mult)
     stats = spark.read.parquet(f"{path}/{m['quantizer']}")
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     cand = _manifest_codes(spark, path, m)
@@ -619,7 +665,7 @@ def sq8_index_topk(spark, path: str, query_vec: list[float],
 
 def sq8_index_topk_batch(spark, path: str, queries: DataFrame,
                          vectors: DataFrame, k: int = 10,
-                         rerank_mult: int = SQ_RERANK_MULT,
+                         rerank_mult: int | None = None,
                          allowed: DataFrame | None = None,
                          where: str | None = None) -> DataFrame:
     """BATCH retrieval over a ``write_sq8_index`` layout: the codes
@@ -633,6 +679,7 @@ def sq8_index_topk_batch(spark, path: str, queries: DataFrame,
     the :func:`sq8_index_topk` trust-boundary note)."""
     m = _index_manifest(spark, path)
     dim = int(m["dim"])
+    rerank_mult = _resolve_rerank(m, rerank_mult)
     stats = spark.read.parquet(f"{path}/{m['quantizer']}")
     q = queries.select("query_id", F.col("embedding").alias("qe"))
     cand = _manifest_codes(spark, path, m)
@@ -1564,7 +1611,7 @@ def _batch_candidates(spark, queries_q: DataFrame,
 def ivf_sq8_index_topk(spark, path: str, query_vec: list[float],
                        vectors: DataFrame, k: int = 10,
                        nprobe: int | None = None,
-                       rerank_mult: int = SQ_RERANK_MULT,
+                       rerank_mult: int | None = None,
                        dim: int | None = None,
                        allowed: DataFrame | None = None,
                        where: str | None = None) -> DataFrame:
@@ -1605,6 +1652,7 @@ def ivf_sq8_index_topk(spark, path: str, query_vec: list[float],
     m = _index_manifest(spark, path)
     dim = _manifest_dim(m, dim, path)
     nprobe = _resolve_nprobe(m, nprobe)
+    rerank_mult = _resolve_rerank(m, rerank_mult)
     ranked = _rank_clusters(spark, path, m, query_vec)
     if allowed is not None or where is not None:
         codes_all = _manifest_codes(spark, path, m)
@@ -1654,7 +1702,7 @@ def ivf_sq8_index_topk(spark, path: str, query_vec: list[float],
 def ivf_sq8_index_topk_batch(spark, path: str, queries: DataFrame,
                              vectors: DataFrame, k: int = 10,
                              nprobe: int | None = None,
-                             rerank_mult: int = SQ_RERANK_MULT,
+                             rerank_mult: int | None = None,
                              allowed: DataFrame | None = None,
                              where: str | None = None
                              ) -> DataFrame:
@@ -1689,6 +1737,7 @@ def ivf_sq8_index_topk_batch(spark, path: str, queries: DataFrame,
     m = _index_manifest(spark, path)
     dim = int(m["dim"])
     nprobe = _resolve_nprobe(m, nprobe)
+    rerank_mult = _resolve_rerank(m, rerank_mult)
     c_rows = _centroid_rows(spark, path, m)
     q = queries.select(F.col("query_id"),
                        F.col("embedding").alias("qe"))
@@ -2565,7 +2614,7 @@ def _pq_adc_score(m: int) -> F.Column:
 
 def pq_index_topk_batch(spark, path: str, queries: DataFrame,
                         vectors: DataFrame, k: int = 10,
-                        rerank_mult: int = PQ_RERANK_MULT,
+                        rerank_mult: int | None = None,
                         allowed: DataFrame | None = None,
                         where: str | None = None) -> DataFrame:
     """BATCH retrieval over a ``write_pq_index`` layout: the m-byte
@@ -2579,6 +2628,7 @@ def pq_index_topk_batch(spark, path: str, queries: DataFrame,
     (caller-trusted SQL — the :func:`sq8_index_topk` trust-boundary
     note)."""
     m_an = _index_manifest(spark, path)
+    rerank_mult = _resolve_rerank(m_an, rerank_mult)
     q = queries.select("query_id", F.col("embedding").alias("qe"))
     adc = _pq_adc_frame(spark, path, m_an, [
         (int(r["query_id"]), [float(x) for x in r["embedding"]])
@@ -2620,7 +2670,7 @@ def pq_index_topk_batch(spark, path: str, queries: DataFrame,
 
 def pq_index_topk(spark, path: str, query_vec: list[float],
                   vectors: DataFrame, k: int = 10,
-                  rerank_mult: int = PQ_RERANK_MULT,
+                  rerank_mult: int | None = None,
                   allowed: DataFrame | None = None,
                   where: str | None = None) -> DataFrame:
     """Serve top-k from a ``write_pq_index`` layout: the query's ADC
@@ -2636,6 +2686,7 @@ def pq_index_topk(spark, path: str, query_vec: list[float],
     into the codes scan (caller-trusted SQL — the
     :func:`sq8_index_topk` trust-boundary note)."""
     m_an = _index_manifest(spark, path)
+    rerank_mult = _resolve_rerank(m_an, rerank_mult)
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     adc = _pq_adc_frame(spark, path, m_an, [
         (0, [float(x) for x in query_vec])]).drop("query_id")
@@ -3065,7 +3116,7 @@ def write_ivf_pq_index(emb: DataFrame, path: str, k: int | None = None,
 def ivf_pq_index_topk(spark, path: str, query_vec: list[float],
                       vectors: DataFrame, k: int = 10,
                       nprobe: int | None = None,
-                      rerank_mult: int = PQ_RERANK_MULT,
+                      rerank_mult: int | None = None,
                       allowed: DataFrame | None = None,
                       where: str | None = None) -> DataFrame:
     """Serve top-k from a ``write_ivf_pq_index`` layout: rank the
@@ -3082,6 +3133,7 @@ def ivf_pq_index_topk(spark, path: str, query_vec: list[float],
     :func:`ivf_sq8_index_topk` trust-boundary note)."""
     m_an = _index_manifest(spark, path)
     nprobe = _resolve_nprobe(m_an, nprobe)
+    rerank_mult = _resolve_rerank(m_an, rerank_mult)
     ranked = _rank_clusters(spark, path, m_an, query_vec)
     if allowed is not None or where is not None:
         codes_all = _manifest_codes(spark, path, m_an)
@@ -3129,7 +3181,7 @@ def ivf_pq_index_topk(spark, path: str, query_vec: list[float],
 def ivf_pq_index_topk_batch(spark, path: str, queries: DataFrame,
                             vectors: DataFrame, k: int = 10,
                             nprobe: int | None = None,
-                            rerank_mult: int = PQ_RERANK_MULT,
+                            rerank_mult: int | None = None,
                             allowed: DataFrame | None = None,
                             where: str | None = None
                             ) -> DataFrame:
@@ -3146,6 +3198,7 @@ def ivf_pq_index_topk_batch(spark, path: str, queries: DataFrame,
     (``_batch_candidates``)."""
     m_an = _index_manifest(spark, path)
     nprobe = _resolve_nprobe(m_an, nprobe)
+    rerank_mult = _resolve_rerank(m_an, rerank_mult)
     c_rows = _centroid_rows(spark, path, m_an)
     q = queries.select(F.col("query_id"),
                        F.col("embedding").alias("qe"))
@@ -3507,7 +3560,7 @@ def _bq_query_bits(query_vec: list[float]) -> tuple[int, int]:
 
 def bq_index_topk(spark, path: str, query_vec: list[float],
                   vectors: DataFrame, k: int = 10,
-                  rerank_mult: int = BQ_RERANK_MULT,
+                  rerank_mult: int | None = None,
                   allowed: DataFrame | None = None,
                   where: str | None = None) -> DataFrame:
     """Serve top-k from a ``write_bq_index`` layout: the query's sign
@@ -3519,6 +3572,7 @@ def bq_index_topk(spark, path: str, query_vec: list[float],
     pushes an attribute predicate into the codes scan (caller-trusted
     SQL — the :func:`sq8_index_topk` trust-boundary note)."""
     m_an = _index_manifest(spark, path)
+    rerank_mult = _resolve_rerank(m_an, rerank_mult)
     if m_an.get("kind") != "bq":
         raise ValueError(
             f"vector index {path} is kind={m_an.get('kind')!r}, "
@@ -3559,7 +3613,7 @@ def bq_index_topk(spark, path: str, query_vec: list[float],
 
 def bq_index_topk_batch(spark, path: str, queries: DataFrame,
                         vectors: DataFrame, k: int = 10,
-                        rerank_mult: int = BQ_RERANK_MULT,
+                        rerank_mult: int | None = None,
                         allowed: DataFrame | None = None,
                         where: str | None = None) -> DataFrame:
     """BATCH retrieval over a ``write_bq_index`` layout: the 8-byte
@@ -3571,6 +3625,7 @@ def bq_index_topk_batch(spark, path: str, queries: DataFrame,
     the codes scan (caller-trusted SQL — the :func:`sq8_index_topk`
     trust-boundary note)."""
     m_an = _index_manifest(spark, path)
+    rerank_mult = _resolve_rerank(m_an, rerank_mult)
     if m_an.get("kind") != "bq":
         raise ValueError(
             f"vector index {path} is kind={m_an.get('kind')!r}, "
@@ -3711,16 +3766,20 @@ def index_stats(spark, path: str) -> dict:
         "attrs": list(m.get("attrs", [])),
     }
     if kind.startswith("ivf_"):
-        # the serving operating point: the committed default_nprobe
+        # the probe operating point: the committed default_nprobe
         # (tune_index / a maintainer's bump), or the constant fallback
         # an UNTUNED index serves at — `tuned` says which.  Emitted
-        # for the IVF kinds ONLY (matching tune_index's flat_kind
-        # decision): a flat sq8/pq/bq layout has no probe knob, and
-        # reporting default_nprobe/tuned=False there reads as an
-        # untuned operating point an operator should go fix
+        # for the IVF kinds ONLY: a flat sq8/pq/bq layout has no probe
+        # knob, and reporting default_nprobe/tuned=False there reads
+        # as an untuned operating point an operator should go fix
         out["default_nprobe"] = int(
             m.get("default_nprobe", DEFAULT_NPROBE))
         out["tuned"] = "default_nprobe" in m
+    # the re-rank operating point — EVERY kind has this knob (it is
+    # the flat kinds' ONLY quality knob); `rerank_tuned` says whether
+    # tune_index committed it or the kind constant is in force
+    out["default_rerank_mult"] = _resolve_rerank(m, None)
+    out["rerank_tuned"] = "default_rerank_mult" in m
     if "cluster_id" in codes.columns:
         sizes = [int(r["n"]) for r in
                  codes.groupBy("cluster_id")
@@ -3749,48 +3808,50 @@ def _nprobe_ladder(n_clusters: int) -> tuple:
     return tuple(depths)
 
 
-def index_recall_curve(spark, path: str, vectors: DataFrame,
-                       num_queries: int = 4, k: int = 10,
-                       nprobes: tuple | None = None) -> list[dict]:
-    """Recall-vs-probe-depth sweep for a stored index — the data an
-    operator reads to PICK nprobe instead of guessing: for each probe
-    depth (IVF kinds; the flat kinds measure their single operating
-    point), serve the first ``num_queries`` stored vectors as queries
-    and compare against exact brute force over the primary store.
-    Returns rows of ``{"nprobe": N|None, "min_recall_permille": ...,
-    "mean_recall_permille": ...}`` — min AND mean, because one drifted
-    region is exactly what a mean averages away.
+def _rerank_ladder(base: int, k: int, n_vectors: int) -> tuple:
+    """Geometric rerank-depth grid ``base, 2*base, ...`` ending at the
+    first depth whose ``k * mult`` shortlist covers the whole corpus —
+    the degenerate point where the exact re-rank sees every candidate
+    (recall 1000 by construction), so the sweep always reaches the
+    target exactly as the nprobe ladder always reaches full probe.
+    The honest end of the ladder is also the honest COST story: a
+    flat kind tuned to its deepest rung is serving a brute-force
+    re-rank and the curve says so."""
+    depths, d = [], max(1, int(base))
+    while d * k < n_vectors:
+        depths.append(d)
+        d *= 2
+    depths.append(d)
+    return tuple(depths)
 
-    ``nprobes=None`` (default) sweeps the geometric ladder 1, 2, 4,
-    ... up to the index's own cluster count (:func:`_nprobe_ladder`),
-    so the sweep always reaches full probe at any geometry.
 
-    Cost: num_queries x len(nprobes) bounded top-k jobs plus one exact
-    pass per query — a monitor you run per maintenance batch or from
-    the CLI, never per serving query."""
+def _recall_points(spark, path: str, vectors: DataFrame,
+                   num_queries: int, k: int,
+                   points: list[tuple]) -> list[dict]:
+    """Measure MIN/mean sampled recall@k at each ``(nprobe,
+    rerank_mult)`` operating point — the shared engine behind
+    :func:`index_recall_curve` and both of :func:`tune_index`'s rungs:
+    the first ``num_queries`` stored vectors serve as queries, exact
+    brute force over the primary store is truth, one bounded top-k job
+    per (query, point).  ``None`` in either slot means "resolve the
+    committed default", exactly as in serving."""
     m = _index_manifest(spark, path)
     kind = m.get("kind", "sq8")
-    if nprobes is None and kind.startswith("ivf_"):
-        nprobes = _nprobe_ladder(spark.read.parquet(
-            f"{path}/{m['centroids']}").count())
-    elif nprobes is None:
-        nprobes = ()                       # flat kinds ignore the grid
     servers = {
-        "sq8": lambda qv, np_: sq8_index_topk(
-            spark, path, qv, vectors, k=k),
-        "pq": lambda qv, np_: pq_index_topk(
-            spark, path, qv, vectors, k=k),
-        "bq": lambda qv, np_: bq_index_topk(
-            spark, path, qv, vectors, k=k),
-        "ivf_sq8": lambda qv, np_: ivf_sq8_index_topk(
-            spark, path, qv, vectors, k=k, nprobe=np_),
-        "ivf_pq": lambda qv, np_: ivf_pq_index_topk(
-            spark, path, qv, vectors, k=k, nprobe=np_),
-        "ivf_bq": lambda qv, np_: ivf_bq_index_topk(
-            spark, path, qv, vectors, k=k, nprobe=np_),
+        "sq8": lambda qv, np_, rm: sq8_index_topk(
+            spark, path, qv, vectors, k=k, rerank_mult=rm),
+        "pq": lambda qv, np_, rm: pq_index_topk(
+            spark, path, qv, vectors, k=k, rerank_mult=rm),
+        "bq": lambda qv, np_, rm: bq_index_topk(
+            spark, path, qv, vectors, k=k, rerank_mult=rm),
+        "ivf_sq8": lambda qv, np_, rm: ivf_sq8_index_topk(
+            spark, path, qv, vectors, k=k, nprobe=np_, rerank_mult=rm),
+        "ivf_pq": lambda qv, np_, rm: ivf_pq_index_topk(
+            spark, path, qv, vectors, k=k, nprobe=np_, rerank_mult=rm),
+        "ivf_bq": lambda qv, np_, rm: ivf_bq_index_topk(
+            spark, path, qv, vectors, k=k, nprobe=np_, rerank_mult=rm),
     }
     serve = servers[kind]
-    depths = list(nprobes) if kind.startswith("ivf_") else [None]
     queries = [
         (int(r["vec_id"]), [float(x) for x in r["embedding"]])
         for r in vectors.select("vec_id", "embedding")
@@ -3810,10 +3871,10 @@ def index_recall_curve(spark, path: str, vectors: DataFrame,
         exact = e if exact is None else exact.unionByName(e)
     exact = exact.localCheckpoint(eager=True)
     rows = []
-    for np_ in depths:
+    for np_, rm in points:
         approx = None
         for qid, qv in queries:
-            a = serve(qv, np_).select(
+            a = serve(qv, np_, rm).select(
                 F.lit(qid).cast("long").alias("query_id"),
                 F.col("neighbor_id"))
             approx = a if approx is None else approx.unionByName(a)
@@ -3821,59 +3882,150 @@ def index_recall_curve(spark, path: str, vectors: DataFrame,
                .agg(F.min("recall_permille").alias("mn"),
                     F.avg("recall_permille").alias("mean"))
                .collect()[0])
-        rows.append({"nprobe": np_,
-                     "min_recall_permille": int(rec["mn"]),
-                     "mean_recall_permille": int(rec["mean"])})
+        row = {"nprobe": np_,
+               "min_recall_permille": int(rec["mn"]),
+               "mean_recall_permille": int(rec["mean"])}
+        if rm is not None:
+            row["rerank_mult"] = int(rm)
+        rows.append(row)
     return rows
+
+
+def index_recall_curve(spark, path: str, vectors: DataFrame,
+                       num_queries: int = 4, k: int = 10,
+                       nprobes: tuple | None = None,
+                       rerank_mults: tuple | None = None) -> list[dict]:
+    """Recall-vs-depth sweep for a stored index — the data an operator
+    reads to PICK the operating point instead of guessing.  IVF kinds
+    sweep PROBE depth (rows carry ``nprobe``); the flat kinds sweep
+    their one quality knob, the exact-RERANK depth (rows carry
+    ``nprobe: None`` plus ``rerank_mult`` — before r13 they measured
+    only the single constant-depth point).  Each row reports min AND
+    mean sampled recall@k — min, because one drifted region is exactly
+    what a mean averages away.
+
+    ``nprobes=None`` (default) sweeps the geometric ladder 1, 2, 4,
+    ... up to the index's own cluster count (:func:`_nprobe_ladder`),
+    so the sweep always reaches full probe at any geometry;
+    ``rerank_mults=None`` on a flat kind sweeps the kind's constant
+    default, 2x, 4x, ... up to the depth whose shortlist covers the
+    corpus (:func:`_rerank_ladder`), so it always reaches exact
+    recall.  On an IVF kind ``rerank_mults`` crosses with the probe
+    grid (one row per (nprobe, rerank) pair) — the 2-D view
+    ``tune_index``'s second rung consumes.
+
+    Cost: num_queries x len(points) bounded top-k jobs plus one exact
+    pass per query — a monitor you run per maintenance batch or from
+    the CLI, never per serving query."""
+    m = _index_manifest(spark, path)
+    kind = m.get("kind", "sq8")
+    if kind.startswith("ivf_"):
+        if nprobes is None:
+            nprobes = _nprobe_ladder(spark.read.parquet(
+                f"{path}/{m['centroids']}").count())
+        rms = list(rerank_mults) if rerank_mults is not None else [None]
+        points = [(int(np_), rm) for rm in rms for np_ in nprobes]
+    else:
+        if rerank_mults is None:
+            rerank_mults = _rerank_ladder(
+                _kind_rerank_default(kind), k,
+                vectors.count())
+        points = [(None, int(rm)) for rm in rerank_mults]
+    return _recall_points(spark, path, vectors, num_queries, k, points)
 
 
 def tune_index(spark, path: str, vectors: DataFrame,
                target_recall_permille: int = 950,
                num_queries: int = 4, k: int = 10,
-               nprobes: tuple | None = None) -> dict:
+               nprobes: tuple | None = None,
+               rerank_mults: tuple | None = None) -> dict:
     """Close the observability loop: measure the recall curve
-    (:func:`index_recall_curve`), pick the SMALLEST probe depth whose
-    MIN sampled recall meets the target, and commit it to the manifest
-    as ``default_nprobe`` — the operating point every later serving
-    call (single, batch, streaming, CLI) resolves when the caller
-    passes ``nprobe=None`` (see :func:`_resolve_nprobe`).  Min, not
+    (:func:`index_recall_curve`), pick the CHEAPEST measured operating
+    point whose MIN sampled recall meets the target, and commit it to
+    the manifest — ``default_nprobe`` (IVF kinds) and/or
+    ``default_rerank_mult`` (every kind has the re-rank knob) — the
+    settings every later serving call (single, batch, streaming, CLI)
+    resolves when the caller passes ``None`` (see
+    :func:`_resolve_nprobe` / :func:`_resolve_rerank`).  Min, not
     mean: one drifted region is exactly what a mean averages away.
+
+    Two rungs, cheapest knob first:
+
+    - FLAT kinds (sq8/pq/bq): sweep the exact-rerank ladder, commit
+      the smallest depth meeting the target as
+      ``default_rerank_mult``.  This is the knob that decides what a
+      flat layout's recall IS (the r13 measurement that retired the
+      "flat kinds have nothing to tune" answer: bq at sf1 goes
+      181 -> 900+ permille purely on rerank depth, at a serve cost
+      that stays a Hamming scan + a bounded exact re-rank).  The
+      ladder ends at the corpus-covering depth, so the target is
+      always reachable on the default grid — what changes is the
+      honest COST of meeting it, which the curve records.
+    - IVF kinds: sweep probe depth at the committed rerank first (the
+      pruning knob — cheaper rows scanned beats deeper re-rank); if no
+      probe depth reaches the target (resolution-limited within the
+      probed clusters), the SECOND RUNG sweeps the rerank ladder:
+      each deeper rerank is ceiling-checked at full probe (one point),
+      and the first depth whose ceiling clears the target gets a
+      nested probe sweep; the (nprobe, rerank_mult) pair commits
+      together in ONE manifest bump.
 
     The commit is a manifest-only version bump (no data write — the
     cheapest possible commit under the same single-rename crash
     protocol; an interrupted tune leaves the previous operating point
     fully served).  Decisions AS DATA, like the maintainers:
 
-    - ``{"decision": "flat_kind"}``    — sq8/pq/bq have one operating
-      point; nothing to tune.
     - ``{"decision": "noop"}``         — the measured pick is already
       EXPLICITLY pinned in the manifest; no version written.  A pick
-      that merely equals the ``DEFAULT_NPROBE`` fallback on an untuned
-      manifest still commits (the ``_persist_nprobe`` rationale: pin
+      that merely equals the constant fallback on an untuned manifest
+      still commits (the ``_persist_operating_point`` rationale: pin
       the measured point against constant drift).
-    - ``{"decision": "tuned", "nprobe": N, "version": v}`` — committed.
-    - ``{"decision": "target_unreachable"}`` — no measured depth meets
+    - ``{"decision": "tuned", ...}``   — committed; carries ``nprobe``
+      (IVF) and/or ``rerank_mult`` (flat always; IVF when the second
+      rung fired) plus ``version``.
+    - ``{"decision": "target_unreachable"}`` — no measured point meets
       the target; NOTHING is written (serving deeper than the deepest
-      measured point is a guess).  The honest lever is the
-      maintainers' rebuild rung — for the PQ kinds that rung now
+      measured point is a guess).  Reachable only with a caller-pinned
+      grid (the default ladders end at exact-recall points) or when
+      the second rung's ceilings all fall short.  The honest lever is
+      then the maintainers' rebuild rung — for the PQ kinds that rung
       RAISES CODE RESOLUTION (``maintain_pq_index`` /
       ``maintain_ivf_pq_index`` retrain at ``PQ_INDEX_KSUB`` when the
-      stored ksub is below it), because an unreachable target on a
-      probe sweep that reached full probe is resolution-limited, not
-      probe-limited.  The measured curve rides along in every
-      non-flat outcome for the operator to inspect.
+      stored ksub is below it).  The measured curve rides along in
+      every outcome for the operator to inspect.
 
     Cost: the recall curve's bounded top-k jobs plus at most one
     manifest rename — an operator action per maintenance window or
     after bulk upserts, never per serving query."""
     m = _index_manifest(spark, path)
     kind = m.get("kind", "sq8")
-    if not kind.startswith("ivf_"):
-        return {"decision": "flat_kind", "kind": kind}
     if not 0 < target_recall_permille <= 1000:
         raise ValueError(
             f"target_recall_permille must be in (0, 1000] "
             f"(got {target_recall_permille})")
+    if not kind.startswith("ivf_"):
+        curve = index_recall_curve(
+            spark, path, vectors, num_queries=num_queries, k=k,
+            rerank_mults=(tuple(sorted(set(rerank_mults)))
+                          if rerank_mults is not None else None))
+        out = {"kind": kind, "curve": curve,
+               "target_recall_permille": target_recall_permille,
+               "previous_rerank_mult": _resolve_rerank(m, None)}
+        pick = next(
+            (r["rerank_mult"] for r in curve
+             if r["min_recall_permille"] >= target_recall_permille),
+            None)
+        if pick is None:
+            out["decision"] = "target_unreachable"
+            return out
+        version = _persist_operating_point(spark, path,
+                                           rerank_mult=int(pick))
+        if version == int(m["version"]):
+            out.update(decision="noop", rerank_mult=int(pick))
+        else:
+            out.update(decision="tuned", rerank_mult=int(pick),
+                       version=version)
+        return out
     curve = index_recall_curve(spark, path, vectors,
                                num_queries=num_queries, k=k,
                                nprobes=(tuple(sorted(set(nprobes)))
@@ -3886,20 +4038,60 @@ def tune_index(spark, path: str, vectors: DataFrame,
     pick = next((r["nprobe"] for r in curve
                  if r["min_recall_permille"] >= target_recall_permille),
                 None)
-    if pick is None:
-        out["decision"] = "target_unreachable"
+    if pick is not None:
+        # commit via the shared operating-point shape: it skips ONLY
+        # when default_nprobe is explicitly present and equal — a pick
+        # equal to the constant fallback on an untuned manifest still
+        # pins, so a later DEFAULT_NPROBE change can't silently move a
+        # tuned index's operating point
+        version = _persist_nprobe(spark, path, int(pick))
+        if version == int(m["version"]):
+            out.update(decision="noop", nprobe=int(pick))
+        else:
+            out.update(decision="tuned", nprobe=int(pick),
+                       version=version)
         return out
-    # commit via _persist_nprobe (the one shared commit shape): it
-    # skips ONLY when default_nprobe is explicitly present and equal —
-    # a pick equal to the constant fallback on an untuned manifest
-    # still pins, so a later DEFAULT_NPROBE change can't silently move
-    # a tuned index's operating point
-    version = _persist_nprobe(spark, path, int(pick))
-    if version == int(m["version"]):
-        out.update(decision="noop", nprobe=int(pick))
-    else:
-        out.update(decision="tuned", nprobe=int(pick), version=version)
+    # SECOND RUNG — probing deeper cannot reach the target (the codes
+    # cannot rank the true neighbors within the probed clusters), so
+    # the remaining serving-time lever is a deeper exact re-rank.
+    # Ceiling-check each deeper rerank at FULL probe (one point: if
+    # recall at full probe still misses, no probe depth at this rerank
+    # can reach it), then nest a probe sweep inside the first rung
+    # that clears.
+    n_clusters = max(r["nprobe"] for r in curve)
+    cur_rm = _resolve_rerank(m, None)
+    ladder = (tuple(sorted(set(rerank_mults)))
+              if rerank_mults is not None
+              else _rerank_ladder(_kind_rerank_default(kind), k,
+                                  vectors.count()))
+    out["rerank_curve"] = []
+    for rm in (r for r in ladder if r > cur_rm):
+        ceiling = _recall_points(spark, path, vectors, num_queries, k,
+                                 [(n_clusters, rm)])[0]
+        out["rerank_curve"].append(ceiling)
+        if ceiling["min_recall_permille"] < target_recall_permille:
+            continue
+        sub = _recall_points(
+            spark, path, vectors, num_queries, k,
+            [(np_, rm) for np_ in _nprobe_ladder(n_clusters)
+             if np_ < n_clusters])
+        out["rerank_curve"].extend(sub)
+        np_pick = next(
+            (r["nprobe"] for r in sub
+             if r["min_recall_permille"] >= target_recall_permille),
+            n_clusters)
+        version = _persist_operating_point(
+            spark, path, nprobe=int(np_pick), rerank_mult=int(rm))
+        if version == int(m["version"]):
+            out.update(decision="noop", nprobe=int(np_pick),
+                       rerank_mult=int(rm))
+        else:
+            out.update(decision="tuned", nprobe=int(np_pick),
+                       rerank_mult=int(rm), version=version)
+        return out
+    out["decision"] = "target_unreachable"
     return out
+
 
 
 def rebalance_index(spark, path: str, vectors: DataFrame, *,
@@ -4086,7 +4278,7 @@ def write_ivf_bq_index(emb: DataFrame, path: str, k: int | None = None,
 def ivf_bq_index_topk(spark, path: str, query_vec: list[float],
                       vectors: DataFrame, k: int = 10,
                       nprobe: int | None = None,
-                      rerank_mult: int = BQ_RERANK_MULT,
+                      rerank_mult: int | None = None,
                       allowed: DataFrame | None = None,
                       where: str | None = None) -> DataFrame:
     """Serve top-k from a ``write_ivf_bq_index`` layout: rank the
@@ -4102,6 +4294,7 @@ def ivf_bq_index_topk(spark, path: str, query_vec: list[float],
             f"vector index {path} is kind={m_an.get('kind')!r}, "
             f"not ivf_bq")
     nprobe = _resolve_nprobe(m_an, nprobe)
+    rerank_mult = _resolve_rerank(m_an, rerank_mult)
     ranked = _rank_clusters(spark, path, m_an, query_vec)
     if allowed is not None or where is not None:
         codes_all = _manifest_codes(spark, path, m_an)
@@ -4149,7 +4342,7 @@ def ivf_bq_index_topk(spark, path: str, query_vec: list[float],
 def ivf_bq_index_topk_batch(spark, path: str, queries: DataFrame,
                             vectors: DataFrame, k: int = 10,
                             nprobe: int | None = None,
-                            rerank_mult: int = BQ_RERANK_MULT,
+                            rerank_mult: int | None = None,
                             allowed: DataFrame | None = None,
                             where: str | None = None
                             ) -> DataFrame:
@@ -4165,6 +4358,7 @@ def ivf_bq_index_topk_batch(spark, path: str, queries: DataFrame,
             f"not ivf_bq")
     c_rows = _centroid_rows(spark, path, m_an)
     nprobe = _resolve_nprobe(m_an, nprobe)
+    rerank_mult = _resolve_rerank(m_an, rerank_mult)
     q = queries.select(
         "query_id", F.col("embedding").alias("qe"),
         _bq_half("embedding", 0).alias("qlo"),

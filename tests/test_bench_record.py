@@ -32,6 +32,7 @@ def _worst_case_record() -> dict:
         vec[kind] = {
             "serve_s": 123.456,
             "recall10": 1000,
+            "rerank": 1024,        # r13: the rerank operating point
         }
         if kind.startswith("ivf_"):
             vec[kind].update(

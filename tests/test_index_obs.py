@@ -80,14 +80,23 @@ def test_recall_curve_monotone_in_nprobe(spark, emb, tmp_path):
         assert r["mean_recall_permille"] >= r["min_recall_permille"]
 
 
-def test_recall_curve_flat_kind_single_point(spark, emb, tmp_path):
+def test_recall_curve_flat_kind_rerank_ladder(spark, emb, tmp_path):
+    """r13: a flat kind's curve sweeps its one quality knob — the
+    exact-rerank depth — on a geometric ladder ending at the depth
+    whose shortlist covers the corpus (recall 1000 by construction),
+    instead of the single constant-depth point it measured before."""
     path = str(tmp_path / "bq")
     write_bq_index(emb, path)
     vectors = emb.select("vec_id", "embedding")
     curve = index_recall_curve(spark, path, vectors, num_queries=2,
                                k=5)
-    assert len(curve) == 1 and curve[0]["nprobe"] is None
-    assert curve[0]["min_recall_permille"] > 0
+    n = vectors.count()
+    mults = [r["rerank_mult"] for r in curve]
+    assert all(r["nprobe"] is None for r in curve)
+    assert mults == sorted(mults) and len(mults) > 1
+    assert mults[-1] * 5 >= n          # reaches the exact point ...
+    assert curve[-1]["min_recall_permille"] == 1000  # ... and shows it
+    assert all(r["min_recall_permille"] > 0 for r in curve)
 
 
 def test_cli_stats_and_recall_curve(spark, emb, tmp_path, capsys):

@@ -304,12 +304,102 @@ def test_index_stats_operating_point_ivf_only(spark, emb, tmp_path):
     sim.write_sq8_index(emb, flat)
     st = sim.index_stats(spark, flat)
     assert "default_nprobe" not in st and "tuned" not in st
+    # ... but the RERANK operating point is every kind's knob
+    assert st["default_rerank_mult"] == sim.SQ_RERANK_MULT
+    assert st["rerank_tuned"] is False
 
     ivf = str(tmp_path / "ivf")
     sim.write_ivf_sq8_index(emb, ivf, k=4)
     st2 = sim.index_stats(spark, ivf)
     assert st2["default_nprobe"] == sim.DEFAULT_NPROBE
     assert st2["tuned"] is False
+    assert st2["default_rerank_mult"] == sim.SQ_RERANK_MULT
+    assert st2["rerank_tuned"] is False
+
+
+# ---------------------------------------------------------------------------
+# tunable rerank depth — the flat kinds' operating point
+
+
+def _hamming_blind_bucket(spark, n=24, dim=64, base=0):
+    """One sign-bucket whose WITHIN-bucket ranking Hamming cannot see:
+    every vector is [1, a_j, 0...] with a_j > 0 (identical sign bits),
+    the low ids carry a_j far from vec 0's and the TOP ids carry a_j
+    closest to it — so a shallow Hamming shortlist (tie-broken by
+    vec_id ASC) picks the low-id decoys and only a deeper exact rerank
+    recovers vec 0's true neighbors."""
+    rows = [(base + 0, [1.0, 0.9] + [0.0] * (dim - 2))]
+    for j in range(1, n - 4):
+        rows.append((base + j,
+                     [1.0, 0.1 + 0.0001 * j] + [0.0] * (dim - 2)))
+    for i, a in enumerate((0.89, 0.88, 0.87, 0.86)):
+        rows.append((base + n - 4 + i,
+                     [1.0, a] + [0.0] * (dim - 2)))
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>")
+
+
+def test_tune_bq_rerank_depth_changes_served_results(spark, tmp_path):
+    """End to end on a corpus where Hamming ties within the bucket:
+    the untuned (shallow) serve returns the low-id decoys, tune_index
+    measures the rerank curve and commits the smallest depth meeting
+    the target, and the SAME serving call (rerank_mult=None) then
+    returns the true neighbors — the operating point changed serving
+    without any caller threading a number through."""
+    corpus = _hamming_blind_bucket(spark).localCheckpoint(eager=True)
+    path = str(tmp_path / "bq")
+    sim.write_bq_index(corpus, path)
+    # true top-5 for vec 0: itself + the four a~0.86-0.89 high ids
+    truth = {0, 20, 21, 22, 23}
+    shallow = {int(r["neighbor_id"]) for r in sim.bq_index_topk(
+        spark, path, [1.0, 0.9] + [0.0] * 62, corpus, k=5,
+        rerank_mult=1).collect()}
+    assert shallow == {0, 1, 2, 3, 4}       # Hamming-tie decoys
+    st = sim.tune_index(spark, path, corpus, k=5,
+                        rerank_mults=(1, 2, 4, 8))
+    assert st["decision"] == "tuned"
+    assert st["rerank_mult"] == 8           # 5*8 covers the 24 rows
+    served = {int(r["neighbor_id"]) for r in sim.bq_index_topk(
+        spark, path, [1.0, 0.9] + [0.0] * 62, corpus,
+        k=5).collect()}                     # rerank_mult=None resolves
+    assert served == truth
+    # the curve recorded WHY: min recall climbs with depth
+    mins = [r["min_recall_permille"] for r in st["curve"]]
+    assert mins[0] < 950 <= mins[-1]
+
+
+def test_tune_ivf_second_rung_commits_both_knobs(spark, tmp_path):
+    """An IVF index whose probe sweep cannot reach the target (codes
+    cannot rank within the probed cluster) falls through to the rerank
+    rung: ceiling-check at full probe, nested probe sweep at the first
+    depth that clears, ONE manifest bump carrying both knobs."""
+    from pyspark.sql import functions as _F
+
+    # bucket A: 120 Hamming-blind rows (ids 0-119); bucket B: 24 far
+    # rows on other axes (ids 200+) so k=2 clustering separates them
+    a = _hamming_blind_bucket(spark, n=120)
+    b = _hamming_blind_bucket(spark, n=24, base=200).select(
+        "vec_id",
+        _F.expr("transform(sequence(1, 64), i -> CASE WHEN i = 3 THEN "
+                "element_at(embedding, 1) WHEN i = 4 THEN "
+                "element_at(embedding, 2) ELSE 0.0D END)")
+        .alias("embedding"))
+    corpus = a.unionByName(b).localCheckpoint(eager=True)
+    path = str(tmp_path / "ivfbq")
+    sim.write_ivf_bq_index(corpus, path, k=2)
+    st = sim.tune_index(spark, path, corpus, k=5,
+                        rerank_mults=(16, 32))
+    assert st["decision"] == "tuned"
+    assert st["rerank_mult"] == 32          # 5*16=80 misses ids 116+
+    assert st["nprobe"] >= 1
+    assert st["rerank_curve"], "second rung must record its points"
+    m = sim._index_manifest(spark, path)
+    assert m["default_rerank_mult"] == 32
+    assert m["default_nprobe"] == st["nprobe"]
+    # the committed pair serves the true neighbors with no overrides
+    served = {int(r["neighbor_id"]) for r in sim.ivf_bq_index_topk(
+        spark, path, [1.0, 0.9] + [0.0] * 62, corpus, k=5).collect()}
+    assert served == {0, 116, 117, 118, 119}
 
 
 # ---------------------------------------------------------------------------

@@ -71,13 +71,28 @@ def test_tune_commits_default_nprobe_serving_resolves(spark, emb,
     assert list_versions(spark, path)[-1] == st["version"]
 
 
-def test_tune_flat_kind_nothing_to_tune(spark, emb, tmp_path):
+def test_tune_flat_kind_commits_rerank_depth(spark, emb, tmp_path):
+    """r13: the flat kinds are no longer 'nothing to tune' — their one
+    quality knob is the exact-rerank depth, and tune_index sweeps it
+    and commits default_rerank_mult exactly like the IVF nprobe
+    commit (a pick equal to the constant fallback still pins)."""
     path = str(tmp_path / "bq")
     sim.write_bq_index(emb, path)
     v0 = list_versions(spark, path)[-1]
     st = sim.tune_index(spark, path, emb)
-    assert st == {"decision": "flat_kind", "kind": "bq"}
-    assert list_versions(spark, path)[-1] == v0
+    assert st["decision"] == "tuned" and st["kind"] == "bq"
+    assert "nprobe" not in st
+    rm = st["rerank_mult"]
+    m = sim._index_manifest(spark, path)
+    assert m["default_rerank_mult"] == rm
+    assert list_versions(spark, path)[-1] == st["version"] != v0
+    # curve rows carry the rerank grid, nprobe stays None
+    assert all(r["nprobe"] is None and "rerank_mult" in r
+               for r in st["curve"])
+    # re-tune at the same target: explicitly pinned and equal -> noop
+    st2 = sim.tune_index(spark, path, emb)
+    assert st2["decision"] == "noop" and st2["rerank_mult"] == rm
+    assert list_versions(spark, path)[-1] == st["version"]
 
 
 def test_tune_target_unreachable_writes_nothing(spark, emb, tmp_path,
@@ -93,8 +108,11 @@ def test_tune_target_unreachable_writes_nothing(spark, emb, tmp_path,
         {"nprobe": 2, "min_recall_permille": 700,
          "mean_recall_permille": 800},
     ])
+    # rerank_mults=() pins the second rung OFF: this test isolates the
+    # nprobe rung's refusal (the rerank rung would really measure the
+    # index and reach the target on its corpus-covering ladder)
     st = sim.tune_index(spark, path, emb, target_recall_permille=900,
-                        nprobes=(1, 2))
+                        nprobes=(1, 2), rerank_mults=())
     assert st["decision"] == "target_unreachable"
     assert "nprobe" not in st
     assert list_versions(spark, path)[-1] == v0
