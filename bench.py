@@ -14,6 +14,16 @@ set (dedup_clusters — the full connected-components fixpoint,
 pipeline_curated_corpus, text_profile replacing the narrower
 text_quality), so compare BENCH_r4+ totals per-query, not by the sum.
 
+NOTE r13 vector-serving rebaseline: (a) PQ serving moved to ADC lookup
+tables and the stored-PQ default resolution is ksub=256 (r12 indexes
+held ksub=16 codebooks — hence the vecidx3 cache dir); (b) EVERY kind
+now tunes (flat kinds commit default_rerank_mult; IVF kinds fall to a
+(nprobe, rerank) second rung when probing alone can't reach target),
+so flat kinds' measurements sit after ~25 s of tune-time serving calls
+that fully warm codegen where r12's single warmup left them mid-ramp.
+r12/r13 serving numbers are not directly comparable; the r13 frontier
+(all six kinds >= 993 permille at tuned points) is the new baseline.
+
 NOTE r12 vector-serving rebaseline: the serving sections changed
 instrument AND code paths this round — (a) IVF kinds are now TUNED
 (tune_index at 950 permille) and served at the committed operating
