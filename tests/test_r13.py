@@ -402,6 +402,46 @@ def test_tune_ivf_second_rung_commits_both_knobs(spark, tmp_path):
     assert served == {0, 116, 117, 118, 119}
 
 
+def test_maintain_ivf_bq_bump_rerank_rung(spark, tmp_path):
+    """The IVF x BQ maintainer's BQ-specific recovery: probing is
+    maxed and a rebuild could only refresh centroids (signs never
+    retrain), so the ladder doubles the exact-rerank depth and commits
+    it as default_rerank_mult — decision as data, serving picks it up
+    with no caller threading."""
+    from pyspark.sql import functions as _F
+
+    a = _hamming_blind_bucket(spark, n=120)
+    b = _hamming_blind_bucket(spark, n=24, base=200).select(
+        "vec_id",
+        _F.expr("transform(sequence(1, 64), i -> CASE WHEN i = 3 THEN "
+                "element_at(embedding, 1) WHEN i = 4 THEN "
+                "element_at(embedding, 2) ELSE 0.0D END)")
+        .alias("embedding"))
+    corpus = a.unionByName(b).localCheckpoint(eager=True)
+    path = str(tmp_path / "ivfbq")
+    sim.write_ivf_bq_index(corpus, path, k=2)
+    batch = corpus.orderBy("vec_id").limit(3)
+    out = sim.maintain_ivf_bq_index(spark, path, batch, corpus,
+                                    recall_floor_permille=950)
+    # nprobe starts at the full 2-cluster depth's cap=2 fallback, so
+    # the bump rung has no headroom; the rerank rung recovers: 8 -> 16
+    # covers the 124-row corpus at k=10
+    assert out["decision"] == "bump_rerank"
+    assert out["rerank_mult"] == 2 * sim.BQ_RERANK_MULT
+    assert out["recall_after_rerank_permille"] >= 950
+    assert out["recall_permille"] < 950
+    m = sim._index_manifest(spark, path)
+    assert m["default_rerank_mult"] == 2 * sim.BQ_RERANK_MULT
+    assert m["version"] == out["rerank_version"]
+    # serve at the maintainer's k: the committed depth (10*16 = 160)
+    # covers the 124-row corpus, so the true neighbors surface (at
+    # k=5 the same depth would shortlist only 80 rows — the rung
+    # commits a depth measured FOR the probe's k, as tune does)
+    served = {int(r["neighbor_id"]) for r in sim.ivf_bq_index_topk(
+        spark, path, [1.0, 0.9] + [0.0] * 62, corpus, k=10).collect()}
+    assert {0, 116, 117, 118, 119}.issubset(served)
+
+
 # ---------------------------------------------------------------------------
 # hybrid where= — attrs pushdown on BOTH arms
 
