@@ -2548,15 +2548,16 @@ def _pq_books(spark, path: str, m_an: dict):
 def _pq_adc_frame(spark, path: str, m_an: dict,
                   queries: list[tuple]) -> DataFrame:
     """Per-query ADC (asymmetric-distance) lookup tables as a SMALL
-    DataFrame ``(query_id, pdot, pnorm, qn)`` — one row per query,
-    ``pdot[j][c]`` = dot(query slice j, codeword (j, c)), ``pnorm`` the
-    query-independent squared codeword norms, ``qn`` the query norm.
-    Broadcast-joined to the candidate codes, candidate scoring becomes
-    m array lookups per row — decoupling serving cost from the
+    DataFrame ``(query_id, pdot, qn)`` — one row per query,
+    ``pdot[j][c]`` = dot(query slice j, codeword (j, c)), ``qn`` the
+    query norm.  Broadcast-joined to the candidates, per-pair scoring
+    becomes m array lookups — decoupling serving cost from the
     codebook resolution ``ksub`` (the r12 inlined-codeword-literal hat
     put m*ksub*sub literals in the plan and serving scaled LINEARLY
     with ksub: measured 20-43 s at ksub=64/256 vs ~3 s at 16; the
-    table-in-a-column form is flat — see ``_pq_adc_score``).
+    table-in-a-column form is flat).  ``pnorm`` (the query-independent
+    squared codeword norms) rides along so the per-pair fold reads
+    both cosine halves from the one broadcast row.
 
     numpy computes the tables (|batch| * m * ksub * sub multiply-adds
     — ~0.1 ms per query at m=8, ksub=256, dim=64; deterministic for a
@@ -2586,23 +2587,78 @@ def _pq_adc_frame(spark, path: str, m_an: dict,
     ]))
 
 
-def _pq_adc_score(m: int) -> F.Column:
-    """Candidate PQ score from the broadcast-joined ADC row: unpack the
-    m-byte codes ONCE (as the zip_with INPUT — the ``_sq8_unpack``
-    placement note), fold m (code, subspace) pairs through two lookup
-    sums, finish with the decomposed cosine
-    ``sum(pdot) / qn / sqrt(sum(pnorm))`` — algebraically
-    dot(q, hat)/|q|/|hat| for hat = the concatenated codewords, i.e.
-    the retired literal-walk hat's score without materializing hat.
-    Per row: m element_at lookups, independent of ksub.  The divide
-    inherits the old path's zero-norm semantics (an all-zero-codeword
-    candidate scores NULL and sorts out of the shortlist)."""
-    zipped = F.zip_with(
-        _sq8_unpack(F.col("codes"), m),
-        F.sequence(F.lit(1), F.lit(m)),
+def _pq_adc_zip(col: str, m: int) -> F.Column:
+    """``[(code, subspace_1based), ...]`` pairs for the lookup folds."""
+    return F.zip_with(
+        F.col(col), F.sequence(F.lit(1), F.lit(m)),
         lambda c, j: F.struct(c.alias("c"), j.alias("j")))
+
+
+def _pq_adc_candidates(spark, path: str, m_an: dict,
+                       cand: DataFrame, with_norm: bool = False):
+    """Project the PER-CANDIDATE half of ADC scoring below the query
+    fan-out: unpack the m-byte codes ONCE per stored row (``ucodes``),
+    so the broadcast join above duplicates one small int array per
+    probing query instead of re-running the hex/split/conv unpack per
+    pair (the r12 ``_sq8_unpack``-placement lesson, applied to ADC;
+    the broadcast join is the projection barrier CollapseProject
+    cannot cross).
+
+    ``with_norm`` also folds the candidate's reconstruction norm
+    ``hn`` down here, from the codeword-norm table shipped as a
+    ONE-ROW broadcast frame — the FLAT scans' placement: over the
+    full-corpus scan the extra broadcast stage amortizes and halving
+    the per-pair fold wins (measured 6.8 -> 4.6 s for a 16-query batch
+    over the 20k-vector sf1 flat pq scan), while on the small PROBED
+    ivf_pq scans the same stage costs more than the fold it saves
+    (measured 2.6 -> 3.7 s) — so the IVF paths leave the norm a
+    per-pair fold (:func:`_pq_adc_score`).  NOT an m x ksub literal:
+    2k inlined scalar nodes blew past whole-stage codegen's
+    method-size limit at the ksub=256 default and dropped the whole
+    stage to interpreted mode (measured 1.9 -> 4.5 s)."""
+    m = int(m_an["m"])
+    keep = [c for c in cand.columns if c != "codes"]
+    out = (cand
+           .withColumn("ucodes", _sq8_unpack(F.col("codes"), m))
+           .select(*keep, "ucodes"))
+    if not with_norm:
+        return out
+    from pyspark.sql import types as T
+
+    _, pnorm = _pq_books(spark, path, m_an)
+    pn_df = spark.createDataFrame(
+        [([[float(v) for v in row] for row in pnorm],)],
+        T.StructType([T.StructField(
+            "pnorm", T.ArrayType(T.ArrayType(T.DoubleType())))]))
+    hn = F.sqrt(F.aggregate(
+        _pq_adc_zip("ucodes", m), F.lit(0.0),
+        lambda a, x: a + F.element_at(
+            F.element_at("pnorm", x["j"]), x["c"] + 1)))
+    return (out.join(F.broadcast(pn_df))
+            .withColumn("hn", hn)
+            .drop("pnorm"))
+
+
+def _pq_adc_score(m: int, with_norm: bool = False) -> F.Column:
+    """Per-pair PQ score over the pre-unpacked ``ucodes`` and the
+    broadcast-joined ADC row — the decomposed cosine
+    ``sum(pdot) / qn / sqrt(sum(pnorm))``, algebraically
+    dot(q, hat)/|q|/|hat| for hat = the concatenated codewords, i.e.
+    the retired literal-walk hat's score without materializing hat;
+    per pair at most 2m element_at lookups, independent of ksub.
+    ``with_norm`` means the candidate rows already carry ``hn``
+    (:func:`_pq_adc_candidates`), leaving m lookups per pair.  The
+    divide inherits the old path's zero-norm semantics (an
+    all-zero-codeword candidate scores NULL and sorts out of the
+    shortlist)."""
+    if with_norm:
+        nm = F.aggregate(
+            _pq_adc_zip("ucodes", m), F.lit(0.0),
+            lambda a, x: a + F.element_at(
+                F.element_at("pdot", x["j"]), x["c"] + 1))
+        return nm / F.col("qn") / F.col("hn")
     return F.aggregate(
-        zipped,
+        _pq_adc_zip("ucodes", m),
         F.struct(F.lit(0.0).alias("nm"), F.lit(0.0).alias("dn")),
         lambda a, x: F.struct(
             (a["nm"] + F.element_at(F.element_at("pdot", x["j"]),
@@ -2639,15 +2695,18 @@ def pq_index_topk_batch(spark, path: str, queries: DataFrame,
     if allowed is not None:
         cand = cand.join(allowed.select("vec_id"), "vec_id",
                          "left_semi")
-    # score in the SAME select as the keyless broadcast fan-out: the
-    # per-pair work is m element_at lookups on the build-side row (no
-    # per-pair reconstruction — the r12 literal hat needed an explicit
-    # per-candidate materialization barrier here; ADC does not)
+    # per-CANDIDATE projection below the fan-out (ucodes + hn), m
+    # pdot lookups per pair above it — the flat scan's measured
+    # placement, 6.8 -> 4.6 s (see _pq_adc_candidates)
+    below = _pq_adc_candidates(
+        spark, path, m_an,
+        cand.select(F.col("vec_id").alias("neighbor_id"), "codes"),
+        with_norm=True)
     scored = (
-        cand.select(F.col("vec_id").alias("neighbor_id"), "codes")
-        .join(F.broadcast(adc))
+        below.join(F.broadcast(adc))
         .select("query_id", "neighbor_id",
-                _pq_adc_score(int(m_an["m"])).alias("approx_sim"))
+                _pq_adc_score(int(m_an["m"]), with_norm=True)
+                .alias("approx_sim"))
     )
     ws = Window.partitionBy("query_id").orderBy(
         F.desc("approx_sim"), F.asc("neighbor_id"))
@@ -2696,11 +2755,15 @@ def pq_index_topk(spark, path: str, query_vec: list[float],
     if allowed is not None:
         cand = cand.join(allowed.select("vec_id"), "vec_id",
                          "left_semi")
+    below = _pq_adc_candidates(
+        spark, path, m_an,
+        cand.select(F.col("vec_id").alias("neighbor_id"), "codes"),
+        with_norm=True)
     shortlist = (
-        cand.select(F.col("vec_id").alias("neighbor_id"), "codes")
-        .join(F.broadcast(adc))                    # one-row build side
+        below.join(F.broadcast(adc))               # one-row build side
         .select("neighbor_id",
-                _pq_adc_score(int(m_an["m"])).alias("approx_sim"))
+                _pq_adc_score(int(m_an["m"]), with_norm=True)
+                .alias("approx_sim"))
         .orderBy(F.desc("approx_sim"), F.asc("neighbor_id"))
         .limit(k * rerank_mult)
         .select("neighbor_id")
@@ -3153,9 +3216,11 @@ def ivf_pq_index_topk(spark, path: str, query_vec: list[float],
     if allowed is not None:
         cand = cand.join(allowed.select("vec_id"), "vec_id",
                          "left_semi")
+    below = _pq_adc_candidates(
+        spark, path, m_an,
+        cand.select(F.col("vec_id").alias("neighbor_id"), "codes"))
     shortlist = (
-        cand.select(F.col("vec_id").alias("neighbor_id"), "codes")
-        .join(F.broadcast(adc))                    # one-row build side
+        below.join(F.broadcast(adc))               # one-row build side
         .select("neighbor_id",
                 _pq_adc_score(int(m_an["m"])).alias("approx_sim"))
         .orderBy(F.desc("approx_sim"), F.asc("neighbor_id"))
@@ -3191,8 +3256,9 @@ def ivf_pq_index_topk_batch(spark, path: str, queries: DataFrame,
     the probed-cluster UNION pushed as a partition IN-filter (each
     probed directory read once for the batch), per-pair ADC-lookup
     scoring (``_pq_adc_frame`` joined on query_id — m element_at
-    lookups per pair, ksub-independent; the r12 literal hat needed a
-    per-candidate materialization below the fan-out, ADC does not),
+    lookups per pair, ksub-independent; the per-CANDIDATE half —
+    unpack + reconstruction norm — rides below the fan-out via
+    ``code_proj``, the measured placement of ``_pq_adc_candidates``),
     per-query shortlist windows, exact re-rank.  ``allowed`` gets the
     shared PER-QUERY adaptive probe widening
     (``_batch_candidates``)."""
@@ -3214,9 +3280,10 @@ def ivf_pq_index_topk_batch(spark, path: str, queries: DataFrame,
         for r in q.select("query_id", "qe").collect()])
     cand = _batch_candidates(
         spark, q, c_rows, codes_src, nprobe, k, allowed,
+        code_proj=lambda df: _pq_adc_candidates(spark, path, m_an, df),
         widen=(allowed is not None or where is not None) or None)
     scored = (
-        cand.select("query_id", "vec_id", "codes")
+        cand.select("query_id", "vec_id", "ucodes")
         .join(F.broadcast(adc), "query_id")
         .select("query_id", F.col("vec_id").alias("neighbor_id"),
                 _pq_adc_score(int(m_an["m"])).alias("approx_sim"))

@@ -76,10 +76,12 @@ def test_adc_score_equals_reconstruction_cosine(spark, emb, tmp_path):
     qv = _qvec(emb, 3)
     adc = sim._pq_adc_frame(spark, path, m_an, [(0, qv)]) \
         .drop("query_id")
+    below = sim._pq_adc_candidates(
+        spark, path, m_an,
+        sim.read_index_codes(spark, path).select("vec_id", "codes"))
     scored = {
         int(r["vec_id"]): r["s"]
-        for r in sim.read_index_codes(spark, path)
-        .select("vec_id", "codes")
+        for r in below
         .join(F.broadcast(adc))
         .select("vec_id",
                 sim._pq_adc_score(m).alias("s")).collect()
