@@ -301,6 +301,15 @@ def cmd_web_curate(args: argparse.Namespace) -> int:
     return 0
 
 
+def _parse_grid(s: str | None) -> tuple | None:
+    """``--rerank-mults``: None passes through (default ladders); an
+    empty string means an EMPTY grid (pins tune's IVF second rung
+    off); otherwise comma-separated ints."""
+    if s is None:
+        return None
+    return tuple(int(x) for x in s.split(",") if x.strip())
+
+
 def _refuse_where_without_attrs(where: str | None, man: dict,
                                 path: str) -> dict | None:
     """A ``--where`` against an index that stores NO attribute columns
@@ -538,7 +547,8 @@ def cmd_vector_index(args: argparse.Namespace) -> int:
         # it
         vectors = spark.read.parquet(args.emb)
         st = sim.tune_index(spark, args.path, vectors, k=args.k,
-                            target_recall_permille=args.target_recall)
+                            target_recall_permille=args.target_recall,
+                            rerank_mults=_parse_grid(args.rerank_mults))
         print(json.dumps({"action": "tune", **st}))
         return 0 if st["decision"] in ("tuned", "noop") else 3
     if args.action == "compact":
@@ -551,8 +561,9 @@ def cmd_vector_index(args: argparse.Namespace) -> int:
         return 0
     if args.action == "recall-curve":
         vectors = spark.read.parquet(args.emb)
-        rows = sim.index_recall_curve(spark, args.path, vectors,
-                                      k=args.k)
+        rows = sim.index_recall_curve(
+            spark, args.path, vectors, k=args.k,
+            rerank_mults=_parse_grid(args.rerank_mults))
         print(json.dumps({"action": "recall-curve",
                           "path": args.path, "curve": rows}))
         return 0
@@ -938,7 +949,12 @@ def main(argv: list[str] | None = None) -> int:
                          "back to 2 on an untuned index")
     pv.add_argument("--target-recall", type=int, default=950,
                     help="tune: min sampled recall permille the "
-                         "committed default_nprobe must meet")
+                         "committed operating point must meet")
+    pv.add_argument("--rerank-mults", default=None,
+                    help="tune/recall-curve: comma-separated rerank "
+                         "depth grid (default: the geometric ladder "
+                         "to the corpus-covering depth; empty string "
+                         "pins the IVF second rung off)")
     pv.add_argument("--where", default=None,
                     help="query/query-batch (every kind): SQL predicate "
                          "over the index's stored attribute columns — "

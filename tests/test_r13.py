@@ -506,6 +506,31 @@ def test_hybrid_where_refused_without_attrs(spark, emb, tmp_path):
             spark, docs, path, emb, queries, where="lang = 'a'")
 
 
+def test_cli_tune_rerank_grid(spark, tmp_path, capsys):
+    """CLI tune on a flat kind commits default_rerank_mult from a
+    caller-pinned --rerank-mults grid; stats reports the committed
+    rerank operating point."""
+    import json as _json
+
+    from public_transit_data_platform_sql_nosql_spark.__main__ import (
+        main,
+    )
+
+    corpus = _hamming_blind_bucket(spark).localCheckpoint(eager=True)
+    emb_p = str(tmp_path / "emb")
+    corpus.write.parquet(emb_p)
+    idx = str(tmp_path / "idx")
+    sim.write_bq_index(corpus, idx)
+    rc = main(["vector-index", "tune", "--path", idx, "--emb", emb_p,
+               "--k", "5", "--rerank-mults", "1,2,4,8"])
+    st = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and st["decision"] == "tuned"
+    assert st["rerank_mult"] == 8
+    assert main(["vector-index", "stats", "--path", idx]) == 0
+    ix = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert ix["default_rerank_mult"] == 8 and ix["rerank_tuned"] is True
+
+
 def test_cli_hybrid_where(spark, emb, tmp_path, capsys):
     import json as _json
 
