@@ -301,13 +301,33 @@ def cmd_web_curate(args: argparse.Namespace) -> int:
     return 0
 
 
-def _parse_grid(s: str | None) -> tuple | None:
-    """``--rerank-mults``: None passes through (default ladders); an
-    empty string means an EMPTY grid (pins tune's IVF second rung
-    off); otherwise comma-separated ints."""
+_FLAT_KINDS = ("sq8", "pq", "bq")
+
+
+def _parse_grid(s: str | None, kind: str | None = None
+                ) -> tuple[tuple | None, str | None]:
+    """``--rerank-mults`` -> ``(grid, error)``.  None passes through
+    (default ladders); an empty string means an EMPTY grid, which pins
+    tune's IVF second rung off — but on a FLAT kind the rerank grid is
+    the ONLY ladder, so an empty grid would measure nothing and report
+    ``target_unreachable`` (rc 3) as if recall were the problem:
+    refused (rc 2) with the reason named instead.  Non-numeric entries
+    are refused with the offending input quoted, not a bare ``int()``
+    traceback."""
     if s is None:
-        return None
-    return tuple(int(x) for x in s.split(",") if x.strip())
+        return None, None
+    try:
+        grid = tuple(int(x) for x in s.split(",") if x.strip())
+    except ValueError:
+        return None, (f"--rerank-mults: expected comma-separated "
+                      f"integers, got {s!r}")
+    if not grid and kind in _FLAT_KINDS:
+        return None, (f"--rerank-mults '': an empty grid pins the IVF "
+                      f"second rung off, but a {kind} index has no "
+                      f"probe rung — the rerank grid is its only "
+                      f"ladder; pass a non-empty grid or omit the "
+                      f"flag for the default ladder")
+    return grid, None
 
 
 def _refuse_where_without_attrs(where: str | None, man: dict,
@@ -545,10 +565,15 @@ def cmd_vector_index(args: argparse.Namespace) -> int:
         # default_rerank_mult (every kind; the flat kinds' one knob) —
         # every later serving call without explicit overrides runs at
         # it
+        kind = sim._index_manifest(spark, args.path).get("kind", "sq8")
+        grid, err = _parse_grid(args.rerank_mults, kind=kind)
+        if err:
+            print(json.dumps({"action": "tune", "error": err}))
+            return 2
         vectors = spark.read.parquet(args.emb)
         st = sim.tune_index(spark, args.path, vectors, k=args.k,
                             target_recall_permille=args.target_recall,
-                            rerank_mults=_parse_grid(args.rerank_mults))
+                            rerank_mults=grid)
         print(json.dumps({"action": "tune", **st}))
         return 0 if st["decision"] in ("tuned", "noop") else 3
     if args.action == "compact":
@@ -560,10 +585,15 @@ def cmd_vector_index(args: argparse.Namespace) -> int:
         print(json.dumps({"action": "stats", **st}))
         return 0
     if args.action == "recall-curve":
+        kind = sim._index_manifest(spark, args.path).get("kind", "sq8")
+        grid, err = _parse_grid(args.rerank_mults, kind=kind)
+        if err:
+            print(json.dumps({"action": "recall-curve", "error": err}))
+            return 2
         vectors = spark.read.parquet(args.emb)
         rows = sim.index_recall_curve(
             spark, args.path, vectors, k=args.k,
-            rerank_mults=_parse_grid(args.rerank_mults))
+            rerank_mults=grid)
         print(json.dumps({"action": "recall-curve",
                           "path": args.path, "curve": rows}))
         return 0

@@ -32,6 +32,7 @@ deletes.
 from __future__ import annotations
 
 import json
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -74,7 +75,16 @@ def _read_manifest(spark: SparkSession, path: str, version: int) -> dict:
 
 def _write_manifest(spark: SparkSession, path: str, version: int,
                     manifest: dict) -> None:
-    """Write the manifest via tmp + atomic rename — the commit point."""
+    """Write the manifest via tmp + atomic rename — the commit point.
+
+    Every commit is stamped with a ``build_nonce`` (random uuid): driver
+    caches key on it to detect delete-and-rebuild at the same path.  A
+    (mtime, len) file fingerprint collides when the rebuild lands a
+    same-length manifest within the filesystem's mtime granularity
+    (coarse-mtime filesystems make that a real window); a per-commit
+    nonce cannot collide regardless of timestamps."""
+    manifest = dict(manifest)
+    manifest.setdefault("build_nonce", uuid.uuid4().hex)
     fs, _, jvm = _fs(spark, path)
     final = jvm.org.apache.hadoop.fs.Path(_manifest_path(path, version))
     if fs.exists(final):

@@ -253,17 +253,26 @@ def _index_manifest(spark, path: str) -> dict:
     return _read_manifest(spark, path, versions[-1])
 
 
-def _manifest_fingerprint(spark, path: str, version: int) -> tuple:
+def _manifest_fingerprint(spark, path: str, version: int,
+                          m: dict | None = None) -> tuple:
     """Content fingerprint for driver-side caches keyed on (path,
-    version): ``(mtime, len)`` of the manifest FILE.  Version numbers
-    restart at 0 when an index directory is deleted and rebuilt at the
-    same path, so (path, version) alone would let a long-lived driver
-    serve the OLD index's cached centroids/codebooks against the new
-    index's codes — wrong cluster ranking, silent recall collapse,
-    with no invalidation hook.  The manifest is rewritten on every
-    commit (tmp + rename), so its file status changes whenever the
-    snapshot does; one filesystem stat per cache probe, no Spark
-    job."""
+    version).  Version numbers restart at 0 when an index directory is
+    deleted and rebuilt at the same path, so (path, version) alone
+    would let a long-lived driver serve the OLD index's cached
+    centroids/codebooks against the new index's codes — wrong cluster
+    ranking, silent recall collapse, with no invalidation hook.
+
+    Primary key: the per-commit ``build_nonce`` that
+    ``_write_manifest`` stamps into every manifest — random per
+    commit, so a rebuild can never collide, regardless of filesystem
+    timestamp granularity.  Serving paths already hold the freshly
+    read manifest dict, so passing ``m`` costs nothing.  Fallback for
+    manifests committed before the nonce existed (or callers without
+    the dict): ``(mtime, len)`` of the manifest FILE — one filesystem
+    stat, no Spark job, but collidable on coarse-mtime filesystems
+    when a same-length manifest lands in the same granule."""
+    if m is not None and m.get("build_nonce"):
+        return ("nonce", m["build_nonce"])
     from ..jobs.compact import _fs
     from ..jobs.versioned import _manifest_path
 
@@ -1440,7 +1449,7 @@ def _centroid_rows(spark, path: str, m: dict) -> list[tuple[int, list]]:
     driver would keep serving the OLD index's centroids against the
     new codes (see :func:`_manifest_fingerprint`)."""
     key = (path, int(m["version"]), m["centroids"],
-           _manifest_fingerprint(spark, path, int(m["version"])))
+           _manifest_fingerprint(spark, path, int(m["version"]), m))
     hit = _CENTS_CACHE.get(key)
     if hit is None:
         hit = [(int(r["cluster_id"]), [float(x) for x in r["centroid"]])
@@ -2523,7 +2532,7 @@ def _pq_books(spark, path: str, m_an: dict):
     its squared norm.  m*k*sub floats — tiny by construction, one
     parquet read per index version per process."""
     key = (path, int(m_an["version"]), m_an["codebooks"],
-           _manifest_fingerprint(spark, path, int(m_an["version"])))
+           _manifest_fingerprint(spark, path, int(m_an["version"]), m_an))
     hit = _PQ_BOOKS_CACHE.get(key)
     if hit is not None:
         return hit
@@ -4556,9 +4565,11 @@ def maintain_ivf_bq_index(spark, path: str, new_emb: DataFrame,
     measurement behind the rung: sf1 bq goes 181 -> 1000 permille on
     rerank depth alone at ~flat serve cost.  The doubled depth commits
     as ``default_rerank_mult``, the same manifest-only shape as the
-    nprobe bump) / ``rebuild`` (ONLY the coarse centroids re-cluster —
-    the partitioning-drift failure mode).  Same primary-store contract
-    as the other maintainers."""
+    nprobe bump) / ``bump_nprobe_rerank`` (either knob alone missed the
+    floor but the combination clears it; both settings commit in ONE
+    manifest version) / ``rebuild`` (ONLY the coarse centroids
+    re-cluster — the partitioning-drift failure mode).  Same
+    primary-store contract as the other maintainers."""
     n_missing = (new_emb.select("vec_id")
                  .join(vectors.select("vec_id"), "vec_id", "left_anti")
                  .count())
@@ -4635,6 +4646,19 @@ def maintain_ivf_bq_index(spark, path: str, new_emb: DataFrame,
         out["rerank_version"] = _persist_operating_point(
             spark, path, rerank_mult=cur_rm * 2)
         return out
+    # combined rung: either knob alone failed, but (bumped nprobe,
+    # doubled rerank) may clear the floor — a rebuild for BQ cannot
+    # raise code resolution (signs never retrain), so it must not
+    # shadow a recoverable combination; both settings commit together
+    if bumped > nprobe:
+        r3 = _min_recall(bumped, rm=cur_rm * 2)
+        out["recall_after_bump_rerank_permille"] = r3
+        if r3 >= recall_floor_permille:
+            out.update(decision="bump_nprobe_rerank", nprobe=bumped,
+                       rerank_mult=cur_rm * 2)
+            out["operating_point_version"] = _persist_operating_point(
+                spark, path, nprobe=bumped, rerank_mult=cur_rm * 2)
+            return out
     out["decision"] = "rebuild"
     if rebuild:
         write_ivf_bq_index(vectors, path, k=n_clusters,

@@ -620,8 +620,9 @@ def stream_vector_index_upsert(emb_stream: DataFrame, index_path: str,
                                vectors_path: str | None = None,
                                max_rebalance_splits: int = 4):
     """foreachBatch maintenance of a manifest-committed vector index
-    (``write_sq8_index``, ``write_ivf_sq8_index``, ``write_pq_index``
-    or ``write_ivf_pq_index``
+    (any of the six layout kinds — ``write_sq8_index``,
+    ``write_ivf_sq8_index``, ``write_pq_index``, ``write_ivf_pq_index``,
+    ``write_bq_index`` or ``write_ivf_bq_index``
     — the layout kind AND dim are read from the index's own manifest,
     never trusted from the caller) from a live feed — the streaming
     twin of the ``*_index_upsert`` operators, closing the

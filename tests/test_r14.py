@@ -1,0 +1,213 @@
+"""Round-14 surface: build-nonce cache fingerprints (the (mtime, len)
+file fingerprint collides on coarse-mtime filesystems when a
+delete-and-rebuild lands a same-length manifest in the same timestamp
+granule — a per-commit random nonce cannot), the IVF x BQ maintainer's
+combined ``bump_nprobe_rerank`` rung (either knob alone missing the
+floor must not fall straight through to a rebuild that cannot raise BQ
+code resolution), and the CLI ``--rerank-mults`` grid hardening (an
+empty grid on a FLAT kind measures nothing — refuse with the reason,
+don't report ``target_unreachable``; non-numeric input gets a JSON
+error line, not a bare ``int()`` traceback)."""
+
+from __future__ import annotations
+
+import json
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as E
+from public_transit_data_platform_sql_nosql_spark.__main__ import (
+    _parse_grid,
+    main,
+)
+from public_transit_data_platform_sql_nosql_spark.pipeline import (
+    similarity as sim,
+)
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return E._emb(spark, SF_DIR).persist()
+
+
+# ---------------------------------------------------------------------------
+# build-nonce cache fingerprints
+
+
+def test_manifest_carries_build_nonce(spark, emb, tmp_path):
+    """Every manifest commit is stamped with a per-build random nonce
+    at the single write point (jobs/versioned._write_manifest), so all
+    six index writers inherit it."""
+    path = str(tmp_path / "idx")
+    sim.write_sq8_index(emb, path)
+    m = sim._index_manifest(spark, path)
+    assert isinstance(m.get("build_nonce"), str) and m["build_nonce"]
+
+
+def test_fingerprint_keys_on_nonce_not_file_status(spark, emb,
+                                                   tmp_path):
+    """The cache fingerprint is the manifest's nonce whenever one is
+    present — file status (mtime, len) is only the legacy fallback.
+    Two rebuilds at the same path therefore get distinct fingerprints
+    even if the filesystem's mtime granularity (frozen here by
+    construction: we compare the nonce path, which never consults the
+    file at all) would make their file statuses collide."""
+    path = str(tmp_path / "idx")
+    sim.write_sq8_index(emb, path)
+    m1 = sim._index_manifest(spark, path)
+    fp1 = sim._manifest_fingerprint(spark, path, int(m1["version"]), m1)
+    assert fp1 == ("nonce", m1["build_nonce"])
+    shutil.rmtree(path)
+    sim.write_sq8_index(emb, path)
+    m2 = sim._index_manifest(spark, path)
+    fp2 = sim._manifest_fingerprint(spark, path, int(m2["version"]), m2)
+    # versions restart at 0 on a same-path rebuild: (path, version)
+    # collide, the nonces cannot
+    assert int(m2["version"]) == int(m1["version"])
+    assert fp2 == ("nonce", m2["build_nonce"]) and fp2 != fp1
+
+
+def test_fingerprint_falls_back_for_pre_nonce_manifests(spark, emb,
+                                                        tmp_path):
+    """A manifest committed before the nonce existed (or a caller
+    without the dict in hand) still fingerprints — via the file-status
+    fallback, one stat, no Spark job."""
+    path = str(tmp_path / "idx")
+    sim.write_sq8_index(emb, path)
+    m = dict(sim._index_manifest(spark, path))
+    m.pop("build_nonce", None)
+    fp = sim._manifest_fingerprint(spark, path, int(m["version"]), m)
+    assert fp[0] != "nonce" and len(fp) == 2
+    # and passing no dict at all takes the same fallback
+    assert fp == sim._manifest_fingerprint(spark, path,
+                                           int(m["version"]))
+
+
+# ---------------------------------------------------------------------------
+# maintain_ivf_bq_index: the combined (bump_nprobe, bump_rerank) rung
+
+
+def _three_cluster_corpus(spark, dim=64):
+    """Three well-separated axis-pair direction groups, 8 vectors
+    each — enough structure for write_ivf_bq_index(k=3) to commit a
+    3-cluster layout with probe headroom above nprobe=1."""
+    rows = []
+    for g, (i, j) in enumerate(((0, 1), (2, 3), (4, 5))):
+        for n in range(8):
+            v = [0.0] * dim
+            v[i] = 1.0
+            v[j] = 0.5 + 0.01 * n
+            rows.append((g * 100 + n, v))
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>")
+
+
+def test_maintain_ivf_bq_combined_rung_decision(spark, tmp_path,
+                                                monkeypatch):
+    """Either knob ALONE misses the floor but the (bumped nprobe,
+    doubled rerank) combination clears it: the ladder must land on
+    ``bump_nprobe_rerank`` and commit BOTH settings in one manifest
+    version — not fall through to a rebuild, which for BQ cannot raise
+    code resolution (sign bits never retrain) and would churn
+    centroids without fixing anything.
+
+    The recall probe's serving call is wrapped so it returns the true
+    top-k ONLY when both knobs are raised (nprobe >= 2 AND resolved
+    rerank >= 2x the default) — a deterministic pin of the DECISION
+    FLOW; the measurement machinery itself is pinned geometrically by
+    test_r13.test_maintain_ivf_bq_bump_rerank_rung."""
+    corpus = _three_cluster_corpus(spark).localCheckpoint(eager=True)
+    path = str(tmp_path / "ivfbq")
+    sim.write_ivf_bq_index(corpus, path, k=3)
+    man = sim._index_manifest(spark, path)
+    n_clusters = spark.read.parquet(
+        f"{path}/{man['centroids']}").count()
+    assert n_clusters >= 2                   # bump headroom exists
+
+    real = sim.ivf_bq_index_topk
+    cur_rm = sim._resolve_rerank(man, None)
+
+    def gated(spark_, path_, qv, vectors, k=10, nprobe=None,
+              rerank_mult=None, **kw):
+        m = sim._index_manifest(spark_, path_)
+        np_ = sim._resolve_nprobe(m, nprobe)
+        rm = sim._resolve_rerank(m, rerank_mult)
+        if np_ >= 2 and rm >= 2 * cur_rm:
+            # true top-k: full probe + corpus-covering rerank
+            return real(spark_, path_, qv, vectors, k=k,
+                        nprobe=n_clusters, rerank_mult=1000, **kw)
+        # junk: right schema, wrong neighbors (top-k of the REVERSED
+        # ranking can share ids with the truth on a tiny corpus, so
+        # fabricate ids outside it)
+        return spark_.range(k).select(
+            (F.col("id") + 1).cast("int").alias("rank"),
+            (F.col("id") + 1_000_000).alias("neighbor_id"),
+            F.lit(0.0).alias("cos_sim"))
+
+    monkeypatch.setattr(sim, "ivf_bq_index_topk", gated)
+    batch = corpus.orderBy("vec_id").limit(2)
+    out = sim.maintain_ivf_bq_index(spark, path, batch, corpus,
+                                    nprobe=1,
+                                    recall_floor_permille=950)
+    assert out["decision"] == "bump_nprobe_rerank"
+    assert out["nprobe"] == 2
+    assert out["rerank_mult"] == 2 * cur_rm
+    assert out["recall_permille"] < 950
+    assert out["recall_after_bump_permille"] < 950
+    assert out["recall_after_rerank_permille"] < 950
+    assert out["recall_after_bump_rerank_permille"] >= 950
+    # both knobs committed in ONE manifest version; serving with no
+    # overrides resolves them
+    m2 = sim._index_manifest(spark, path)
+    assert m2["default_nprobe"] == 2
+    assert m2["default_rerank_mult"] == 2 * cur_rm
+    assert m2["version"] == out["operating_point_version"]
+    assert sim._resolve_nprobe(m2, None) == 2
+    assert sim._resolve_rerank(m2, None) == 2 * cur_rm
+
+
+# ---------------------------------------------------------------------------
+# CLI --rerank-mults hardening
+
+
+def test_parse_grid_shapes():
+    assert _parse_grid(None) == (None, None)
+    assert _parse_grid("1,2,4") == ((1, 2, 4), None)
+    # empty grid on an IVF kind: legal (pins the second rung off)
+    assert _parse_grid("", kind="ivf_sq8") == ((), None)
+    # empty grid on a FLAT kind: the rerank grid is its ONLY ladder
+    grid, err = _parse_grid("", kind="bq")
+    assert grid is None and "only" in err and "bq" in err
+    # non-numeric: refused with the input quoted, not a traceback
+    grid, err = _parse_grid("8,x", kind="ivf_sq8")
+    assert grid is None and "'8,x'" in err
+
+
+def test_cli_tune_empty_grid_on_flat_kind_rc2(spark, emb, tmp_path,
+                                              capsys):
+    """An empty --rerank-mults against a flat index used to yield an
+    empty curve and decision=target_unreachable (rc 3) — a recall miss
+    that measured nothing.  Now rc 2 with the reason on stdout."""
+    emb_p = str(tmp_path / "emb")
+    emb.write.parquet(emb_p)
+    idx = str(tmp_path / "idx")
+    sim.write_sq8_index(emb, idx)
+    rc = main(["vector-index", "tune", "--path", idx, "--emb", emb_p,
+               "--rerank-mults", ""])
+    st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 2 and "error" in st
+    assert "sq8" in st["error"]
+
+
+def test_cli_recall_curve_bad_grid_rc2(spark, emb, tmp_path, capsys):
+    emb_p = str(tmp_path / "emb")
+    emb.write.parquet(emb_p)
+    idx = str(tmp_path / "idx")
+    sim.write_sq8_index(emb, idx)
+    rc = main(["vector-index", "recall-curve", "--path", idx,
+               "--emb", emb_p, "--rerank-mults", "8,x"])
+    st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 2 and "integers" in st["error"]
