@@ -958,25 +958,25 @@ _EXTRA_QUERIES = {
         lambda s, d: pprof.kmv_overlap(
             _aug(s, d).filter("doc_id % 3 != 0"),
             _aug(s, d).filter("doc_id % 2 = 0"), "text"),
-    "ann_lsh_topk":
-        lambda s, d: psim.lsh_topk(_emb(s, d)),
-    "curation_stratified_cap":
-        lambda s, d: pcur.stratified_cap(_aug(s, d)),
     # chunking AND chunk-level dedup in one row: every chunk row carries
     # the corpus-wide duplication verdict for its hash
     "text_chunks": _text_chunks_with_dups,
-    # resize + frame-sampling fused into one row: each media's resize
-    # summary joined to its sampled frames (left — a frameless payload
-    # still pins its resize columns)
-    "multimodal_transforms": _multimodal_transforms,
-    "events_top_users_by_value":
-        lambda s, d: ev.top_users_by_value(_events(s, d)),
     "q1_busiest_stops_weekday": _q1_weekday,
     "q2_overall_weekday": _q2_overall_weekday,
     "q4_whole_week_hourly": _q4_whole_week_hourly,
     "timetable_get_timetable": _get_timetable_flat,
-    "events_windowed_counts":
-        lambda s, d: ev.windowed_counts(_events(s, d)),
+    # r14 round-robin displacements (the r13 five, all first-gated
+    # green r13; the precompute fast-path signal class — partition-
+    # pruned cache write+read, '4'-sentinel synthesized rows, /3.0
+    # weekly average — stays pytest-oracle-checked here, and its
+    # building blocks stay in-window via q4_top_routes_daily /
+    # q2_route_stats_whole_week; the flat arrivals NaT-parity shape is
+    # carried by in-window timetable_routes_for_stop):
+    "precompute_q1_table": _precompute_q1,
+    "precompute_q2_table": _precompute_q2,
+    "precompute_q3_table": _precompute_q3,
+    "precompute_q4_table": _precompute_q4,
+    "timetable_arrivals_flat": _arrivals_flat,
     # r12 round-robin displacements (all first-gated green r11; the
     # text family keeps text_search_bm25 / text_tfidf_keywords /
     # text_hash_embeddings / text_profile in-window — see
@@ -1401,26 +1401,31 @@ _FLAGSHIP_R11 = {
 }
 
 
-_FLAGSHIP_R13 = {
-    # r13 steady-state round-robin (the rotation_check advisory's five
-    # stalest windows, all last gated r6): every one previously
-    # carried the driver hash gate (r6 and earlier) and has stayed
-    # oracle-checked in the pytest parity sweep since.  Displacements
-    # (annotated in _EXTRA_QUERIES): events_daily_active_users,
-    # multimodal_frames, multimodal_resize, text_chunk_dedup,
-    # dedup_keep_one — all first-gated green r12.
+_FLAGSHIP_R14 = {
+    # r14 steady-state round-robin (the r13 rotation_check advisory's
+    # five stalest windows, all last gated r7): every one previously
+    # carried the driver hash gate and has stayed oracle-checked in
+    # the pytest parity sweep since.  Displacements (annotated in
+    # _EXTRA_QUERIES): precompute_q1..q4_table,
+    # timetable_arrivals_flat — all first-gated green r13.
     #
-    # the result-cache write+read round trips for q1-q4 (the reference
-    # SQL app's precompute fast path, SQL/app.py:61-65), incl. the
-    # '4'-sentinel synthesized weekly rows (A13) and the fixed /3.0
-    # weekly average (A15); all last gated r6
-    "precompute_q1_table": _precompute_q1,
-    "precompute_q2_table": _precompute_q2,
-    "precompute_q3_table": _precompute_q3,
-    "precompute_q4_table": _precompute_q4,
-    # flat ungrouped arrivals listing (P9/P10 optional time filters,
-    # NaT parity); last gated r6
-    "timetable_arrivals_flat": _arrivals_flat,
+    # banded multi-probe LSH top-k (Hamming-1 bucket expansion); the
+    # band-bucket blocking family's in-flight serving shape
+    "ann_lsh_topk":
+        lambda s, d: psim.lsh_topk(_emb(s, d)),
+    # per-stratum proportional caps via deterministic hash ranking
+    "curation_stratified_cap":
+        lambda s, d: pcur.stratified_cap(_aug(s, d)),
+    # resize + frame-sampling fused into one row: each media's resize
+    # summary joined to its sampled frames (left — a frameless payload
+    # still pins its resize columns)
+    "multimodal_transforms": _multimodal_transforms,
+    # per-user value ranking over the event stream
+    "events_top_users_by_value":
+        lambda s, d: ev.top_users_by_value(_events(s, d)),
+    # tumbling 5-minute windowed counts (the streaming jobs' batch twin)
+    "events_windowed_counts":
+        lambda s, d: ev.windowed_counts(_events(s, d)),
 }
 
 
@@ -1449,7 +1454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **_FLAGSHIP_R9,
         **_FLAGSHIP_R10,
         **_FLAGSHIP_R11,
-        **_FLAGSHIP_R13,
+        **_FLAGSHIP_R14,
         **_EVENTS_QUERIES,
         **_PIPELINE_QUERIES,
         # keep last: beyond the harness's 50-entry window by design

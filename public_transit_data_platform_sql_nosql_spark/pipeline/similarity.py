@@ -1959,6 +1959,46 @@ def ivf_sq8_index_upsert(spark, path: str, new_emb: DataFrame,
             "n_replaced": n_replaced, "drifted_dims": []}
 
 
+def _batched_min_recall(spark, queries: list, vectors: DataFrame,
+                        k: int, serve) -> int:
+    """MIN per-query recall (integer permille) of a serving path
+    against exact brute force — ONE batched approx serve plus ONE
+    batched exact top-k per probe.  Replaces the maintainers'
+    per-query single-serve union loops (r13 verdict finding #3: up to
+    ``sample_queries`` x rungs x 2 single-query plans per maintenance
+    decision).  The ``*_topk_batch`` paths are pytest-pinned per-query
+    equal to the single paths and the exact arm below is the same
+    round-6 (cos DESC, vec_id ASC) top-k the loops computed — only as
+    one windowed plan — so ladder DECISIONS cannot change, only the
+    probe's job count.  Min, not mean: one drifted region is exactly
+    what the monitor must not average away.
+
+    ``queries``: ``[(qid, [float, ...])]`` as the maintainers collect
+    them (bounded by ``sample_queries``); ``serve``: callable taking
+    the ``(query_id, embedding)`` queries DataFrame and returning the
+    kind's ranked ``(query_id, neighbor_id, ...)`` batch result."""
+    qdf = spark.createDataFrame(
+        [(int(qid), [float(x) for x in qv]) for qid, qv in queries],
+        "query_id long, embedding array<double>")
+    approx = serve(qdf).select("query_id", "neighbor_id")
+    ws = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id"))
+    exact = (
+        vectors.select(F.col("vec_id").alias("neighbor_id"),
+                       F.col("embedding").alias("ne"))
+        .join(F.broadcast(qdf.select(
+            "query_id", F.col("embedding").alias("qe"))))
+        .select("query_id", "neighbor_id",
+                F.round(cosine(F.col("qe"), F.col("ne")), 6)
+                .alias("cos_sim"))
+        .withColumn("rn", F.row_number().over(ws))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id"))
+    row = (ann_recall(approx, exact)
+           .agg(F.min("recall_permille").alias("r")).collect()[0])
+    return int(row["r"])
+
+
 def maintain_ivf_sq8_index(spark, path: str, new_emb: DataFrame,
                            vectors: DataFrame, *, k: int = 10,
                            nprobe: int | None = None,
@@ -2017,26 +2057,10 @@ def maintain_ivf_sq8_index(spark, path: str, new_emb: DataFrame,
            "recall_floor_permille": recall_floor_permille}
 
     def _min_recall(np_: int) -> int:
-        approx = exact = None
-        for qid, qv in queries:
-            a = ivf_sq8_index_topk(
-                spark, path, qv, vectors, k=k, nprobe=np_).select(
-                F.lit(qid).cast("long").alias("query_id"),
-                F.col("neighbor_id"))
-            qcol = F.array(*[F.lit(float(x)) for x in qv])
-            e = (vectors.select(
-                    "vec_id",
-                    F.round(cosine(F.col("embedding"), qcol), 6)
-                    .alias("cos_sim"))
-                 .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
-                 .limit(k)
-                 .select(F.lit(qid).cast("long").alias("query_id"),
-                         F.col("vec_id").alias("neighbor_id")))
-            approx = a if approx is None else approx.unionByName(a)
-            exact = e if exact is None else exact.unionByName(e)
-        row = (ann_recall(approx, exact)
-               .agg(F.min("recall_permille").alias("r")).collect()[0])
-        return int(row["r"])
+        return _batched_min_recall(
+            spark, queries, vectors, k,
+            lambda qdf: ivf_sq8_index_topk_batch(
+                spark, path, qdf, vectors, k=k, nprobe=np_))
 
     def _rebuild_and_remeasure():
         # the rebuild is the maintenance loop's expensive rung — at
@@ -2470,26 +2494,10 @@ def maintain_pq_index(spark, path: str, new_emb: DataFrame,
            "recall_floor_permille": recall_floor_permille}
 
     def _min_recall() -> int:
-        approx = None
-        exact = None
-        for qid, qv in queries:
-            a = pq_index_topk(spark, path, qv, vectors, k=k).select(
-                F.lit(qid).cast("long").alias("query_id"),
-                F.col("neighbor_id"))
-            qcol = F.array(*[F.lit(float(x)) for x in qv])
-            e = (vectors.select(
-                    "vec_id",
-                    F.round(cosine(F.col("embedding"), qcol), 6)
-                    .alias("cos_sim"))
-                 .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
-                 .limit(k)
-                 .select(F.lit(qid).cast("long").alias("query_id"),
-                         F.col("vec_id").alias("neighbor_id")))
-            approx = a if approx is None else approx.unionByName(a)
-            exact = e if exact is None else exact.unionByName(e)
-        row = (ann_recall(approx, exact)
-               .agg(F.min("recall_permille").alias("r")).collect()[0])
-        return int(row["r"])
+        return _batched_min_recall(
+            spark, queries, vectors, k,
+            lambda qdf: pq_index_topk_batch(
+                spark, path, qdf, vectors, k=k))
 
     if not queries:
         out.update(decision="ok", recall_permille=None)
@@ -2915,37 +2923,66 @@ def ann_recall(approx: DataFrame, exact: DataFrame) -> DataFrame:
     )
 
 
-def _exact_index_topk(spark, path: str, query_vec, k: int) -> DataFrame:
-    """Ground truth for the recall monitor: brute-force cosine top-k
-    over the WHOLE stored index (no partition pruning)."""
-    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
-    return (
-        spark.read.parquet(path)
-        .select("vec_id",
-                F.round(cosine(F.col("embedding"), qcol), 6)
-                .alias("cos_sim"))
-        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
-        .limit(k)
-    )
-
-
 def _sampled_recall(spark, path: str, queries: list, k: int,
                     nprobe: int) -> int:
     """MIN per-query recall (integer permille) of the nprobe-pruned
     serving path against brute force, over the sampled query vectors.
     Min, not mean: one drifted region is exactly what the monitor must
-    not average away."""
-    approx = None
-    exact = None
+    not average away.
+
+    Batched (r13 verdict finding #3): per-query probe lists resolve
+    driver-side from ONE centroid read (``ivf_index_topk``'s exact
+    ranking math, so decisions cannot change), then one
+    partition-pruned scan of the probed-cluster union — a static
+    ``isin`` filter, fanned out to the probing queries by a broadcast
+    (query_id, cluster_id) pairs join — and one full scan for the
+    exact arm, each topped per query by a bounded window.  Two plans
+    per probe instead of 2 x ``len(queries)``."""
+    import math
+
+    cents = spark.read.parquet(f"{path}/_centroids").collect()
+    pairs = []
     for qid, qv in queries:
-        a = ivf_index_topk(spark, path, qv, k=k, nprobe=nprobe).select(
-            F.lit(qid).cast("long").alias("query_id"),
-            F.col("vec_id").alias("neighbor_id"))
-        e = _exact_index_topk(spark, path, qv, k).select(
-            F.lit(qid).cast("long").alias("query_id"),
-            F.col("vec_id").alias("neighbor_id"))
-        approx = a if approx is None else approx.unionByName(a)
-        exact = e if exact is None else exact.unionByName(e)
+        qn = math.sqrt(sum(x * x for x in qv))
+
+        def cos(c):
+            d = sum(a * b for a, b in zip(qv, c))
+            n = math.sqrt(sum(x * x for x in c))
+            return d / n / qn if n else -1.0
+
+        ranked = sorted(
+            ((round(cos(r["centroid"]), 6), r["cluster_id"])
+             for r in cents),
+            key=lambda t: (-t[0], t[1]))
+        pairs += [(int(qid), int(cid)) for _, cid in ranked[:nprobe]]
+    qdf = spark.createDataFrame(
+        [(int(qid), [float(x) for x in qv]) for qid, qv in queries],
+        "query_id long, embedding array<double>")
+    qe = qdf.select("query_id", F.col("embedding").alias("qe"))
+    probe_df = spark.createDataFrame(
+        pairs, "query_id long, cluster_id int")
+    stored = spark.read.parquet(path)
+    ws = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id"))
+
+    def topk(cand):
+        return (cand.join(F.broadcast(qe), "query_id")
+                .select("query_id",
+                        F.col("vec_id").alias("neighbor_id"),
+                        F.round(cosine(F.col("qe"),
+                                       F.col("embedding")), 6)
+                        .alias("cos_sim"))
+                .withColumn("rn", F.row_number().over(ws))
+                .filter(F.col("rn") <= k)
+                .select("query_id", "neighbor_id"))
+
+    probed_cids = sorted({cid for _, cid in pairs})
+    approx = topk(
+        stored.filter(F.col("cluster_id").isin(probed_cids))
+        .join(F.broadcast(probe_df.withColumnRenamed(
+            "cluster_id", "cluster_id_p")),
+            F.col("cluster_id") == F.col("cluster_id_p")))
+    exact = topk(stored.join(F.broadcast(qdf.select("query_id"))))
     row = (ann_recall(approx, exact)
            .agg(F.min("recall_permille").alias("r")).collect()[0])
     return int(row["r"])
@@ -3442,26 +3479,10 @@ def maintain_ivf_pq_index(spark, path: str, new_emb: DataFrame,
            "recall_floor_permille": recall_floor_permille}
 
     def _min_recall(np_: int) -> int:
-        approx = exact = None
-        for qid, qv in queries:
-            a = ivf_pq_index_topk(
-                spark, path, qv, vectors, k=k, nprobe=np_).select(
-                F.lit(qid).cast("long").alias("query_id"),
-                F.col("neighbor_id"))
-            qcol = F.array(*[F.lit(float(x)) for x in qv])
-            e = (vectors.select(
-                    "vec_id",
-                    F.round(cosine(F.col("embedding"), qcol), 6)
-                    .alias("cos_sim"))
-                 .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
-                 .limit(k)
-                 .select(F.lit(qid).cast("long").alias("query_id"),
-                         F.col("vec_id").alias("neighbor_id")))
-            approx = a if approx is None else approx.unionByName(a)
-            exact = e if exact is None else exact.unionByName(e)
-        row = (ann_recall(approx, exact)
-               .agg(F.min("recall_permille").alias("r")).collect()[0])
-        return int(row["r"])
+        return _batched_min_recall(
+            spark, queries, vectors, k,
+            lambda qdf: ivf_pq_index_topk_batch(
+                spark, path, qdf, vectors, k=k, nprobe=np_))
 
     if not queries:
         out.update(decision="ok", recall_permille=None)
@@ -4596,27 +4617,11 @@ def maintain_ivf_bq_index(spark, path: str, new_emb: DataFrame,
            "recall_floor_permille": recall_floor_permille}
 
     def _min_recall(np_: int, rm: int | None = None) -> int:
-        approx = exact = None
-        for qid, qv in queries:
-            a = ivf_bq_index_topk(
-                spark, path, qv, vectors, k=k, nprobe=np_,
-                rerank_mult=rm).select(
-                F.lit(qid).cast("long").alias("query_id"),
-                F.col("neighbor_id"))
-            qcol = F.array(*[F.lit(float(x)) for x in qv])
-            e = (vectors.select(
-                    "vec_id",
-                    F.round(cosine(F.col("embedding"), qcol), 6)
-                    .alias("cos_sim"))
-                 .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
-                 .limit(k)
-                 .select(F.lit(qid).cast("long").alias("query_id"),
-                         F.col("vec_id").alias("neighbor_id")))
-            approx = a if approx is None else approx.unionByName(a)
-            exact = e if exact is None else exact.unionByName(e)
-        row = (ann_recall(approx, exact)
-               .agg(F.min("recall_permille").alias("r")).collect()[0])
-        return int(row["r"])
+        return _batched_min_recall(
+            spark, queries, vectors, k,
+            lambda qdf: ivf_bq_index_topk_batch(
+                spark, path, qdf, vectors, k=k, nprobe=np_,
+                rerank_mult=rm))
 
     if not queries:
         out.update(decision="ok", recall_permille=None)

@@ -114,11 +114,11 @@ def test_maintain_ivf_bq_combined_rung_decision(spark, tmp_path,
     code resolution (sign bits never retrain) and would churn
     centroids without fixing anything.
 
-    The recall probe's serving call is wrapped so it returns the true
-    top-k ONLY when both knobs are raised (nprobe >= 2 AND resolved
-    rerank >= 2x the default) — a deterministic pin of the DECISION
-    FLOW; the measurement machinery itself is pinned geometrically by
-    test_r13.test_maintain_ivf_bq_bump_rerank_rung."""
+    The recall probe's batched serving call is wrapped so it returns
+    the true top-k ONLY when both knobs are raised (nprobe >= 2 AND
+    resolved rerank >= 2x the default) — a deterministic pin of the
+    DECISION FLOW; the measurement machinery itself is pinned
+    geometrically by test_r13.test_maintain_ivf_bq_bump_rerank_rung."""
     corpus = _three_cluster_corpus(spark).localCheckpoint(eager=True)
     path = str(tmp_path / "ivfbq")
     sim.write_ivf_bq_index(corpus, path, k=3)
@@ -127,27 +127,27 @@ def test_maintain_ivf_bq_combined_rung_decision(spark, tmp_path,
         f"{path}/{man['centroids']}").count()
     assert n_clusters >= 2                   # bump headroom exists
 
-    real = sim.ivf_bq_index_topk
+    real = sim.ivf_bq_index_topk_batch
     cur_rm = sim._resolve_rerank(man, None)
 
-    def gated(spark_, path_, qv, vectors, k=10, nprobe=None,
+    def gated(spark_, path_, qdf, vectors, k=10, nprobe=None,
               rerank_mult=None, **kw):
         m = sim._index_manifest(spark_, path_)
         np_ = sim._resolve_nprobe(m, nprobe)
         rm = sim._resolve_rerank(m, rerank_mult)
         if np_ >= 2 and rm >= 2 * cur_rm:
             # true top-k: full probe + corpus-covering rerank
-            return real(spark_, path_, qv, vectors, k=k,
+            return real(spark_, path_, qdf, vectors, k=k,
                         nprobe=n_clusters, rerank_mult=1000, **kw)
-        # junk: right schema, wrong neighbors (top-k of the REVERSED
-        # ranking can share ids with the truth on a tiny corpus, so
-        # fabricate ids outside it)
-        return spark_.range(k).select(
-            (F.col("id") + 1).cast("int").alias("rank"),
-            (F.col("id") + 1_000_000).alias("neighbor_id"),
-            F.lit(0.0).alias("cos_sim"))
+        # junk: right schema, wrong neighbors (ids outside the corpus,
+        # so no accidental overlap with the truth)
+        return qdf.select("query_id").join(
+            spark_.range(k).select(
+                (F.col("id") + 1).cast("int").alias("rank"),
+                (F.col("id") + 1_000_000).alias("neighbor_id"),
+                F.lit(0.0).alias("cos_sim")))
 
-    monkeypatch.setattr(sim, "ivf_bq_index_topk", gated)
+    monkeypatch.setattr(sim, "ivf_bq_index_topk_batch", gated)
     batch = corpus.orderBy("vec_id").limit(2)
     out = sim.maintain_ivf_bq_index(spark, path, batch, corpus,
                                     nprobe=1,
@@ -167,6 +167,51 @@ def test_maintain_ivf_bq_combined_rung_decision(spark, tmp_path,
     assert m2["version"] == out["operating_point_version"]
     assert sim._resolve_nprobe(m2, None) == 2
     assert sim._resolve_rerank(m2, None) == 2 * cur_rm
+
+
+# ---------------------------------------------------------------------------
+# batched recall probes == the retired per-query loop
+
+
+def test_batched_min_recall_equals_per_query_loop(spark, emb,
+                                                  tmp_path):
+    """The maintainers' recall probe is now ONE batched serve + ONE
+    batched exact top-k per rung (_batched_min_recall) instead of a
+    driver loop of single-query plans.  Decisions cannot change
+    because the numbers cannot: re-derive the probe value with the old
+    loop shape (single-query serves + per-query exact limit-k) at
+    several (k, nprobe) points and assert equality."""
+    path = str(tmp_path / "idx")
+    sim.write_ivf_sq8_index(emb, path, k=4)
+    queries = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.orderBy("vec_id").limit(4).collect()]
+    for k, np_ in ((10, 1), (10, 2), (5, 4)):
+        batched = sim._batched_min_recall(
+            spark, queries, emb, k,
+            lambda qdf: sim.ivf_sq8_index_topk_batch(
+                spark, path, qdf, emb, k=k, nprobe=np_))
+        approx = exact = None
+        for qid, qv in queries:
+            a = sim.ivf_sq8_index_topk(
+                spark, path, qv, emb, k=k, nprobe=np_).select(
+                F.lit(qid).cast("long").alias("query_id"),
+                F.col("neighbor_id"))
+            qcol = F.array(*[F.lit(float(x)) for x in qv])
+            e = (emb.select(
+                    "vec_id",
+                    F.round(sim.cosine(F.col("embedding"), qcol), 6)
+                    .alias("cos_sim"))
+                 .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+                 .limit(k)
+                 .select(F.lit(qid).cast("long").alias("query_id"),
+                         F.col("vec_id").alias("neighbor_id")))
+            approx = a if approx is None else approx.unionByName(a)
+            exact = e if exact is None else exact.unionByName(e)
+        loop = int(sim.ann_recall(approx, exact)
+                   .agg(F.min("recall_permille").alias("r"))
+                   .collect()[0]["r"])
+        assert batched == loop
 
 
 # ---------------------------------------------------------------------------
