@@ -215,6 +215,95 @@ def test_batched_min_recall_equals_per_query_loop(spark, emb,
 
 
 # ---------------------------------------------------------------------------
+# streaming end-to-end: the BQ rerank bump reaches a live serving
+# stream at the next micro-batch boundary
+
+
+def test_stream_picks_up_bump_rerank_without_restart(spark, tmp_path):
+    """The closed ops loop across the streaming surface: a streamed
+    upsert records its decision row, the operator's
+    maintain_ivf_bq_index lands on ``bump_rerank`` (the committed
+    ``default_rerank_mult`` doubles), and a live ``stream_vector_search``
+    serves the NEXT micro-batch at the committed depth with no stream
+    restart and no caller threading — the manifest re-resolve per
+    batch is the pickup point.  Before the bump the same query's batch
+    missed the Hamming-blind true neighbors; after it they surface."""
+    from public_transit_data_platform_sql_nosql_spark.jobs.versioned import (  # noqa: E501
+        read_version,
+    )
+    from public_transit_data_platform_sql_nosql_spark.streaming.jobs import (  # noqa: E501
+        stream_vector_index_upsert,
+        stream_vector_search,
+    )
+    from tests.test_r13 import _hamming_blind_bucket
+
+    a = _hamming_blind_bucket(spark, n=120)
+    b = _hamming_blind_bucket(spark, n=24, base=200).select(
+        "vec_id",
+        F.expr("transform(sequence(1, 64), i -> CASE WHEN i = 3 THEN "
+               "element_at(embedding, 1) WHEN i = 4 THEN "
+               "element_at(embedding, 2) ELSE 0.0D END)")
+        .alias("embedding"))
+    corpus = a.unionByName(b).localCheckpoint(eager=True)
+    path = str(tmp_path / "ivfbq")
+    sim.write_ivf_bq_index(corpus, path, k=2)
+    truth = {0, 116, 117, 118, 119}
+    qvec = [1.0, 0.9] + [0.0] * 62
+
+    # streamed upsert (a re-submit batch): one auditable decision row
+    bsrc = str(tmp_path / "bsrc")
+    corpus.orderBy("vec_id").limit(3).coalesce(1).write.parquet(bsrc)
+    q = stream_vector_index_upsert(
+        spark.readStream.schema("vec_id long, embedding "
+                                "array<double>").parquet(bsrc),
+        path, str(tmp_path / "ck_up"))
+    q.awaitTermination(120)
+    dec = read_version(spark, f"{path}/_state/decisions").collect()
+    assert [(r["decision"], r["n_replaced"]) for r in dec] == \
+        [("replaced", 3)]
+
+    # serving stream, micro-batch 1: the untuned depth (8x over a
+    # 144-row corpus at k=10 shortlists 80 Hamming-tied low ids) —
+    # the true high-id neighbors are missed
+    qsrc = str(tmp_path / "qsrc")
+    results = str(tmp_path / "results")
+    ck = str(tmp_path / "ck_serve")
+    spark.createDataFrame([(1, qvec)],
+                          "query_id long, embedding array<double>") \
+        .coalesce(1).write.mode("append").parquet(qsrc)
+    stream_vector_search(
+        spark.readStream.schema("query_id long, embedding "
+                                "array<double>").parquet(qsrc),
+        path, corpus, results, ck, k=10).awaitTermination(120)
+    before = {int(r["neighbor_id"]) for r in
+              read_version(spark, results)
+              .filter("query_id = 1").collect()}
+    assert not truth.issubset(before)
+
+    # the maintainer's rung: probing is maxed (cap=2), a BQ rebuild
+    # cannot raise code resolution -> bump_rerank commits 2x depth
+    out = sim.maintain_ivf_bq_index(
+        spark, path, corpus.orderBy("vec_id").limit(3), corpus,
+        recall_floor_permille=950)
+    assert out["decision"] == "bump_rerank"
+    assert out["rerank_mult"] == 2 * sim.BQ_RERANK_MULT
+
+    # micro-batch 2, SAME stream config, no restart-side plumbing: the
+    # committed operating point is re-resolved at the batch boundary
+    spark.createDataFrame([(2, qvec)],
+                          "query_id long, embedding array<double>") \
+        .coalesce(1).write.mode("append").parquet(qsrc)
+    stream_vector_search(
+        spark.readStream.schema("query_id long, embedding "
+                                "array<double>").parquet(qsrc),
+        path, corpus, results, ck, k=10).awaitTermination(120)
+    after = {int(r["neighbor_id"]) for r in
+             read_version(spark, results)
+             .filter("query_id = 2").collect()}
+    assert truth.issubset(after)
+
+
+# ---------------------------------------------------------------------------
 # CLI --rerank-mults hardening
 
 
