@@ -194,6 +194,9 @@ def main() -> None:
     sf1 = _sf1_section(spark, qs)
     if sf1:
         out["sf1"] = sf1
+    sf10 = _sf10_section(spark, qs)
+    if sf10:
+        out["sf10"] = sf10
     vecserve = _vector_serving_section(spark, SF_DIR)
     # the corpus where pruning can WIN: 20k vectors (sf1 fixture) —
     # the sf0.1 section's 2,000 vectors are ~100x too small for probe
@@ -204,15 +207,45 @@ def main() -> None:
     if (os.environ.get("SPARK_GRAFT_VECSERVE_SF1", "1") != "0"
             and os.path.exists(f"{sf1_dir}/embeddings.parquet")):
         vs1 = _vector_serving_section(spark, sf1_dir)
-    # the RECORD carries ONE vector section — the sf1 frontier when
-    # the fixture exists (the corpus where the pruning claim lives),
-    # else the headline-SF one; both always print full per-kind
-    # stderr '#' lines, so nothing is lost, and the final stdout line
-    # stays inside the driver's tail capture (the BENCH_r12 lesson)
-    if vs1:
+    # r14: the IVF-vs-flat CROSSOVER point — 200k vectors (sf10), the
+    # corpus the r13 README claimed pruning "pays at 100x" without a
+    # measurement.  Only the no-training/coarse-only kinds run here
+    # (bq/ivf_bq/sq8/ivf_sq8): the PQ pair's codebook training at 200k
+    # belongs to an offline build budget, and the pruning question the
+    # section answers is kind-independent.
+    sf10_dir = os.environ.get("SPARK_GRAFT_SF10_DIR", "/tmp/sfgen/sf10")
+    vs10 = None
+    if (os.environ.get("SPARK_GRAFT_VECSERVE_SF10", "1") != "0"
+            and os.path.exists(f"{sf10_dir}/embeddings.parquet")):
+        vs10 = _vector_serving_section(
+            spark, sf10_dir, kinds=("bq", "ivf_bq", "sq8", "ivf_sq8"))
+    # the RECORD carries ONE vector section — the LARGEST fixture's
+    # (sf10 crossover > sf1 frontier > headline SF): the final stdout
+    # line must fit the driver's tail capture (the BENCH_r12 lesson —
+    # pinned by tests/test_bench_record.py at the new worst case).
+    # Every variant always prints full per-kind stderr '#' lines
+    # (build_s, tune decisions, curves), and the README serving tables
+    # are generated from a full run's JSON with provenance
+    # (tools/readme_frontier.py), so nothing is lost.
+    if vs10:
+        out["vector_serving_sf10"] = vs10
+    elif vs1:
         out["vector_serving_sf1"] = vs1
     elif vecserve:
         out["vector_serving"] = vecserve
+    # the FULL record (every section that ran, no tail-size trimming)
+    # optionally lands in a file — the input tools/readme_frontier.py
+    # regenerates the README serving tables from, so README numbers
+    # carry run provenance instead of being retyped (r13 verdict
+    # finding #1: two "official" numbers for the same cell)
+    full_out = os.environ.get("SPARK_GRAFT_RECORD_OUT")
+    if full_out:
+        full = dict(out)
+        if vs10 and vs1:
+            full["vector_serving_sf1"] = vs1
+        full["vecserve_details"] = _VECSERVE_DETAILS
+        with open(full_out, "w", encoding="utf-8") as fh:
+            json.dump(full, fh, indent=1)
     print(json.dumps(compact_record(out)))
     spark.stop()
 
@@ -312,10 +345,100 @@ def _sf1_section(spark, qs) -> dict | None:
             "total": round(sum(times.values()), 3)}
 
 
+# sf10 record aliases: the final stdout line must fit the driver's
+# ~2000-char tail capture (the BENCH_r12 lesson), and this section is
+# NEW — no round-over-round key continuity to preserve — so its
+# per-query record keys are short; the stderr '#' lines carry the full
+# names.  sf1/headline sections keep full names (their history spans
+# rounds).
+_SF10_QUERIES = {
+    "q1_busiest_stops": "q1",
+    "q2_route_stats_whole_week": "q2",
+    "q3_transfer_points": "q3",
+    "q4_top_routes_daily": "q4",
+    "denormalize_check": "denorm",
+    "pipeline_training_chunks": "chunks",
+    "dedup_clusters": "clusters",
+    "text_search_bm25": "bm25",
+}
+
+
+def _sf10_section(spark, qs) -> dict | None:
+    """The 10x-THE-REFERENCE point (~60M stop_times, 500k docs), the
+    largest measured rung of the scaling claim: the r13 verdict's ask
+    was explicit — the repo's pitch is "the plans survive 100x" and
+    the largest measured point was sf1 (1.4x the reference corpus).
+    Same instrument as the sf1 section (one warmup + median-of-3 per
+    query, timings-only fixture from tools/gen_sf.py --sf 10, cached
+    under /tmp across rounds; generation ~5 min when missing).
+    Opt out: SPARK_GRAFT_SF10=0."""
+    import statistics
+    import subprocess
+
+    if os.environ.get("SPARK_GRAFT_SF10", "1") == "0":
+        return None
+    sf10_dir = os.environ.get("SPARK_GRAFT_SF10_DIR", "/tmp/sfgen/sf10")
+    if not all(os.path.exists(f"{sf10_dir}/{t}.parquet")
+               for t in ("lineitem", "documents", "embeddings",
+                         "events")):
+        print(f"# sf10: fixture missing at {sf10_dir}; generating "
+              f"(tools/gen_sf.py --sf 10)", file=sys.stderr)
+        r = subprocess.run(
+            [sys.executable, "tools/gen_sf.py", "--sf", "10",
+             "--out", sf10_dir],
+            cwd=os.path.dirname(os.path.abspath(__file__)) or ".",
+            capture_output=True, text=True, timeout=3600)
+        if r.returncode != 0:
+            print(f"# sf10: generation failed "
+                  f"({r.stderr.strip().splitlines()[-1:]}); skipping",
+                  file=sys.stderr)
+            return None
+    times: dict[str, float] = {}
+    for name, alias in _SF10_QUERIES.items():
+        if name not in qs:
+            continue
+        spark.catalog.clearCache()
+        qs[name](spark, sf10_dir).count()          # warmup
+        samples = []
+        for _ in range(3):
+            spark.catalog.clearCache()
+            t0 = time.monotonic()
+            qs[name](spark, sf10_dir).count()
+            samples.append(time.monotonic() - t0)
+        times[alias] = round(statistics.median(samples), 3)
+        print(f"# sf10 {name}: {times[alias]}s "
+              f"(samples {[round(s, 3) for s in samples]})",
+              file=sys.stderr)
+    print(f"# sf10 total: {round(sum(times.values()), 3)}s",
+          file=sys.stderr)
+    # FLAT per-alias dict (no sf/queries/total wrapper): the record
+    # budget again — the section key names the scale, the total is a
+    # sum, and the full names + total ride the stderr lines above
+    return times
+
+
 _SERVING_KINDS = ("bq", "ivf_bq", "sq8", "ivf_sq8", "pq", "ivf_pq")
 
+# r14: the stored-PQ pair builds with sampled codebook training by
+# default — train_fraction=0.25 measured -42% build wall at recall
+# parity (tests/test_index_r10.py pins the parity; the README chooser
+# table carries the recommendation).  The r13 frontier built at 1.0
+# and paid 71-87 s at sf1 vs 22 s for ivf_bq — the one honest cost
+# outlier of that record.
+_BUILD_TRAIN_FRACTION = {"pq": 0.25, "ivf_pq": 0.25}
 
-def _vector_serving_section(spark, emb_dir: str) -> dict | None:
+# per-(fixture tag, kind) build/tune detail from the last
+# _vector_serving_section calls in this process: too big for the
+# record line (it rides the stderr detail= prints), but the FULL
+# record file (SPARK_GRAFT_RECORD_OUT) carries it so
+# tools/readme_frontier.py can regenerate the README serving tables
+# with build costs and cluster geometry included
+_VECSERVE_DETAILS: dict = {}
+
+
+def _vector_serving_section(spark, emb_dir: str,
+                            kinds: tuple = _SERVING_KINDS
+                            ) -> dict | None:
     """The ANN SERVING trend line, measured every round: the headline
     set times the IN-FLIGHT operators (train + search in one plan),
     but the 100-TB vector story lives in the STORED layouts — build
@@ -349,11 +472,13 @@ def _vector_serving_section(spark, emb_dir: str) -> dict | None:
     emb = (spark.read.parquet(f"{emb_dir}/embeddings.parquet")
            .select("vec_id", "embedding"))
     tag = pathlib.Path(emb_dir).name
-    # r13 dir (vecidx3): the r12 caches hold ksub=16 PQ codebooks —
-    # the pre-ADC resolution; this round's writers default to
-    # PQ_INDEX_KSUB=256 (r12's vecidx2 held the fixed-k=8 geometry)
+    # r14 dir (vecidx4): the r13 caches (vecidx3) hold PQ codebooks
+    # trained at train_fraction=1.0 — the pre-sampled-training build;
+    # this round's PQ-family builds sample at 0.25
+    # (_BUILD_TRAIN_FRACTION), so build_s re-measures once under the
+    # new default (r13's vecidx3 held the ksub=256 rebaseline)
     root = os.environ.get("SPARK_GRAFT_VECIDX_DIR",
-                          f"/tmp/spark_graft_bench/vecidx3_{tag}")
+                          f"/tmp/spark_graft_bench/vecidx4_{tag}")
     writers = {
         "bq": sim.write_bq_index,
         "ivf_bq": sim.write_ivf_bq_index,
@@ -379,7 +504,7 @@ def _vector_serving_section(spark, emb_dir: str) -> dict | None:
         exact.setdefault(int(r["query_id"]), set()).add(
             int(r["neighbor_id"]))
     out: dict[str, dict] = {}
-    for kind in _SERVING_KINDS:
+    for kind in kinds:
         path = f"{root}/{kind}"
         build_s = None
         try:
@@ -387,7 +512,11 @@ def _vector_serving_section(spark, emb_dir: str) -> dict | None:
             assert m.get("kind", "sq8") == kind
         except (FileNotFoundError, AssertionError):
             t0 = time.monotonic()
-            writers[kind](emb, path)
+            tf = _BUILD_TRAIN_FRACTION.get(kind)
+            if tf is not None:
+                writers[kind](emb, path, train_fraction=tf)
+            else:
+                writers[kind](emb, path)
             build_s = round(time.monotonic() - t0, 3)
         tune_s = tuned = None
         m = sim._index_manifest(spark, path)
@@ -441,7 +570,9 @@ def _vector_serving_section(spark, emb_dir: str) -> dict | None:
                 f"{path}/{man['centroids']}").count()
             out[kind]["nprobe"] = int(
                 man.get("default_nprobe", sim.DEFAULT_NPROBE))
-            out[kind]["tuned"] = "default_nprobe" in man
+            # tuned-or-default rides the stderr detail line (r14: the
+            # record needs the chars for the sf10 sections)
+            detail["tuned"] = "default_nprobe" in man
         # the rerank operating point (r13: every kind's exact-rerank
         # depth tunes; it is the flat kinds' ONLY quality knob)
         out[kind]["rerank"] = sim._resolve_rerank(man, None)
@@ -460,6 +591,7 @@ def _vector_serving_section(spark, emb_dir: str) -> dict | None:
               f", rerank {out[kind]['rerank']}"
               f") detail={json.dumps(detail)}",
               file=sys.stderr)
+        _VECSERVE_DETAILS.setdefault(tag, {})[kind] = detail
     return out
 
 

@@ -11,7 +11,12 @@ import sys
 
 sys.path.insert(0, "/root/repo")
 
-from bench import _SERVING_KINDS, _SF1_QUERIES, compact_record  # noqa: E402
+from bench import (  # noqa: E402
+    _SERVING_KINDS,
+    _SF1_QUERIES,
+    _SF10_QUERIES,
+    compact_record,
+)
 
 
 def _worst_case_record() -> dict:
@@ -36,7 +41,7 @@ def _worst_case_record() -> dict:
         }
         if kind.startswith("ivf_"):
             vec[kind].update(
-                nprobe=4096, tuned=True,
+                nprobe=4096,
                 # the r12 failure shape: a curve landing in the record
                 # (compact_record must strip it)
                 tune_curve=[{"nprobe": 2 ** i,
@@ -52,9 +57,13 @@ def _worst_case_record() -> dict:
         "sf1": {"sf": 1.0,
                 "queries": {n: 999.999 for n in _SF1_QUERIES},
                 "total": 9999.999},
-        # main() records ONE vector section (sf1 when the fixture
-        # exists) — worst-cased here with every optional field AND the
-        # r12 failure shape (a curve) present
+        # r14: the sf10 section is a FLAT dict under short aliases
+        "sf10": {a: 9999.999 for a in _SF10_QUERIES.values()},
+        # main() records ONE vector section — worst-cased here as the
+        # LARGER of the two it can choose (the six-kind sf1 frontier;
+        # the sf10 crossover carries four kinds with the same fields)
+        # with every optional field AND the r12 failure shape (a
+        # curve) present
         "vector_serving_sf1": vec,
     }
 
@@ -80,8 +89,8 @@ def test_compact_record_strips_every_list():
     # scalars and nested sections survive untouched
     assert rec["value"] == 9999.999
     assert rec["vector_serving_sf1"]["ivf_sq8"]["nprobe"] == 4096
-    assert rec["vector_serving_sf1"]["ivf_sq8"]["tuned"] is True
     assert "tune_curve" not in rec["vector_serving_sf1"]["ivf_pq"]
+    assert rec["sf10"]["clusters"] == 9999.999
     assert rec["sf1"]["queries"]["dedup_clusters"] == 999.999
 
 
