@@ -148,6 +148,20 @@ def main() -> None:
         print(f"# {name}: {times[name]}s ({n} rows; "
               f"samples {[round(s, 3) for s in samples]})", file=sys.stderr)
 
+    print("# drift-note r14 (first sf10 record): the sf10 section's "
+          "first-run numbers (BENCH_LOCAL_r14: q1 21.2, q2 13.6, q3 "
+          "19.0, q4 6.6, denorm 9.6, chunks 64.5, clusters 47.8, "
+          "bm25 3.9 s) are the round's baseline — compare per-query "
+          "from r15 on.  The same run's sf1 q1-q4 read ~4.1-4.9 s vs "
+          "r13's 2.2-2.7: that run generated+first-touched the 60M-row "
+          "sf10 fixture in-process (page-cache pressure), so treat the "
+          "r14 sf1 transit numbers as load-context, not a regression "
+          "signal; the pipeline heavyweights (chunks 18.3, clusters "
+          "12.0, bm25 1.7) stayed in-band.  Serving REBASELINE: "
+          "vecidx4 caches — PQ-family builds now train_fraction=0.25 "
+          "(pq build 71.4 -> 48.5 s, ivf_pq 86.6 -> 71.3 at "
+          "target-met recall); serve times comparable to r13's "
+          "vecidx3 (same protocol)", file=sys.stderr)
     print("# drift-note r13 (sf1 trend, third point — the r12 climb "
           "RESOLVED): the r12 drift-note instructed comparing "
           "per-query at r13; the r13 run measures "

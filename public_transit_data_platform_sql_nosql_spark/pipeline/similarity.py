@@ -2466,8 +2466,9 @@ def maintain_pq_index(spark, path: str, new_emb: DataFrame,
       over ``vectors`` (the primary store, which the PQ layout never
       duplicates) as a new committed version, and recall re-measures.
 
-    The recall probe is ``sample_queries`` bounded top-k jobs — the
-    monitor's honest cost, amortized per maintenance batch.
+    The recall probe is ONE batched serve + ONE batched exact top-k
+    per rung (:func:`_batched_min_recall`) — the monitor's honest
+    cost, amortized per maintenance batch.
 
     CONTRACT: ``vectors`` (the primary store) must already contain the
     batch — the recall probe compares the index against brute force
@@ -3016,10 +3017,11 @@ def maintain_ivf_index(spark, path: str, new_emb: DataFrame, *,
                            corrupt it) and recall is re-measured.
 
     Scale: the upsert touches only receiving cluster directories; the
-    recall probe is ``sample_queries`` bounded top-k jobs (each reads
-    nprobe directories + one full scan for ground truth — the monitor's
-    honest cost, run on a SAMPLE precisely so it stays O(sample), and
-    amortized per maintenance batch, not per query).
+    recall probe is TWO batched plans per rung (one partition-pruned
+    scan of the probed-cluster union + one full scan for ground truth,
+    :func:`_sampled_recall` — the monitor's honest cost, run on a
+    SAMPLE precisely so it stays O(sample), and amortized per
+    maintenance batch, not per query).
     """
     st = ivf_index_upsert(spark, path, new_emb)
     queries = [
