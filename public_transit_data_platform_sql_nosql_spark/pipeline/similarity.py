@@ -2128,32 +2128,26 @@ PQ_RERANK_MULT = 8  # PQ quantizes coarser than SQ8 (m bytes vs dim), so
 #                     the sf embeddings, still scanning only m bytes/row
 
 
-def _pq_books_and_assignments(emb: DataFrame, m: int, k: int,
-                              dim: int, n_iter: int):
-    """Shared PQ trainer core: per-subspace deterministic k-means.
-    Returns ``(books, asg_all)`` — the UNIT-normalized codeword table
-    ``(subspace, code, centroid)`` and the assignment stream
-    ``(vec_id, subspace, cid)``.  Normalization divides by the exact
-    left-fold norm (``core.dot`` order), so the DuckDB oracle
-    reproduces every double."""
+def _pq_subspace_book_plans(emb: DataFrame, m: int, k: int,
+                            dim: int, n_iter: int):
+    """Per-subspace codebook PLANS (no actions): yields ``(j, sub_emb,
+    zero, book_j)`` for each of the ``m`` subspaces — the raw
+    unit-normalized codeword table before the degenerate-subspace
+    guard.  SPARSE corpora (e.g. hash embeddings of short texts) have
+    all-zero slices in most subspaces; cosine against them is
+    undefined (ANSI division by zero), so the k-means chain trains on
+    the NON-ZERO slices only and zero slices take the lowest code
+    deterministically — exactly the argmax ``_pq_encode`` resolves for
+    them (every score -1, cid-ASC tie-break), so trainer assignment
+    and encoder agree.  Dense corpora take the unchanged path (the
+    filter keeps every row), so the oracle mirror is unaffected."""
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     sub = dim // m
-    books = None
-    asg_all = None
     for j in range(m):
         sub_emb = emb.select(
             "vec_id",
             F.slice("embedding", j * sub + 1, sub).alias("embedding"))
-        # SPARSE corpora (e.g. hash embeddings of short texts) have
-        # all-zero slices in most subspaces; cosine against them is
-        # undefined (ANSI division by zero), so the k-means chain
-        # trains on the NON-ZERO slices only and zero slices take the
-        # lowest code deterministically — exactly the argmax
-        # _pq_encode resolves for them (every score -1, cid-ASC
-        # tie-break), so trainer assignment and encoder agree.  Dense
-        # corpora take the unchanged path (the filter keeps every
-        # row), so the oracle mirror is unaffected.
         zero = dot(F.col("embedding"), F.col("embedding")) == 0
         nz = sub_emb.filter(~zero)
         assigned = nz.join(
@@ -2170,6 +2164,63 @@ def _pq_books_and_assignments(emb: DataFrame, m: int, k: int,
                         lambda x: x / F.nullif(norm, F.lit(0.0)))
                     .alias("centroid"))
         )
+        yield j, sub_emb, zero, assigned, book_j
+
+
+def _pq_books_trained(emb: DataFrame, m: int, k: int, dim: int,
+                      n_iter: int) -> DataFrame:
+    """WRITER-path trainer: the final unit-normalized codebook table,
+    all ``m`` per-subspace k-means chains materialized in ONE
+    lineage-truncated job.  Bit-identical to the books half of
+    :func:`_pq_books_and_assignments` (pinned by
+    tests/test_r14.py::test_pq_books_trained_equals_loop_books): the
+    centroid updates are exact integer milli-quantized sums, so
+    branch evaluation order cannot change a double.
+
+    Why it exists: the in-flight trainer's per-subspace
+    degenerate-zero guard (``book_j.head(1)``) EXECUTES each chain as
+    its own sequential driver-blocking job, and the writers then
+    re-execute all of them through the checkpoint — m+1 chain
+    evaluations where one suffices (measured r14 at sf1/20k vectors:
+    write_pq_index 48.5 s with the codebook training roughly half).
+    Here the guard runs AFTER the single materialization: missing
+    subspaces are read off the checkpointed table driver-side and
+    their pinned zero codewords appended (same semantics — the byte
+    layout stays m-wide, the degenerate subspace reconstructs to its
+    true zero slice)."""
+    spark = emb.sparkSession
+    books = None
+    for _, _, _, _, book_j in _pq_subspace_book_plans(emb, m, k, dim,
+                                                      n_iter):
+        books = book_j if books is None else books.unionByName(book_j)
+    books = books.localCheckpoint(eager=True)
+    present = {int(r["subspace"])
+               for r in books.select("subspace").distinct().collect()}
+    missing = [j for j in range(m) if j not in present]
+    if missing:
+        sub = dim // m
+        books = books.unionByName(spark.createDataFrame(
+            [(j, 0, [0.0] * sub) for j in missing], books.schema))
+    return books
+
+
+def _pq_books_and_assignments(emb: DataFrame, m: int, k: int,
+                              dim: int, n_iter: int):
+    """Shared PQ trainer core: per-subspace deterministic k-means.
+    Returns ``(books, asg_all)`` — the UNIT-normalized codeword table
+    ``(subspace, code, centroid)`` and the assignment stream
+    ``(vec_id, subspace, cid)``.  Normalization divides by the exact
+    left-fold norm (``core.dot`` order), so the DuckDB oracle
+    reproduces every double.  (The in-flight ops' path; the stored
+    writers train via :func:`_pq_books_trained`, which evaluates the
+    same plans once instead of m+1 times.)"""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    books = None
+    asg_all = None
+    for j, sub_emb, zero, assigned, book_j in _pq_subspace_book_plans(
+            emb, m, k, dim, n_iter):
         # an ENTIRELY-zero training subspace (every slice filtered by
         # the sparse guard above) trains NO codewords at all — without
         # a book the encoder would drop the subspace and pack SHORT
@@ -2317,9 +2368,8 @@ def write_pq_index(emb: DataFrame, path: str, m: int = PQ_M,
     # train_fraction < 1 hash-samples the TRAINING corpus only (the m
     # k-means chains are n_iter full passes each — the build's scale
     # cost); _pq_encode below still encodes every vector.
-    books, _ = _pq_books_and_assignments(
+    books = _pq_books_trained(
         _train_sample(emb, train_fraction), m, k, dim, n_iter)
-    books = books.localCheckpoint(eager=True)
     sub = dim // m
     attr_cols = [c for c in (attrs.columns if attrs is not None else [])
                  if c != "vec_id"]
@@ -3196,9 +3246,8 @@ def write_ivf_pq_index(emb: DataFrame, path: str, k: int | None = None,
         .select("vec_id", F.col("cid").alias("cluster_id"))
     # books sit under every per-subspace encode branch — lineage-
     # truncate once (the write_pq_index pattern)
-    books, _ = _pq_books_and_assignments(
+    books = _pq_books_trained(
         _train_sample(emb, train_fraction), m, ksub, dim, n_iter)
-    books = books.localCheckpoint(eager=True)
     encoded = _pq_encode(emb, books, m, dim // m).join(assigned, "vec_id")
     attr_cols = [c for c in (attrs.columns if attrs is not None else [])
                  if c != "vec_id"]

@@ -215,6 +215,48 @@ def test_batched_min_recall_equals_per_query_loop(spark, emb,
 
 
 # ---------------------------------------------------------------------------
+# writer-path PQ trainer: one materialization, bit-identical books
+
+
+def test_pq_books_trained_equals_loop_books(spark, emb):
+    """The stored-PQ writers train via _pq_books_trained (all m chains
+    in ONE job, degenerate guard applied after) — its codebook table
+    must be BIT-identical to the in-flight trainer's books half (the
+    integer milli-quantized centroid sums are order-independent, so
+    this is an equality the plans must keep)."""
+    m, k, dim = 4, 8, 64
+    fused = sorted(
+        (int(r["subspace"]), int(r["code"]),
+         tuple(float(x) for x in r["centroid"]))
+        for r in sim._pq_books_trained(emb, m, k, dim, 3).collect())
+    books, _ = sim._pq_books_and_assignments(emb, m, k, dim, 3)
+    loop = sorted(
+        (int(r["subspace"]), int(r["code"]),
+         tuple(float(x) for x in r["centroid"]))
+        for r in books.collect())
+    assert fused == loop
+
+
+def test_pq_books_trained_pins_degenerate_subspace(spark):
+    """An entirely-zero training subspace still gets its pinned zero
+    codeword at code 0 (the m-wide byte-layout guard), now applied
+    driver-side after the single materialization."""
+    dim, m = 8, 4
+    rows = [(i, [1.0 + 0.1 * i, 0.5] + [0.0] * (dim - 2))
+            for i in range(12)]
+    emb2 = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>")
+    got = {(int(r["subspace"]), int(r["code"])):
+           [float(x) for x in r["centroid"]]
+           for r in sim._pq_books_trained(emb2, m, 4, dim, 3).collect()}
+    # subspaces 1-3 are all-zero -> exactly one pinned zero codeword
+    for j in (1, 2, 3):
+        assert got[(j, 0)] == [0.0, 0.0]
+        assert not any(s == j and c != 0 for s, c in got)
+    assert any(s == 0 for s, c in got)    # the real subspace trained
+
+
+# ---------------------------------------------------------------------------
 # streaming end-to-end: the BQ rerank bump reaches a live serving
 # stream at the next micro-batch boundary
 
