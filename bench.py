@@ -148,20 +148,22 @@ def main() -> None:
         print(f"# {name}: {times[name]}s ({n} rows; "
               f"samples {[round(s, 3) for s in samples]})", file=sys.stderr)
 
-    print("# drift-note r14 (first sf10 record): the sf10 section's "
-          "first-run numbers (BENCH_LOCAL_r14: q1 21.2, q2 13.6, q3 "
-          "19.0, q4 6.6, denorm 9.6, chunks 64.5, clusters 47.8, "
-          "bm25 3.9 s) are the round's baseline — compare per-query "
-          "from r15 on.  The same run's sf1 q1-q4 read ~4.1-4.9 s vs "
-          "r13's 2.2-2.7: that run generated+first-touched the 60M-row "
-          "sf10 fixture in-process (page-cache pressure), so treat the "
-          "r14 sf1 transit numbers as load-context, not a regression "
-          "signal; the pipeline heavyweights (chunks 18.3, clusters "
-          "12.0, bm25 1.7) stayed in-band.  Serving REBASELINE: "
-          "vecidx4 caches — PQ-family builds now train_fraction=0.25 "
-          "(pq build 71.4 -> 48.5 s, ivf_pq 86.6 -> 71.3 at "
-          "target-met recall); serve times comparable to r13's "
-          "vecidx3 (same protocol)", file=sys.stderr)
+    print("# drift-note r14 (first sf10 record): BENCH_LOCAL_r14's "
+          "sf10 section (q1 30.8, q2 5.7, q3 13.9, q4 6.3, denorm "
+          "9.6, chunks 56.7, clusters 31.7, bm25 3.3 s) is the "
+          "round's baseline — compare per-query from r15 on, and "
+          "expect tens-of-percent I/O variance on q1/q3 (two r14 "
+          "runs measured q1 at 21.2 and 30.8 s with samples "
+          "18.8-39.4; the 60M-row fixture's page-cache state moves "
+          "the scan-bound queries).  A run that GENERATES the sf10 "
+          "fixture in-process also inflates the sf1 transit numbers "
+          "~2x (measured, snapped back next run) — treat those as "
+          "load-context.  Serving REBASELINE: vecidx4 caches — "
+          "PQ-family builds now train_fraction=0.25 + the fused "
+          "one-materialization trainer (sf1 pq build 71.4 -> 28.7 s, "
+          "ivf_pq 86.6 -> 42.0 at target-met recall); build costs of "
+          "cached indexes persist in *_build.json sidecars",
+          file=sys.stderr)
     print("# drift-note r13 (sf1 trend, third point — the r12 climb "
           "RESOLVED): the r12 drift-note instructed comparing "
           "per-query at r13; the r13 run measures "
@@ -520,10 +522,23 @@ def _vector_serving_section(spark, emb_dir: str,
     out: dict[str, dict] = {}
     for kind in kinds:
         path = f"{root}/{kind}"
+        # the build-cost SIDECAR (r14): a cached index still has a real
+        # build cost — the one paid when it was built — and the README
+        # frontier table needs it every round, not only on cache-miss
+        # rounds; the sidecar rides beside (not inside) the index dir
+        # so manifest readers never see it
+        sidecar = f"{root}/{kind}_build.json"
         build_s = None
+        build_cached = False
         try:
             m = sim._index_manifest(spark, path)
             assert m.get("kind", "sq8") == kind
+            try:
+                with open(sidecar, encoding="utf-8") as fh:
+                    build_s = json.load(fh).get("build_s")
+                build_cached = build_s is not None
+            except (FileNotFoundError, json.JSONDecodeError):
+                pass
         except (FileNotFoundError, AssertionError):
             t0 = time.monotonic()
             tf = _BUILD_TRAIN_FRACTION.get(kind)
@@ -532,6 +547,12 @@ def _vector_serving_section(spark, emb_dir: str,
             else:
                 writers[kind](emb, path)
             build_s = round(time.monotonic() - t0, 3)
+            try:
+                with open(sidecar, "w", encoding="utf-8") as fh:
+                    json.dump({"build_s": build_s,
+                               "train_fraction": tf or 1.0}, fh)
+            except OSError:
+                pass
         tune_s = tuned = None
         m = sim._index_manifest(spark, path)
         want = ("default_nprobe" if kind.startswith("ivf_")
@@ -578,6 +599,9 @@ def _vector_serving_section(spark, emb_dir: str,
             "recall10": int(1000 * hits / max(total, 1)),
         }
         detail: dict = {"build_s": build_s}
+        if build_cached:
+            detail["build_cached"] = True   # cost from the sidecar,
+            #                                 paid when the index built
         man = sim._index_manifest(spark, path)
         if kind.startswith("ivf_"):
             detail["n_clusters"] = spark.read.parquet(
