@@ -162,11 +162,23 @@ def curated_corpus(docs: DataFrame, labels: DataFrame,
             .select("doc_id"))
     train = (split_assign(docs).filter(F.col("split") == "train")
              .select("doc_id"))
+    # Intersect the three id sets FIRST and persist the result, then run
+    # ONE semi-join against the corpus.  Three separate semi-joins get
+    # pushed through the corpus' UNION arms by Catalyst, which
+    # DUPLICATES each un-materialized right side per arm — the final
+    # physical plan scanned the corpus 14x and ran the quality
+    # tokenization pass twice, with zero exchange reuse (plan capture
+    # plans/r14/pipeline_curated_corpus_before.txt; opt guide §2.4
+    # "remove shuffles outright" / §5 caching-when-reused).  The
+    # persisted selection is doc_ids only (a few % of corpus bytes),
+    # computed once inside the same timed plan; downstream broadcast
+    # builds read the InMemoryRelation instead of re-deriving it.
+    selected = (
+        kept.join(good, "doc_id").join(train, "doc_id").persist()
+    )
     return (
         docs.select("doc_id", "lang")
-        .join(kept, "doc_id", "left_semi")
-        .join(good, "doc_id", "left_semi")
-        .join(train, "doc_id", "left_semi")
+        .join(selected, "doc_id", "left_semi")
     )
 
 
@@ -233,6 +245,12 @@ def training_chunks(docs: DataFrame, labels: DataFrame,
     if decont_report is not None:
         kept = kept.join(decont_report.select("doc_id"),
                          "doc_id", "left_anti")
+    # persist the surviving id set: the semi-join below is pushed
+    # through the corpus UNION arms, and without materialization each
+    # arm re-evaluates the whole curation+decontamination subtree
+    # (the decontamination shingle join is a full tokenization pass) —
+    # same duplication mechanics as in curated_corpus (guide §2.4/§5)
+    kept = kept.select("doc_id").persist()
     # `chunks` feeds THREE consumers below (the kept-chunk join, the
     # boilerplate aggregate, and the canonical-position resolution);
     # without a persist, each consumer re-executes the whole curation

@@ -67,15 +67,26 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
     )
 
 
-def shingle_table(docs: DataFrame, n: int = 3) -> DataFrame:
-    """Distinct (doc_id, shingle_hash) for word ``n``-gram shingles; docs
+def shingle_table(docs: DataFrame, n: int = 3,
+                  distinct: bool = True) -> DataFrame:
+    """(doc_id, shingle_hash) for word ``n``-gram shingles; docs
     shorter than ``n`` tokens contribute one whole-doc shingle.
+    ``distinct=True`` (default) dedupes per (doc, shingle).
 
     The tokens array is materialized once per doc by the projection under
     the Generate (explode) barrier; each exploded row then slices three
     tokens and hashes ~25 chars — everything linear in corpus size.
+
+    ``distinct=False`` skips the dedup EXCHANGE (a full shuffle of the
+    exploded table — measured 2x the narrow pass at sf0.1): consumers
+    whose aggregates are duplicate-insensitive (``min`` minhashes,
+    ``collect_set`` shingle sets) compute identical results from the raw
+    exploded rows, and their own map-side partial aggregation absorbs the
+    duplicates without shuffling them (opt guide §2.3-2.4).  Consumers
+    that COUNT rows per key (ngram df counts, simhash bit votes) must
+    keep the default.
     """
-    return (
+    exploded = (
         docs.select("doc_id", tokens(F.col("text")).alias("toks"))
         .select(
             "doc_id", "toks",
@@ -92,8 +103,8 @@ def shingle_table(docs: DataFrame, n: int = 3) -> DataFrame:
                 F.concat_ws(" ", F.slice(F.col("toks"), F.col("i"), n))
             ).alias("shingle_hash"),
         )
-        .distinct()
     )
+    return exploded.distinct() if distinct else exploded
 
 
 def ngram_candidates(sh: DataFrame, max_df: int) -> DataFrame:
@@ -206,8 +217,11 @@ def _signatures_from(sh: DataFrame) -> DataFrame:
 
 
 def minhash_signatures(docs: DataFrame) -> DataFrame:
-    """(doc_id, minhashes array<long>[16]) — j-ordered signature."""
-    return _signatures_from(shingle_table(docs))
+    """(doc_id, minhashes array<long>[16]) — j-ordered signature.
+
+    ``min`` is duplicate-insensitive, so the shingle dedup exchange is
+    skipped (identical signatures, one less full shuffle)."""
+    return _signatures_from(shingle_table(docs, distinct=False))
 
 
 _BAND_SIGS_EXPR = (
@@ -227,10 +241,37 @@ def minhash_lsh_pairs(docs: DataFrame,
     shingle index -> 16 minhashes -> 4 folded band keys -> bucket
     self-join -> signature/shingle-set joins for verification.
     """
-    sh = shingle_table(docs).persist()   # reused: signatures + set join
-    sigs = _signatures_from(sh).persist()  # reused: bands + both verify sides
+    # ONE pass from raw exploded shingles to the per-doc profile
+    # (16 minhashes + the distinct shingle set), fused into a single
+    # groupBy(doc_id): min and collect_set are both duplicate-
+    # insensitive, so the shingle dedup exchange is skipped entirely
+    # (distinct=False; guide §2.4 "remove shuffles outright") and the
+    # signature/shingle-set aggregations — previously two separate
+    # passes over a persisted shingle table — share one exchange
+    # (guide §2.3 "aggregate before you shuffle").  Persisting the
+    # (small, per-doc) profile instead of the (corpus-sized) shingle
+    # table also shrinks the cache footprint; the verify stage joins
+    # ONE table per pair side instead of two.
+    mh_aggs = [
+        F.min(((2 * j + 3) * F.col("shingle_hash") + 5 * j + 7) % P)
+        .alias(f"mh{j}")
+        for j in range(NUM_MINHASHES)
+    ]
+    profs = (
+        shingle_table(docs, distinct=False)
+        .groupBy("doc_id")
+        .agg(*mh_aggs, F.collect_set("shingle_hash").alias("hs"))
+        .select(
+            "doc_id",
+            F.array(*[F.col(f"mh{j}") for j in range(NUM_MINHASHES)])
+            .alias("minhashes"),
+            "hs",
+        )
+        .persist()
+    )
     banded = (
-        sigs.select("doc_id", F.explode(F.expr(_BAND_SIGS_EXPR)).alias("bs"))
+        profs.select("doc_id",
+                     F.explode(F.expr(_BAND_SIGS_EXPR)).alias("bs"))
         .select("doc_id", F.col("bs.band").alias("band"),
                 F.col("bs.sig").alias("sig"))
     )
@@ -243,22 +284,18 @@ def minhash_lsh_pairs(docs: DataFrame,
                 F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    hs = sh.groupBy("doc_id").agg(
-        F.collect_set("shingle_hash").alias("hs"))
     est = (
-        F.size(F.filter(F.zip_with(F.col("sa.minhashes"),
-                                   F.col("sb.minhashes"),
+        F.size(F.filter(F.zip_with(F.col("pa.minhashes"),
+                                   F.col("pb.minhashes"),
                                    lambda x, y: x == y),
                         lambda v: v))
         / F.lit(float(NUM_MINHASHES))
     )
-    inter = F.size(F.array_intersect(F.col("ha.hs"), F.col("hb.hs")))
-    union = (F.size(F.col("ha.hs")) + F.size(F.col("hb.hs")) - inter)
+    inter = F.size(F.array_intersect(F.col("pa.hs"), F.col("pb.hs")))
+    union = (F.size(F.col("pa.hs")) + F.size(F.col("pb.hs")) - inter)
     return (
-        cand.join(sigs.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sigs.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
-        .join(hs.alias("ha"), F.col("doc_a") == F.col("ha.doc_id"))
-        .join(hs.alias("hb"), F.col("doc_b") == F.col("hb.doc_id"))
+        cand.join(profs.alias("pa"), F.col("doc_a") == F.col("pa.doc_id"))
+        .join(profs.alias("pb"), F.col("doc_b") == F.col("pb.doc_id"))
         .select(
             "doc_a", "doc_b",
             F.round(est, 6).alias("est_jaccard"),

@@ -252,9 +252,16 @@ def search_bm25(docs: DataFrame, query_terms: list[str],
         base.select("doc_id", "dl", F.explode("_t").alias("token"))
         .filter(F.col("token").isin(*[str(t).lower() for t in query_terms]))
     )
+    # persist the matched-term TF table: it feeds BOTH the df-count
+    # build side and the scoring join, and without materialization each
+    # consumer re-runs the full corpus tokenization pass (the plan held
+    # two identical Generate subtrees — guide §5 "reused AND expensive
+    # to recompute").  The cache holds only docs matching the query
+    # terms, a vanishing fraction of the corpus at any scale.
     tf = (
         term_rows.groupBy("doc_id", "dl", "token")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .persist()
     )
     dfc = tf.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("df"))
     stats = (

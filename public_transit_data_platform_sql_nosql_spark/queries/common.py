@@ -22,16 +22,29 @@ from ..operators.hints import broadcast_if_small
 
 
 def hourly_frequency(stop_times: DataFrame, trips: DataFrame) -> DataFrame:
-    """(route_id, service_id, hour_of_day, trips_per_hour)."""
-    return (
+    """(route_id, service_id, hour_of_day, trips_per_hour).
+
+    Shape (opt guide §2.3 "aggregate before you shuffle"): the fact table
+    is collapsed to DISTINCT (trip_id, hour_of_day) BEFORE the trips
+    join, so the join and the (route, service, hour) aggregation run
+    over ~|trips|·hours rows instead of every stop_time, and the one
+    full-fact shuffle carries two narrow columns.  Equivalent to joining
+    first and taking COUNT(DISTINCT trip_id) per group because trip_id
+    is the trips table's primary key (GTFS trips.txt): each distinct
+    (trip, hour) pair maps to exactly one (route, service) row.
+    """
+    trip_hours = (
         stop_times.select("trip_id", "departure_secs")
         .filter(F.col("departure_secs").isNotNull())
-        .join(broadcast_if_small(
+        .select("trip_id", hour_of_day("departure_secs").alias("hour_of_day"))
+        .distinct()
+    )
+    return (
+        trip_hours.join(broadcast_if_small(
             trips.select("trip_id", "route_id", "service_id")),
               "trip_id")
-        .withColumn("hour_of_day", hour_of_day("departure_secs"))
         .groupBy("route_id", "service_id", "hour_of_day")
-        .agg(F.countDistinct("trip_id").alias("trips_per_hour"))
+        .agg(F.count("trip_id").alias("trips_per_hour"))
     )
 
 
@@ -41,13 +54,19 @@ def trip_stats(stop_times: DataFrame, trips: DataFrame,
     (max - min shape_dist_traveled), keyed by (trip_id, route_id,
     service_id); degenerate trips dropped by HAVING duration > 60
     (`/root/reference/SQL/sql_utils.py:159`)."""
-    return (
+    # Aggregate the fact table per trip_id FIRST, then attach
+    # (route_id, service_id) to the per-trip rows (opt guide §2.3 /
+    # §1.2 step 1): min/max are join-order-independent here because the
+    # inner join only drops or keeps a trip's rows wholesale (trip_id is
+    # the join key), so aggregating first computes identical stats while
+    # the shuffle carries one key and the join runs at trip granularity
+    # (|trips| rows) instead of fact granularity — at scale, where trips
+    # exceeds the broadcast threshold, that turns a full-fact-table
+    # sort-merge join into a per-trip one.
+    per_trip = (
         stop_times.select("trip_id", "arrival_secs", "departure_secs",
                           "shape_dist_traveled")
-        .join(broadcast_if_small(
-            trips.select("trip_id", "route_id", "service_id")),
-              "trip_id")
-        .groupBy("trip_id", "route_id", "service_id")
+        .groupBy("trip_id")
         .agg(
             (F.max("arrival_secs") - F.min("departure_secs"))
             .alias("trip_duration_seconds"),
@@ -55,4 +74,11 @@ def trip_stats(stop_times: DataFrame, trips: DataFrame,
             .alias("trip_distance"),
         )
         .filter(F.col("trip_duration_seconds") > min_duration_secs)
+    )
+    return (
+        per_trip.join(broadcast_if_small(
+            trips.select("trip_id", "route_id", "service_id")),
+              "trip_id")
+        .select("trip_id", "route_id", "service_id",
+                "trip_duration_seconds", "trip_distance")
     )

@@ -32,9 +32,23 @@ def q1_busiest_stops(
     t = apply_service_filter(
         trips.select("trip_id", "route_id", "service_id"), service_id
     )
+    # Aggregate on stop_id ALONE, then attach the stop attributes to the
+    # aggregated rows (opt guide §2.3 "project before the exchange" /
+    # §1.2 step 1): stop_code/name/lat/lon are functionally dependent on
+    # stop_id (GTFS stops.txt primary key), so grouping by the narrow
+    # key computes the same groups while the aggregation exchanges one
+    # string key instead of five mixed-type columns, and the dimension
+    # join runs over |stops| aggregated rows instead of every fact row.
+    # The inner join still drops stop_ids absent from stops — after the
+    # aggregation instead of before, same surviving set.
     agg = (
         stop_times.select("trip_id", "stop_id")
         .join(broadcast_if_small(t), "trip_id")
+        .groupBy("stop_id")
+        .agg(
+            F.count(F.lit(1)).alias("total_trip_events"),
+            F.countDistinct("route_id").alias("num_unique_routes"),
+        )
         .join(
             F.broadcast(
                 stops.select("stop_id", "stop_code", "stop_name",
@@ -42,11 +56,8 @@ def q1_busiest_stops(
             ),
             "stop_id",
         )
-        .groupBy("stop_id", "stop_code", "stop_name", "stop_lat", "stop_lon")
-        .agg(
-            F.count(F.lit(1)).alias("total_trip_events"),
-            F.countDistinct("route_id").alias("num_unique_routes"),
-        )
+        .select("stop_id", "stop_code", "stop_name", "stop_lat", "stop_lon",
+                "total_trip_events", "num_unique_routes")
         .orderBy(F.desc("total_trip_events"), F.asc("stop_id"))
     )
     return apply_limit(agg, limit)

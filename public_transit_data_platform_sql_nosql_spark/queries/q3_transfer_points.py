@@ -38,15 +38,23 @@ def q3_transfer_points(
         .select("stop_id", "route_id")
         .distinct()
     )
+    # Count per stop_id over the deduped pairs FIRST, then attach stop
+    # attributes to the (already HAVING-filtered) per-stop counts (opt
+    # guide §2.3): the attributes are functionally dependent on stop_id
+    # (GTFS stops.txt primary key), so the count shuffle carries one
+    # narrow key instead of five mixed-type group columns, and the
+    # broadcast dim join touches |transfer stops| rows, not every pair.
     agg = (
-        pairs.join(
+        pairs.groupBy("stop_id")
+        .agg(F.count("route_id").alias("num_unique_routes"))
+        .filter(F.col("num_unique_routes") >= min_routes)
+        .join(
             F.broadcast(stops.select("stop_id", "stop_code", "stop_name",
                                      "stop_lat", "stop_lon")),
             "stop_id",
         )
-        .groupBy("stop_id", "stop_code", "stop_name", "stop_lat", "stop_lon")
-        .agg(F.count("route_id").alias("num_unique_routes"))
-        .filter(F.col("num_unique_routes") >= min_routes)
+        .select("stop_id", "stop_code", "stop_name", "stop_lat", "stop_lon",
+                "num_unique_routes")
         .orderBy(F.desc("num_unique_routes"), F.asc("stop_id"))
     )
     return apply_limit(agg, limit)

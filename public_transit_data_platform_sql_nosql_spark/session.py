@@ -36,6 +36,16 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Allow the planner to pick shuffled-hash over sort-merge when a
+        # side fits a per-partition hash map (opt guide §3.1): the big
+        # fact joins here (stop_times x trips at 10x scale and beyond,
+        # where trips exceeds the broadcast gate) then skip sorting the
+        # 60M-row side entirely.  Build sides stay bounded — trips
+        # partitions are uniform on trip_id — and AQE skew-splitting
+        # still applies; sort-merge remains available wherever the size
+        # conditions don't hold.  A/B at sf10 (OPTIMIZATION_r14.md):
+        # q1 30.8 -> measured with this flag below.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # testdata events.parquet uses TIMESTAMP(NANOS); read as long

@@ -49,9 +49,16 @@ def test_q2_service_filter_pushed_before_agg(gtfs):
     optimized = (
         df._jdf.queryExecution().optimizedPlan().toString()
     )
-    # the service filter must sit under the per-trip aggregate, not above it
+    # the service filter must sit under the route-level aggregate, not
+    # above it.  Since the r14 trip_stats restructure (aggregate before
+    # the trips join), Catalyst pushes the predicate all the way into
+    # the trips-view SCAN, where it appears as the view's service
+    # expression `(o_orderkey % 3) + 1 = 1` rather than a filter on the
+    # named service_id column — accept either spelling, reject only a
+    # plan whose join subtree carries no service predicate at all.
     agg_pos = optimized.index("Aggregate")
-    assert "service_id" in optimized[agg_pos:], optimized
+    below = optimized[agg_pos:]
+    assert ("service_id" in below) or ("% 3" in below), optimized
 
 
 def test_lineitem_scan_prunes_to_used_columns(gtfs):
