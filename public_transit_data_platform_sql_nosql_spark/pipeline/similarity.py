@@ -1035,16 +1035,16 @@ def semantic_dedup(emb: DataFrame, threshold: float = 0.98,
     every block; a window-free broadcast k-means iteration upstream
     costs one k-row broadcast each.
     """
-    # persist the (vec_id, cluster_id) assignment: ``assigned`` feeds
-    # THREE consumers (both self-join sides + the final kept-flag join),
-    # and without materialization each consumer re-runs the whole
-    # k-means iteration chain — the physical plan held three copies of
-    # the full training subtree (guide §5; plan capture
-    # plans/r14/semantic_dedup_before.txt).  Two longs per vector, so
-    # the cache is negligible at any corpus scale.
-    asg = embedding_kmeans(emb, k, n_iter).select(
-        "vec_id", "cluster_id").persist()
-    assigned = emb.join(asg, "vec_id")
+    # NOT persisted, by measurement: ``assigned`` feeds three consumers
+    # and the physical plan duplicates the k-means subtree per consumer,
+    # but an interleaved r14 A/B at sf0.1 measured the persist SLOWER
+    # (med 2.21 s vs 1.86 s): the broadcast-iteration k-means chain is
+    # cheap to re-run, while caching breaks the fused codegen pipelines
+    # and adds a materialization pass (opt guide §5 — cache only when
+    # recomputing costs more than the cache does).
+    assigned = emb.join(
+        embedding_kmeans(emb, k, n_iter).select("vec_id", "cluster_id"),
+        "vec_id")
     a = assigned.select(F.col("vec_id").alias("vec_a"),
                         F.col("cluster_id").alias("cl_a"),
                         F.col("embedding").alias("ea"))

@@ -36,16 +36,14 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        # Allow the planner to pick shuffled-hash over sort-merge when a
-        # side fits a per-partition hash map (opt guide §3.1): the big
-        # fact joins here (stop_times x trips at 10x scale and beyond,
-        # where trips exceeds the broadcast gate) then skip sorting the
-        # 60M-row side entirely.  Build sides stay bounded — trips
-        # partitions are uniform on trip_id — and AQE skew-splitting
-        # still applies; sort-merge remains available wherever the size
-        # conditions don't hold.  A/B at sf10 (OPTIMIZATION_r14.md):
-        # q1 30.8 -> measured with this flag below.
-        .config("spark.sql.join.preferSortMergeJoin", "false")
+        # preferSortMergeJoin stays at its default (true): an r14 A/B at
+        # sf0.1 measured the shuffled-hash planner preference as a large
+        # NET LOSS on this engine's plans (headline total 45 -> 69 s;
+        # ann_knn_join 2.6 -> 10.8, ann_ivf_topk 0.9 -> 4.1,
+        # ann_sq8_topk 2.1 -> 5.9) — the ANN/self-join family picks
+        # hash-build sides whose per-partition maps cost more than the
+        # sorts they replace (opt guide §3.1's caveat).  Revisit only
+        # per-join with explicit SHUFFLE_HASH hints, never session-wide.
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # testdata events.parquet uses TIMESTAMP(NANOS); read as long
