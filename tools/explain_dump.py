@@ -39,11 +39,18 @@ def main() -> None:
     if args.queries:
         names = [n.strip() for n in args.queries.split(",") if n.strip()]
     os.makedirs(args.outdir, exist_ok=True)
+    import contextlib
+    import io
+
     for name in names:
         try:
             df = qs[name](spark, args.sf_dir)
-            plan = df._sc._jvm.PythonSQLUtils.explainString(
-                df._jdf.queryExecution(), "formatted")
+            # public API only (df.explain prints): df._sc / the py4j
+            # PythonSQLUtils reach-through are version-fragile (ADVICE r14)
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                df.explain("formatted")
+            plan = buf.getvalue()
         except Exception as e:  # noqa: BLE001
             plan = f"EXPLAIN FAILED: {e!r}"
         path = os.path.join(args.outdir, f"{name}{args.suffix}.txt")
