@@ -958,13 +958,24 @@ _EXTRA_QUERIES = {
         lambda s, d: pprof.kmv_overlap(
             _aug(s, d).filter("doc_id % 3 != 0"),
             _aug(s, d).filter("doc_id % 2 = 0"), "text"),
-    # chunking AND chunk-level dedup in one row: every chunk row carries
-    # the corpus-wide duplication verdict for its hash
-    "text_chunks": _text_chunks_with_dups,
-    "q1_busiest_stops_weekday": _q1_weekday,
-    "q2_overall_weekday": _q2_overall_weekday,
-    "q4_whole_week_hourly": _q4_whole_week_hourly,
-    "timetable_get_timetable": _get_timetable_flat,
+    # r15 round-robin displacements (the r14 five, all first-gated
+    # green r14; signal classes still carried in-window: ann_lsh_topk's
+    # band-bucket blocking by ann_knn_join-class multi-probe inside
+    # semantic_dedup + the dedup LSH rows; curation_stratified_cap's
+    # machinery by web_url_dedup's family and the curation compositions;
+    # multimodal_transforms' Arrow plumbing by multimodal_features;
+    # events_top_users_by_value's ranking shape by q4_top_routes_daily;
+    # events_windowed_counts' tumbling buckets by events_sessionize /
+    # the interval rows):
+    "ann_lsh_topk":
+        lambda s, d: psim.lsh_topk(_emb(s, d)),
+    "curation_stratified_cap":
+        lambda s, d: pcur.stratified_cap(_aug(s, d)),
+    "multimodal_transforms": _multimodal_transforms,
+    "events_top_users_by_value":
+        lambda s, d: ev.top_users_by_value(_events(s, d)),
+    "events_windowed_counts":
+        lambda s, d: ev.windowed_counts(_events(s, d)),
     # r14 round-robin displacements (the r13 five, all first-gated
     # green r13; the precompute fast-path signal class — partition-
     # pruned cache write+read, '4'-sentinel synthesized rows, /3.0
@@ -1409,23 +1420,34 @@ _FLAGSHIP_R14 = {
     # _EXTRA_QUERIES): precompute_q1..q4_table,
     # timetable_arrivals_flat — all first-gated green r13.
     #
-    # banded multi-probe LSH top-k (Hamming-1 bucket expansion); the
-    # band-bucket blocking family's in-flight serving shape
-    "ann_lsh_topk":
-        lambda s, d: psim.lsh_topk(_emb(s, d)),
-    # per-stratum proportional caps via deterministic hash ranking
-    "curation_stratified_cap":
-        lambda s, d: pcur.stratified_cap(_aug(s, d)),
-    # resize + frame-sampling fused into one row: each media's resize
-    # summary joined to its sampled frames (left — a frameless payload
-    # still pins its resize columns)
-    "multimodal_transforms": _multimodal_transforms,
-    # per-user value ranking over the event stream
-    "events_top_users_by_value":
-        lambda s, d: ev.top_users_by_value(_events(s, d)),
-    # tumbling 5-minute windowed counts (the streaming jobs' batch twin)
-    "events_windowed_counts":
-        lambda s, d: ev.windowed_counts(_events(s, d)),
+    # (r15 round-robin: ann_lsh_topk / curation_stratified_cap /
+    # multimodal_transforms / events_top_users_by_value /
+    # events_windowed_counts — all first-gated green r14 — moved to
+    # _EXTRA_QUERIES to make room for the five stalest rows; see
+    # _FLAGSHIP_R15.)
+}
+
+
+_FLAGSHIP_R15 = {
+    # r15 steady-state round-robin (the r14 rotation_check advisory's
+    # five stalest windows, all last gated r7): every one previously
+    # carried the driver hash gate and has stayed oracle-checked in
+    # the pytest parity sweep since.  Displacements (annotated in
+    # _EXTRA_QUERIES): ann_lsh_topk, curation_stratified_cap,
+    # multimodal_transforms, events_top_users_by_value,
+    # events_windowed_counts — all first-gated green r14.
+    #
+    # P2 optional-service-filter variant of the flagship Q1
+    "q1_busiest_stops_weekday": _q1_weekday,
+    # weekday fleet-wide aggregate over the per-route Q2 stats
+    "q2_overall_weekday": _q2_overall_weekday,
+    # whole-week hourly pivot over the Q4 hourly view
+    "q4_whole_week_hourly": _q4_whole_week_hourly,
+    # chunking AND chunk-level dedup in one row: every chunk row carries
+    # the corpus-wide duplication verdict for its hash
+    "text_chunks": _text_chunks_with_dups,
+    # the reference API's get_timetable flat projection (NaT-parity row)
+    "timetable_get_timetable": _get_timetable_flat,
 }
 
 
@@ -1455,6 +1477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **_FLAGSHIP_R10,
         **_FLAGSHIP_R11,
         **_FLAGSHIP_R14,
+        **_FLAGSHIP_R15,
         **_EVENTS_QUERIES,
         **_PIPELINE_QUERIES,
         # keep last: beyond the harness's 50-entry window by design

@@ -173,6 +173,11 @@ def curated_corpus(docs: DataFrame, labels: DataFrame,
     # persisted selection is doc_ids only (a few % of corpus bytes),
     # computed once inside the same timed plan; downstream broadcast
     # builds read the InMemoryRelation instead of re-deriving it.
+    # The cache stays (the returned plan reads it — unpersisting here
+    # would undo the dedup before the caller ever runs the plan); a
+    # long-lived session clears it with spark.catalog.clearCache()
+    # after materializing the result, same contract as the
+    # training_chunks caches below (ADVICE r14).
     selected = (
         kept.join(good, "doc_id").join(train, "doc_id").persist()
     )

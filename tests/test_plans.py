@@ -49,16 +49,20 @@ def test_q2_service_filter_pushed_before_agg(gtfs):
     optimized = (
         df._jdf.queryExecution().optimizedPlan().toString()
     )
-    # the service filter must sit under the route-level aggregate, not
-    # above it.  Since the r14 trip_stats restructure (aggregate before
-    # the trips join), Catalyst pushes the predicate all the way into
-    # the trips-view SCAN, where it appears as the view's service
-    # expression `(o_orderkey % 3) + 1 = 1` rather than a filter on the
-    # named service_id column — accept either spelling, reject only a
-    # plan whose join subtree carries no service predicate at all.
-    agg_pos = optimized.index("Aggregate")
-    below = optimized[agg_pos:]
-    assert ("service_id" in below) or ("% 3" in below), optimized
+    # the service filter must sit under BOTH aggregates (the route-level
+    # one and, since the r14 trip_stats restructure, the per-trip one),
+    # i.e. inside the join subtree.  Catalyst pushes the predicate all
+    # the way into the trips-view SCAN, where it appears as the view's
+    # service expression `(o_orderkey % 3) + 1 = 1` rather than a filter
+    # on the named service_id column — accept either spelling, anchored
+    # BELOW the deepest Aggregate so an unrelated modulo elsewhere (e.g.
+    # a `% 30` partitioning expression) cannot satisfy the check
+    # (ADVICE r14).
+    import re
+
+    below = optimized[optimized.rindex("Aggregate"):]
+    assert ("service_id" in below) or \
+        re.search(r"o_orderkey#\d+L? % 3\b", below), optimized
 
 
 def test_lineitem_scan_prunes_to_used_columns(gtfs):
