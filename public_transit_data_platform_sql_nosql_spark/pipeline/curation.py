@@ -250,12 +250,16 @@ def training_chunks(docs: DataFrame, labels: DataFrame,
     if decont_report is not None:
         kept = kept.join(decont_report.select("doc_id"),
                          "doc_id", "left_anti")
-    # persist the surviving id set: the semi-join below is pushed
-    # through the corpus UNION arms, and without materialization each
-    # arm re-evaluates the whole curation+decontamination subtree
-    # (the decontamination shingle join is a full tokenization pass) —
-    # same duplication mechanics as in curated_corpus (guide §2.4/§5)
-    kept = kept.select("doc_id").persist()
+    # NOT persisted, by measurement (r15 interleaved A/B at sf1,
+    # median-of-5 in one JVM: no-persist 12.35 s vs persist 12.72 s;
+    # the driver's 32-core r14 runs had flagged the persist as a ~23%
+    # regression) — the id set sits directly on curated_corpus' already-
+    # persisted `selected` cache, so re-deriving it per UNION arm is one
+    # cheap anti-join against cached ids, while the extra persist added
+    # a materialization pass (the same mechanism measured as a loss on
+    # semantic_dedup in r14; opt guide §5 cache-only-when-recompute-
+    # costs-more).
+    kept = kept.select("doc_id")
     # `chunks` feeds THREE consumers below (the kept-chunk join, the
     # boilerplate aggregate, and the canonical-position resolution);
     # without a persist, each consumer re-executes the whole curation

@@ -469,7 +469,11 @@ def dedup_clusters(pairs: DataFrame,
     ``max(label WHERE is_self)`` is the previous round's label riding
     along for the convergence check — no re-join against the previous
     label table), and (2) the jump's label-keyed self-join, through
-    which ``old_label`` also rides.  The label table is checkpointed
+    which ``old_label`` also rides.  ROUND 0 is cheaper still: with
+    identity labels the neighbor-min join degenerates to label(b) = b,
+    so the first round is ONE groupBy over the edge table
+    (least(doc_id, min(neighbor))) — no initial label table, no join.
+    The label table is checkpointed
     EVERY round: each round's plan references the previous round's
     several times (neighbor join, jump self-join), so without truncation
     the logical plan grows ~4x per round and Catalyst's analysis
@@ -481,8 +485,11 @@ def dedup_clusters(pairs: DataFrame,
     (fast, but the truncated RDD lives in executor storage — lost on
     executor failure); pass a DFS path to switch to reliable
     ``checkpoint()``, the fault-tolerant variant to use on a real
-    cluster with executor churn.  The convergence test is a 1-row
-    aggregate, not a collect of labels.
+    cluster with executor churn.  The convergence test is a count
+    aggregate, not a collect of labels — and with ``localCheckpoint``
+    the checkpoint is LAZY so that one count job per round both
+    materializes the label table and measures the change delta (the
+    reliable variant keeps the eager write + a limit(1) probe).
 
     SESSION-GLOBAL SIDE EFFECT: passing ``checkpoint_dir`` calls
     ``setCheckpointDir`` on the shared SparkContext (like the
@@ -519,11 +526,7 @@ def dedup_clusters(pairs: DataFrame,
         .distinct()
         .persist()
     )
-    labels = (
-        sym.select(F.col("a").alias("doc_id"))
-        .distinct()
-        .withColumn("label", F.col("doc_id"))
-    ).persist()
+    labels: DataFrame | None = None  # identity init is IMPLICIT (round 0)
     it = 0
     prev_round_dir: str | None = None
     while True:
@@ -532,23 +535,42 @@ def dedup_clusters(pairs: DataFrame,
             sc.setCheckpointDir(round_dir)
         else:
             round_dir = None
-        # one exchange: neighbor contributions + self rows -> per-doc
-        # min(label), with the pre-round label captured from the self row
-        contrib = (
-            sym.join(labels, sym["b"] == labels["doc_id"])
-            .select(F.col("a").alias("doc_id"), "label",
-                    F.lit(False).alias("is_self"))
-        )
-        merged = (
-            labels.select("doc_id", "label", F.lit(True).alias("is_self"))
-            .unionByName(contrib)
-            .groupBy("doc_id")
-            .agg(
-                F.min("label").alias("label"),
-                F.max(F.when(F.col("is_self"), F.col("label")))
-                .alias("old_label"),
+        if labels is None:
+            # ROUND-0 SHORTCUT (opt guide §2.4): with identity labels,
+            # the neighbor-min join degenerates to label(b) = b, so the
+            # whole contrib-join + union collapses to ONE groupBy over
+            # the (already persisted) edge table — min(self, neighbors)
+            # = least(a, min(b)) — skipping the initial distinct-labels
+            # exchange AND the round-0 join's two shuffles outright.
+            merged = (
+                sym.groupBy("a")
+                .agg(F.min("b").alias("_nbmin"))
+                .select(
+                    F.col("a").alias("doc_id"),
+                    F.least(F.col("a"), F.col("_nbmin")).alias("label"),
+                    F.col("a").alias("old_label"),
+                )
+            ).persist()
+        else:
+            # one exchange: neighbor contributions + self rows -> per-doc
+            # min(label), with the pre-round label captured from the
+            # self row
+            contrib = (
+                sym.join(labels, sym["b"] == labels["doc_id"])
+                .select(F.col("a").alias("doc_id"), "label",
+                        F.lit(False).alias("is_self"))
             )
-        ).persist()  # feeds both sides of the jump join — compute once
+            merged = (
+                labels.select("doc_id", "label",
+                              F.lit(True).alias("is_self"))
+                .unionByName(contrib)
+                .groupBy("doc_id")
+                .agg(
+                    F.min("label").alias("label"),
+                    F.max(F.when(F.col("is_self"), F.col("label")))
+                    .alias("old_label"),
+                )
+            ).persist()  # feeds both sides of the jump join
         # pointer jump (path halving): label := min(label, label(label)).
         # Labels are always doc_ids present in the table, so the self-join
         # hits; left+coalesce keeps it total anyway.  One extra shuffle
@@ -557,7 +579,7 @@ def dedup_clusters(pairs: DataFrame,
             F.col("doc_id").alias("label"),
             F.col("label").alias("grand"),
         )
-        stepped = _truncate_lineage(
+        jumped = (
             merged.join(parents, "label", "left")
             .select(
                 "doc_id",
@@ -569,16 +591,34 @@ def dedup_clusters(pairs: DataFrame,
             .select(
                 "doc_id", "label",
                 (F.col("label") != F.col("old_label")).alias("chg"),
-            ),
-            checkpoint_dir,
+            )
         )
+        if checkpoint_dir is not None:
+            # reliable checkpoint stays EAGER: a lazy reliable
+            # checkpoint recomputes the RDD to write the files (Spark
+            # docs recommend persist-before-checkpoint for that reason),
+            # which would cost MORE than the extra count job it saves
+            stepped = jumped.checkpoint(eager=True)
+            changed = stepped.filter("chg").limit(1).count()
+        else:
+            # LAZY localCheckpoint + full-count convergence check: the
+            # count job computes every partition of the jump output,
+            # and localCheckpoint persists partitions as they are
+            # computed — so ONE job per round both materializes the
+            # truncated-lineage label table and returns the change
+            # delta (the eager checkpoint ran a separate
+            # materialization job before the limit(1).count, i.e. two
+            # jobs per round; at the small-SF job floor the per-round
+            # job launches are most of the wall time — opt guide §1.2)
+            stepped = jumped.localCheckpoint(eager=False)
+            changed = stepped.filter("chg").count()
         merged.unpersist()
         # round it is materialized; round it-1's files are unreferenced
         if prev_round_dir is not None:
             _delete_path(sc, prev_round_dir)
         prev_round_dir = round_dir
-        changed = stepped.filter("chg").limit(1).count()
-        labels.unpersist()
+        if labels is not None:
+            labels.unpersist()
         labels = stepped.select("doc_id", "label")
         if changed == 0:
             break
@@ -602,16 +642,6 @@ def _delete_path(sc, path: str) -> None:
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = hpath.getFileSystem(sc._jsc.hadoopConfiguration())
     fs.delete(hpath, True)
-
-
-def _truncate_lineage(labels: DataFrame,
-                      checkpoint_dir: str | None) -> DataFrame:
-    if checkpoint_dir is not None:
-        checkpointed = labels.checkpoint(eager=True)
-    else:
-        checkpointed = labels.localCheckpoint(eager=True)
-    labels.unpersist()
-    return checkpointed
 
 
 def decontaminate_report(train: DataFrame, eval_docs: DataFrame,

@@ -110,7 +110,17 @@ def sq8_topk(emb: DataFrame, num_queries: int = 8, k: int = 10,
     contract matches the other ANN paths; pytest pins shortlist recall
     against ``brute_force_topk``.
     """
-    stats = _sq8_stats(emb, dim)
+    # persist the 1-row quantizer stats: ``hat`` is consumed by BOTH the
+    # query side and the candidate side, and without materialization the
+    # optimizer duplicates the training subtree (a full corpus scan +
+    # 128-aggregate pass) under each consumer — the r14 plan shows the
+    # HashAggregate-over-scan pair TWICE (plans/r14/ann_sq8_topk_*.txt).
+    # One cached row makes the second consumer read the InMemoryRelation
+    # instead of re-training (opt guide §5 cache-when-reused; same
+    # discipline as curated_corpus' id-set persist).  The bench's
+    # per-query clearCache() bounds the footprint; long-lived sessions
+    # clear it with spark.catalog.clearCache() like the curation caches.
+    stats = _sq8_stats(emb, dim).persist()
     hat = emb.join(F.broadcast(stats)).select(
         "vec_id",
         _sq8_dequantized(F.col("embedding"), F.col("mns"),
@@ -3642,11 +3652,15 @@ def bq_topk(emb: DataFrame, num_queries: int = 8, k: int = 10,
         "vec_id",
         _bq_half("embedding", 0).alias("lo"),
         _bq_half("embedding", 32).alias("hi"))
-    q = (emb.join(bits, "vec_id")
-         .filter(F.col("vec_id") < num_queries)
+    # the query side computes its sign bits directly from the embedding
+    # column — packing is a deterministic per-row expression, so joining
+    # back against ``bits`` on vec_id bought nothing but an extra join
+    # (and a second scan feeding it) in the plan (opt guide §2.4)
+    q = (emb.filter(F.col("vec_id") < num_queries)
          .select(F.col("vec_id").alias("query_id"),
                  F.col("embedding").alias("qe"),
-                 F.col("lo").alias("qlo"), F.col("hi").alias("qhi")))
+                 _bq_half("embedding", 0).alias("qlo"),
+                 _bq_half("embedding", 32).alias("qhi")))
     approx = (
         bits.join(F.broadcast(q),
                   F.col("query_id") != F.col("vec_id"))

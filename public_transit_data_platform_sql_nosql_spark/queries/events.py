@@ -346,10 +346,19 @@ def interval_overlap_report(events: DataFrame) -> DataFrame:
         .agg(F.min("us").alias("type_start_us"),
              (F.max("us") + 1).alias("type_end_us"))
     )
+    # bucket_width = one day in us: both sides' intervals are DAY-BOUNDED
+    # by construction (grouped on the same ``day`` the join keys on), so
+    # a day-wide bucket gives an explosion factor of exactly 1 — each
+    # interval covers its own day's bucket and nothing else.  This also
+    # skips interval_join's auto-sizing pass (two approx_percentile
+    # driver jobs that each re-ran the grouped-events subtree — opt
+    # guide §2 bin-width audit / §5 driver work in the query path).
+    # Any width yields identical rows (the exact overlap predicate +
+    # claim-once filter run post-join); the width only moves cost.
     return interval_join(
         user_iv, type_iv,
         "user_start_us", "user_end_us", "type_start_us", "type_end_us",
-        by="day",
+        by="day", bucket_width=86_400_000_000,
     ).select("user_id", "day", "event_type",
              "user_start_us", "user_end_us",
              "type_start_us", "type_end_us")
