@@ -269,3 +269,9 @@ def test_where_pushdown_other_ivf_kinds(spark, tmp_path, kind):
         [(970002, qv)], "vec_id long, embedding array<double>")
     with pytest.raises(ValueError, match="missing"):
         upsert(spark, path, bare)
+
+
+# SLOW TIER (pytest.ini): stored-index/tune/streaming/CLI e2e --
+# excluded from the driver's default gate; run with -m slow after
+# touching this family (see the verify skill).
+pytestmark = pytest.mark.slow

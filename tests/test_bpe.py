@@ -328,6 +328,7 @@ def test_scaled_apply_fallback_for_unsafe_tables(spark):
         assert r["bpe_toks"] == bpe_encode(t, unsafe), repr(t)
 
 
+@pytest.mark.slow  # SLOW TIER: see pytest.ini
 def test_spark_trainer_matches_mirror_at_1k_merges(spark):
     """THE SPARK TRAINER ITSELF (not the Python mirror) learns a >=
     1000-merge table: exact rank-for-rank equality with the mirror on

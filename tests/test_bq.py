@@ -251,3 +251,9 @@ def test_dim_guard(spark, emb, tmp_path):
         write_bq_index(emb, str(tmp_path / "x"), dim=32)
     with pytest.raises(ValueError, match="64 sign bits"):
         bq_topk(emb, dim=128)
+
+
+# SLOW TIER (pytest.ini): stored-index/tune/streaming/CLI e2e --
+# excluded from the driver's default gate; run with -m slow after
+# touching this family (see the verify skill).
+pytestmark = pytest.mark.slow

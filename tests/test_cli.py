@@ -406,3 +406,9 @@ def test_cli_vector_index_maintain_pq(spark, tmp_path, capsys):
     capsys.readouterr()
     assert main(["vector-index", "maintain", "--path", sq8,
                  "--batch", batch_path, "--emb", merged_path]) == 2
+
+
+# SLOW TIER (pytest.ini): stored-index/tune/streaming/CLI e2e --
+# excluded from the driver's default gate; run with -m slow after
+# touching this family (see the verify skill).
+pytestmark = pytest.mark.slow

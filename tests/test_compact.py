@@ -199,3 +199,11 @@ def test_compact_preserves_stringy_partition_values(spark, tmp_path):
     assert spark.conf.get(
         "spark.sql.sources.partitionColumnTypeInference.enabled") == "true"
     assert spark.read.parquet(sink).count() == 1500
+
+
+# SLOW TIER (pytest.ini): stored-index/tune/streaming/CLI e2e --
+# excluded from the driver's default gate; run with -m slow after
+# touching this family (see the verify skill).
+import pytest  # noqa: E402
+
+pytestmark = pytest.mark.slow

@@ -55,6 +55,7 @@ def test_min_over_multiple_paths(spark):
     assert _reach(spark, "2", 2) == {"1": 1, "2": 0, "3": 1, "4": 2}
 
 
+@pytest.mark.slow  # SLOW TIER: see pytest.ini
 def test_island_origin_and_unserved_origin(spark):
     assert _reach(spark, "5", 2) == {"5": 0, "6": 1}
     # an origin serving no route yields only itself
@@ -120,6 +121,7 @@ def _mm_reach(spark, origin, max_transfers):
     }
 
 
+@pytest.mark.slow  # SLOW TIER: see pytest.ini
 def test_walk_bridge_connects_the_island(spark):
     """Pure-ride BFS never reaches the island from stop 1; one walk
     hop 4->5 does:
@@ -217,6 +219,7 @@ def _cache_manager_empty(spark) -> bool:
         spark._jsparkSession.sharedState().cacheManager().isEmpty())
 
 
+@pytest.mark.slow  # SLOW TIER: see pytest.ini
 def test_operators_release_their_caches(spark):
     """Every graph operator persists its edge table internally; none of
     those persists may outlive the call (the r7 leak): after each
@@ -244,6 +247,7 @@ def test_operators_release_their_caches(spark):
         assert res.count() > 0
 
 
+@pytest.mark.slow  # SLOW TIER: see pytest.ini
 def test_deep_reachable_matches_unrolled(spark):
     from public_transit_data_platform_sql_nosql_spark.queries.graph import (
         reachable_stops_deep,

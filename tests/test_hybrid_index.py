@@ -97,3 +97,9 @@ def test_kind_dispatch_and_filter(spark, docs, emb, tmp_path):
     for r in got:
         if r["dense_rank"] is not None:
             assert dense[r["doc_id"]] == r["dense_rank"]
+
+
+# SLOW TIER (pytest.ini): stored-index/tune/streaming/CLI e2e --
+# excluded from the driver's default gate; run with -m slow after
+# touching this family (see the verify skill).
+pytestmark = pytest.mark.slow

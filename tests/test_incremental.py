@@ -220,3 +220,9 @@ def test_corpus_diff_null_text_is_presence_not_hash(spark):
            for r in corpus_diff(old, new).collect()}
     assert got == {1: "changed", 2: "unchanged", 3: "unchanged",
                    4: "removed", 5: "added"}
+
+
+# SLOW TIER (pytest.ini): stored-index/tune/streaming/CLI e2e --
+# excluded from the driver's default gate; run with -m slow after
+# touching this family (see the verify skill).
+pytestmark = pytest.mark.slow

@@ -194,3 +194,9 @@ def test_cli_upsert_auto_compact(spark, emb, tmp_path, capsys):
         assert ("compact" in out) == thresh_hit, out
     m = _index_manifest(spark, path)
     assert len(m["codes"]) == 1            # folded back to one dir
+
+
+# SLOW TIER (pytest.ini): stored-index/tune/streaming/CLI e2e --
+# excluded from the driver's default gate; run with -m slow after
+# touching this family (see the verify skill).
+pytestmark = pytest.mark.slow

@@ -761,3 +761,9 @@ def test_cli_query_batch(spark, emb, tmp_path, capsys):
     assert res.count() == 15
     assert set(res.columns) == {"query_id", "rank", "neighbor_id",
                                 "cos_sim"}
+
+
+# SLOW TIER (pytest.ini): stored-index/tune/streaming/CLI e2e --
+# excluded from the driver's default gate; run with -m slow after
+# touching this family (see the verify skill).
+pytestmark = pytest.mark.slow

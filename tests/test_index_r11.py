@@ -603,3 +603,9 @@ def test_cli_vector_pipeline_tune_step(spark, tmp_path, capsys):
     assert "curve" not in st["tune"]            # status line stays slim
     assert _index_manifest(spark, f"{wd}/index")["default_nprobe"] == 1
     assert st["n_results"] >= 1
+
+
+# SLOW TIER (pytest.ini): stored-index/tune/streaming/CLI e2e --
+# excluded from the driver's default gate; run with -m slow after
+# touching this family (see the verify skill).
+pytestmark = pytest.mark.slow

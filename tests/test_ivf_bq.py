@@ -192,3 +192,9 @@ def test_cli_and_streaming_dispatch(spark, emb, tmp_path, capsys):
            served.filter(F.col("query_id") == 3)
            .orderBy("rank").collect()]
     assert got == single
+
+
+# SLOW TIER (pytest.ini): stored-index/tune/streaming/CLI e2e --
+# excluded from the driver's default gate; run with -m slow after
+# touching this family (see the verify skill).
+pytestmark = pytest.mark.slow

@@ -362,3 +362,9 @@ def test_cli_build_query_upsert_maintain(spark, emb, tmp_path, capsys):
                  "--nprobe", "8", "--k", "5"]) == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["kind"] == "ivf_pq" and out["decision"] == "ok"
+
+
+# SLOW TIER (pytest.ini): stored-index/tune/streaming/CLI e2e --
+# excluded from the driver's default gate; run with -m slow after
+# touching this family (see the verify skill).
+pytestmark = pytest.mark.slow

@@ -318,3 +318,9 @@ def test_filtered_search_restricts_candidates(spark, emb, pq_path,
     assert sorted(got2, key=lambda r: r["rank"])[0]["neighbor_id"] \
         == best["vec_id"]
     assert n_allowed > 5
+
+
+# SLOW TIER (pytest.ini): stored-index/tune/streaming/CLI e2e --
+# excluded from the driver's default gate; run with -m slow after
+# touching this family (see the verify skill).
+pytestmark = pytest.mark.slow

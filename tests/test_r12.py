@@ -533,3 +533,9 @@ def test_stream_auto_rebalance_requires_inputs(spark, tmp_path):
         stream_vector_index_upsert(
             stream, str(tmp_path / "idx"), str(tmp_path / "chk"),
             auto_rebalance=True)
+
+
+# SLOW TIER (pytest.ini): stored-index/tune/streaming/CLI e2e --
+# excluded from the driver's default gate; run with -m slow after
+# touching this family (see the verify skill).
+pytestmark = pytest.mark.slow

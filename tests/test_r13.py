@@ -570,3 +570,9 @@ def test_cli_hybrid_where(spark, emb, tmp_path, capsys):
                "--where", "lang = 'a'"])
     st2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rc == 2 and "no attribute columns" in st2["error"]
+
+
+# SLOW TIER (pytest.ini): stored-index/tune/streaming/CLI e2e --
+# excluded from the driver's default gate; run with -m slow after
+# touching this family (see the verify skill).
+pytestmark = pytest.mark.slow

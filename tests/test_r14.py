@@ -387,3 +387,9 @@ def test_cli_recall_curve_bad_grid_rc2(spark, emb, tmp_path, capsys):
                "--emb", emb_p, "--rerank-mults", "8,x"])
     st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rc == 2 and "integers" in st["error"]
+
+
+# SLOW TIER (pytest.ini): stored-index/tune/streaming/CLI e2e --
+# excluded from the driver's default gate; run with -m slow after
+# touching this family (see the verify skill).
+pytestmark = pytest.mark.slow

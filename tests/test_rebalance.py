@@ -258,3 +258,9 @@ def test_rebalance_hot_read_partition_prunes(spark, corpus, tmp_path):
     masked = [ln for ln in pf2
               if "cluster_id" in ln.split("PartitionFilters:")[1]]
     assert masked, plan2
+
+
+# SLOW TIER (pytest.ini): stored-index/tune/streaming/CLI e2e --
+# excluded from the driver's default gate; run with -m slow after
+# touching this family (see the verify skill).
+pytestmark = pytest.mark.slow

@@ -98,3 +98,9 @@ def test_stream_vector_search_filtered(spark, emb, tmp_path):
            served.filter(F.col("query_id") == 3)
            .orderBy("rank").collect()]
     assert got == single
+
+
+# SLOW TIER (pytest.ini): stored-index/tune/streaming/CLI e2e --
+# excluded from the driver's default gate; run with -m slow after
+# touching this family (see the verify skill).
+pytestmark = pytest.mark.slow

@@ -394,3 +394,9 @@ def test_index_scan_reads_only_codes_columns(spark, emb, tmp_path):
             assert "embedding" not in schema
             saw_codes = saw_codes or "codes" in schema
     assert saw_codes
+
+
+# SLOW TIER (pytest.ini): stored-index/tune/streaming/CLI e2e --
+# excluded from the driver's default gate; run with -m slow after
+# touching this family (see the verify skill).
+pytestmark = pytest.mark.slow

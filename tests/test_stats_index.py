@@ -143,3 +143,11 @@ def test_stale_manifest_disables_skipping_never_drops_rows(spark,
     write_file_stats(spark, path, ["k"])
     plan2 = skipping_plan(spark, path, bounds)
     assert not plan2["stale"] and plan2["skipped"] >= 16
+
+
+# SLOW TIER (pytest.ini): stored-index/tune/streaming/CLI e2e --
+# excluded from the driver's default gate; run with -m slow after
+# touching this family (see the verify skill).
+import pytest  # noqa: E402
+
+pytestmark = pytest.mark.slow

@@ -569,3 +569,11 @@ def test_stream_vector_index_upsert_dispatches_pq(spark, tmp_path):
     assert decisions[0]["decision"] == "appended"
     assert decisions[0]["n_new"] == 3
     assert decisions[0]["n_drifted_dims"] == 0
+
+
+# SLOW TIER (pytest.ini): stored-index/tune/streaming/CLI e2e --
+# excluded from the driver's default gate; run with -m slow after
+# touching this family (see the verify skill).
+import pytest  # noqa: E402
+
+pytestmark = pytest.mark.slow

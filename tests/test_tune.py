@@ -194,3 +194,9 @@ def test_maintain_bump_persists_to_manifest(spark, tmp_path):
                                      recall_floor_permille=900)
     assert st2["nprobe"] >= 2
     assert st2["decision"] == "ok"
+
+
+# SLOW TIER (pytest.ini): stored-index/tune/streaming/CLI e2e --
+# excluded from the driver's default gate; run with -m slow after
+# touching this family (see the verify skill).
+pytestmark = pytest.mark.slow

@@ -363,3 +363,9 @@ def test_flat_sink_survives_full_deletion(spark, tmp_path):
     assert st["rows_deleted"] == 0
     upsert_parquet_dir(spark, sink, _mkdf(spark, [(3, "c")]), ["k"])
     assert _rows(spark, sink) == {(3, "c")}
+
+
+# SLOW TIER (pytest.ini): stored-index/tune/streaming/CLI e2e --
+# excluded from the driver's default gate; run with -m slow after
+# touching this family (see the verify skill).
+pytestmark = pytest.mark.slow

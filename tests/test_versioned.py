@@ -118,3 +118,9 @@ def test_snapshot_diff_between_versions(spark, tmp_path):
     summ = {r["status"]: r["n_docs"]
             for r in snapshot_diff(spark, store, 0, summary=True).collect()}
     assert summ == {"unchanged": 1, "changed": 1, "removed": 1, "added": 1}
+
+
+# SLOW TIER (pytest.ini): stored-index/tune/streaming/CLI e2e --
+# excluded from the driver's default gate; run with -m slow after
+# touching this family (see the verify skill).
+pytestmark = pytest.mark.slow
