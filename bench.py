@@ -488,13 +488,15 @@ def _vector_serving_section(spark, emb_dir: str,
     emb = (spark.read.parquet(f"{emb_dir}/embeddings.parquet")
            .select("vec_id", "embedding"))
     tag = pathlib.Path(emb_dir).name
-    # r14 dir (vecidx4): the r13 caches (vecidx3) hold PQ codebooks
-    # trained at train_fraction=1.0 — the pre-sampled-training build;
-    # this round's PQ-family builds sample at 0.25
-    # (_BUILD_TRAIN_FRACTION), so build_s re-measures once under the
-    # new default (r13's vecidx3 held the ksub=256 rebaseline)
+    # r15 dir (vecidx5): VERDICT r14 item 9 — the vecidx4 sidecars
+    # replay build costs measured in r14; a fresh root re-measures every
+    # build/tune ONCE this round so the frontier's build column is a
+    # current number, not a cached one (builds run AFTER the timed
+    # headline region, so they cannot contaminate the record's timings).
+    # r14 dir (vecidx4) held the first train_fraction=0.25 PQ builds;
+    # r13 (vecidx3) the ksub=256 rebaseline.
     root = os.environ.get("SPARK_GRAFT_VECIDX_DIR",
-                          f"/tmp/spark_graft_bench/vecidx4_{tag}")
+                          f"/tmp/spark_graft_bench/vecidx5_{tag}")
     writers = {
         "bq": sim.write_bq_index,
         "ivf_bq": sim.write_ivf_bq_index,

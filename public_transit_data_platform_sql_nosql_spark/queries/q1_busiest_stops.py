@@ -41,13 +41,27 @@ def q1_busiest_stops(
     # join runs over |stops| aggregated rows instead of every fact row.
     # The inner join still drops stop_ids absent from stops — after the
     # aggregation instead of before, same surviving set.
+    #
+    # size(collect_set(route_id)) instead of countDistinct (r15, opt
+    # guide §2.4): the exact-distinct plan ran TWO exchanges — a
+    # (stop_id, route_id) dedup shuffle feeding a stop_id count shuffle;
+    # the collect_set aggregation dedups map-side into per-stop partial
+    # sets (bounded by routes-serving-the-stop, the same rows the dedup
+    # exchange shuffled) and shares the ONE stop_id exchange with the
+    # event count.  Interleaved sf1 A/B, 7 paired rounds: collect_set
+    # won or tied every round (settled meds ~3.4 s both, first rounds
+    # 6.2 vs 7.8 s).  Equivalent: both ignore NULLs and count each
+    # (stop, route) pair once.  (The same rewrite measured a LOSS on
+    # q4's hourly_frequency, where the pre-join distinct collapses the
+    # fact table — kept there.)
     agg = (
         stop_times.select("trip_id", "stop_id")
         .join(broadcast_if_small(t), "trip_id")
         .groupBy("stop_id")
         .agg(
             F.count(F.lit(1)).alias("total_trip_events"),
-            F.countDistinct("route_id").alias("num_unique_routes"),
+            F.size(F.collect_set("route_id")).cast("long")
+            .alias("num_unique_routes"),
         )
         .join(
             F.broadcast(
